@@ -1,0 +1,160 @@
+"""Bucket (data source/sink) abstraction.
+
+The reference's Bucket is a named, typed connection to a TSDB with a
+uniform read/aggregate/write interface
+(/root/reference/loudml/bucket.py:29-294) and a registry that loads
+one by name from config (bucket.py:297-306).  Here a bucket wraps a
+Spark reader/writer: reading returns a DataFrame (the *whole*
+relation — aggregation is the engine's job, Catalyst pushes filters
+into the scan), writing appends a DataFrame.
+
+Unlike the reference there is no write buffering layer
+(bucket.py:110-146): ``df.write`` batches natively, and streaming
+sinks go through ``foreachBatch``.
+"""
+
+from __future__ import annotations
+
+from abc import ABC, abstractmethod
+
+from pyspark.sql import DataFrame, SparkSession
+
+from loudml_spark import errors
+
+
+class Bucket(ABC):
+    """Named data source/sink."""
+
+    def __init__(self, name: str, **settings):
+        self.name = name
+        self.settings = settings
+
+    @abstractmethod
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Return the relation as a DataFrame (lazy; no scan yet)."""
+
+    def write(self, df: DataFrame, mode: str = "append") -> None:
+        raise errors.Invalid(f"bucket {self.name} is read-only")
+
+    def get_times_data(self, spark, features, from_date, to_date,
+                       bucket_interval, ts_col="ts", **kw):
+        """Bucketized aggregation — the reference's core read API
+        (loudml/bucket.py:157-194) as a DataFrame plan."""
+        from loudml_spark.operators.bucketize import bucketize
+
+        return bucketize(
+            self.read(spark), features, from_date, to_date,
+            bucket_interval, ts_col=ts_col, **kw,
+        )
+
+
+class ParquetBucket(Bucket):
+    """Parquet directory/file bucket — the natural Spark store."""
+
+    def read(self, spark):
+        reader = spark.read
+        if "schema" in self.settings:
+            reader = reader.schema(self.settings["schema"])
+        return reader.parquet(self.settings["path"])
+
+    def write(self, df, mode="append"):
+        df.write.mode(mode).parquet(self.settings["path"])
+
+
+class CSVBucket(Bucket):
+    """CSV bucket — replaces the reference MemBucket's CSV/CSV.gz
+    loader (loudml/membucket.py:90-112); Spark reads .gz natively."""
+
+    def read(self, spark):
+        opts = {"header": "true", "inferSchema": "true"}
+        opts.update(self.settings.get("options", {}))
+        reader = spark.read.options(**opts)
+        if "schema" in self.settings:
+            reader = reader.schema(self.settings["schema"])
+        return reader.csv(self.settings["path"])
+
+    def write(self, df, mode="append"):
+        df.write.mode(mode).options(header="true").csv(self.settings["path"])
+
+
+class MemBucket(Bucket):
+    """In-memory bucket (reference: loudml/membucket.py) — rows held
+    on the driver, materialized with createDataFrame.  Test/dev only;
+    real data belongs in parquet."""
+
+    def __init__(self, name, **settings):
+        super().__init__(name, **settings)
+        self.rows: list = []
+        self.schema = settings.get("schema")
+
+    def insert_times_data(self, point: dict):
+        self.rows.append(point)
+
+    def read(self, spark):
+        if not self.rows:
+            raise errors.Invalid(f"mem bucket {self.name} is empty")
+        return spark.createDataFrame(self.rows, schema=self.schema)
+
+    def write(self, df, mode="append"):
+        rows = [r.asDict() for r in df.collect()]
+        if mode == "overwrite":
+            self.rows = rows
+        else:
+            self.rows.extend(rows)
+
+
+class JDBCBucket(Bucket):
+    """JDBC bucket — covers the reference's SQL-ish stores. Catalyst
+    pushes filters down (DSv2); partitioned reads via
+    partitionColumn/lowerBound/upperBound/numPartitions settings."""
+
+    def read(self, spark):
+        return spark.read.format("jdbc").options(**self.settings).load()
+
+    def write(self, df, mode="append"):
+        df.write.format("jdbc").options(**self.settings).mode(mode).save()
+
+
+_BUCKET_TYPES = {
+    "parquet": ParquetBucket,
+    "csv": CSVBucket,
+    "mem": MemBucket,
+    "jdbc": JDBCBucket,
+}
+
+
+class BucketRegistry:
+    """name → Bucket, built from a list of settings dicts — the
+    equivalent of the reference's config-file bucket list
+    (loudml/config.py + bucket.py:297-306)."""
+
+    def __init__(self):
+        self._buckets: dict[str, Bucket] = {}
+
+    def register(self, bucket: Bucket) -> Bucket:
+        self._buckets[bucket.name] = bucket
+        return bucket
+
+    def add(self, settings: dict) -> Bucket:
+        settings = dict(settings)
+        name = settings.pop("name")
+        btype = settings.pop("type")
+        cls = _BUCKET_TYPES.get(btype)
+        if cls is None:
+            raise errors.Invalid(f"unknown bucket type: {btype}")
+        return self.register(cls(name, **settings))
+
+    def get(self, name: str) -> Bucket:
+        bucket = self._buckets.get(name)
+        if bucket is None:
+            raise errors.BucketNotFound(name)
+        return bucket
+
+    def names(self):
+        return sorted(self._buckets)
+
+
+def load_bucket(settings: dict) -> Bucket:
+    """One-off bucket from a settings dict."""
+    reg = BucketRegistry()
+    return reg.add(settings)

@@ -1,0 +1,53 @@
+"""Loaders for the driver-provided test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet each under /root/testdata/sf*/.
+
+The ``events`` table stores nanosecond timestamps, which Spark 4
+rejects by default (PARQUET_TYPE_ILLEGAL INT64 TIMESTAMP(NANOS)).  We
+flip ``spark.sql.legacy.parquet.nanosAsLong`` and expose BOTH:
+
+* ``ts``    — TimestampType (µs precision) for human-facing plans;
+* ``ts_ns`` — the raw int64 nanoseconds, so time bucketization can be
+  done in **exact integer arithmetic** that matches DuckDB's
+  ``epoch_ns`` bit-for-bit (no double-rounding flips at bucket
+  boundaries).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return (
+            df.withColumnRenamed("ts", "ts_ns")
+            .withColumn("ts", F.timestamp_seconds(F.col("ts_ns") / F.lit(1e9)))
+        )
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views for spark.sql."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
