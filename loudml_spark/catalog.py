@@ -1,0 +1,481 @@
+"""Query catalog — the driver-facing inventory of implemented operators.
+
+Each entry pairs a Spark implementation (built from loudml_spark
+operators) with an equivalent ANSI-SQL oracle that DuckDB runs on the
+same parquet tables.  Conventions that make the value-hash comparison
+robust across engines:
+
+* time bucketing is **integer** arithmetic on int64 nanoseconds
+  (``ts_ns div N`` in Spark ≡ ``epoch_ns(ts) // N`` in DuckDB) — no
+  double rounding at bucket edges;
+* sums of fixed-point inputs go through DECIMAL so they are exact in
+  both engines, then cast to DOUBLE (identical IEEE value);
+* other floating aggregates are rounded on BOTH sides (6 dp for
+  means/percentiles, 4 dp for stddev/variance — wide enough that the
+  engines' different summation orders can't straddle a boundary);
+* count columns cast to DOUBLE (loudml counts are floats,
+  loudml/worker.py:158) and fill 0 for empty buckets;
+* every computed column is aliased identically in Spark and SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loudml_spark.features import Feature
+from loudml_spark.operators.align import align_features
+from loudml_spark.operators.bucketize import bucketize
+from loudml_spark.operators.ranking import top_k
+from loudml_spark.operators.seasonal import daytime_col
+from loudml_spark.sources.tables import load_table
+
+NS = 10**9
+JAN1 = 1704067200          # 2024-01-01T00:00:00Z
+JAN31 = JAN1 + 30 * 86400  # 2024-01-31T00:00:00Z
+
+# ---------------------------------------------------------------- helpers
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _ev_bucketize(spark, sf_dir, features, interval):
+    return bucketize(
+        _events(spark, sf_dir), features, JAN1, JAN31, interval,
+        ts_col="ts_ns", ts_unit="ns",
+    )
+
+
+def _spine_sql(interval: int, cols: str = "value, event_type, user_id") -> str:
+    """Shared oracle scaffolding: bucketed points + full bucket spine."""
+    return f"""
+WITH pts AS (
+  SELECT (epoch_ns(ts) // {interval * NS}) * {interval} AS bucket_ts, {cols}
+  FROM events
+  WHERE epoch_ns(ts) >= {JAN1 * NS} AND epoch_ns(ts) < {JAN31 * NS}
+),
+spine AS (SELECT range AS bucket_ts FROM range({JAN1}, {JAN31}, {interval}))
+"""
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_ts_avg_1h(spark, sf_dir):
+    out = _ev_bucketize(spark, sf_dir, ["avg(value)"], 3600)
+    return out.select("bucket_ts", F.round("avg_value", 6).alias("avg_value"))
+
+
+SQL_TS_AVG_1H = _spine_sql(3600) + """
+SELECT s.bucket_ts AS bucket_ts, ROUND(AVG(p.value), 6) AS avg_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_multi_metric_6h(spark, sf_dir):
+    out = _ev_bucketize(
+        spark, sf_dir,
+        ["avg(value)", "count(value)", "min(value)", "max(value)",
+         "spread(value)"],
+        21600,
+    )
+    return out.select(
+        "bucket_ts",
+        F.round("avg_value", 6).alias("avg_value"),
+        F.col("count_value"),
+        "min_value", "max_value", "spread_value",
+    )
+
+
+SQL_TS_MULTI_METRIC_6H = _spine_sql(21600) + """
+SELECT s.bucket_ts AS bucket_ts,
+       ROUND(AVG(p.value), 6) AS avg_value,
+       CAST(COUNT(p.value) AS DOUBLE) AS count_value,
+       MIN(p.value) AS min_value,
+       MAX(p.value) AS max_value,
+       MAX(p.value) - MIN(p.value) AS spread_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_sum_1d(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = bucketize(
+        df, [Feature(metric="sum", field="value_dec", name="sum_value")],
+        JAN1, JAN31, 86400, ts_col="ts_ns", ts_unit="ns",
+    )
+    return out.select(
+        "bucket_ts", F.col("sum_value").cast("double").alias("sum_value")
+    )
+
+
+SQL_TS_SUM_1D = _spine_sql(86400) + """
+SELECT s.bucket_ts AS bucket_ts,
+       CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+_EVENT_TYPES = ("click", "signup", "error", "view", "purchase")
+
+
+def q_ts_count_by_type_6h(spark, sf_dir):
+    feats = [
+        Feature(metric="count", field="value", name=f"count_{t}",
+                match_all=[{"tag": "event_type", "value": t}])
+        for t in _EVENT_TYPES
+    ]
+    return _ev_bucketize(spark, sf_dir, feats, 21600)
+
+
+SQL_TS_COUNT_BY_TYPE_6H = _spine_sql(21600) + """
+SELECT s.bucket_ts AS bucket_ts,
+""" + ",\n".join(
+    f"       CAST(COUNT(CASE WHEN p.event_type = '{t}' THEN p.value END)"
+    f" AS DOUBLE) AS count_{t}"
+    for t in _EVENT_TYPES
+) + """
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_match_all_12h(spark, sf_dir):
+    feats = [
+        Feature(metric="avg", field="value", name="avg_value",
+                match_all=[{"tag": "event_type", "value": "purchase"},
+                           {"tag": "user_id", "value": 42}]),
+        Feature(metric="count", field="value", name="count_value",
+                match_all=[{"tag": "event_type", "value": "purchase"},
+                           {"tag": "user_id", "value": 42}]),
+    ]
+    out = _ev_bucketize(spark, sf_dir, feats, 43200)
+    return out.select(
+        "bucket_ts", F.round("avg_value", 6).alias("avg_value"), "count_value"
+    )
+
+
+SQL_TS_MATCH_ALL_12H = _spine_sql(43200) + """
+SELECT s.bucket_ts AS bucket_ts,
+       ROUND(AVG(CASE WHEN p.event_type = 'purchase' AND p.user_id = 42
+                 THEN p.value END), 6) AS avg_value,
+       CAST(COUNT(CASE WHEN p.event_type = 'purchase' AND p.user_id = 42
+                  THEN p.value END) AS DOUBLE) AS count_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_stddev_var_1d(spark, sf_dir):
+    out = _ev_bucketize(
+        spark, sf_dir, ["std_deviation(value)", "variance(value)"], 86400
+    )
+    return out.select(
+        "bucket_ts",
+        F.round("std_deviation_value", 4).alias("std_deviation_value"),
+        F.round("variance_value", 4).alias("variance_value"),
+    )
+
+
+SQL_TS_STDDEV_VAR_1D = _spine_sql(86400) + """
+SELECT s.bucket_ts AS bucket_ts,
+       ROUND(STDDEV_POP(p.value), 4) AS std_deviation_value,
+       ROUND(VAR_POP(p.value), 4) AS variance_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_percentiles_1d(spark, sf_dir):
+    feats = [
+        Feature(metric="median", field="value", name="median_value"),
+        Feature(metric="5percentile", field="value", name="p05_value"),
+        Feature(metric="95percentile", field="value", name="p95_value"),
+    ]
+    out = _ev_bucketize(spark, sf_dir, feats, 86400)
+    return out.select(
+        "bucket_ts",
+        F.round("median_value", 6).alias("median_value"),
+        F.round("p05_value", 6).alias("p05_value"),
+        F.round("p95_value", 6).alias("p95_value"),
+    )
+
+
+SQL_TS_PERCENTILES_1D = _spine_sql(86400) + """
+SELECT s.bucket_ts AS bucket_ts,
+       ROUND(QUANTILE_CONT(p.value, 0.5), 6) AS median_value,
+       ROUND(QUANTILE_CONT(p.value, 0.05), 6) AS p05_value,
+       ROUND(QUANTILE_CONT(p.value, 0.95), 6) AS p95_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_fill_previous_1h(spark, sf_dir):
+    feat = Feature(
+        metric="avg", field="value", name="avg_value",
+        match_all=[{"tag": "event_type", "value": "signup"}],
+        default="previous",
+    )
+    out = _ev_bucketize(spark, sf_dir, [feat], 3600)
+    return out.select("bucket_ts", F.round("avg_value", 6).alias("avg_value"))
+
+
+SQL_TS_FILL_PREVIOUS_1H = _spine_sql(3600) + """
+, agg AS (
+  SELECT s.bucket_ts AS bucket_ts,
+         AVG(CASE WHEN p.event_type = 'signup' THEN p.value END) AS a
+  FROM spine s LEFT JOIN pts p USING (bucket_ts)
+  GROUP BY s.bucket_ts
+)
+SELECT bucket_ts,
+       ROUND(LAST_VALUE(a IGNORE NULLS) OVER (
+         ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS avg_value
+FROM agg
+"""
+
+
+def q_ts_fill_default_1h(spark, sf_dir):
+    feat = Feature(
+        metric="avg", field="value", name="avg_value",
+        match_all=[{"tag": "event_type", "value": "error"}],
+        default=0.0,
+    )
+    out = _ev_bucketize(spark, sf_dir, [feat], 3600)
+    return out.select("bucket_ts", F.round("avg_value", 6).alias("avg_value"))
+
+
+SQL_TS_FILL_DEFAULT_1H = _spine_sql(3600) + """
+SELECT s.bucket_ts AS bucket_ts,
+       ROUND(COALESCE(AVG(CASE WHEN p.event_type = 'error' THEN p.value END),
+                      0.0), 6) AS avg_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_derivative_1h(spark, sf_dir):
+    out = _ev_bucketize(spark, sf_dir, ["derivative(value)"], 3600)
+    return out.select(
+        "bucket_ts", F.round("derivative_value", 9).alias("derivative_value")
+    )
+
+
+SQL_TS_DERIVATIVE_1H = _spine_sql(3600) + """
+, agg AS (
+  SELECT s.bucket_ts AS bucket_ts, AVG(p.value) AS a
+  FROM spine s LEFT JOIN pts p USING (bucket_ts)
+  GROUP BY s.bucket_ts
+)
+SELECT bucket_ts,
+       ROUND((a - LAG(a) OVER (ORDER BY bucket_ts)) / 3600.0, 9)
+         AS derivative_value
+FROM agg
+"""
+
+
+def q_ts_integral_6h(spark, sf_dir):
+    out = _ev_bucketize(spark, sf_dir, ["integral(value)"], 21600)
+    return out.select(
+        "bucket_ts", F.round("integral_value", 4).alias("integral_value")
+    )
+
+
+SQL_TS_INTEGRAL_6H = _spine_sql(21600) + """
+SELECT s.bucket_ts AS bucket_ts,
+       ROUND(AVG(p.value) * 21600.0, 4) AS integral_value
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_ts_diff_1d(spark, sf_dir):
+    feat = Feature(metric="avg", field="value", name="avg_value",
+                   transform="diff")
+    out = _ev_bucketize(spark, sf_dir, [feat], 86400)
+    return out.select("bucket_ts", F.round("avg_value", 6).alias("avg_value"))
+
+
+SQL_TS_DIFF_1D = _spine_sql(86400) + """
+, agg AS (
+  SELECT s.bucket_ts AS bucket_ts, AVG(p.value) AS a
+  FROM spine s LEFT JOIN pts p USING (bucket_ts)
+  GROUP BY s.bucket_ts
+)
+SELECT bucket_ts,
+       ROUND(a - LAG(a) OVER (ORDER BY bucket_ts), 6) AS avg_value
+FROM agg
+"""
+
+
+def q_ts_hourofday_profile(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    hod = daytime_col(df, "ts", ts_unit="ns").alias("hod")
+    # seasonality encoding (loudml/misc.py:201-212) as a group key
+    out = (
+        df.withColumn("hod", daytime_col(df, "ts_ns", ts_unit="ns"))
+        .groupBy("hod")
+        .agg(
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count("value").cast("double").alias("count_value"),
+        )
+    )
+    _ = hod
+    return out
+
+
+SQL_TS_HOUROFDAY_PROFILE = """
+SELECT CAST((epoch_ns(ts) // 3600000000000) % 24 AS INTEGER) AS hod,
+       ROUND(AVG(value), 6) AS avg_value,
+       CAST(COUNT(value) AS DOUBLE) AS count_value
+FROM events
+GROUP BY 1
+"""
+
+
+def q_ts_align_measurements_1d(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    feats = [
+        Feature(metric="avg", field="value", name="avg_click",
+                measurement="clicks"),
+        Feature(metric="avg", field="value", name="avg_purchase",
+                measurement="purchases"),
+    ]
+    out = align_features(
+        {"clicks": clicks, "purchases": purchases}, feats,
+        JAN1, JAN31, 86400, ts_col="ts_ns", ts_unit="ns",
+    )
+    return out.select(
+        "bucket_ts",
+        F.round("avg_click", 6).alias("avg_click"),
+        F.round("avg_purchase", 6).alias("avg_purchase"),
+    )
+
+
+SQL_TS_ALIGN_MEASUREMENTS_1D = _spine_sql(86400) + """
+SELECT s.bucket_ts AS bucket_ts,
+       ROUND(AVG(CASE WHEN p.event_type = 'click' THEN p.value END), 6)
+         AS avg_click,
+       ROUND(AVG(CASE WHEN p.event_type = 'purchase' THEN p.value END), 6)
+         AS avg_purchase
+FROM spine s LEFT JOIN pts p USING (bucket_ts)
+GROUP BY s.bucket_ts
+"""
+
+
+def q_events_top3_users_daily(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"(ts_ns div {86400 * NS}L) * 86400L").alias("bucket_ts")
+    cnts = ev.groupBy(day, "user_id").agg(F.count("*").alias("cnt"))
+    return top_k(
+        cnts, 3, ["bucket_ts"], [F.col("cnt"), F.col("user_id").asc()],
+    ).select("bucket_ts", "user_id", "cnt", "rank")
+
+
+SQL_EVENTS_TOP3_USERS_DAILY = f"""
+WITH cnts AS (
+  SELECT (epoch_ns(ts) // {86400 * NS}) * 86400 AS bucket_ts, user_id,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT bucket_ts, user_id, cnt,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY bucket_ts ORDER BY cnt DESC, user_id ASC
+       ) AS INTEGER) AS rank
+FROM cnts QUALIFY rank <= 3
+"""
+
+
+def q_tpch_pricing_summary(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    # l_shipdate is TIMESTAMP_NTZ: compare wall-clock against an NTZ
+    # literal (timezone-independent, same as DuckDB's naive compare)
+    return (
+        li.filter(F.expr("l_shipdate < TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(3,2)")
+                   - F.col("l_discount").cast("decimal(4,2)"))
+            ).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, dict] = {
+    "ts_avg_1h": {"fn": q_ts_avg_1h, "oracle": SQL_TS_AVG_1H},
+    "ts_multi_metric_6h": {
+        "fn": q_ts_multi_metric_6h, "oracle": SQL_TS_MULTI_METRIC_6H},
+    "ts_sum_1d": {"fn": q_ts_sum_1d, "oracle": SQL_TS_SUM_1D},
+    "ts_count_by_type_6h": {
+        "fn": q_ts_count_by_type_6h, "oracle": SQL_TS_COUNT_BY_TYPE_6H},
+    "ts_match_all_12h": {
+        "fn": q_ts_match_all_12h, "oracle": SQL_TS_MATCH_ALL_12H},
+    "ts_stddev_var_1d": {
+        "fn": q_ts_stddev_var_1d, "oracle": SQL_TS_STDDEV_VAR_1D},
+    "ts_percentiles_1d": {
+        "fn": q_ts_percentiles_1d, "oracle": SQL_TS_PERCENTILES_1D},
+    "ts_fill_previous_1h": {
+        "fn": q_ts_fill_previous_1h, "oracle": SQL_TS_FILL_PREVIOUS_1H},
+    "ts_fill_default_1h": {
+        "fn": q_ts_fill_default_1h, "oracle": SQL_TS_FILL_DEFAULT_1H},
+    "ts_derivative_1h": {
+        "fn": q_ts_derivative_1h, "oracle": SQL_TS_DERIVATIVE_1H},
+    "ts_integral_6h": {"fn": q_ts_integral_6h, "oracle": SQL_TS_INTEGRAL_6H},
+    "ts_diff_1d": {"fn": q_ts_diff_1d, "oracle": SQL_TS_DIFF_1D},
+    "ts_hourofday_profile": {
+        "fn": q_ts_hourofday_profile, "oracle": SQL_TS_HOUROFDAY_PROFILE},
+    "ts_align_measurements_1d": {
+        "fn": q_ts_align_measurements_1d,
+        "oracle": SQL_TS_ALIGN_MEASUREMENTS_1D},
+    "events_top3_users_daily": {
+        "fn": q_events_top3_users_daily,
+        "oracle": SQL_EVENTS_TOP3_USERS_DAILY},
+    "tpch_pricing_summary": {
+        "fn": q_tpch_pricing_summary, "oracle": SQL_TPCH_PRICING_SUMMARY},
+}
+
+
+def queries():
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
+
+
+def oracle_sql():
+    return {
+        name: spec["oracle"]
+        for name, spec in QUERIES.items()
+        if spec.get("oracle")
+    }

@@ -31,6 +31,7 @@ def align_features(
     bucket_interval,
     *,
     ts_col: str = "ts",
+    ts_unit: str = "s",
     default_measurement: str | None = None,
     now: float | None = None,
 ) -> DataFrame:
@@ -54,7 +55,7 @@ def align_features(
     frames = [
         bucketize(
             sources[m], feats, from_date, to_date, bucket_interval,
-            ts_col=ts_col, now=now,
+            ts_col=ts_col, ts_unit=ts_unit, now=now,
         )
         for m, feats in by_measurement.items()
     ]

@@ -56,9 +56,11 @@ def _bucket_expr(df: DataFrame, ts_col: str, interval: int, ts_unit: str) -> Col
     avoiding double-rounding flips at bucket boundaries."""
     dtype = df.schema[ts_col].dataType
     if isinstance(dtype, (T.LongType, T.IntegerType)) and ts_unit in _UNIT_SCALE:
+        # pure integer division: `/` would go through double, which
+        # cannot represent ns epochs (~1.7e18 > 2^53) exactly
         scale = _UNIT_SCALE[ts_unit]
-        return (
-            F.floor(F.col(ts_col) / F.lit(interval * scale)) * F.lit(interval)
+        return F.expr(
+            f"(`{ts_col}` div {interval * scale}L) * {interval}L"
         ).cast("long")
     epoch = F.col(ts_col).cast("double")
     return (F.floor(epoch / F.lit(interval)) * F.lit(interval)).cast("long")
