@@ -433,6 +433,139 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
+JAN22 = JAN1 + 21 * 86400  # train/test boundary for model queries
+
+
+def _hourly_series(spark, sf_dir):
+    """Hourly avg(value) over the full month — model input series."""
+    out = _ev_bucketize(spark, sf_dir, ["avg(value)"], 3600)
+    return out.withColumnRenamed("avg_value", "value")
+
+
+def _scored_series(spark, sf_dir):
+    """Train a seasonal-naive profile on days 1-21, score days 22-30.
+
+    The whole pipeline — profile fit (one groupBy), predict (broadcast
+    join), scoring (erf column math) — is deterministic and
+    SQL-expressible, so it carries a full value-hash oracle."""
+    from loudml_spark.ml.models import SeasonalNaiveModel
+
+    series = _hourly_series(spark, sf_dir)
+    train = series.filter(F.col("bucket_ts") < JAN22)
+    test = series.filter(F.col("bucket_ts") >= JAN22)
+    model = SeasonalNaiveModel("catalog_seasonal", bucket_interval=3600)
+    scored = model.fit(train).predict(test)
+    # round BEFORE thresholding so both engines flag identical buckets
+    return scored.withColumn("score", F.round("score", 4))
+
+
+def q_anomaly_scores_1h(spark, sf_dir):
+    scored = _scored_series(spark, sf_dir)
+    return scored.select(
+        "bucket_ts",
+        F.round("observed", 6).alias("observed"),
+        F.round("predicted", 6).alias("predicted"),
+        "score",
+    )
+
+
+# Abramowitz-Stegun erf mirrored textually from ml/scoring.py so both
+# engines evaluate the identical IEEE expression tree.
+_SQL_SCORED_SERIES = _spine_sql(3600) + f"""
+, series AS (
+  SELECT s.bucket_ts AS bucket_ts, AVG(p.value) AS value
+  FROM spine s LEFT JOIN pts p USING (bucket_ts)
+  GROUP BY s.bucket_ts
+),
+prof AS (
+  SELECT CAST((bucket_ts // 3600) % 24 AS INTEGER) AS hod,
+         AVG(value) AS mu,
+         CASE WHEN STDDEV_POP(value) > 0 THEN STDDEV_POP(value)
+              ELSE 1.0 END AS sigma
+  FROM series WHERE bucket_ts < {JAN22}
+  GROUP BY 1
+),
+j AS (
+  SELECT t.bucket_ts, t.value AS observed, pr.mu AS predicted,
+         pr.mu - 3.0 * pr.sigma AS lower, pr.mu + 3.0 * pr.sigma AS upper
+  FROM series t
+  JOIN prof pr ON CAST((t.bucket_ts // 3600) % 24 AS INTEGER) = pr.hod
+  WHERE t.bucket_ts >= {JAN22}
+),
+z AS (
+  SELECT bucket_ts, observed, predicted,
+         ABS(observed - (lower + upper) / 2.0)
+           / (CASE WHEN (upper - (lower + upper) / 2.0) / 3.0 = 0 THEN 1.0
+                   ELSE (upper - (lower + upper) / 2.0) / 3.0 END)
+           / SQRT(2.0) AS x
+  FROM j
+),
+tt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM z),
+scored AS (
+  SELECT bucket_ts, observed, predicted,
+         ROUND(100.0 * GREATEST(0.0, LEAST(1.0,
+           2.0 * (0.5 * (1.0 + (1.0 - (0.254829592 * t
+             + (-0.284496736) * t * t
+             + 1.421413741 * t * t * t
+             + (-1.453152027) * t * t * t * t
+             + 1.061405429 * t * t * t * t * t) * EXP(-x * x)))) - 1.0
+         )), 4) AS score
+  FROM tt
+)
+"""
+
+SQL_ANOMALY_SCORES_1H = _SQL_SCORED_SERIES + """
+SELECT bucket_ts, ROUND(observed, 6) AS observed,
+       ROUND(predicted, 6) AS predicted, score
+FROM scored
+"""
+
+
+def q_anomaly_detect_1h(spark, sf_dir):
+    """Hysteresis state machine over the scored series (thresholds
+    99.7 / 68, the reference defaults, donut.py:652-658)."""
+    from loudml_spark.ml.detect import detect_anomalies
+
+    detected = detect_anomalies(
+        _scored_series(spark, sf_dir), min_threshold=68.0,
+        max_threshold=99.7,
+    )
+    return detected.select("bucket_ts", "is_anomaly", "episode_id")
+
+
+SQL_ANOMALY_DETECT_1H = _SQL_SCORED_SERIES + """
+, m AS (
+  SELECT bucket_ts, score,
+         CASE WHEN score >= 99.7 THEN 1
+              WHEN score < 68.0 THEN 0 END AS mark
+  FROM scored
+),
+c AS (
+  SELECT *,
+         COALESCE(LAST_VALUE(mark IGNORE NULLS) OVER (
+           ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS open_now,
+         COALESCE(LAST_VALUE(mark IGNORE NULLS) OVER (
+           ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS was_open
+  FROM m
+),
+d AS (
+  SELECT *,
+         CASE WHEN COALESCE(mark, -1) = 1 AND was_open = 0
+              THEN 1 ELSE 0 END AS is_start
+  FROM c
+)
+SELECT bucket_ts,
+       COALESCE(mark, -1) = 1 AS is_anomaly,
+       CASE WHEN open_now = 1
+            THEN SUM(is_start) OVER (ORDER BY bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END
+         AS episode_id
+FROM d
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, dict] = {
@@ -466,6 +599,10 @@ QUERIES: dict[str, dict] = {
         "oracle": SQL_EVENTS_TOP3_USERS_DAILY},
     "tpch_pricing_summary": {
         "fn": q_tpch_pricing_summary, "oracle": SQL_TPCH_PRICING_SUMMARY},
+    "anomaly_scores_1h": {
+        "fn": q_anomaly_scores_1h, "oracle": SQL_ANOMALY_SCORES_1H},
+    "anomaly_detect_1h": {
+        "fn": q_anomaly_detect_1h, "oracle": SQL_ANOMALY_DETECT_1H},
 }
 
 

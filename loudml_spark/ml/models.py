@@ -1,0 +1,328 @@
+"""Model layer: registry, persistence, baseline predictors.
+
+The reference couples one model type (Donut VAE, TF/Keras) to the
+engine; this layer keeps the *contract* — train on a bucketized
+series, predict ``(bucket_ts, observed, predicted, lower, upper)``,
+score + detect — while making the estimator pluggable
+(loudml/model.py:445-468 entry-point registry → a plain dict here).
+
+Baselines implemented Spark-first (train = one aggregation job,
+predict = broadcast join — both scale to any number of series):
+
+* ``GaussianModel`` — global μ/σ of the feature; band μ±3σ.
+* ``SeasonalNaiveModel`` — μ/σ per seasonality slot (hour-of-day,
+  optionally × ISO weekday), the reference's seasonality inputs
+  (loudml/misc.py:201-212) turned into a predictor.
+
+Both support ``forecast`` (predict future buckets from the profile
+alone) — covering the reference's forecast API shape
+(loudml/donut.py:1333-1475) with a deterministic estimator.  The VAE
+(donut) estimator is gated behind an import-try: this container ships
+no TF/torch, so it raises a clear error; the scoring/detection
+pipeline downstream is estimator-agnostic.
+
+State persists as JSON (settings + state + versioned checkpoints),
+mirroring the reference's FileStorage layout
+(loudml/filestorage.py:125-235).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+from loudml_spark.ml.scoring import with_scores
+
+BAND_SIGMA = 3.0  # prediction band = ±3σ (donut.py convention)
+
+
+def _slot_cols(seasonality: dict, ts_col: str):
+    """Seasonality slot keys from epoch-seconds bucket_ts (exact int
+    math — bucket_ts is already a long)."""
+    cols = []
+    if seasonality.get("daytime", True):
+        cols.append(
+            F.expr(f"(`{ts_col}` div 3600L) % 24").cast("int").alias("__hod")
+        )
+    if seasonality.get("weekday", False):
+        cols.append(
+            F.expr(f"((`{ts_col}` div 86400L) + 3) % 7 + 1")
+            .cast("int").alias("__wd")
+        )
+    return cols
+
+
+class BaseModel:
+    """Contract: fit(series_df) → self; transform(series_df) → frame
+    with predicted/lower/upper; forecast(spark, from_ts, to_ts)."""
+
+    TYPE = "base"
+
+    def __init__(self, name: str, feature_col: str = "value",
+                 ts_col: str = "bucket_ts", anomaly_type: str = "low_high",
+                 min_threshold: float = 68.0, max_threshold: float = 99.7,
+                 grace_period: float = 0.0, bucket_interval: int = 3600,
+                 **extra):
+        self.name = name
+        self.feature_col = feature_col
+        self.ts_col = ts_col
+        self.anomaly_type = anomaly_type
+        self.min_threshold = min_threshold
+        self.max_threshold = max_threshold
+        self.grace_period = grace_period
+        self.bucket_interval = int(bucket_interval)
+        self.extra = extra
+        self.state: dict[str, Any] | None = None
+
+    # -- persistence (FileStorage parity) --------------------------------
+    def settings(self) -> dict:
+        return {
+            "name": self.name, "type": self.TYPE,
+            "feature_col": self.feature_col, "ts_col": self.ts_col,
+            "anomaly_type": self.anomaly_type,
+            "min_threshold": self.min_threshold,
+            "max_threshold": self.max_threshold,
+            "grace_period": self.grace_period,
+            "bucket_interval": self.bucket_interval,
+            **self.extra,
+        }
+
+    def is_trained(self) -> bool:
+        return self.state is not None
+
+    def _require_trained(self):
+        if not self.is_trained():
+            raise errors.ModelNotTrained(self.name)
+
+    # -- scoring pipeline (estimator-agnostic) ---------------------------
+    def predict(self, series_df: DataFrame) -> DataFrame:
+        """series_df: (ts_col, feature_col) bucketized series →
+        (bucket_ts, observed, predicted, lower, upper, score, mse)."""
+        pred = self.transform(series_df)
+        return with_scores(
+            pred.withColumnRenamed(self.feature_col, "observed"),
+            anomaly_type=self.anomaly_type,
+        )
+
+    # -- estimator hooks --------------------------------------------------
+    def fit(self, series_df: DataFrame) -> "BaseModel":
+        raise NotImplementedError
+
+    def transform(self, series_df: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+
+class GaussianModel(BaseModel):
+    """Global-gaussian baseline: predicted = μ, band = μ ± 3σ."""
+
+    TYPE = "gaussian"
+
+    def fit(self, series_df):
+        row = series_df.agg(
+            F.avg(self.feature_col).alias("mean"),
+            F.coalesce(F.stddev_pop(self.feature_col), F.lit(0.0))
+            .alias("std"),
+        ).collect()[0]
+        std = row["std"] or 0.0
+        self.state = {"mean": row["mean"], "std": std if std > 0 else 1.0}
+        return self
+
+    def transform(self, series_df):
+        self._require_trained()
+        mu, sigma = self.state["mean"], self.state["std"]
+        return (
+            series_df.withColumn("predicted", F.lit(mu))
+            .withColumn("lower", F.lit(mu - BAND_SIGMA * sigma))
+            .withColumn("upper", F.lit(mu + BAND_SIGMA * sigma))
+        )
+
+    def forecast(self, spark: SparkSession, from_ts: int, to_ts: int):
+        self._require_trained()
+        spine = spark.range(from_ts, to_ts, self.bucket_interval).select(
+            F.col("id").alias(self.ts_col)
+        )
+        return self.transform(
+            spine.withColumn(self.feature_col, F.lit(None).cast("double"))
+        ).drop(self.feature_col)
+
+
+class SeasonalNaiveModel(BaseModel):
+    """Per-slot gaussian profile (hour-of-day × optional weekday).
+
+    Train: one groupBy over the training series.  Predict/forecast:
+    broadcast-join the (≤168-row) profile onto the target spine —
+    no shuffle of the big side at any scale.
+    """
+
+    TYPE = "seasonal_naive"
+
+    def __init__(self, *args, seasonality: dict | None = None, **kw):
+        super().__init__(*args, **kw)
+        self.seasonality = seasonality or {"daytime": True, "weekday": False}
+
+    def settings(self):
+        s = super().settings()
+        s["seasonality"] = self.seasonality
+        return s
+
+    def _with_slots(self, df):
+        out = df
+        for c in _slot_cols(self.seasonality, self.ts_col):
+            out = out.select("*", c)
+        return out
+
+    def fit(self, series_df):
+        slotted = self._with_slots(series_df)
+        keys = [c for c in slotted.columns if c.startswith("__")]
+        prof = slotted.groupBy(*keys).agg(
+            F.avg(self.feature_col).alias("mean"),
+            F.coalesce(F.stddev_pop(self.feature_col), F.lit(0.0))
+            .alias("std"),
+        ).collect()
+        fallback = series_df.agg(
+            F.avg(self.feature_col).alias("m"),
+            F.coalesce(F.stddev_pop(self.feature_col), F.lit(0.0)).alias("s"),
+        ).collect()[0]
+        self.state = {
+            "profile": [
+                {**{k: r[k] for k in keys},
+                 "mean": r["mean"],
+                 "std": (r["std"] if r["std"] and r["std"] > 0 else 1.0)}
+                for r in prof
+            ],
+            "slot_keys": keys,
+            "global_mean": fallback["m"],
+            "global_std": fallback["s"] if fallback["s"] > 0 else 1.0,
+        }
+        return self
+
+    def transform(self, series_df):
+        self._require_trained()
+        spark = series_df.sparkSession
+        keys = self.state["slot_keys"]
+        prof = spark.createDataFrame(
+            [tuple(p[k] for k in keys) + (p["mean"], p["std"])
+             for p in self.state["profile"]],
+            ", ".join([f"{k} int" for k in keys])
+            + ", __mean double, __std double",
+        )
+        slotted = self._with_slots(series_df)
+        joined = slotted.join(F.broadcast(prof), on=keys, how="left")
+        mu = F.coalesce(F.col("__mean"), F.lit(self.state["global_mean"]))
+        sigma = F.coalesce(F.col("__std"), F.lit(self.state["global_std"]))
+        return (
+            joined.withColumn("predicted", mu)
+            .withColumn("lower", mu - F.lit(BAND_SIGMA) * sigma)
+            .withColumn("upper", mu + F.lit(BAND_SIGMA) * sigma)
+            .drop("__mean", "__std", *keys)
+        )
+
+    def forecast(self, spark, from_ts: int, to_ts: int):
+        self._require_trained()
+        spine = spark.range(from_ts, to_ts, self.bucket_interval).select(
+            F.col("id").alias(self.ts_col)
+        )
+        return self.transform(
+            spine.withColumn(self.feature_col, F.lit(None).cast("double"))
+        ).drop(self.feature_col)
+
+
+class DonutModel(BaseModel):
+    """Donut VAE (arXiv 1802.03903) — requires TensorFlow, which this
+    environment does not ship.  The class exists so specs referencing
+    type=donut fail with a clear message instead of an import error;
+    swap in a TF/torch estimator where available."""
+
+    TYPE = "donut"
+
+    def fit(self, series_df):
+        try:
+            import tensorflow  # noqa: F401
+        except ImportError as exn:
+            raise NotImplementedError(
+                "DonutModel needs TensorFlow (not available in this "
+                "environment); use seasonal_naive or gaussian instead"
+            ) from exn
+        raise NotImplementedError("TF estimator not implemented yet")
+
+    transform = fit
+
+
+MODEL_TYPES = {
+    cls.TYPE: cls
+    for cls in (GaussianModel, SeasonalNaiveModel, DonutModel)
+}
+
+
+def make_model(settings: dict) -> BaseModel:
+    settings = dict(settings)
+    mtype = settings.pop("type")
+    name = settings.pop("name")
+    cls = MODEL_TYPES.get(mtype)
+    if cls is None:
+        raise errors.Invalid(f"unknown model type: {mtype}")
+    return cls(name, **settings)
+
+
+class ModelStorage:
+    """Versioned JSON persistence (loudml/filestorage.py layout:
+    settings.json + numbered checkpoints + latest pointer)."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _dir(self, name):
+        return os.path.join(self.root, name)
+
+    def save(self, model: BaseModel) -> int:
+        d = self._dir(model.name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "settings.json"), "w") as f:
+            json.dump(model.settings(), f, indent=2)
+        existing = [
+            int(fn.split(".")[0][5:]) for fn in os.listdir(d)
+            if fn.startswith("state") and fn.endswith(".json")
+            and fn != "state.json"
+        ]
+        version = max(existing, default=0) + 1
+        with open(os.path.join(d, f"state{version}.json"), "w") as f:
+            json.dump(model.state, f)
+        with open(os.path.join(d, "latest"), "w") as f:
+            f.write(str(version))
+        return version
+
+    def load(self, name: str, version: int | None = None) -> BaseModel:
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            raise errors.ModelNotFound(name)
+        with open(os.path.join(d, "settings.json")) as f:
+            model = make_model(json.load(f))
+        if version is None:
+            latest = os.path.join(d, "latest")
+            if os.path.exists(latest):
+                version = int(open(latest).read().strip())
+        if version:
+            with open(os.path.join(d, f"state{version}.json")) as f:
+                model.state = json.load(f)
+        return model
+
+    def list_models(self):
+        if not os.path.isdir(self.root):
+            return []
+        return sorted(
+            n for n in os.listdir(self.root)
+            if os.path.isdir(self._dir(n))
+        )
+
+    def delete(self, name: str):
+        import shutil
+
+        d = self._dir(name)
+        if not os.path.isdir(d):
+            raise errors.ModelNotFound(name)
+        shutil.rmtree(d)
