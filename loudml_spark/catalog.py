@@ -605,6 +605,11 @@ QUERIES: dict[str, dict] = {
         "fn": q_anomaly_detect_1h, "oracle": SQL_ANOMALY_DETECT_1H},
 }
 
+# training-data pipeline operators (dedup / similarity / text)
+from loudml_spark.catalog_pipeline import PIPELINE_QUERIES  # noqa: E402
+
+QUERIES.update(PIPELINE_QUERIES)
+
 
 def queries():
     return {name: spec["fn"] for name, spec in QUERIES.items()}

@@ -1,0 +1,390 @@
+"""Catalog entries for the training-data pipeline operators
+(dedup / similarity / text analysis) with DuckDB oracles.
+
+Hash parity strategy: every hash in these operators is portable int64
+polynomial arithmetic (pipeline.text.HASH_MOD), so signatures, band
+keys, simhashes and fingerprints are *bit-identical* between Spark
+and DuckDB — the oracles verify the full machinery, not just row
+counts.  Floating similarity scores are rounded to 6 dp on both sides
+before thresholds/ranking so pair sets and ranks match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loudml_spark.pipeline.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from loudml_spark.pipeline.similarity import cosine_topk, lsh_cosine_topk
+from loudml_spark.pipeline.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    langid,
+    text_stats,
+)
+from loudml_spark.sources.tables import load_table
+
+MOD = 1_000_000_007
+
+# ---- shared SQL fragments (mirror pipeline.text hash arithmetic) ----
+
+# rolling char hash of an arbitrary string expression
+def _sql_rh(expr: str) -> str:
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        "c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {MOD})"
+    )
+
+
+_SQL_FP = _sql_rh("text[1:64]")  # fingerprint = hash of first 64 chars
+_SQL_WORDS = "string_split(text, ' ')"
+# distinct word (1-gram) hashes — the minhash/LSH shingle set
+_SQL_WORD_HASHES = (
+    f"list_distinct(list_transform({_SQL_WORDS}, w -> {_sql_rh('w')}))"
+)
+
+
+def _sql_wordcount(word: str) -> str:
+    return (
+        f"CAST(len(list_filter({_SQL_WORDS}, w -> w = '{word}')) AS BIGINT)"
+    )
+
+
+# ---------------------------------------------------------------- text
+
+
+def q_text_stats_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_stats(docs)
+    return out.select(
+        "doc_id", "n_tokens", "fingerprint",
+        "avg_word_len", "stopword_ratio", "quality",
+    )
+
+
+_SQL_STOP_HITS = " + ".join(_sql_wordcount(w) for w in STOPWORDS)
+
+SQL_TEXT_STATS_DOCS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         {_SQL_FP} AS fingerprint,
+         ({_SQL_STOP_HITS}) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens, fingerprint,
+       (n_chars_calc - (n_tokens - 1)) / n_tokens AS avg_word_len,
+       stop_hits / n_tokens AS stopword_ratio,
+       LEAST(1.0, n_tokens / 100.0) * 0.5
+         + (1.0 - stop_hits / n_tokens) * 0.3
+         + LEAST(1.0, ((n_chars_calc - (n_tokens - 1)) / n_tokens)
+                 / 8.0) * 0.2 AS quality
+FROM base
+"""
+
+
+def q_langid_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = langid(docs)
+    return out.select(
+        "doc_id",
+        *[f"score_{lang}" for lang in LANG_MARKERS],
+        "lang_guess",
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(_sql_wordcount(w) for w in LANG_MARKERS[lang])
+
+
+SQL_LANGID_DOCS = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_sql_lang_score('en')} AS score_en,
+         {_sql_lang_score('fr')} AS score_fr,
+         {_sql_lang_score('es')} AS score_es,
+         {_sql_lang_score('de')} AS score_de
+  FROM documents
+),
+g AS (
+  SELECT *, GREATEST(score_en, score_fr, score_es, score_de) AS best
+  FROM s
+)
+SELECT doc_id, score_en, score_fr, score_es, score_de,
+       CASE WHEN score_de = best AND best > 0 THEN 'de'
+            WHEN score_en = best AND best > 0 THEN 'en'
+            WHEN score_es = best AND best > 0 THEN 'es'
+            WHEN score_fr = best AND best > 0 THEN 'fr'
+            ELSE 'und' END AS lang_guess
+FROM g
+"""
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def q_exact_dedup_fp(spark, sf_dir):
+    docs = text_stats(load_table(spark, sf_dir, "documents"))
+    return exact_dedup(docs, ["fingerprint"], id_col="doc_id")
+
+
+SQL_EXACT_DEDUP_FP = f"""
+WITH f AS (SELECT doc_id, {_SQL_FP} AS fingerprint FROM documents)
+SELECT fingerprint, MIN(doc_id) AS kept_id, COUNT(*) AS n_dups
+FROM f GROUP BY fingerprint
+"""
+
+
+def q_minhash_signatures_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, n=1)
+    return sigs.select(
+        "doc_id", F.posexplode("sig").alias("k", "minhash")
+    )
+
+
+def _sql_sigs(src: str) -> str:
+    """Signature columns s0..s7 from a shingle-hash-list expression."""
+    return ", ".join(
+        f"list_min(list_append(list_transform({src}, "
+        f"h -> ({a} * h + {b}) % {MOD}), CAST({MOD} AS BIGINT))) AS s{k}"
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+
+
+_SQL_SIGS = _sql_sigs(_SQL_WORD_HASHES)
+_SQL_SIG_LIST = "[" + ", ".join(f"s{k}" for k in range(len(MINHASH_A))) + "]"
+
+SQL_MINHASH_SIGNATURES_DOCS = f"""
+WITH sig AS (SELECT doc_id, {_SQL_SIGS} FROM documents)
+SELECT doc_id, CAST(u.k AS INTEGER) AS k, u.v AS minhash
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(8),
+                i -> {{'k': i, 'v': {_SQL_SIG_LIST}[i + 1]}})) AS u
+  FROM sig
+)
+"""
+
+
+def q_minhash_lsh_pairs_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, n=1, bands=4, threshold=0.8)
+
+
+SQL_MINHASH_LSH_PAIRS_DOCS = f"""
+WITH sh AS (
+  SELECT doc_id, {_SQL_WORD_HASHES} AS sh FROM documents
+),
+sig AS (
+  SELECT doc_id, sh, {_sql_sigs('sh')}
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, sh, u.band AS band, u.key AS key
+  FROM (
+    SELECT doc_id, sh,
+           unnest(list_transform(range(4), b -> {{
+             'band': b,
+             'key': {_SQL_SIG_LIST}[2 * b + 1]
+                    + {_SQL_SIG_LIST}[2 * b + 2] * 31
+           }})) AS u
+    FROM sig
+  )
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+j AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) AS jaccard
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+
+def q_ngram_jaccard_pairs_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    return ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+
+
+SQL_NGRAM_JACCARD_PAIRS_DOCS = f"""
+WITH s AS (
+  SELECT doc_id, list_distinct({_SQL_WORDS}) AS sh
+  FROM documents WHERE doc_id < 100
+),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+           / CAST(len(a.sh) + len(b.sh)
+                  - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
+"""
+
+
+def q_simhash_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).withColumnRenamed("id", "doc_id")
+
+
+SQL_SIMHASH_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS word FROM documents
+),
+h AS (
+  SELECT doc_id, {_sql_rh('word')} AS h FROM w
+),
+v AS (
+  SELECT doc_id, CAST(b.range AS INTEGER) AS bit,
+         SUM(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM h, range(32) b
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote >= 0 THEN CAST(pow(2.0, bit) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM v GROUP BY doc_id
+"""
+
+
+def q_simhash_pairs_docs(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 150")
+    out = simhash_pairs(docs, max_distance=6)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+SQL_SIMHASH_PAIRS_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS word
+  FROM documents WHERE doc_id < 150
+),
+h AS (
+  SELECT doc_id, {_sql_rh('word')} AS h FROM w
+),
+v AS (
+  SELECT doc_id, CAST(b.range AS INTEGER) AS bit,
+         SUM(CASE WHEN (h >> CAST(b.range AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM h, range(32) b
+  GROUP BY 1, 2
+),
+s AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote >= 0 THEN CAST(pow(2.0, bit) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM v GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+# ------------------------------------------------------- similarity / ANN
+
+_SQL_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(64), i -> {a}[i + 1]::DOUBLE * {b}[i + 1]::DOUBLE)),"
+    " (x, y) -> x + y)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
+
+
+def q_embedding_cosine_pairs(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 100")
+    return embedding_cosine_pairs(emb, threshold=0.3)
+
+
+SQL_EMBEDDING_COSINE_PAIRS = f"""
+WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.3
+"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return cosine_topk(queries, emb, k=5)
+
+
+SQL_ANN_COSINE_TOPK = f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
+  FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM p QUALIFY rank <= 5
+"""
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """ANN scale path (LSH sign-buckets) — rows-only check: the
+    hyperplane literals are seeded Python-side; recall < 1 by design."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return lsh_cosine_topk(queries, emb, k=5, bits=6)
+
+
+PIPELINE_QUERIES: dict[str, dict] = {
+    "text_stats_docs": {
+        "fn": q_text_stats_docs, "oracle": SQL_TEXT_STATS_DOCS},
+    "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
+    "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
+    "minhash_signatures_docs": {
+        "fn": q_minhash_signatures_docs,
+        "oracle": SQL_MINHASH_SIGNATURES_DOCS},
+    "minhash_lsh_pairs_docs": {
+        "fn": q_minhash_lsh_pairs_docs,
+        "oracle": SQL_MINHASH_LSH_PAIRS_DOCS},
+    "ngram_jaccard_pairs_docs": {
+        "fn": q_ngram_jaccard_pairs_docs,
+        "oracle": SQL_NGRAM_JACCARD_PAIRS_DOCS},
+    "simhash_docs": {"fn": q_simhash_docs, "oracle": SQL_SIMHASH_DOCS},
+    "simhash_pairs_docs": {
+        "fn": q_simhash_pairs_docs, "oracle": SQL_SIMHASH_PAIRS_DOCS},
+    "embedding_cosine_pairs": {
+        "fn": q_embedding_cosine_pairs,
+        "oracle": SQL_EMBEDDING_COSINE_PAIRS},
+    "ann_cosine_topk": {
+        "fn": q_ann_cosine_topk, "oracle": SQL_ANN_COSINE_TOPK},
+    "ann_lsh_topk": {"fn": q_ann_lsh_topk, "oracle": None},
+}

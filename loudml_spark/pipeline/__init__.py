@@ -1,0 +1,10 @@
+from loudml_spark.pipeline.text import text_stats, langid  # noqa: F401
+from loudml_spark.pipeline.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    embedding_cosine_pairs,
+)
+from loudml_spark.pipeline.similarity import cosine_topk  # noqa: F401

@@ -1,0 +1,324 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, each picked for a different scale/recall trade-off:
+
+* **exact** — hash-groupBy on the content key; one shuffle, the 100 TB
+  workhorse;
+* **MinHash + LSH** — word-shingle signatures banded into buckets so
+  candidate generation is an equi-join (shuffle on band hash), never a
+  cross join; exact Jaccard verifies candidates;
+* **SimHash** — 32-bit sign-fingerprint; near-dups have small Hamming
+  distance;
+* **n-gram Jaccard** — exact pairwise verification (bounded subsets /
+  LSH candidates only — a raw cross join is the anti-pattern);
+* **embedding cosine** — near-dup via vector similarity.
+
+All hashing is portable int64 polynomial arithmetic (mod 1e9+7), so
+every stage — signatures included — can be value-checked against a
+DuckDB oracle.  Spark's built-in MinHashLSH exists in MLlib, but its
+hash seeds are not reproducible across engines; deterministic
+signatures also make incremental dedup (new shard vs existing corpus)
+stable across runs, which matters more at 100 TB than the constant
+factor.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from loudml_spark.pipeline.text import HASH_MOD, rolling_hash_col, words_col
+
+# fixed MinHash permutation parameters (odd multipliers, arbitrary
+# offsets — stated in-code so the SQL oracle can mirror them)
+MINHASH_A = (1299721, 2750161, 4256233, 5800079, 7368787, 8960453,
+             10570841, 12195257)
+MINHASH_B = (15485863, 32452843, 49979687, 67867967, 86028121,
+             104395301, 122949823, 141650939)
+N_HASHES = len(MINHASH_A)
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram strings."""
+    w = words_col(text)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def shingle_hashes_col(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram hashes (rolling hash of each shingle string)."""
+    return F.array_distinct(
+        F.transform(
+            shingles_col(text, n),
+            lambda s: F.aggregate(
+                F.split(s, ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+            ),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: Sequence[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per distinct key: lowest id kept + duplicate count.
+    Single hash-shuffle on the key — the exact-dedup primitive."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("kept_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+def _perm_min(a: int, b: int):
+    """Fold step: acc = min(acc, (a·h + b) mod p).  Factory (not a
+    default-arg lambda — PySpark HOFs inspect the arity)."""
+    return lambda acc, h: F.least(acc, (F.lit(a) * h + F.lit(b)) % HASH_MOD)
+
+
+def _signature_col(hashes: Column) -> Column:
+    return F.array(*[
+        F.aggregate(hashes, F.lit(HASH_MOD).cast("long"), _perm_min(a, b))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ])
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sig array<long>[N_HASHES]) — min over shingle hashes of
+    (a_k·h + b_k) mod p.  Pure column math, no shuffle."""
+    return df.select(
+        F.col(id_col),
+        _signature_col(shingle_hashes_col(F.col(text_col), n)).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Candidate pairs via LSH banding, verified with exact Jaccard.
+
+    rows_per_band = N_HASHES // bands.  Band buckets become an
+    equi-join key: candidates = docs sharing any band — shuffle on
+    (band, key), never a cross join.  Output: (id_a, id_b, jaccard)
+    with jaccard ≥ threshold, id_a < id_b.
+    """
+    r = N_HASHES // bands
+    # signatures + shingle sets in one pass
+    base = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes_col(F.col(text_col), n).alias("sh"),
+    )
+    sig = base.withColumn("sig", _signature_col(F.col("sh")))
+    # band key: combine r signature values into one int64
+    banded = sig.select(
+        "id", "sh",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (F.element_at("sig", b * r + j + 1) * (31 ** j)
+                     for j in range(1, r)),
+                    F.element_at("sig", b * r + 1),
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "sh", "bk.band", "bk.key")
+
+    left = banded.alias("a")
+    right = banded.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    # no rounding: int/int division is bit-deterministic, and ROUND on
+    # exact decimal ties (e.g. 1/128) is not engine-portable
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact pairwise n-gram Jaccard.  O(N²) verification — restrict
+    the input (subset or LSH candidates) before calling; the full-
+    corpus path at scale is minhash_lsh_pairs."""
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.transform(  # shingle strings (not hashes): exact verify
+                F.sequence(F.lit(0), F.size(words_col(F.col(text_col))) - n),
+                lambda i: F.concat_ws(" ", *[
+                    F.element_at(words_col(F.col(text_col)), i + j + 1)
+                    for j in range(n)
+                ]),
+            )
+        ).alias("sh"),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    inter = F.size(F.array_intersect("a.sh", "b.sh"))
+    union = F.size("a.sh") + F.size("b.sh") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+) -> DataFrame:
+    """32-bit SimHash from word-unigram hashes (relational formulation:
+    explode words → per-bit ±1 votes → sign → weighted sum; two
+    shuffles on id, fully portable to the SQL oracle).  Tie (vote sum
+    0) counts as bit set."""
+    whash = F.aggregate(
+        F.split(F.col("word"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("id"),
+                  F.explode(words_col(F.col(text_col))).alias("word"))
+        .withColumn("h", whash)
+    )
+    bits_df = exploded.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).withColumn(
+        "vote",
+        # shiftright via expr: the python helper only takes literal bits
+        F.when(F.expr("shiftright(h, bit) & 1") == 1,
+               F.lit(1)).otherwise(F.lit(-1)),
+    )
+    return (
+        bits_df.groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") >= 0,
+                       F.pow(F.lit(2.0), F.col("bit")).cast("long"))
+                .otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def hamming_col(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_distance: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.  Pairwise over the
+    given frame — at scale, block first (e.g. join on 16-bit halves:
+    any pair within distance d shares at least one half for d < 16)."""
+    s = simhash(df, text_col, id_col)
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_col(F.col("a.simhash"), F.col("b.simhash"))
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double with
+    in-order folds (portable summation order)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    nb = F.sqrt(F.aggregate(
+        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
+    return dot / (na * nb)
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine ≥ threshold.  Pairwise —
+    restrict the input or LSH-bucket first at scale (similarity.py)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = base.alias("a"), base.alias("b")
+    cos = cosine_col(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,122 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Everything here is pure Column math (split / filter / aggregate
+higher-order functions — JVM-side, codegen'd), so a 100 TB documents
+table maps through these with zero Python boundary and no shuffle:
+
+* token counting (whitespace + regex-token variants);
+* document fingerprinting (polynomial rolling hash over a prefix);
+* stopword / quality statistics;
+* language-ID via stopword-marker scoring (n-gram heuristic).
+
+Hash arithmetic sticks to int64 with a 1e9+7 modulus so the identical
+computation is expressible in ANSI SQL (DuckDB oracle parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_MOD = 1_000_000_007
+FP_PREFIX = 64  # fingerprint covers the first N chars
+
+
+def words_col(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count_col(text: Column) -> Column:
+    return F.size(words_col(text))
+
+
+def regex_token_count_col(text: Column, pattern: str = "[a-z]+") -> Column:
+    """BPE-ish tokenizer stand-in: count regex token matches."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def rolling_hash_col(s: Column, prefix: int = FP_PREFIX) -> Column:
+    """Polynomial rolling hash h = (h*31 + ascii(c)) mod 1e9+7 over the
+    first ``prefix`` chars — the document fingerprint."""
+    chars = F.split(F.substring(s, 1, prefix), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+    )
+
+
+def word_occurrences_col(text: Column, word: str) -> Column:
+    return F.size(F.filter(words_col(text), lambda w: w == F.lit(word)))
+
+
+# stopword markers per language for the n-gram language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "las"),
+    "de": ("der", "die", "und", "das"),
+}
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach n_tokens / n_chars / avg_word_len / stopword_ratio /
+    fingerprint / quality columns.
+
+    No rounding: every value derives from integer counts through a
+    fixed expression tree, so results are bit-deterministic (and
+    engine-portable) as-is — ROUND itself is *not* portable (Spark
+    HALF_UP vs DuckDB's multiply-based rounding disagree on exact
+    decimal ties)."""
+    text = F.col(text_col)
+    n_tokens = token_count_col(text).cast("long")
+    n_chars = F.length(text).cast("long")
+    df = (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn("fingerprint", rolling_hash_col(text))
+    )
+    # single-space-separated text: spaces = tokens-1
+    avg_wl = (F.col("n_chars_calc") - (F.col("n_tokens") - 1)) / F.col("n_tokens")
+    stop_hits = None
+    for w in STOPWORDS:
+        c = word_occurrences_col(text, w)
+        stop_hits = c if stop_hits is None else (stop_hits + c)
+    stop_ratio = stop_hits / F.col("n_tokens")
+    quality = (
+        F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0)) * F.lit(0.5)
+        + (F.lit(1.0) - stop_ratio) * F.lit(0.3)
+        + F.least(F.lit(1.0), avg_wl / F.lit(8.0)) * F.lit(0.2)
+    )
+    return (
+        df.withColumn("avg_word_len", avg_wl)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality", quality)
+    )
+
+
+def langid(
+    df: DataFrame, text_col: str = "text", out_col: str = "lang_guess"
+) -> DataFrame:
+    """Language-ID: argmax of per-language marker-word counts;
+    ties break to the alphabetically-first language; no hits → 'und'."""
+    text = F.col(text_col)
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for w in markers:
+            c = word_occurrences_col(text, w)
+            s = c if s is None else (s + c)
+        scores[lang] = s
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"score_{lang}", s.cast("long"))
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in scores])
+    guess = F.lit("und")
+    # reversed alphabetical CASE chain → first alphabetical lang wins ties
+    for lang in sorted(scores, reverse=True):
+        guess = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(guess)
+    return out.withColumn(out_col, guess)

@@ -1,0 +1,125 @@
+"""Pipeline operator tests on handcrafted corpora."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark.pipeline.dedup import (
+    embedding_cosine_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from loudml_spark.pipeline.similarity import cosine_topk, lsh_cosine_topk
+from loudml_spark.pipeline.text import langid, text_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),          # exact dup of 0
+        (2, "the cat sat on the red mat"),       # near dup
+        (3, "el gato y la alfombra y el sol"),   # spanish-ish
+        (4, "completely different words here entirely unrelated tokens"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_stats(spark, docs):
+    out = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 6
+    assert out[0]["fingerprint"] == out[1]["fingerprint"]
+    assert out[0]["fingerprint"] != out[2]["fingerprint"]
+    # 'the' twice + 'on'? not a stopword; markers: the,a,of,and...
+    assert out[0]["stopword_ratio"] == pytest.approx(2 / 6)
+    assert 0.0 <= out[4]["quality"] <= 1.0
+
+
+def test_langid(spark, docs):
+    out = {r["doc_id"]: r["lang_guess"] for r in langid(docs).collect()}
+    assert out[0] == "en"
+    assert out[3] == "es"
+    assert out[4] == "und"
+
+
+def test_exact_dedup(spark, docs):
+    groups = exact_dedup(docs, ["text"]).collect()
+    by_kept = {r["kept_id"]: r["n_dups"] for r in groups}
+    assert by_kept[0] == 2  # docs 0,1 collapse
+    assert len(groups) == 4
+
+
+def test_minhash_identical_docs_have_identical_sigs(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(docs, n=1).collect()}
+    assert sigs[0] == sigs[1]
+    assert sigs[0] != sigs[4]
+    assert len(sigs[0]) == 8
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, n=1, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 4) not in pairs
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=1, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == 1.0
+    # doc2 adds 'red': 5 shared distinct words of 6 union
+    assert pairs[(0, 2)] == pytest.approx(5 / 6)
+    assert pairs.get((0, 4), 0.0) == 0.0 or (0, 4) not in pairs
+
+
+def test_simhash_near_for_near_docs(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_pairs(docs, max_distance=32).collect()}
+    assert pairs[(0, 1)] == 0          # identical docs
+    assert pairs[(0, 2)] < pairs[(0, 4)]  # near-dup closer than unrelated
+    hashes = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert all(0 <= h < 2**32 for h in hashes.values())
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0]),  # opposite of 0
+        (4, [1.0, 0.05, 0.0]),  # very close to 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(spark, vectors):
+    out = cosine_topk(vectors.filter("vec_id = 0"), vectors, k=2).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["neighbor_id"] for r in ranked] == [4, 1]
+    assert ranked[0]["cosine"] > 0.99
+
+
+def test_embedding_cosine_pairs(spark, vectors):
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"]
+             for r in embedding_cosine_pairs(vectors, threshold=0.9).collect()}
+    assert (0, 4) in pairs and (0, 1) in pairs
+    assert (0, 2) not in pairs and (0, 3) not in pairs
+
+
+def test_lsh_topk_subset_of_exact(spark, vectors):
+    # LSH returns a subset of true neighbors with correct scores
+    exact = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+             for r in cosine_topk(
+                 vectors.filter("vec_id = 0"), vectors, k=4).collect()}
+    approx = lsh_cosine_topk(
+        vectors.filter("vec_id = 0"), vectors, k=4, dim=3, bits=2
+    ).collect()
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        assert key in exact
+        assert r["cosine"] == exact[key]
