@@ -147,8 +147,16 @@ FROM f GROUP BY fingerprint
 """
 
 
+def _rebalance(spark, df):
+    """The test documents parquet is one tiny file → one input split;
+    per-row hash compute would run on a single core.  Rebalancing a
+    small frame is a trivial shuffle; at real scale parquet splits
+    already provide parallelism and this is a no-op cost."""
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def q_minhash_signatures_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
     sigs = minhash_signatures(docs, n=1)
     return sigs.select(
         "doc_id", F.posexplode("sig").alias("k", "minhash")
@@ -180,13 +188,20 @@ FROM (
 
 
 def q_minhash_lsh_pairs_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, n=1, bands=4, threshold=0.8)
+    # this synthetic corpus is pathologically self-similar (median
+    # pairwise jaccard ~0.6), which defeats LSH's candidate pruning —
+    # bound the input and use 4-row bands (collision prob j^4) so the
+    # bench stays O(candidates), not O(n²)
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    return minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
 
 
 SQL_MINHASH_LSH_PAIRS_DOCS = f"""
 WITH sh AS (
   SELECT doc_id, {_SQL_WORD_HASHES} AS sh FROM documents
+  WHERE doc_id < 1000
 ),
 sig AS (
   SELECT doc_id, sh, {_sql_sigs('sh')}
@@ -196,10 +211,12 @@ banded AS (
   SELECT doc_id, sh, u.band AS band, u.key AS key
   FROM (
     SELECT doc_id, sh,
-           unnest(list_transform(range(4), b -> {{
+           unnest(list_transform(range(2), b -> {{
              'band': b,
-             'key': {_SQL_SIG_LIST}[2 * b + 1]
-                    + {_SQL_SIG_LIST}[2 * b + 2] * 31
+             'key': {_SQL_SIG_LIST}[4 * b + 1]
+                    + {_SQL_SIG_LIST}[4 * b + 2] * 31
+                    + {_SQL_SIG_LIST}[4 * b + 3] * 961
+                    + {_SQL_SIG_LIST}[4 * b + 4] * 29791
            }})) AS u
     FROM sig
   )
