@@ -616,8 +616,11 @@ def queries():
 
 
 def oracle_sql():
-    return {
-        name: spec["oracle"]
-        for name, spec in QUERIES.items()
-        if spec.get("oracle")
-    }
+    out = {}
+    for name, spec in QUERIES.items():
+        sql = spec.get("oracle")
+        if sql is None and spec.get("oracle_fn"):
+            sql = spec["oracle_fn"]()
+        if sql:
+            out[name] = sql
+    return out

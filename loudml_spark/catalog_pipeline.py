@@ -381,6 +381,108 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(queries, emb, k=5, bits=6)
 
 
+# ----------------------------------------------------- multimodal / streaming
+
+
+def q_multimodal_features(spark, sf_dir):
+    from loudml_spark.pipeline.multimodal import (
+        extract_features,
+        fake_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = fake_media_table(docs)
+    out = extract_features(media, use_fake_decoder=True)
+    return out.select("media_id", "media_type", "n_bytes", "sha256")
+
+
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256
+FROM documents
+"""
+
+
+def q_streaming_detect_1h(spark, sf_dir):
+    """The batch anomaly pipeline executed THROUGH Structured
+    Streaming (file source → applyInPandasWithState → memory sink),
+    so the streaming path itself is oracle-checked."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from loudml_spark.catalog import _scored_series
+    from loudml_spark.streaming.job import stateful_detect_stream
+
+    scored = _scored_series(spark, sf_dir).select(
+        F.lit("m1").alias("model"), "bucket_ts", "score"
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_stream_")
+    name = "stream_detect_" + uuid.uuid4().hex[:8]
+    try:
+        scored.coalesce(1).write.mode("overwrite").parquet(tmp)
+        stream = spark.readStream.schema(
+            "model string, bucket_ts long, score double"
+        ).parquet(tmp)
+        out = stateful_detect_stream(stream, key_col="model")
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        # materialize before the temp dir disappears
+        rows = spark.table(name).select(
+            "model", "bucket_ts", "score", "is_anomaly", "episode_id"
+        ).collect()
+        return spark.createDataFrame(
+            rows,
+            "model string, bucket_ts long, score double, "
+            "is_anomaly boolean, episode_id long",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _sql_streaming_detect() -> str:
+    from loudml_spark.catalog import _SQL_SCORED_SERIES
+
+    return _SQL_SCORED_SERIES + """
+, m AS (
+  SELECT bucket_ts, score,
+         CASE WHEN score >= 99.7 THEN 1
+              WHEN score < 68.0 THEN 0 END AS mark
+  FROM scored
+),
+c AS (
+  SELECT *,
+         COALESCE(LAST_VALUE(mark IGNORE NULLS) OVER (
+           ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS open_now,
+         COALESCE(LAST_VALUE(mark IGNORE NULLS) OVER (
+           ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS was_open
+  FROM m
+),
+d AS (
+  SELECT *,
+         CASE WHEN COALESCE(mark, -1) = 1 AND was_open = 0
+              THEN 1 ELSE 0 END AS is_start
+  FROM c
+)
+SELECT 'm1' AS model, bucket_ts, score,
+       COALESCE(mark, -1) = 1 AS is_anomaly,
+       CASE WHEN open_now = 1
+            THEN SUM(is_start) OVER (ORDER BY bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END
+         AS episode_id
+FROM d
+"""
+
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "text_stats_docs": {
         "fn": q_text_stats_docs, "oracle": SQL_TEXT_STATS_DOCS},
@@ -404,4 +506,8 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "ann_cosine_topk": {
         "fn": q_ann_cosine_topk, "oracle": SQL_ANN_COSINE_TOPK},
     "ann_lsh_topk": {"fn": q_ann_lsh_topk, "oracle": None},
+    "multimodal_features": {
+        "fn": q_multimodal_features, "oracle": SQL_MULTIMODAL_FEATURES},
+    "streaming_detect_1h": {
+        "fn": q_streaming_detect_1h, "oracle_fn": _sql_streaming_detect},
 }

@@ -1,0 +1,142 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched mapInPandas.
+
+The Spark-side plumbing here is real and tested — schemas, batch
+iteration, partition-preserving map, output shapes.  The actual media
+decode (PIL/librosa/ffmpeg) is NOT available in this container, so
+``decode`` raises a clear NotImplementedError unless the caller opts
+into the deterministic fake decoder (used by tests and the catalog).
+
+Design notes for 100 TB:
+* media bytes never leave the executor: mapInPandas streams Arrow
+  batches, metadata-only queries prune the binary column at the scan
+  (columnar parquet — check ReadSchema);
+* per-row decode cost dominates → size partitions by row count
+  (``spark.sql.files.maxPartitionBytes`` down, or repartition) so a
+  single giant partition doesn't serialize the job;
+* derived features (embeddings, stats) write to a separate table
+  keyed by media_id — re-decoding for every downstream query is the
+  anti-pattern.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("media_type", T.StringType(), False),  # image/audio/video
+    T.StructField("content", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, sha256 string, "
+    "byte_mean double, decoded boolean"
+)
+
+
+def fake_media_table(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake media derived from a text table — bytes are
+    the utf-8 text, metadata synthesized from its length.  Exercises
+    every schema/plumbing path without real codecs."""
+    n = F.length(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.when(F.col(id_col) % 3 == 0, "image")
+         .when(F.col(id_col) % 3 == 1, "audio")
+         .otherwise("video").alias("media_type"),
+        F.encode(F.col(text_col), "utf-8").alias("content"),
+        F.struct(
+            (n % 640).cast("int").alias("width"),
+            (n % 480).cast("int").alias("height"),
+            (n * 10).cast("int").alias("duration_ms"),
+            F.lit("fake").alias("format"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(
+    media_df: DataFrame, *, use_fake_decoder: bool = False,
+    batch_size_hint: int = 1024,
+) -> DataFrame:
+    """Decode + feature-extract via mapInPandas.
+
+    With ``use_fake_decoder`` the "decode" is a deterministic byte-level
+    pass (length, sha256, mean byte value) — the real decode path
+    raises NotImplementedError naming the missing libraries, so the
+    failure mode at deploy time is explicit, not a silent wrong answer.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "real media decode needs PIL/librosa/ffmpeg which are "
+                    "not installed; pass use_fake_decoder=True for the "
+                    "deterministic byte-level fake"
+                )
+            content = pdf["content"]
+            out = pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
+                "sha256": content.map(
+                    lambda b: hashlib.sha256(b or b"").hexdigest()
+                ),
+                "byte_mean": content.map(
+                    lambda b: (sum(b) / len(b)) if b else 0.0
+                ),
+                "decoded": True,
+            })
+            yield out
+
+    return media_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(
+    media_df: DataFrame, every_ms: int = 1000, *, use_fake_decoder: bool = False
+) -> DataFrame:
+    """Sample frames from video media: one output row per sampled
+    frame (media_id, frame_idx, ts_ms, frame binary).  Fake decoder
+    emits deterministic byte slices as 'frames'."""
+    schema = "media_id long, frame_idx int, ts_ms int, frame binary"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "video frame sampling needs ffmpeg; pass "
+                    "use_fake_decoder=True for the deterministic fake"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = r["meta"]["duration_ms"] if r["meta"] is not None else 0
+                content = r["content"] or b""
+                n_frames = max(0, int(dur // every_ms))
+                for i in range(min(n_frames, 16)):
+                    lo = (i * 7) % max(1, len(content))
+                    rows.append({
+                        "media_id": r["media_id"],
+                        "frame_idx": i,
+                        "ts_ms": i * every_ms,
+                        "frame": content[lo:lo + 16],
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "ts_ms", "frame"]
+            )
+
+    videos = media_df.filter(F.col("media_type") == "video")
+    return videos.mapInPandas(batches, schema=schema)

@@ -1,0 +1,216 @@
+"""Structured Streaming equivalents of the reference's periodic
+evaluation loop (SURVEY §2.9).
+
+Reference behavior → Spark mapping:
+
+* `_eval` re-runs every ``model.interval`` seconds
+  (loudml/server.py:1559-1580) → ``trigger(processingTime=...)``;
+* ``offset`` delays evaluation so late points land before being read
+  (server.py:1568-1569) → ``withWatermark(ts, offset)``;
+* tumbling ``bucket_interval`` windows only (bucket.py:182-183) →
+  ``F.window(ts, interval)``;
+* anomaly open/close state persists across evaluations
+  (donut.py:1488-1568, set_run_state :579-589) →
+  ``applyInPandasWithState`` keyed per model/series with state =
+  {episode_no, episode_start, episode_max, last_anomaly_ts,
+  open} — the exact fields the reference stores in model run state.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from loudml_spark.features import parse_features
+from loudml_spark.functions.metrics import get_metric_spec
+from loudml_spark.operators.bucketize import _match_all_cond
+from loudml_spark import timeutil
+
+
+def stream_bucketize(
+    stream_df: DataFrame,
+    features,
+    bucket_interval,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Streaming bucketized aggregation: tumbling window + conditional
+    aggregates, one shuffle per micro-batch; late data bounded by the
+    watermark (the reference's ``offset``)."""
+    features = parse_features(features)
+    interval = int(timeutil.parse_timedelta(bucket_interval))
+    aggs = []
+    for feat in features:
+        spec = get_metric_spec(feat.metric)
+        if spec.post is not None:
+            raise ValueError(
+                f"post-aggregation metric {feat.metric} is not available "
+                "in streaming mode (needs the bucket spine)"
+            )
+        value = F.col(feat.field)
+        cond = _match_all_cond(feat.match_all)
+        if cond is not None:
+            value = F.when(cond, value)
+        aggs.append(spec.agg(value).alias(feat.name))
+    win = F.window(F.col(ts_col), f"{interval} seconds")
+    out = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*group_by, win.alias("win"))
+        .agg(*aggs)
+        .withColumn("bucket_ts", F.col("win.start").cast("long"))
+        .drop("win")
+    )
+    return out
+
+
+_DETECT_STATE_SCHEMA = (
+    "episode_no long, episode_start long, episode_max double, "
+    "last_anomaly_ts double, open boolean"
+)
+
+
+def _detect_batch(
+    pdf: pd.DataFrame,
+    state: dict,
+    min_threshold: float,
+    max_threshold: float,
+    grace_period: float,
+) -> pd.DataFrame:
+    """One hysteresis sweep continuing from ``state`` (mutated)."""
+    pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+    out_flag, out_ep = [], []
+    for _, row in pdf.iterrows():
+        ts = float(row["bucket_ts"])
+        score = float(row["score"]) if pd.notna(row["score"]) else float("nan")
+        in_grace = (ts - state["last_anomaly_ts"]) < grace_period
+        triggered = (not in_grace) and score >= max_threshold
+        if state["open"]:
+            if triggered:
+                state["episode_max"] = max(state["episode_max"], score)
+            elif score < min_threshold:
+                state["open"] = False
+                state["last_anomaly_ts"] = ts
+        elif triggered:
+            state["episode_no"] += 1
+            state["episode_start"] = int(ts)
+            state["episode_max"] = score
+            state["open"] = True
+        out_flag.append(bool(triggered))
+        out_ep.append(state["episode_no"] if state["open"] else None)
+    pdf["is_anomaly"] = pd.Series(out_flag, dtype="bool")
+    pdf["episode_id"] = pd.Series(out_ep, dtype="object")
+    return pdf
+
+
+def stateful_detect_stream(
+    scored: DataFrame,
+    min_threshold: float = 68.0,
+    max_threshold: float = 99.7,
+    grace_period: float = 0.0,
+    *,
+    key_col: str = "model",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming hysteresis detection with per-key state that survives
+    micro-batch boundaries (applyInPandasWithState).
+
+    Input: a streaming frame with (key_col, bucket_ts long,
+    score double, ...).  Output adds is_anomaly / episode_id.
+    """
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("bucket_ts", T.LongType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+        T.StructField("episode_id", T.LongType()),
+    ])
+    state_schema = _DETECT_STATE_SCHEMA
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            (ep_no, ep_start, ep_max, last_ts, is_open) = state.get
+        else:
+            ep_no, ep_start, ep_max, last_ts, is_open = 0, 0, 0.0, 0.0, False
+        st = {
+            "episode_no": ep_no, "episode_start": ep_start,
+            "episode_max": ep_max, "last_anomaly_ts": last_ts,
+            "open": is_open,
+        }
+        frames = []
+        for pdf in pdfs:
+            done = _detect_batch(
+                pdf, st, min_threshold, max_threshold, grace_period
+            )
+            frames.append(done[["bucket_ts", "score",
+                                "is_anomaly", "episode_id"]])
+        state.update((
+            st["episode_no"], st["episode_start"], st["episode_max"],
+            st["last_anomaly_ts"], st["open"],
+        ))
+        out = pd.concat(frames) if frames else pd.DataFrame(
+            columns=["bucket_ts", "score", "is_anomaly", "episode_id"]
+        )
+        out.insert(0, key_col, key[0])
+        yield out
+
+    return scored.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+class StreamingEval:
+    """The reference's ``_start`` periodic evaluation as one streaming
+    query: bucketize → score against a trained model → stateful
+    detection → sink (foreachBatch or table).
+
+    ``interval`` drives the processing trigger; ``offset`` becomes the
+    watermark (late-data allowance)."""
+
+    def __init__(self, model, bucket, features, *, interval="60s",
+                 offset="10s", checkpoint_dir=None):
+        self.model = model
+        self.bucket = bucket
+        self.features = features
+        self.interval = int(timeutil.parse_timedelta(interval))
+        self.offset = int(timeutil.parse_timedelta(offset))
+        self.checkpoint_dir = checkpoint_dir
+
+    def build(self, stream_df: DataFrame) -> DataFrame:
+        series = stream_bucketize(
+            stream_df, self.features, self.model.bucket_interval,
+            watermark=f"{self.offset} seconds",
+        )
+        feat_name = parse_features(self.features)[0].name
+        return series.withColumnRenamed(feat_name, self.model.feature_col)
+
+    def start(self, stream_df: DataFrame, sink_fn):
+        """Run with foreachBatch: each micro-batch is scored with the
+        (broadcast-small) model profile and handed to ``sink_fn``."""
+        series = self.build(stream_df)
+
+        def process(batch_df: DataFrame, batch_id: int):
+            if batch_df.isEmpty():
+                return
+            scored = self.model.predict(batch_df)
+            sink_fn(scored, batch_id)
+
+        writer = (
+            series.writeStream
+            .trigger(processingTime=f"{self.interval} seconds")
+            .outputMode("update")
+            .foreachBatch(process)
+        )
+        if self.checkpoint_dir:
+            writer = writer.option("checkpointLocation", self.checkpoint_dir)
+        return writer.start()

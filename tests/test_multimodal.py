@@ -1,0 +1,51 @@
+import hashlib
+
+import pytest
+
+from loudml_spark.pipeline.multimodal import (
+    extract_features,
+    fake_media_table,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(0, "an image doc"), (1, "an audio doc"), (2, "a video document x"),
+         (5, "video two with a longer body for frames")],
+        "doc_id long, text string",
+    )
+    return fake_media_table(docs)
+
+
+def test_media_schema(media):
+    assert dict(media.dtypes)["content"] == "binary"
+    types = {r["media_id"]: r["media_type"] for r in media.collect()}
+    assert types == {0: "image", 1: "audio", 2: "video", 5: "video"}
+
+
+def test_extract_features_fake(media):
+    out = {r["media_id"]: r for r in
+           extract_features(media, use_fake_decoder=True).collect()}
+    expect = hashlib.sha256(b"an image doc").hexdigest()
+    assert out[0]["sha256"] == expect
+    assert out[0]["n_bytes"] == len(b"an image doc")
+    assert out[0]["decoded"] is True
+    assert 0 < out[0]["byte_mean"] < 255
+
+
+def test_extract_features_real_decode_is_explicit(media):
+    with pytest.raises(Exception, match="use_fake_decoder"):
+        extract_features(media).collect()
+
+
+def test_frame_sample(media):
+    frames = frame_sample(media, every_ms=100,
+                          use_fake_decoder=True).collect()
+    assert frames, "video rows must yield frames"
+    by_media = {r["media_id"] for r in frames}
+    assert by_media <= {2, 5}
+    f0 = [r for r in frames if r["media_id"] == 5][0]
+    assert isinstance(f0["frame"], (bytes, bytearray))
+    assert f0["ts_ms"] == f0["frame_idx"] * 100

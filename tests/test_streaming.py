@@ -1,0 +1,101 @@
+"""Structured Streaming tests: windowed aggregation with watermark and
+stateful detection whose episodes span micro-batch boundaries."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark.streaming.job import stateful_detect_stream, stream_bucketize
+
+BASE = 1704067200
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp()
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _write_batch(spark, path, rows, schema):
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append").parquet(path)
+
+
+def test_stream_bucketize_counts(spark, tmpdir):
+    src = f"{tmpdir}/src"
+    rows = [
+        (BASE + i * 10, float(i), "error" if i % 2 else "click")
+        for i in range(12)
+    ]
+    _write_batch(
+        spark, src,
+        [(f"{t}", v, e) for t, v, e in
+         [(r[0], r[1], r[2]) for r in rows]],
+        "ts string, value double, event_type string",
+    )
+    stream = (
+        spark.readStream.schema("ts string, value double, event_type string")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts").cast("long")))
+    )
+    out = stream_bucketize(
+        stream,
+        ["count(value)", "avg(value)"],
+        60,
+        watermark="30 seconds",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("agg_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {
+        r["bucket_ts"]: (r["count_value"], r["avg_value"])
+        for r in spark.sql("select * from agg_test").collect()
+    }
+    assert got[BASE][0] == 6  # first 6 events in bucket 0
+    assert got[BASE + 60][0] == 6
+    assert got[BASE][1] == pytest.approx(2.5)
+
+
+def test_stateful_detection_across_batches(spark, tmpdir):
+    src = f"{tmpdir}/scored"
+    schema = "model string, bucket_ts long, score double"
+    # file 1 → micro-batch 1: episode opens (99.9), stays open (80)
+    _write_batch(spark, src, [
+        ("m1", BASE, 0.0), ("m1", BASE + 60, 99.9), ("m1", BASE + 120, 80.0),
+    ], schema)
+    # file 2 → micro-batch 2: still open (70), closes (10), NEW episode
+    # (99.8) — state must carry across the batch boundary
+    _write_batch(spark, src, [
+        ("m1", BASE + 180, 70.0), ("m1", BASE + 240, 10.0),
+        ("m1", BASE + 300, 99.8),
+    ], schema)
+
+    # maxFilesPerTrigger=1 + availableNow → one micro-batch per file
+    # within a single query run (state carried by the state store)
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    out = stateful_detect_stream(stream, key_col="model")
+    q = (
+        out.writeStream.format("memory").queryName("det_test")
+        .outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # really ran as multiple batches
+
+    rows = {
+        r["bucket_ts"]: r
+        for r in spark.sql("select * from det_test").collect()
+    }
+    assert rows[BASE]["episode_id"] is None
+    assert rows[BASE + 60]["is_anomaly"] and rows[BASE + 60]["episode_id"] == 1
+    assert rows[BASE + 120]["episode_id"] == 1
+    # continuation in the NEXT micro-batch keeps the same episode
+    assert rows[BASE + 180]["episode_id"] == 1
+    assert rows[BASE + 240]["episode_id"] is None  # closed
+    assert rows[BASE + 300]["episode_id"] == 2     # new episode number
