@@ -47,8 +47,11 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial action so q1 isn't penalized
+    # JVM/codegen/reader warmup so q1 isn't charged for session init
     spark.range(1000).selectExpr("sum(id)").collect()
+    from loudml_spark.sources.tables import load_table
+
+    load_table(spark, SF_DIR, "events").limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

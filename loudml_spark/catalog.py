@@ -566,6 +566,212 @@ FROM d
 """
 
 
+def q_keyed_anomaly_detect_6h(spark, sf_dir):
+    """Per-series fan-out: one model per event_type trained/scored/
+    detected in a single plan — keyed spine bucketize → per-key
+    gaussian profile (broadcast join) → erf scoring → keyed hysteresis
+    sweep.  The reference cannot do this at all (single-series models,
+    loudml/donut.py:543-545)."""
+    from loudml_spark.ml.detect import detect_anomalies
+    from loudml_spark.ml.scoring import score_col
+
+    series = bucketize(
+        _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
+        ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
+    ).withColumnRenamed("avg_value", "value")
+    train = series.filter(F.col("bucket_ts") < JAN22)
+    prof = train.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.when(F.stddev_pop("value") > 0, F.stddev_pop("value"))
+        .otherwise(F.lit(1.0)).alias("sigma"),
+    )
+    test = series.filter(F.col("bucket_ts") >= JAN22)
+    joined = test.join(F.broadcast(prof), "event_type")
+    mu, sigma = F.col("mu"), F.col("sigma")
+    scored = joined.select(
+        "event_type", "bucket_ts",
+        F.col("value").alias("observed"),
+        mu.alias("predicted"),
+        (mu - 3.0 * sigma).alias("lower"),
+        (mu + 3.0 * sigma).alias("upper"),
+    )
+    scored = scored.withColumn(
+        "score",
+        F.round(score_col(
+            F.col("observed"), F.col("predicted"),
+            F.col("lower"), F.col("upper"),
+        ), 4),
+    )
+    detected = detect_anomalies(
+        scored, min_threshold=68.0, max_threshold=99.7,
+        key_cols=["event_type"],
+    )
+    return detected.select(
+        "event_type", "bucket_ts", "score", "is_anomaly", "episode_id"
+    )
+
+
+SQL_KEYED_ANOMALY_DETECT_6H = f"""
+WITH pts AS (
+  SELECT event_type,
+         (epoch_ns(ts) // {21600 * NS}) * 21600 AS bucket_ts, value
+  FROM events
+  WHERE epoch_ns(ts) >= {JAN1 * NS} AND epoch_ns(ts) < {JAN31 * NS}
+),
+keys AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT k.event_type, r.range AS bucket_ts
+  FROM keys k, range({JAN1}, {JAN31}, 21600) r
+),
+series AS (
+  SELECT s.event_type, s.bucket_ts, AVG(p.value) AS value
+  FROM spine s LEFT JOIN pts p
+    ON p.event_type = s.event_type AND p.bucket_ts = s.bucket_ts
+  GROUP BY s.event_type, s.bucket_ts
+),
+prof AS (
+  SELECT event_type, AVG(value) AS mu,
+         CASE WHEN STDDEV_POP(value) > 0 THEN STDDEV_POP(value)
+              ELSE 1.0 END AS sigma
+  FROM series WHERE bucket_ts < {JAN22}
+  GROUP BY event_type
+),
+j AS (
+  SELECT t.event_type, t.bucket_ts, t.value AS observed, pr.mu AS predicted,
+         pr.mu - 3.0 * pr.sigma AS lower, pr.mu + 3.0 * pr.sigma AS upper
+  FROM series t JOIN prof pr ON t.event_type = pr.event_type
+  WHERE t.bucket_ts >= {JAN22}
+),
+z AS (
+  SELECT event_type, bucket_ts, observed, predicted,
+         ABS(observed - (lower + upper) / 2.0)
+           / (CASE WHEN (upper - (lower + upper) / 2.0) / 3.0 = 0 THEN 1.0
+                   ELSE (upper - (lower + upper) / 2.0) / 3.0 END)
+           / SQRT(2.0) AS x
+  FROM j
+),
+tt AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM z),
+scored AS (
+  SELECT event_type, bucket_ts,
+         ROUND(100.0 * GREATEST(0.0, LEAST(1.0,
+           2.0 * (0.5 * (1.0 + (1.0 - (0.254829592 * t
+             + (-0.284496736) * t * t
+             + 1.421413741 * t * t * t
+             + (-1.453152027) * t * t * t * t
+             + 1.061405429 * t * t * t * t * t) * EXP(-x * x)))) - 1.0
+         )), 4) AS score
+  FROM tt
+),
+m AS (
+  SELECT event_type, bucket_ts, score,
+         CASE WHEN score >= 99.7 THEN 1
+              WHEN score < 68.0 THEN 0 END AS mark
+  FROM scored
+),
+c AS (
+  SELECT *,
+         COALESCE(LAST_VALUE(mark IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS open_now,
+         COALESCE(LAST_VALUE(mark IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS was_open
+  FROM m
+),
+d AS (
+  SELECT *,
+         CASE WHEN COALESCE(mark, -1) = 1 AND was_open = 0
+              THEN 1 ELSE 0 END AS is_start
+  FROM c
+)
+SELECT event_type, bucket_ts, score,
+       COALESCE(mark, -1) = 1 AS is_anomaly,
+       CASE WHEN open_now = 1
+            THEN SUM(is_start) OVER (PARTITION BY event_type
+              ORDER BY bucket_ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END
+         AS episode_id
+FROM d
+"""
+
+
+def q_tpch_q3_shipping(spark, sf_dir):
+    """Q3-style: filtered 3-way join (broadcast dims) + decimal-exact
+    revenue + deterministic top-10."""
+    from loudml_spark.operators.ranking import top_k
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate < TIMESTAMP_NTZ '1998-03-15 00:00:00'")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate > TIMESTAMP_NTZ '1998-03-15 00:00:00'")
+    )
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double").alias("revenue")
+    )
+    return top_k(
+        agg, 10, [], [F.col("revenue"), F.col("l_orderkey").asc()]
+    ).select("l_orderkey", "o_orderdate", "o_orderpriority",
+             "revenue", "rank")
+
+
+SQL_TPCH_Q3_SHIPPING = """
+WITH agg AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue,
+       CAST(ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey ASC)
+            AS INTEGER) AS rank
+FROM agg QUALIFY rank <= 10
+"""
+
+
+def q_events_by_segment(spark, sf_dir):
+    """Stream-table enrichment: events joined to the customer dim
+    (broadcast) and rolled up by market segment."""
+    ev = _events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_BY_SEGMENT = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, dict] = {
@@ -603,6 +809,13 @@ QUERIES: dict[str, dict] = {
         "fn": q_anomaly_scores_1h, "oracle": SQL_ANOMALY_SCORES_1H},
     "anomaly_detect_1h": {
         "fn": q_anomaly_detect_1h, "oracle": SQL_ANOMALY_DETECT_1H},
+    "keyed_anomaly_detect_6h": {
+        "fn": q_keyed_anomaly_detect_6h,
+        "oracle": SQL_KEYED_ANOMALY_DETECT_6H},
+    "tpch_q3_shipping": {
+        "fn": q_tpch_q3_shipping, "oracle": SQL_TPCH_Q3_SHIPPING},
+    "events_by_segment": {
+        "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
 }
 
 # training-data pipeline operators (dedup / similarity / text)

@@ -65,7 +65,7 @@ def _sql_wordcount(word: str) -> str:
 
 
 def q_text_stats_docs(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
     out = text_stats(docs)
     return out.select(
         "doc_id", "n_tokens", "fingerprint",
@@ -136,7 +136,11 @@ FROM g
 
 
 def q_exact_dedup_fp(spark, sf_dir):
-    docs = text_stats(load_table(spark, sf_dir, "documents"))
+    from loudml_spark.pipeline.text import rolling_hash_col
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fingerprint", rolling_hash_col(F.col("text"))
+    )
     return exact_dedup(docs, ["fingerprint"], id_col="doc_id")
 
 
@@ -423,6 +427,10 @@ def q_streaming_detect_1h(spark, sf_dir):
     )
     tmp = tempfile.mkdtemp(prefix="lms_stream_")
     name = "stream_detect_" + uuid.uuid4().hex[:8]
+    # one small series → dozens of state-store partitions is pure
+    # overhead (a state dir + commit per partition per batch)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
         scored.coalesce(1).write.mode("overwrite").parquet(tmp)
         stream = spark.readStream.schema(
@@ -444,6 +452,7 @@ def q_streaming_detect_1h(spark, sf_dir):
             "is_anomaly boolean, episode_id long",
         )
     finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -324,23 +324,27 @@ def simhash_pairs(
     )
 
 
+def _cosine_udf():
+    """Row-batched cosine via numpy einsum (Arrow in, BLAS-grade
+    compute).  Summation order differs from a sequential fold by
+    ~1 ulp — callers round to 6 dp before thresholds/ranking, which
+    absorbs it (and the DuckDB oracle rounds identically)."""
+    import numpy as np
+
+    def fn(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        dot = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dot / (na * nb))
+
+    return F.pandas_udf(fn, "double")
+
+
 def cosine_col(a: Column, b: Column) -> Column:
-    """Cosine similarity of two float arrays, computed in double with
-    in-order folds (portable summation order)."""
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(F.aggregate(
-        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    ))
-    nb = F.sqrt(F.aggregate(
-        F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, v: acc + v,
-    ))
-    return dot / (na * nb)
+    """Cosine similarity of two float-array columns (vectorized)."""
+    return _cosine_udf()(a, b)
 
 
 def embedding_cosine_pairs(

@@ -1,0 +1,80 @@
+"""API façade tests — response shapes from the reference
+(loudml/worker.py:150-163, donut.py:331-412, bucket.py:232-253)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark.api import (
+    Engine,
+    format_buckets,
+    format_series,
+    forecast_model,
+    prediction_frame,
+    read_bucket,
+)
+from loudml_spark.ml.models import GaussianModel
+
+
+@pytest.fixture(scope="module")
+def simple_df(spark):
+    rows = [(0.0, 1.0), (1.0, 2.0), (2.0, 3.0), (8.0, 4.0), (10.0, 5.0)]
+    return spark.createDataFrame(rows, "timestamp double, foo double")
+
+
+def test_read_bucket_response_shape(spark, simple_df):
+    res = read_bucket(
+        simple_df, 1, 9, 3, "avg(foo);count(foo)", ts_col="timestamp"
+    )
+    assert res["timestamps"] == [0, 3, 6]
+    assert res["observed"]["avg_foo"] == [2.5, None, 4.0]
+    assert res["observed"]["count_foo"] == [2.0, 0.0, 1.0]
+
+
+def test_engine_facade(spark, tmp_path, simple_df):
+    path = str(tmp_path / "b1")
+    simple_df.write.parquet(path)
+    eng = Engine(spark)
+    eng.add_bucket({"name": "b1", "type": "parquet", "path": path})
+    res = eng.read("b1", 1, 9, 3, "avg(foo)", ts_col="timestamp")
+    assert res["observed"]["avg_foo"] == [2.5, None, 4.0]
+
+
+def test_prediction_frame_schema(spark):
+    scored = spark.createDataFrame(
+        [(0, 1.0, 2.0, 0.5, 3.5, 12.0, False)],
+        "bucket_ts long, observed double, predicted double, "
+        "lower double, upper double, score double, is_anomaly boolean",
+    )
+    out = prediction_frame(scored, "count_foo", "my-model")
+    assert set(out.columns) == {
+        "timestamp", "count_foo", "lower_count_foo", "upper_count_foo",
+        "@count_foo", "score", "model", "is_anomaly",
+    }
+    row = out.collect()[0]
+    assert row["count_foo"] == 2.0 and row["@count_foo"] == 1.0
+
+
+def test_format_series_and_buckets(spark):
+    scored = spark.createDataFrame(
+        [(0, 1.0, 2.0, 0.5, 3.5, 12.0, False),
+         (60, None, 2.5, 1.0, 4.0, 99.9, True)],
+        "bucket_ts long, observed double, predicted double, "
+        "lower double, upper double, score double, is_anomaly boolean",
+    ).orderBy("bucket_ts").collect()
+    series = format_series(scored, ["foo"])
+    assert series["timestamps"] == [0, 60]
+    assert series["observed"]["foo"] == [1.0, None]
+    assert series["predicted"]["lower_foo"] == [0.5, 1.0]
+    buckets = format_buckets(scored, ["foo"])
+    assert buckets[1]["stats"]["anomaly"] is True
+    assert buckets[0]["predicted"]["foo"] == 2.0
+
+
+def test_forecast_model_alignment(spark):
+    train = spark.createDataFrame(
+        [(i * 60, 5.0) for i in range(10)], "bucket_ts long, value double"
+    )
+    m = GaussianModel("f", bucket_interval=60).fit(train)
+    out = forecast_model(m, spark, 630, 750)
+    ts = [r["bucket_ts"] for r in out.orderBy("bucket_ts").collect()]
+    assert ts == [600, 660, 720]  # floor/ceil alignment
