@@ -316,6 +316,40 @@ FROM agg
 """
 
 
+def q_ts_mode_1d(spark, sf_dir):
+    """Deterministic mode (lowest among the most frequent) of the
+    integer-rounded value per day — Spark's mode(col, deterministic)
+    vs an explicit count+argmin oracle."""
+    df = _events(spark, sf_dir).withColumn(
+        "v", F.round("value").cast("long")
+    )
+    out = bucketize(
+        df, [Feature(metric="mode", field="v", name="mode_v")],
+        JAN1, JAN31, 86400, ts_col="ts_ns", ts_unit="ns",
+    )
+    return out.select("bucket_ts", F.col("mode_v").cast("long").alias("mode_v"))
+
+
+SQL_TS_MODE_1D = _spine_sql(86400) + """
+, vals AS (
+  SELECT bucket_ts, CAST(ROUND(value) AS BIGINT) AS v FROM pts
+),
+counts AS (
+  SELECT bucket_ts, v, COUNT(*) AS c FROM vals GROUP BY 1, 2
+),
+ranked AS (
+  SELECT bucket_ts, v, c,
+         MAX(c) OVER (PARTITION BY bucket_ts) AS mx
+  FROM counts
+),
+m AS (
+  SELECT bucket_ts, MIN(v) AS mode_v FROM ranked WHERE c = mx GROUP BY 1
+)
+SELECT s.bucket_ts AS bucket_ts, m.mode_v AS mode_v
+FROM spine s LEFT JOIN m USING (bucket_ts)
+"""
+
+
 def q_ts_hourofday_profile(spark, sf_dir):
     df = _events(spark, sf_dir)
     hod = daytime_col(df, "ts", ts_unit="ns").alias("hod")
@@ -695,6 +729,36 @@ FROM d
 """
 
 
+def q_ar_fleet_predict_6h(spark, sf_dir):
+    """Learned-model fleet: one AR(28) ridge model per event_type,
+    trained in parallel (applyInPandas closed-form solve) and scored
+    with vectorized window dot-products.  Not SQL-expressible (matrix
+    solve) → rows-only driver check; quality is unit-gated instead
+    (tests/test_regression.py)."""
+    from loudml_spark.ml.regression import fit_many, predict_many
+    from loudml_spark.ml.scoring import score_col
+
+    series = bucketize(
+        _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
+        ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
+    ).withColumnRenamed("avg_value", "value")
+    train = series.filter(F.col("bucket_ts") < JAN22)
+    models = fit_many(train, ["event_type"], span=28)
+    scored = predict_many(
+        series.filter(F.col("bucket_ts") >= JAN22), models,
+        ["event_type"], span=28,
+    )
+    return scored.select(
+        "event_type", "bucket_ts",
+        F.col("value").alias("observed"),
+        F.round("predicted", 6).alias("predicted"),
+        F.round(score_col(
+            F.col("value"), F.col("predicted"),
+            F.col("lower"), F.col("upper"),
+        ), 4).alias("score"),
+    )
+
+
 def q_tpch_q3_shipping(spark, sf_dir):
     """Q3-style: filtered 3-way join (broadcast dims) + decimal-exact
     revenue + deterministic top-10."""
@@ -795,6 +859,7 @@ QUERIES: dict[str, dict] = {
         "fn": q_ts_derivative_1h, "oracle": SQL_TS_DERIVATIVE_1H},
     "ts_integral_6h": {"fn": q_ts_integral_6h, "oracle": SQL_TS_INTEGRAL_6H},
     "ts_diff_1d": {"fn": q_ts_diff_1d, "oracle": SQL_TS_DIFF_1D},
+    "ts_mode_1d": {"fn": q_ts_mode_1d, "oracle": SQL_TS_MODE_1D},
     "ts_hourofday_profile": {
         "fn": q_ts_hourofday_profile, "oracle": SQL_TS_HOUROFDAY_PROFILE},
     "ts_align_measurements_1d": {
@@ -816,6 +881,7 @@ QUERIES: dict[str, dict] = {
         "fn": q_tpch_q3_shipping, "oracle": SQL_TPCH_Q3_SHIPPING},
     "events_by_segment": {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
+    "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
 }
 
 # training-data pipeline operators (dedup / similarity / text)

@@ -260,6 +260,8 @@ MODEL_TYPES = {
 
 
 def make_model(settings: dict) -> BaseModel:
+    import loudml_spark.ml.regression  # noqa: F401  (registers its type)
+
     settings = dict(settings)
     mtype = settings.pop("type")
     name = settings.pop("name")
