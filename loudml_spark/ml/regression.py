@@ -149,6 +149,38 @@ class WindowRegressionModel(BaseModel):
         )
 
 
+    def impute(self, series_df: DataFrame) -> DataFrame:
+        """Fill missing buckets with model predictions (the reference's
+        MCMC-imputation role, donut.py:1267-1275, gap gate
+        tests/test_donut.py:451-530): sequential left-to-right pass on
+        the collected series — already-imputed values feed later
+        windows.  Series length is bounded by range/interval."""
+        self._require_trained()
+        w = np.asarray(self.state["weights"])
+        mu, sd = self.state["mean"], self.state["std"]
+        rows = series_df.orderBy(self.ts_col).collect()
+        values = [r[self.feature_col] for r in rows]
+        filled, imputed_flags = [], []
+        for i, v in enumerate(values):
+            if v is not None and not (isinstance(v, float) and np.isnan(v)):
+                filled.append(float(v))
+                imputed_flags.append(False)
+                continue
+            if i >= self.span:
+                pred = _predict_window(
+                    np.array(filled[i - self.span:i]), w, mu, sd)
+            else:
+                pred = mu
+            filled.append(pred)
+            imputed_flags.append(True)
+        spark = series_df.sparkSession
+        return spark.createDataFrame(
+            [(r[self.ts_col], filled[i], imputed_flags[i])
+             for i, r in enumerate(rows)],
+            f"{self.ts_col} long, {self.feature_col} double, imputed boolean",
+        )
+
+
 from loudml_spark.ml.models import MODEL_TYPES  # noqa: E402
 
 MODEL_TYPES[WindowRegressionModel.TYPE] = WindowRegressionModel

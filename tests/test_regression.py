@@ -104,3 +104,30 @@ def test_fleet_fit_predict(spark):
     )
     for r in err:
         assert r["e"] < 0.5, r
+
+
+def test_gap_imputation_gate(spark):
+    """FIXTURES §5 / reference gap gate (tests/test_donut.py:451-530):
+    hourly series ≈ 1.0 with hour-12 missing daily; imputed values must
+    be ≈ 1.0 ± 0.22."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for day in range(14):
+        for hod in range(24):
+            if hod == 12:
+                continue
+            ts = BASE + (day * 24 + hod) * 3600
+            rows.append((ts, float(1.0 + rng.normal(0, 0.05))))
+    events = spark.createDataFrame(rows, "ts long, one double")
+    from loudml_spark.operators.bucketize import bucketize
+
+    series = bucketize(
+        events, [{"metric": "avg", "field": "one", "name": "value"}],
+        BASE, BASE + 14 * 86400, 3600, ts_col="ts",
+    )
+    m = WindowRegressionModel("gap", span=24, bucket_interval=3600).fit(series)
+    out = m.impute(series)
+    imputed = out.filter(F.col("imputed")).collect()
+    assert len(imputed) == 14  # one gap per day
+    for r in imputed:
+        assert abs(r["value"] - 1.0) <= 0.22, r
