@@ -759,6 +759,34 @@ def q_ar_fleet_predict_6h(spark, sf_dir):
     )
 
 
+def q_donut_predict_1h(spark, sf_dir):
+    """Donut VAE (numpy, arXiv 1802.03903) trained on days 1-21 of the
+    hourly series, scoring days 22-30 with the last window point
+    masked (MCMC imputation + MC integration).  Deterministic under
+    fixed seeds but not SQL-expressible → rows-only check; quality is
+    unit-gated (tests/test_donut_model.py)."""
+    from loudml_spark.ml.models import DonutModel
+
+    series = _hourly_series(spark, sf_dir)
+    train = series.filter(F.col("bucket_ts") < JAN22)
+    # include span-1 history so the first test bucket has a full window
+    span = 24
+    test = series.filter(
+        F.col("bucket_ts") >= JAN22 - (span - 1) * 3600
+    )
+    model = DonutModel(
+        "catalog_donut", span=span, latent_dim=3, intermediate_dim=34,
+        epochs=40, bucket_interval=3600,
+    ).fit(train)
+    scored = model.predict(test).filter(F.col("bucket_ts") >= JAN22)
+    return scored.select(
+        "bucket_ts",
+        F.round("observed", 6).alias("observed"),
+        F.round("predicted", 4).alias("predicted"),
+        F.round("score", 4).alias("score"),
+    )
+
+
 def q_tpch_q3_shipping(spark, sf_dir):
     """Q3-style: filtered 3-way join (broadcast dims) + decimal-exact
     revenue + deterministic top-10."""
@@ -882,6 +910,7 @@ QUERIES: dict[str, dict] = {
     "events_by_segment": {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
     "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
+    "donut_predict_1h": {"fn": q_donut_predict_1h, "oracle": None},
 }
 
 # training-data pipeline operators (dedup / similarity / text)

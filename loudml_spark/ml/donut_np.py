@@ -1,0 +1,206 @@
+"""Donut VAE — pure-numpy implementation of the reference's model.
+
+The reference's estimator is the Donut variational autoencoder for
+seasonal KPI anomaly detection (arXiv 1802.03903, cited at
+/root/reference/loudml/donut.py:8-9; theirs runs on TF/Keras which
+this environment does not ship).  This is a from-the-paper
+reimplementation:
+
+* encoder/decoder: one-hidden-layer ReLU MLPs producing diagonal
+  Gaussian parameters (μ, log σ²);
+* M-ELBO training objective: reconstruction likelihood restricted to
+  observed points, KL scaled by the observed ratio β (paper eq. 3) —
+  plus missing-point injection (λ, donut.py:91);
+* prediction: MCMC missing-value imputation (replace missing dims
+  with reconstructions, g_mcmc_count=10, donut.py:88) followed by MC
+  integration over z (donut.py:89) giving a predicted mean ± 3σ band
+  with the window's **last** point treated as missing
+  (donut.py:1260-1265).
+
+All randomness flows from explicit seeds (the reference's
+RANDOM_SEED contract, donut.py:94-99): weight init, reparam draws,
+missing injection, and per-window MC draws (seeded by bucket index)
+are deterministic across runs and partitionings.
+
+Everything is float64 numpy batched matmuls; training data is an
+aggregated bucket series (tens of KB), so driver-side fit matches the
+reference's own sizing.  Gradients are hand-derived and covered by a
+finite-difference check in tests/test_donut_np.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MCMC_COUNT = 10     # donut.py:88
+MC_COUNT = 100      # donut.py:89 uses 1000; 100 is within paper noise
+MISSING_RATE = 0.01  # λ, donut.py:91
+_CLIP = 8.0
+
+
+def _xavier(rng, n_in, n_out):
+    return rng.normal(0.0, np.sqrt(2.0 / (n_in + n_out)), (n_in, n_out))
+
+
+class NumpyVAE:
+    """Diagonal-Gaussian VAE with M-ELBO training."""
+
+    def __init__(self, span: int, latent: int = 5, hidden: int = 55,
+                 seed: int = 42):
+        self.span, self.latent, self.hidden = span, latent, hidden
+        self.seed = seed
+        rng = np.random.default_rng(seed)
+        H, W, K = hidden, span, latent
+        self.params = {
+            "We": _xavier(rng, W, H), "be": np.zeros(H),
+            "Wem": _xavier(rng, H, K), "bem": np.zeros(K),
+            "Wev": _xavier(rng, H, K), "bev": np.zeros(K) - 1.0,
+            "Wd": _xavier(rng, K, H), "bd": np.zeros(H),
+            "Wdm": _xavier(rng, H, W), "bdm": np.zeros(W),
+            "Wdv": _xavier(rng, H, W), "bdv": np.zeros(W) - 1.0,
+        }
+
+    # ---------------------------------------------------------- forward
+
+    def _encode(self, X):
+        h = np.maximum(0.0, X @ self.params["We"] + self.params["be"])
+        mu = h @ self.params["Wem"] + self.params["bem"]
+        lv = np.clip(h @ self.params["Wev"] + self.params["bev"],
+                     -_CLIP, _CLIP)
+        return h, mu, lv
+
+    def _decode(self, Z):
+        h = np.maximum(0.0, Z @ self.params["Wd"] + self.params["bd"])
+        mu = h @ self.params["Wdm"] + self.params["bdm"]
+        lv = np.clip(h @ self.params["Wdv"] + self.params["bdv"],
+                     -_CLIP, _CLIP)
+        return h, mu, lv
+
+    # ------------------------------------------------ loss + gradients
+
+    def loss_and_grads(self, X, M, eps):
+        """M-ELBO negative loss and gradients for batch X (B×W) with
+        observed-mask M (B×W) and reparam noise eps (B×K)."""
+        p = self.params
+        B = X.shape[0]
+        beta = M.sum(axis=1, keepdims=True) / self.span  # B×1
+
+        h1, mz, lvz = self._encode(X)
+        sz = np.exp(0.5 * lvz)
+        Z = mz + sz * eps
+        h2, mx, lvx = self._decode(Z)
+        vx = np.exp(lvx)
+
+        diff = X - mx
+        rec = 0.5 * M * (np.log(2 * np.pi) + lvx + diff * diff / vx)
+        kl = 0.5 * beta * (mz * mz + np.exp(lvz) - 1.0 - lvz)
+        loss = (rec.sum() + kl.sum()) / B
+
+        # ---- backward
+        dmx = M * (mx - X) / vx / B
+        dlvx = 0.5 * M * (1.0 - diff * diff / vx) / B
+        dlvx[np.abs(lvx) >= _CLIP] = 0.0
+
+        g = {}
+        dh2 = dmx @ p["Wdm"].T + dlvx @ p["Wdv"].T
+        g["Wdm"] = h2.T @ dmx
+        g["bdm"] = dmx.sum(0)
+        g["Wdv"] = h2.T @ dlvx
+        g["bdv"] = dlvx.sum(0)
+        dh2 *= (h2 > 0)
+        g["Wd"] = Z.T @ dh2
+        g["bd"] = dh2.sum(0)
+        dZ = dh2 @ p["Wd"].T
+
+        dmz = dZ + (beta * mz) / B
+        dlvz = dZ * eps * 0.5 * sz \
+            + (0.5 * beta * (np.exp(lvz) - 1.0)) / B
+        dlvz[np.abs(lvz) >= _CLIP] = 0.0
+
+        dh1 = dmz @ p["Wem"].T + dlvz @ p["Wev"].T
+        g["Wem"] = h1.T @ dmz
+        g["bem"] = dmz.sum(0)
+        g["Wev"] = h1.T @ dlvz
+        g["bev"] = dlvz.sum(0)
+        dh1 *= (h1 > 0)
+        g["We"] = X.T @ dh1
+        g["be"] = dh1.sum(0)
+        return loss, g
+
+    # ---------------------------------------------------------- training
+
+    def fit(self, X, M, *, epochs: int = 100, batch_size: int = 64,
+            lr: float = 1e-3, missing_rate: float = MISSING_RATE):
+        """Adam on M-ELBO.  X: N×W (z-scored, missing already 0),
+        M: observed mask.  Deterministic under the instance seed."""
+        rng = np.random.default_rng(self.seed + 1)
+        m_state = {k: np.zeros_like(v) for k, v in self.params.items()}
+        v_state = {k: np.zeros_like(v) for k, v in self.params.items()}
+        b1, b2, eps_adam = 0.9, 0.999, 1e-8
+        t = 0
+        n = X.shape[0]
+        history = []
+        for _ in range(epochs):
+            order = rng.permutation(n)
+            ep_loss = 0.0
+            for s in range(0, n, batch_size):
+                idx = order[s:s + batch_size]
+                xb, mb = X[idx].copy(), M[idx].copy()
+                # missing injection (paper trick, donut.py:91)
+                inject = rng.random(xb.shape) < missing_rate
+                mb = mb * (~inject)
+                xb = xb * mb
+                eps = rng.standard_normal((len(idx), self.latent))
+                loss, g = self.loss_and_grads(xb, mb, eps)
+                ep_loss += loss * len(idx)
+                t += 1
+                for k in self.params:
+                    m_state[k] = b1 * m_state[k] + (1 - b1) * g[k]
+                    v_state[k] = b2 * v_state[k] + (1 - b2) * g[k] ** 2
+                    mhat = m_state[k] / (1 - b1 ** t)
+                    vhat = v_state[k] / (1 - b2 ** t)
+                    self.params[k] -= lr * mhat / (np.sqrt(vhat) + eps_adam)
+            history.append(ep_loss / n)
+        return history
+
+    # --------------------------------------------------------- inference
+
+    def reconstruct(self, X, M, rng, *, mcmc: int = MCMC_COUNT,
+                    mc: int = MC_COUNT):
+        """MCMC imputation + MC integration.  Returns (mu, sigma) per
+        window per dim: mean reconstruction and total predictive std
+        (aleatoric + epistemic)."""
+        x = X * M
+        for _ in range(mcmc):
+            _, mz, _ = self._encode(x)
+            _, mx, _ = self._decode(mz)
+            x = np.where(M > 0, X, mx)
+        _, mz, lvz = self._encode(x)
+        sz = np.exp(0.5 * lvz)
+        B, W = X.shape
+        mus = np.empty((mc, B, W))
+        vxs = np.empty((mc, B, W))
+        for i in range(mc):
+            z = mz + sz * rng.standard_normal(mz.shape)
+            _, mx, lvx = self._decode(z)
+            mus[i] = mx
+            vxs[i] = np.exp(lvx)
+        mu = mus.mean(axis=0)
+        sigma = np.sqrt(vxs.mean(axis=0) + mus.var(axis=0))
+        return mu, sigma
+
+    # ------------------------------------------------------- persistence
+
+    def state_dict(self) -> dict:
+        return {
+            "span": self.span, "latent": self.latent, "hidden": self.hidden,
+            "seed": self.seed,
+            "params": {k: v.tolist() for k, v in self.params.items()},
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "NumpyVAE":
+        vae = cls(state["span"], state["latent"], state["hidden"],
+                  state["seed"])
+        vae.params = {k: np.asarray(v) for k, v in state["params"].items()}
+        return vae

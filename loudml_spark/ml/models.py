@@ -233,24 +233,111 @@ class SeasonalNaiveModel(BaseModel):
 
 
 class DonutModel(BaseModel):
-    """Donut VAE (arXiv 1802.03903) — requires TensorFlow, which this
-    environment does not ship.  The class exists so specs referencing
-    type=donut fail with a clear message instead of an import error;
-    swap in a TF/torch estimator where available."""
+    """Donut VAE (arXiv 1802.03903) on the pure-numpy estimator
+    (ml/donut_np.py) — same train/predict contract as the reference's
+    TF model (loudml/donut.py:999-1122, :1187-1314): z-score the
+    aggregated series, train on sliding windows with M-ELBO + missing
+    injection, predict each bucket from its span-window with the last
+    point masked, via MCMC imputation + MC integration → μ ± 3σ band.
+
+    Fit runs on the driver over the *collected aggregated* series —
+    the reference's own sizing (≤ tens of thousands of floats).
+    Inference is batched numpy over all windows at once; for fleets,
+    run one model per key via applyInPandas (see ml/regression.fit_many
+    for the pattern)."""
 
     TYPE = "donut"
 
-    def fit(self, series_df):
-        try:
-            import tensorflow  # noqa: F401
-        except ImportError as exn:
-            raise NotImplementedError(
-                "DonutModel needs TensorFlow (not available in this "
-                "environment); use seasonal_naive or gaussian instead"
-            ) from exn
-        raise NotImplementedError("TF estimator not implemented yet")
+    def __init__(self, *args, span: int = 24, latent_dim: int = 5,
+                 intermediate_dim: int = 55, epochs: int = 60,
+                 batch_size: int = 64, seed: int = 42, **kw):
+        super().__init__(*args, **kw)
+        self.span = int(span)
+        self.latent_dim = int(latent_dim)
+        self.intermediate_dim = int(intermediate_dim)
+        self.epochs = int(epochs)
+        self.batch_size = int(batch_size)
+        self.seed = int(seed)
 
-    transform = fit
+    def settings(self):
+        s = super().settings()
+        s.update(span=self.span, latent_dim=self.latent_dim,
+                 intermediate_dim=self.intermediate_dim,
+                 epochs=self.epochs, batch_size=self.batch_size,
+                 seed=self.seed)
+        return s
+
+    def _series(self, series_df):
+        import numpy as np
+
+        rows = series_df.orderBy(self.ts_col).select(
+            self.ts_col, self.feature_col).collect()
+        ts = np.array([r[0] for r in rows], dtype=np.int64)
+        vals = np.array(
+            [np.nan if r[1] is None else float(r[1]) for r in rows]
+        )
+        return ts, vals
+
+    def _windows(self, vals, mean, std):
+        import numpy as np
+
+        scaled = (vals - mean) / std
+        mask = (~np.isnan(scaled)).astype(float)
+        scaled = np.nan_to_num(scaled, nan=0.0)
+        X = np.lib.stride_tricks.sliding_window_view(scaled, self.span).copy()
+        M = np.lib.stride_tricks.sliding_window_view(mask, self.span).copy()
+        return X, M
+
+    def fit(self, series_df):
+        import numpy as np
+
+        from loudml_spark.ml.donut_np import NumpyVAE
+
+        _, vals = self._series(series_df)
+        mean = float(np.nanmean(vals))
+        std = float(np.nanstd(vals))
+        if std == 0 or np.isnan(std):
+            std = 1.0  # donut.py:650
+        X, M = self._windows(vals, mean, std)
+        vae = NumpyVAE(self.span, self.latent_dim, self.intermediate_dim,
+                       self.seed)
+        history = vae.fit(X, M, epochs=self.epochs,
+                          batch_size=self.batch_size)
+        self.state = {
+            "vae": vae.state_dict(), "mean": mean, "std": std,
+            "loss": history[-1],
+        }
+        return self
+
+    def transform(self, series_df):
+        import numpy as np
+
+        from loudml_spark.ml.donut_np import NumpyVAE
+
+        self._require_trained()
+        ts, vals = self._series(series_df)
+        mean, std = self.state["mean"], self.state["std"]
+        X, M = self._windows(vals, mean, std)
+        # the bucket being predicted is treated as missing
+        # (donut.py:1260-1265)
+        Mq = M.copy()
+        Mq[:, -1] = 0.0
+        vae = NumpyVAE.from_state(self.state["vae"])
+        rng = np.random.default_rng(self.seed + 7)
+        mu, sigma = vae.reconstruct(X, Mq, rng)
+        pred = mu[:, -1] * std + mean
+        sig = sigma[:, -1] * std
+        spark = series_df.sparkSession
+        out_ts = ts[self.span - 1:]
+        pred_df = spark.createDataFrame(
+            [(int(t), float(p), float(p - BAND_SIGMA * s),
+              float(p + BAND_SIGMA * s))
+             for t, p, s in zip(out_ts, pred, sig)],
+            f"{self.ts_col} long, predicted double, lower double, "
+            "upper double",
+        )
+        return series_df.join(F.broadcast(pred_df), on=self.ts_col,
+                              how="left")
 
 
 MODEL_TYPES = {

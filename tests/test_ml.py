@@ -211,7 +211,7 @@ def test_make_model_unknown_type():
         make_model({"name": "x", "type": "nope"})
 
 
-def test_donut_unavailable_is_clear():
-    m = make_model({"name": "d", "type": "donut"})
-    with pytest.raises(NotImplementedError, match="TensorFlow"):
-        m.fit(None)
+def test_donut_model_constructs_from_settings():
+    m = make_model({"name": "d", "type": "donut", "span": 12,
+                    "latent_dim": 3})
+    assert m.TYPE == "donut" and m.span == 12 and not m.is_trained()
