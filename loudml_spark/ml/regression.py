@@ -186,6 +186,51 @@ from loudml_spark.ml.models import MODEL_TYPES  # noqa: E402
 MODEL_TYPES[WindowRegressionModel.TYPE] = WindowRegressionModel
 
 
+def auto_span(
+    series_df: DataFrame,
+    candidates=(5, 10, 12, 20, 24, 50, 100),
+    *,
+    train_size: float = 0.67,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    ridge: float = 1.0,
+) -> int:
+    """Span hyper-search — the reference's ``span: "auto"`` (hyperopt
+    TPE over span/latent/hidden, loudml/donut.py:813-855, gate: result
+    lands in [10, 20] for daily-period test data,
+    tests/test_donut.py:342-355).
+
+    Deterministic grid: fit a quick ridge AR per candidate on the
+    chronological train split, score validation MSE, smallest span
+    wins ties.  The candidate fits are independent → trivially
+    parallelizable; each is a closed-form solve on the collected
+    aggregated series."""
+    rows = series_df.orderBy(ts_col).select(value_col).collect()
+    v = pd.Series(
+        [np.nan if r[0] is None else float(r[0]) for r in rows]
+    ).ffill().bfill().to_numpy(dtype=float)
+    k = round(len(v) * train_size)
+    results = []
+    for span in sorted(candidates):
+        if k <= span + 2 or len(v) - k <= span:
+            continue
+        w, mu, sd, _ = _fit_arrays(v[:k], span, ridge)
+        X = np.lib.stride_tricks.sliding_window_view(
+            v[k - span:-1], span)
+        y = v[k:]
+        xs = (X - mu) / sd
+        pred = (xs @ w[:-1] + w[-1]) * sd + mu
+        mse = float(np.mean((pred - y) ** 2))
+        # AIC-style penalized score: larger windows must earn their
+        # extra parameters, not just average more noise
+        n_val = len(y)
+        results.append((span, np.log(max(mse, 1e-300)) + 2.0 * span / n_val))
+    if not results:
+        raise errors.Invalid("series too short for any candidate span")
+    results.sort(key=lambda r: (r[1], r[0]))
+    return results[0][0]
+
+
 def fit_many(
     series_df: DataFrame,
     key_cols: list[str],

@@ -131,3 +131,21 @@ def test_gap_imputation_gate(spark):
     assert len(imputed) == 14  # one gap per day
     for r in imputed:
         assert abs(r["value"] - 1.0) <= 0.22, r
+
+
+def test_auto_span_gate(spark):
+    """Reference gate: span='auto' lands in [10, 20] on periodic data
+    (tests/test_donut.py:342-355).  Period-12 sine → best span must
+    capture one full period without overfitting longer lags."""
+    from loudml_spark.ml.regression import auto_span
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (BASE + i * 3600,
+         10.0 + 5.0 * math.sin(2 * math.pi * i / 12)
+         + float(rng.normal(0, 0.3)))
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    best = auto_span(df, candidates=(5, 10, 12, 20, 24, 50, 100))
+    assert 10 <= best <= 20, best
