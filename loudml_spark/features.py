@@ -57,6 +57,10 @@ class Feature:
     scores: str | None = None
     anomaly_type: str = "low_high"
     io: str = "io"  # "i" = input-only, "o" = output-only, "io" = both
+    # scripted field: SQL expression instead of a plain column — the
+    # reference's ES painless `script` (loudml/elastic.py:452-459,
+    # schema loudml/model.py:93); compiled via F.expr
+    script: str | None = None
 
     def __post_init__(self):
         self.metric = normalize_metric(self.metric)
@@ -86,6 +90,7 @@ class Feature:
         known = {
             "metric", "field", "name", "measurement", "match_all",
             "default", "transform", "scores", "anomaly_type", "io",
+            "script",
         }
         unknown = set(d) - known
         if unknown:

@@ -156,7 +156,9 @@ def bucketize(
     post_feats: list[tuple[Feature, object]] = []
     for feat in features:
         spec = get_metric_spec(feat.metric)
-        value = F.col(feat.field)
+        # scripted fields compile to a SQL expression (ES painless
+        # parity, loudml/elastic.py:452-459)
+        value = F.expr(feat.script) if feat.script else F.col(feat.field)
         cond = _match_all_cond(feat.match_all)
         if cond is not None:
             value = F.when(cond, value)

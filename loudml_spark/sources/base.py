@@ -36,6 +36,11 @@ class Bucket(ABC):
     def write(self, df: DataFrame, mode: str = "append") -> None:
         raise errors.Invalid(f"bucket {self.name} is read-only")
 
+    def drop(self) -> None:
+        """Delete the bucket's data — the `_clear` endpoint / drop ops
+        (loudml/influx.py:430-439, server.py:1144-1150)."""
+        raise errors.Invalid(f"bucket {self.name} cannot be dropped")
+
     def get_times_data(self, spark, features, from_date, to_date,
                        bucket_interval, ts_col="ts", **kw):
         """Bucketized aggregation — the reference's core read API
@@ -59,6 +64,11 @@ class ParquetBucket(Bucket):
 
     def write(self, df, mode="append"):
         df.write.mode(mode).parquet(self.settings["path"])
+
+    def drop(self):
+        import shutil
+
+        shutil.rmtree(self.settings["path"], ignore_errors=True)
 
 
 class CSVBucket(Bucket):
@@ -101,6 +111,9 @@ class MemBucket(Bucket):
             self.rows = rows
         else:
             self.rows.extend(rows)
+
+    def drop(self):
+        self.rows = []
 
 
 class JDBCBucket(Bucket):

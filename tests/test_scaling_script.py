@@ -1,0 +1,66 @@
+"""Scaling modes, scripted fields, bucket drop."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+from loudml_spark.features import Feature
+from loudml_spark.operators.bucketize import bucketize
+from loudml_spark.operators.scaling import (
+    apply_scaling,
+    fit_scaler,
+    scale_col,
+    unscale_col,
+)
+
+
+def test_scripted_field(spark):
+    df = spark.createDataFrame(
+        [(0.0, 2.0, 3.0), (1.0, 4.0, 5.0)],
+        "timestamp double, a double, b double",
+    )
+    feat = Feature(metric="avg", field="ab", name="avg_ab",
+                   script="a * b")
+    out = bucketize(df, [feat], 0, 3, 3, ts_col="timestamp").collect()
+    assert out[0]["avg_ab"] == pytest.approx((6.0 + 20.0) / 2)
+
+
+def test_scaling_modes_roundtrip(spark):
+    df = spark.createDataFrame(
+        [(float(i),) for i in range(1, 11)], "v double"
+    )
+    for mode in ("min_max", "normalize", "standardize"):
+        scaled, stats = apply_scaling(df, df, "v", mode, out_col="s")
+        vals = [r["s"] for r in scaled.orderBy("v").collect()]
+        if mode == "min_max":
+            assert vals[0] == 0.0 and vals[-1] == 1.0
+        if mode == "standardize":
+            assert abs(sum(vals)) < 1e-9
+        back = scaled.select(
+            unscale_col(F.col("s"), stats).alias("u"), "v"
+        ).collect()
+        for r in back:
+            assert r["u"] == pytest.approx(r["v"])
+
+
+def test_scaling_degenerate_constant(spark):
+    df = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    stats = fit_scaler(df, "v", "standardize")
+    assert stats["std"] == 1.0  # donut.py:650 convention
+    stats = fit_scaler(df, "v", "min_max")
+    assert stats["span"] == 1.0
+    with pytest.raises(errors.Invalid):
+        fit_scaler(df, "v", "nope")
+
+
+def test_bucket_drop(spark, tmp_path):
+    from loudml_spark.sources.base import BucketRegistry
+
+    reg = BucketRegistry()
+    b = reg.add({"name": "t", "type": "parquet",
+                 "path": str(tmp_path / "t")})
+    b.write(spark.createDataFrame([(1,)], "x long"), mode="overwrite")
+    assert b.read(spark).count() == 1
+    b.drop()
+    with pytest.raises(Exception):
+        b.read(spark).count()
