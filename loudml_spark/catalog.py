@@ -787,6 +787,32 @@ def q_donut_predict_1h(spark, sf_dir):
     )
 
 
+def q_donut_fleet_6h(spark, sf_dir):
+    """VAE fleet: one Donut model per event_type trained INSIDE
+    executors (applyInPandas), scored with the shared erf column math.
+    Deterministic per key (seeds derived from the key); rows-only
+    (VAE training is not SQL-expressible)."""
+    from loudml_spark.ml.donut_fleet import donut_fit_predict_many
+    from loudml_spark.ml.scoring import score_col
+
+    series = bucketize(
+        _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
+        ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
+    ).withColumnRenamed("avg_value", "value")
+    out = donut_fit_predict_many(
+        series, ["event_type"], span=28, epochs=30, train_before=JAN22,
+    )
+    return out.select(
+        "event_type", "bucket_ts",
+        F.round("observed", 6).alias("observed"),
+        F.round("predicted", 4).alias("predicted"),
+        F.round(score_col(
+            F.col("observed"), F.col("predicted"),
+            F.col("lower"), F.col("upper"),
+        ), 4).alias("score"),
+    )
+
+
 def q_tpch_q3_shipping(spark, sf_dir):
     """Q3-style: filtered 3-way join (broadcast dims) + decimal-exact
     revenue + deterministic top-10."""
@@ -911,6 +937,7 @@ QUERIES: dict[str, dict] = {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
     "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
     "donut_predict_1h": {"fn": q_donut_predict_1h, "oracle": None},
+    "donut_fleet_6h": {"fn": q_donut_fleet_6h, "oracle": None},
 }
 
 # training-data pipeline operators (dedup / similarity / text)

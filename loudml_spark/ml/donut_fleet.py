@@ -1,0 +1,114 @@
+"""Donut-VAE fleet: one VAE per series key, trained and scored inside
+executors.
+
+The reference binds one model process to one series
+(loudml/donut.py:543-545 rejects multi-feature, one training job per
+model).  Here ``applyInPandas`` fans the *same* estimator out over
+every key of a keyed bucket series: each group's (small, aggregated)
+series is trained with the pure-numpy VAE locally on the executor —
+thousands of independent models per cluster pass, no driver
+round-trips.  Seeds derive deterministically from the key so results
+are stable across partitionings and reruns.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from loudml_spark.ml.donut_np import NumpyVAE
+from loudml_spark.ml.models import BAND_SIGMA
+
+
+def _key_seed(key: tuple, base_seed: int) -> int:
+    return base_seed + zlib.crc32("|".join(map(str, key)).encode()) % 10**6
+
+
+def donut_fit_predict_many(
+    series_df: DataFrame,
+    key_cols: list[str],
+    *,
+    span: int = 24,
+    latent_dim: int = 3,
+    intermediate_dim: int = 34,
+    epochs: int = 40,
+    train_before: int | None = None,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    seed: int = 42,
+) -> DataFrame:
+    """Train on buckets `< train_before` (default: first 2/3) and
+    score the rest, per key.  Output: (keys..., bucket_ts, observed,
+    predicted, lower, upper)."""
+    schema = ", ".join(
+        [f"{k} string" for k in key_cols]
+        + [f"{ts_col} long", "observed double", "predicted double",
+           "lower double", "upper double"]
+    )
+
+    def fn(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        ts = pdf[ts_col].to_numpy()
+        cut = train_before
+        if cut is None:
+            cut_idx = int(len(vals) * 2 / 3)
+        else:
+            cut_idx = int(np.searchsorted(ts, cut))
+        train = vals[:cut_idx]
+        if len(train) <= span + 2:
+            return pd.DataFrame(
+                columns=[*key_cols, ts_col, "observed", "predicted",
+                         "lower", "upper"]
+            )
+        mean = float(np.nanmean(train))
+        std = float(np.nanstd(train)) or 1.0
+
+        def windows(v):
+            scaled = (v - mean) / std
+            mask = (~np.isnan(scaled)).astype(float)
+            scaled = np.nan_to_num(scaled, nan=0.0)
+            X = np.lib.stride_tricks.sliding_window_view(scaled, span).copy()
+            M = np.lib.stride_tricks.sliding_window_view(mask, span).copy()
+            return X, M
+
+        kseed = _key_seed(keys, seed)
+        vae = NumpyVAE(span, latent_dim, intermediate_dim, kseed)
+        Xt, Mt = windows(train)
+        vae.fit(Xt, Mt, epochs=epochs)
+
+        # score everything from the cut onward (history reaches back
+        # span-1 buckets, donut.py:1210-1217)
+        lo = max(0, cut_idx - span + 1)
+        Xq, Mq = windows(vals[lo:])
+        Mq2 = Mq.copy()
+        Mq2[:, -1] = 0.0
+        rng = np.random.default_rng(kseed + 7)
+        mu, sigma = vae.reconstruct(Xq, Mq2, rng)
+        pred = mu[:, -1] * std + mean
+        sig = sigma[:, -1] * std
+        out_ts = ts[lo + span - 1:]
+        keep = out_ts >= ts[cut_idx] if cut_idx < len(ts) else \
+            np.zeros(len(out_ts), bool)
+        rows = pd.DataFrame({
+            ts_col: out_ts[keep],
+            "observed": vals[lo + span - 1:][keep],
+            "predicted": pred[keep],
+            "lower": (pred - BAND_SIGMA * sig)[keep],
+            "upper": (pred + BAND_SIGMA * sig)[keep],
+        })
+        for i, k in enumerate(key_cols):
+            rows.insert(i, k, keys[i])
+        return rows
+
+    return series_df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
+def states_json(models: dict) -> str:
+    """Serialize a {key: NumpyVAE} fleet for storage."""
+    return json.dumps({k: v.state_dict() for k, v in models.items()})
