@@ -385,6 +385,16 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(queries, emb, k=5, bits=6)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """ANN via IVF (spherical k-means coarse quantizer + n_probe cell
+    search) — rows-only: centroid training is iterative numpy."""
+    from loudml_spark.pipeline.similarity import ivf_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return ivf_cosine_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+
+
 # ----------------------------------------------------- multimodal / streaming
 
 
@@ -515,6 +525,7 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "ann_cosine_topk": {
         "fn": q_ann_cosine_topk, "oracle": SQL_ANN_COSINE_TOPK},
     "ann_lsh_topk": {"fn": q_ann_lsh_topk, "oracle": None},
+    "ann_ivf_topk": {"fn": q_ann_ivf_topk, "oracle": None},
     "multimodal_features": {
         "fn": q_multimodal_features, "oracle": SQL_MULTIMODAL_FEATURES},
     "streaming_detect_1h": {

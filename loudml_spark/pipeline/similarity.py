@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -79,6 +81,98 @@ def lsh_bucket_col(vec, planes: list[list[float]]):
         )
         bucket = bucket + F.when(dot >= 0, F.lit(2 ** i)).otherwise(0)
     return bucket
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a bounded, seeded corpus sample (driver
+    numpy).  The sample, not the corpus, bounds driver memory — the
+    classic IVF coarse-quantizer training step."""
+    rows = (
+        corpus.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                c = pts.mean(axis=0)
+                C[j] = c / max(np.linalg.norm(c), 1e-12)
+    return C
+
+
+def _centroid_assign_udf(C: np.ndarray, n_probe: int = 1):
+    """Top-n_probe centroid ids per vector (Arrow-batched)."""
+
+    def fn(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        top = np.argsort(-sims, axis=1)[:, :n_probe]
+        return pd.Series([row.tolist() for row in top])
+
+    return F.pandas_udf(fn, "array<int>")
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in coarse-quantizer cells; each
+    query probes its ``n_probe`` nearest cells and ranks exact cosine
+    within candidates.  Candidate generation is an equi-join on the
+    cell id (≈ n_probe/n_centroids of the corpus per query) — the
+    inverted-file structure that scales past brute force."""
+    C = train_ivf_centroids(
+        corpus, n_centroids, vec_col=vec_col, seed=seed
+    )
+    c_assign = _centroid_assign_udf(C, 1)
+    q_assign = _centroid_assign_udf(C, n_probe)
+    cells = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine", F.round(cosine_col(F.col("qv"), F.col("cv")), round_to)
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def lsh_cosine_topk(

@@ -123,3 +123,35 @@ def test_lsh_topk_subset_of_exact(spark, vectors):
         key = (r["query_id"], r["neighbor_id"])
         assert key in exact
         assert r["cosine"] == exact[key]
+
+
+def test_ivf_topk_recall(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    # 3 well-separated clusters in 16d
+    centers = rng.normal(size=(3, 16)) * 5
+    rows = []
+    for i in range(300):
+        c = i % 3
+        v = centers[c] + rng.normal(size=16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 6")
+
+    from loudml_spark.pipeline.similarity import cosine_topk, ivf_cosine_topk
+
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(queries, corpus, k=5).collect()}
+    approx = ivf_cosine_topk(
+        queries, corpus, k=5, n_centroids=6, n_probe=2
+    ).collect()
+    hits = sum(1 for r in approx
+               if (r["query_id"], r["neighbor_id"]) in exact)
+    # clustered data + 2 probes: near-perfect recall expected
+    assert hits / len(exact) >= 0.9
+    # scores of returned pairs are the exact cosines
+    exact_scores = {(r["query_id"], r["neighbor_id"]): r["cosine"]
+                    for r in cosine_topk(queries, corpus, k=300).collect()}
+    for r in approx:
+        assert r["cosine"] == exact_scores[(r["query_id"], r["neighbor_id"])]
