@@ -865,6 +865,60 @@ FROM agg QUALIFY rank <= 10
 """
 
 
+def q_tpch_q5_local_supplier(spark, sf_dir):
+    """Q5-style: 6-way join (lineitem↔orders↔customer↔supplier↔nation↔
+    region) with the local-supplier condition, decimal-exact revenue
+    per nation.  All dims broadcast; the only shuffle is the final
+    rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+               "o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    joined = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp),
+              (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+SQL_TPCH_Q5_LOCAL_SUPPLIER = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 def q_events_by_segment(spark, sf_dir):
     """Stream-table enrichment: events joined to the customer dim
     (broadcast) and rolled up by market segment."""
@@ -933,6 +987,9 @@ QUERIES: dict[str, dict] = {
         "oracle": SQL_KEYED_ANOMALY_DETECT_6H},
     "tpch_q3_shipping": {
         "fn": q_tpch_q3_shipping, "oracle": SQL_TPCH_Q3_SHIPPING},
+    "tpch_q5_local_supplier": {
+        "fn": q_tpch_q5_local_supplier,
+        "oracle": SQL_TPCH_Q5_LOCAL_SUPPLIER},
     "events_by_segment": {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
     "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
