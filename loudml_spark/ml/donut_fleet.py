@@ -67,7 +67,11 @@ def donut_fit_predict_many(
                          "lower", "upper"]
             )
         mean = float(np.nanmean(train))
-        std = float(np.nanstd(train)) or 1.0
+        std = float(np.nanstd(train))
+        # NaN is truthy — `or 1.0` would NOT catch an all-missing
+        # slice; mirror DonutModel.fit's explicit convention
+        std = 1.0 if std == 0 or np.isnan(std) else std
+        mean = 0.0 if np.isnan(mean) else mean
 
         def windows(v):
             scaled = (v - mean) / std

@@ -57,10 +57,14 @@ def _bucket_expr(df: DataFrame, ts_col: str, interval: int, ts_unit: str) -> Col
     dtype = df.schema[ts_col].dataType
     if isinstance(dtype, (T.LongType, T.IntegerType)) and ts_unit in _UNIT_SCALE:
         # pure integer division: `/` would go through double, which
-        # cannot represent ns epochs (~1.7e18 > 2^53) exactly
-        scale = _UNIT_SCALE[ts_unit]
+        # cannot represent ns epochs (~1.7e18 > 2^53) exactly.  FLOOR
+        # division (pmod-adjusted), not `div` (truncates toward zero),
+        # so pre-1970 epochs bucket to their LEFT edge — matching the
+        # double path and DuckDB `//`.
+        step = interval * _UNIT_SCALE[ts_unit]
         return F.expr(
-            f"(`{ts_col}` div {interval * scale}L) * {interval}L"
+            f"((`{ts_col}` - pmod(`{ts_col}`, {step}L)) div {step}L)"
+            f" * {interval}L"
         ).cast("long")
     epoch = F.col(ts_col).cast("double")
     return (F.floor(epoch / F.lit(interval)) * F.lit(interval)).cast("long")

@@ -30,9 +30,10 @@ def top_k(
 ) -> DataFrame:
     """Keep the top-k rows per partition.
 
-    ``order_by`` is a list of column names or Columns; the sort is
-    made total by appending the partition keys — callers should pass
-    a unique tie-break column last for full determinism.
+    ``order_by`` is a list of column names or Columns.  The partition
+    keys are constant within a window partition, so they cannot break
+    ties — callers MUST pass a unique tie-break column last (e.g. the
+    entity id) for full determinism across reruns/partitionings.
     """
     ordering = [
         (F.col(c) if isinstance(c, str) else c) for c in order_by

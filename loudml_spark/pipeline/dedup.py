@@ -41,12 +41,21 @@ MINHASH_B = (15485863, 32452843, 49979687, 67867967, 86028121,
 N_HASHES = len(MINHASH_A)
 
 
+def _shingle_index_col(w: Column, n: int) -> Column:
+    """Start indices 0..size(w)-n, or empty when the doc has fewer than
+    n words (a bare F.sequence would step -1 downward when start>stop
+    and element_at(w, 0) throws under ANSI)."""
+    return F.when(
+        F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
+    ).otherwise(F.array().cast("array<int>"))
+
+
 def shingles_col(text: Column, n: int = 3) -> Column:
     """Distinct word n-gram strings."""
     w = words_col(text)
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - n),
+            _shingle_index_col(w, n),
             lambda i: F.concat_ws(
                 " ", *[F.element_at(w, i + j + 1) for j in range(n)]
             ),
@@ -204,8 +213,10 @@ def minhash_lsh_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     # no rounding: int/int division is bit-deterministic, and ROUND on
-    # exact decimal ties (e.g. 1/128) is not engine-portable
-    jac = inter.cast("double") / union.cast("double")
+    # exact decimal ties (e.g. 1/128) is not engine-portable.
+    # union=0 (two sub-n-word docs) defines jaccard as 0, not ÷0.
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
+        .otherwise(F.lit(0.0))
     return (
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
@@ -228,7 +239,7 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(
             F.transform(  # shingle strings (not hashes): exact verify
-                F.sequence(F.lit(0), F.size(words_col(F.col(text_col))) - n),
+                _shingle_index_col(words_col(F.col(text_col)), n),
                 lambda i: F.concat_ws(" ", *[
                     F.element_at(words_col(F.col(text_col)), i + j + 1)
                     for j in range(n)
@@ -239,7 +250,8 @@ def ngram_jaccard_pairs(
     a, b = sets.alias("a"), sets.alias("b")
     inter = F.size(F.array_intersect("a.sh", "b.sh"))
     union = F.size("a.sh") + F.size("b.sh") - inter
-    jac = inter.cast("double") / union.cast("double")
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
+        .otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(

@@ -176,3 +176,17 @@ def test_timestamp_column_type(spark):
     out = bucketize(df, ["avg(foo)"], 1, 9, 3, ts_col="ts")
     vals = [r["avg_foo"] for r in out.orderBy("bucket_ts").collect()]
     assert vals == [1.5, None, 8.0]
+
+
+def test_negative_epoch_buckets_floor_not_truncate(spark):
+    # pre-1970 epochs must bucket to the LEFT edge: floor(-1/3600)=-1h,
+    # not truncate-toward-zero's 0h (ADVICE r1: `div` vs DuckDB `//`)
+    df = spark.createDataFrame(
+        [(-1, 1.0), (-3600, 2.0), (10, 3.0)], "ts long, foo double"
+    )
+    out = bucketize(
+        df, ["avg(foo)"], -3600, 3600, 3600, ts_col="ts", ts_unit="s"
+    )
+    got = {r["bucket_ts"]: r["avg_foo"] for r in out.collect()}
+    assert got[-3600] == pytest.approx(1.5)  # both negatives in [-3600, 0)
+    assert got[0] == pytest.approx(3.0)

@@ -155,3 +155,19 @@ def test_ivf_topk_recall(spark):
                     for r in cosine_topk(queries, corpus, k=300).collect()}
     for r in approx:
         assert r["cosine"] == exact_scores[(r["query_id"], r["neighbor_id"])]
+
+
+def test_short_doc_shingles_no_throw(spark):
+    # docs with fewer than n words must yield empty shingle sets, not
+    # a descending F.sequence + element_at(w, 0) ANSI error (ADVICE r1)
+    short = spark.createDataFrame(
+        [(0, "hi"), (1, "one two"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    pairs = ngram_jaccard_pairs(short, n=3, threshold=0.1).collect()
+    assert all(r["id_a"] != 0 and r["id_b"] != 0 for r in pairs)
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(short, n=3).collect()}
+    assert len(sigs) == 3  # no throw; short docs get sentinel sigs
+    lsh = minhash_lsh_pairs(short, n=3, threshold=0.1).collect()
+    assert isinstance(lsh, list)  # executes without error
