@@ -133,6 +133,57 @@ def format_buckets(rows, feature_names) -> list[dict]:
     return out
 
 
+def parse_constraint(constraint: str) -> dict:
+    """``feature:low:3.0`` → {feature, type, threshold}
+    (loudml/misc.py:311-330 parity, including its error messages)."""
+    from loudml_spark import errors
+
+    try:
+        feature, _type, threshold = constraint.split(":")
+    except ValueError:
+        raise errors.Invalid("invalid format for 'constraint' parameter")
+    if _type not in ("low", "high"):
+        raise errors.Invalid(
+            "invalid threshold type for 'constraint' parameter")
+    try:
+        threshold = float(threshold)
+    except ValueError:
+        raise errors.Invalid("invalid threshold for 'constraint' parameter")
+    return {"feature": feature, "type": _type, "threshold": threshold}
+
+
+def test_constraint(
+    forecast_df: DataFrame,
+    feature: str,
+    _type: str,
+    threshold: float,
+    *,
+    ts_col: str = "bucket_ts",
+) -> None:
+    """Raise ForecastConstraintViolation at the first forecast bucket
+    whose predicted value crosses the bound (worker.py:311-317 calls
+    this on the model; the reference OSS never ships the body — these
+    are the documented semantics: 'low' alerts when the forecast drops
+    below the threshold, 'high' when it exceeds it)."""
+    from loudml_spark import errors
+
+    cond = (
+        F.col("predicted") < F.lit(threshold)
+        if _type == "low"
+        else F.col("predicted") > F.lit(threshold)
+    )
+    row = (
+        forecast_df.filter(cond)
+        .orderBy(ts_col)
+        .select(ts_col, "predicted")
+        .first()
+    )
+    if row is not None:
+        raise errors.ForecastConstraintViolation(
+            feature, _type, threshold, row[ts_col], row["predicted"]
+        )
+
+
 def forecast_model(
     model,
     spark: SparkSession,
@@ -140,20 +191,64 @@ def forecast_model(
     to_date,
     *,
     percent_interval: float | None = None,
+    percent_noise: float = 0.0,
+    constraint: str | dict | None = None,
+    history: list | None = None,
 ) -> DataFrame:
     """The `_forecast` endpoint: future buckets from a trained model.
 
     Profile-based models forecast vectorized (spine × broadcast
-    profile); an autoregressive estimator would roll forward
-    sequentially on the driver (loudml/donut.py:1333-1475) — the
-    series length is bounded by horizon/interval, never data volume.
+    profile); roll-forward estimators (Donut VAE, AR) iterate on the
+    driver (loudml/donut.py:1333-1475) — the series length is bounded
+    by horizon/interval, never data volume.
+
+    ``percent_interval`` controls the confidence band: models with
+    native support (DonutModel) receive it directly; for fixed ±3σ
+    models the band is rescaled by Φ⁻¹(1−(1−pi)/2)/3 — exactly the
+    reference's norm().ppf scaling (donut.py:1418).  ``constraint``
+    (``feature:low:3.0``) raises ForecastConstraintViolation at the
+    first crossing bucket (server.py:1693-1696).
     """
-    from loudml_spark import timeutil
+    import inspect
+
+    from loudml_spark import errors, timeutil
+    from loudml_spark.ml.models import BAND_SIGMA
+    from loudml_spark.ml.scoring import band_sigma_for
 
     from_ts, to_ts = timeutil.align_range(
         from_date, to_date, model.bucket_interval
     )
-    return model.forecast(spark, from_ts, to_ts)
+    params = inspect.signature(model.forecast).parameters
+    kwargs = {}
+    if "percent_interval" in params and percent_interval is not None:
+        kwargs["percent_interval"] = percent_interval
+    if "percent_noise" in params and percent_noise:
+        kwargs["percent_noise"] = percent_noise
+    if "history" in params and history is not None:
+        kwargs["history"] = history
+    out = model.forecast(spark, from_ts, to_ts, **kwargs)
+    if percent_interval is not None and "percent_interval" not in kwargs:
+        # model emitted a fixed ±BAND_SIGMA·σ band — rescale half-width
+        scale = band_sigma_for(percent_interval) / BAND_SIGMA
+        pred = F.col("predicted")
+        out = out.withColumn(
+            "lower", pred - (pred - F.col("lower")) * F.lit(scale)
+        ).withColumn(
+            "upper", pred + (F.col("upper") - pred) * F.lit(scale)
+        )
+    if constraint:
+        c = (parse_constraint(constraint)
+             if isinstance(constraint, str) else dict(constraint))
+        if c["feature"] != model.feature_col:
+            raise errors.Invalid(
+                f"unknown constraint feature: {c['feature']!r} "
+                f"(model feature is {model.feature_col!r})"
+            )
+        test_constraint(
+            out, c["feature"], c["type"], c["threshold"],
+            ts_col=model.ts_col,
+        )
+    return out
 
 
 class Engine:

@@ -787,6 +787,33 @@ def q_donut_predict_1h(spark, sf_dir):
     )
 
 
+def q_forecast_donut_48h(spark, sf_dir):
+    """Donut VAE roll-forward forecast (donut.py:1333-1475): train on
+    the full month, then forecast 48 hourly buckets past the end by
+    iteratively MCMC-imputing the next bucket and rolling the window,
+    band from MC spread scaled to a 95% interval (norm ppf).  Learned
+    + iterative → rows-only; tracking gate in tests/test_donut_model.py
+    mirrors the reference's ±1.5 head/tail check
+    (tests/test_donut.py:408-424)."""
+    from loudml_spark.api import forecast_model
+    from loudml_spark.ml.models import DonutModel
+
+    series = _hourly_series(spark, sf_dir)
+    model = DonutModel(
+        "catalog_donut_fc", span=24, latent_dim=3, intermediate_dim=34,
+        epochs=40, bucket_interval=3600,
+    ).fit(series)
+    out = forecast_model(
+        model, spark, JAN31, JAN31 + 48 * 3600, percent_interval=0.95,
+    )
+    return out.select(
+        "bucket_ts",
+        F.round("predicted", 4).alias("predicted"),
+        F.round("lower", 4).alias("lower"),
+        F.round("upper", 4).alias("upper"),
+    )
+
+
 def q_donut_fleet_6h(spark, sf_dir):
     """VAE fleet: one Donut model per event_type trained INSIDE
     executors (applyInPandas), scored with the shared erf column math.
@@ -994,6 +1021,7 @@ QUERIES: dict[str, dict] = {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
     "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
     "donut_predict_1h": {"fn": q_donut_predict_1h, "oracle": None},
+    "forecast_donut_48h": {"fn": q_forecast_donut_48h, "oracle": None},
     "donut_fleet_6h": {"fn": q_donut_fleet_6h, "oracle": None},
 }
 

@@ -189,6 +189,53 @@ class NumpyVAE:
         sigma = np.sqrt(vxs.mean(axis=0) + mus.var(axis=0))
         return mu, sigma
 
+    def forecast_roll(self, window, mask, steps, rng, *,
+                      noise: float = 0.0, mcmc: int = MCMC_COUNT,
+                      mc: int = MC_COUNT):
+        """Iterative roll-forward forecast (donut.py:1333-1475 loop).
+
+        ``window``: span values in scaled space with the LAST slot the
+        first bucket to forecast; ``mask``: observed flags (last must
+        be 0).  Each step: MCMC-impute the missing slot through the
+        deterministic mean path (z_mean → decoder mean, mirroring the
+        reference's `_encoder_model`/`_decoder_model` predict calls),
+        optionally expand by uniform noise growing with the step index
+        (``percent_noise`` semantics), measure epistemic spread by MC
+        integration over z (std of decoded means at the last slot —
+        the reference uses exactly np.std(x_decoded[:, -1])), then
+        roll the window left and mark the new last slot missing.
+
+        Returns (y, std) in scaled space, each of length ``steps``.
+        """
+        x = np.asarray(window, dtype=float).copy()
+        m = np.asarray(mask, dtype=float).copy()
+        m[-1] = 0.0
+        missing = m <= 0.0
+        x[missing] = 0.0
+        y = np.empty(steps)
+        std = np.empty(steps)
+        for j in range(steps):
+            for _ in range(mcmc):
+                _, mz, _ = self._encode(x[None, :])
+                _, mx, _ = self._decode(mz)
+                x[missing] = mx[0][missing]
+            if noise:
+                x = x * (1.0 + rng.uniform(-noise * j, noise * j, len(x)))
+            _, mz, lvz = self._encode(x[None, :])
+            sz = np.exp(0.5 * lvz)
+            z = mz + sz * rng.standard_normal((mc, mz.shape[1]))
+            _, mxs, _ = self._decode(z)
+            std[j] = float(np.std(mxs[:, -1]))
+            y[j] = float(x[-1])
+            x = np.roll(x, -1)
+            x[-1] = 0.0
+            # after the first step the history slots all hold values
+            # (observed or previously-forecast) — only the rolled-in
+            # last slot is missing, as in the reference
+            missing = np.zeros(len(x), dtype=bool)
+            missing[-1] = True
+        return y, std
+
     # ------------------------------------------------------- persistence
 
     def state_dict(self) -> dict:

@@ -303,9 +303,14 @@ class DonutModel(BaseModel):
                        self.seed)
         history = vae.fit(X, M, epochs=self.epochs,
                           batch_size=self.batch_size)
+        # keep the raw training tail (span-1 values) so forecast can
+        # seed its first window without re-reading the source
+        # (donut.py:1361-1365 widens the scan instead)
+        tail = vals[-(self.span - 1):] if self.span > 1 else vals[:0]
         self.state = {
             "vae": vae.state_dict(), "mean": mean, "std": std,
             "loss": history[-1],
+            "tail": [None if np.isnan(v) else float(v) for v in tail],
         }
         return self
 
@@ -338,6 +343,65 @@ class DonutModel(BaseModel):
         )
         return series_df.join(F.broadcast(pred_df), on=self.ts_col,
                               how="left")
+
+    def forecast(self, spark, from_ts: int, to_ts: int, *,
+                 percent_interval: float = 0.68,
+                 percent_noise: float = 0.0,
+                 history: list[float] | None = None):
+        """Iterative roll-forward forecast (donut.py:1333-1475).
+
+        The first window is the last ``span-1`` observed values (from
+        ``history`` if given, else the stored training tail) plus the
+        first forecast slot masked missing.  Each step MCMC-imputes
+        that slot, measures the MC spread, rolls forward.  Band half-
+        width = Φ⁻¹(1−(1−percent_interval)/2)·σ_j — wider interval ⇒
+        wider band, and σ_j grows as forecast values feed later
+        windows.  ``percent_noise`` adds the reference's linearly-
+        growing uniform noise (noise = pct·interval/86400 per step).
+
+        Driver loop bounded by horizon/interval, never data volume.
+        Returns (bucket_ts, predicted, lower, upper).
+        """
+        import numpy as np
+
+        from loudml_spark.ml.donut_np import NumpyVAE
+        from loudml_spark.ml.scoring import band_sigma_for
+
+        self._require_trained()
+        steps = int((to_ts - from_ts) // self.bucket_interval)
+        if steps <= 0:
+            raise errors.Invalid(
+                f"empty forecast range: [{from_ts}, {to_ts})")
+        mean, std = self.state["mean"], self.state["std"]
+        raw = history if history is not None else self.state.get("tail")
+        if raw is None or len(raw) < self.span - 1:
+            raise errors.Invalid(
+                f"forecast needs the last {self.span - 1} observed "
+                "values (train first or pass history=)")
+        hist = np.array(
+            [np.nan if v is None else float(v) for v in raw],
+            dtype=float,
+        )[-(self.span - 1):]
+        window = np.concatenate([(hist - mean) / std, [0.0]])
+        mask = np.concatenate(
+            [(~np.isnan(hist)).astype(float), [0.0]])
+        window = np.nan_to_num(window, nan=0.0)
+        vae = NumpyVAE.from_state(self.state["vae"])
+        rng = np.random.default_rng(self.seed + 13)
+        noise = percent_noise * float(self.bucket_interval) / 86400.0
+        y, sig = vae.forecast_roll(window, mask, steps, rng, noise=noise)
+        p = band_sigma_for(percent_interval)
+        pred = y * std + mean
+        half = p * sig * std
+        rows = [
+            (int(from_ts + j * self.bucket_interval), float(pred[j]),
+             float(pred[j] - half[j]), float(pred[j] + half[j]))
+            for j in range(steps)
+        ]
+        return spark.createDataFrame(
+            rows, f"{self.ts_col} long, predicted double, lower double, "
+            "upper double",
+        )
 
 
 MODEL_TYPES = {

@@ -52,6 +52,55 @@ def normal_cdf_col(x: Column) -> Column:
     return F.lit(0.5) * (F.lit(1.0) + erf_col(x / F.lit(_SQRT2)))
 
 
+# Acklam's rational approximation to the inverse normal CDF
+# (|relative error| < 1.15e-9 — far below band resolution); replaces
+# the reference's scipy norm().ppf for percent_interval band scaling
+# (donut.py:1418 p = norm().ppf(1-(1-percent_interval)/2)).
+_PPF_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+          -2.759285104469687e+02, 1.383577518672690e+02,
+          -3.066479806614716e+01, 2.506628277459239e+00)
+_PPF_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+          -1.556989798598866e+02, 6.680131188771972e+01,
+          -1.328068155288572e+01)
+_PPF_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+          -2.400758277161838e+00, -2.549732539343734e+00,
+          4.374664141464968e+00, 2.938163982698783e+00)
+_PPF_D = (7.784695709041462e-03, 3.224671290700398e-01,
+          2.445134137142996e+00, 3.754408661907416e+00)
+
+
+def norm_ppf(p: float) -> float:
+    """Inverse standard normal CDF Φ⁻¹(p) (scalar, driver-side)."""
+    import math
+
+    if not 0.0 < p < 1.0:
+        raise errors.Invalid(f"ppf argument must be in (0, 1): {p}")
+    a, b, c, d = _PPF_A, _PPF_B, _PPF_C, _PPF_D
+    plow = 0.02425
+    if p < plow:
+        q = math.sqrt(-2.0 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0)
+    if p > 1.0 - plow:
+        q = math.sqrt(-2.0 * math.log(1.0 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4])
+                 * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1.0)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+            * r + a[5]) * q / \
+           (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4])
+            * r + 1.0)
+
+
+def band_sigma_for(percent_interval: float) -> float:
+    """Half-width in σ units of the central ``percent_interval`` band:
+    p = Φ⁻¹(1 − (1 − percent_interval)/2) — donut.py:1418."""
+    return norm_ppf(1.0 - (1.0 - percent_interval) / 2.0)
+
+
 def score_col(
     observed: Column,
     predicted: Column,

@@ -68,3 +68,89 @@ def test_storage_roundtrip_and_determinism(spark, trained, tmp_path):
     a = m.predict(df).orderBy("bucket_ts").select("predicted").collect()
     b = loaded.predict(df).orderBy("bucket_ts").select("predicted").collect()
     assert a == b
+
+
+def test_forecast_roll_forward_tracks_seasonality(spark, trained):
+    # reference gate shape (tests/test_donut.py:357-424): forecast 48
+    # buckets past the training range; predictions must track the
+    # seasonal signal within a ±1.5 delta at head and tail
+    m, df = trained
+    n = 500
+    from_ts = BASE + n * 3600
+    to_ts = from_ts + 48 * 3600
+    fc = m.forecast(spark, from_ts, to_ts).orderBy("bucket_ts").collect()
+    assert len(fc) == 48
+    truth = [10.0 + 5.0 * math.sin(2 * math.pi * ((n + j) % 24) / 24)
+             for j in range(48)]
+    delta = 1.5
+    head = [abs(fc[j]["predicted"] - truth[j]) for j in range(5)]
+    tail = [abs(fc[-1 - j]["predicted"] - truth[-1 - j]) for j in range(5)]
+    assert max(head) <= delta, head
+    assert max(tail) <= delta, tail
+    # bands are sane: lower < predicted < upper everywhere
+    assert all(r["lower"] < r["predicted"] < r["upper"] for r in fc)
+
+
+def test_forecast_percent_interval_scales_band(spark, trained):
+    from loudml_spark.api import forecast_model
+
+    m, _ = trained
+    from_ts = BASE + 500 * 3600
+    to_ts = from_ts + 24 * 3600
+    narrow = forecast_model(m, spark, from_ts, to_ts,
+                            percent_interval=0.68).collect()
+    wide = forecast_model(m, spark, from_ts, to_ts,
+                          percent_interval=0.99).collect()
+    w_n = sum(r["upper"] - r["lower"] for r in narrow)
+    w_w = sum(r["upper"] - r["lower"] for r in wide)
+    # ppf(0.995)/ppf(0.84) ≈ 2.59 — wide band must be materially wider
+    assert w_w > 2.0 * w_n
+    # same midpoints either way
+    for a, b in zip(narrow, wide):
+        assert a["predicted"] == pytest.approx(b["predicted"])
+
+
+def test_forecast_percent_interval_scales_fixed_band_models(spark):
+    from loudml_spark.api import forecast_model
+    from loudml_spark.ml.models import GaussianModel
+
+    df = _sine_series(spark, n=200)
+    g = GaussianModel("g", bucket_interval=3600).fit(df)
+    from_ts = BASE + 200 * 3600
+    got = forecast_model(g, spark, from_ts, from_ts + 12 * 3600,
+                         percent_interval=0.9973).collect()
+    full = forecast_model(g, spark, from_ts, from_ts + 12 * 3600).collect()
+    # 0.9973 ≈ the native ±3σ band: rescale must be a near-no-op
+    for a, b in zip(got, full):
+        assert a["lower"] == pytest.approx(b["lower"], abs=1e-3)
+        assert a["upper"] == pytest.approx(b["upper"], abs=1e-3)
+    half = forecast_model(g, spark, from_ts, from_ts + 12 * 3600,
+                          percent_interval=0.68).collect()
+    for a, b in zip(half, full):
+        assert (a["upper"] - a["lower"]) < 0.4 * (b["upper"] - b["lower"])
+
+
+def test_forecast_constraint(spark, trained):
+    from loudml_spark import errors
+    from loudml_spark.api import forecast_model, parse_constraint
+
+    m, _ = trained
+    from_ts = BASE + 500 * 3600
+    to_ts = from_ts + 24 * 3600
+    # series oscillates in [5, 15]: a low bound at 8 must be crossed
+    with pytest.raises(errors.ForecastConstraintViolation) as ei:
+        forecast_model(m, spark, from_ts, to_ts, constraint="value:low:8.0")
+    assert ei.value.threshold == 8.0
+    assert from_ts <= ei.value.timestamp < to_ts
+    # a high bound at 100 is never crossed
+    out = forecast_model(m, spark, from_ts, to_ts,
+                         constraint="value:high:100.0")
+    assert out.count() == 24
+    # parser parity (misc.py:311-330)
+    assert parse_constraint("cpu:high:1.5") == {
+        "feature": "cpu", "type": "high", "threshold": 1.5}
+    for bad in ["nope", "cpu:mid:3", "cpu:low:xx"]:
+        with pytest.raises(errors.Invalid):
+            parse_constraint(bad)
+    with pytest.raises(errors.Invalid):
+        forecast_model(m, spark, from_ts, to_ts, constraint="other:low:1")
