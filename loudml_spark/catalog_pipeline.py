@@ -340,9 +340,34 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({dot}) / (sqrt({na}) * sqrt({nb}))"
 
 
+def q_simhash_pairs_blocked(spark, sf_dir):
+    """Same pair set as simhash_pairs_docs but candidates come from the
+    pigeonhole block equi-join (7 blocks for d≤6 — at least one block
+    of any qualifying pair matches exactly), not an O(N²) self-join.
+    Shares simhash_pairs_docs' oracle: the value-hash match IS the
+    proof the blocked path loses nothing."""
+    from loudml_spark.pipeline.dedup import simhash_pairs_blocked
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 150")
+    out = simhash_pairs_blocked(docs, max_distance=6)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
 def q_embedding_cosine_pairs(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 100")
     return embedding_cosine_pairs(emb, threshold=0.3)
+
+
+def q_embedding_pairs_blocked(spark, sf_dir):
+    """Same pairs as embedding_cosine_pairs via the blocked-GEMM exact
+    path: block-pair equi-join + one numpy GEMM per block pair (no
+    nested-loop join; pair volume distributed evenly over B² keys).
+    Shares embedding_cosine_pairs' oracle — exact by construction."""
+    from loudml_spark.pipeline.dedup import embedding_cosine_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 100")
+    return embedding_cosine_pairs_blocked(
+        emb, threshold=0.3, block_size=32)
 
 
 SQL_EMBEDDING_COSINE_PAIRS = f"""
@@ -519,8 +544,13 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "simhash_docs": {"fn": q_simhash_docs, "oracle": SQL_SIMHASH_DOCS},
     "simhash_pairs_docs": {
         "fn": q_simhash_pairs_docs, "oracle": SQL_SIMHASH_PAIRS_DOCS},
+    "simhash_pairs_blocked": {
+        "fn": q_simhash_pairs_blocked, "oracle": SQL_SIMHASH_PAIRS_DOCS},
     "embedding_cosine_pairs": {
         "fn": q_embedding_cosine_pairs,
+        "oracle": SQL_EMBEDDING_COSINE_PAIRS},
+    "embedding_pairs_blocked": {
+        "fn": q_embedding_pairs_blocked,
         "oracle": SQL_EMBEDDING_COSINE_PAIRS},
     "ann_cosine_topk": {
         "fn": q_ann_cosine_topk, "oracle": SQL_ANN_COSINE_TOPK},

@@ -140,6 +140,26 @@ def _signature_udf(n: int):
     return F.pandas_udf(fn, "array<long>")
 
 
+def _shingle_sig_udf(n: int):
+    """One pass over the text producing BOTH the shingle-hash set and
+    the minhash signature as struct<sh, sig> — the shingle set is the
+    dominant map cost, so computing it once (not once per dependent
+    UDF) halves the LSH map stage."""
+
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        shs, sigs = [], []
+        for t in texts:
+            hs = _shingle_hash_set(t, n)
+            shs.append(list(hs))
+            sigs.append([
+                min(((a * h + b) % HASH_MOD for h in hs), default=HASH_MOD)
+                for a, b in zip(MINHASH_A, MINHASH_B)
+            ])
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return F.pandas_udf(fn, "struct<sh: array<long>, sig: array<long>>")
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     n: int = 3,
@@ -169,14 +189,13 @@ def minhash_lsh_pairs(
     with jaccard ≥ threshold, id_a < id_b.
     """
     r = N_HASHES // bands
-    # shingle sets once (Arrow map); signatures derive in plain Python
-    # arithmetic inside the same pass via a second vectorized UDF
-    base = df.select(
+    # ONE Arrow pass computes the shingle set and its signature
+    # together (r1 verdict: two separate UDFs re-hashed every shingle
+    # twice — 2× the dominant map cost)
+    sig = df.select(
         F.col(id_col).alias("id"),
-        _shingle_hashes_udf(n)(F.col(text_col)).alias("sh"),
-        _signature_udf(n)(F.col(text_col)).alias("sig"),
-    )
-    sig = base
+        _shingle_sig_udf(n)(F.col(text_col)).alias("ss"),
+    ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
     # band key: combine r signature values into one int64
     banded = sig.select(
         "id", "sh",
@@ -336,6 +355,82 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs_blocked(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_distance: int = 3,
+    bits: int = 32,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs with BLOCKED candidate generation — the
+    scale path that replaces :func:`simhash_pairs`' O(N²) self-join.
+
+    Pigeonhole: split the ``bits``-bit fingerprint into ``n_blocks``
+    contiguous blocks (default ``max_distance + 1``); any pair within
+    Hamming distance d ≤ n_blocks − 1 differs in at most d blocks, so
+    at least one block matches EXACTLY.  Candidates are therefore an
+    equi-join on (block index, block value) — a hash shuffle, never a
+    nested-loop join — with exact Hamming verification after.  Output
+    is identical to ``simhash_pairs`` at the same ``max_distance``
+    (full recall by construction; the Manku/WWW'07 simhash dedup
+    scheme).
+
+    Block width is bits/n_blocks; larger distances need more blocks →
+    narrower blocks → bigger buckets.  At 100 TB pair volume is
+    governed by the widest block bucket: prefer a wider fingerprint
+    (``bits=64``) or a smaller ``max_distance`` rather than >8 blocks
+    of a 32-bit hash.
+    """
+    n_blocks = n_blocks or (max_distance + 1)
+    if n_blocks < max_distance + 1:
+        raise ValueError(
+            f"n_blocks={n_blocks} cannot guarantee recall for "
+            f"max_distance={max_distance}: need ≥ {max_distance + 1}"
+        )
+    if n_blocks > bits:
+        raise ValueError(f"n_blocks={n_blocks} > bits={bits}")
+    s = simhash(df, text_col, id_col, bits=bits)
+    # uneven split: first (bits % n_blocks) blocks get the extra bit
+    w0, rem = divmod(bits, n_blocks)
+    bounds = []
+    off = 0
+    for b in range(n_blocks):
+        width = w0 + (1 if b < rem else 0)
+        bounds.append((off, width))
+        off += width
+    blocked = s.select(
+        "id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.expr(
+                    f"(simhash >> {off}) & {(1 << width) - 1}"
+                ).alias("val"),
+            )
+            for b, (off, width) in enumerate(bounds)
+        ])).alias("bv"),
+    ).select("id", "simhash", "bv.blk", "bv.val")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming_col(F.col("a.simhash"), F.col("b.simhash"))
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def _cosine_udf():
     """Row-batched cosine via numpy einsum (Arrow in, BLAS-grade
     compute).  Summation order differs from a sequential fold by
@@ -359,6 +454,100 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _cosine_udf()(a, b)
 
 
+def embedding_cosine_pairs_blocked(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    threshold: float = 0.9,
+    block_size: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """EXACT all-pairs cosine ≥ threshold without a nested-loop join —
+    the scale path replacing :func:`embedding_cosine_pairs`.
+
+    Moderate thresholds (the catalog's 0.3 ⇒ pairs at 66-73°) are
+    beyond any sign-LSH recall guarantee, so the exact scale design is
+    the blocked-matrix one used by all-pairs similarity systems:
+
+    1. block id = ``vec_id div block_size`` (dense, deterministic);
+    2. the (small) distinct-block frame self-joins into block PAIRS
+       (bi ≤ bj) — B² keys, driver-tiny for any real block_size;
+    3. each vector replicates to the block-pairs it participates in
+       (2B−1 each ⇒ N·B rows — the unavoidable O(N²/block_size) data
+       movement of exact all-pairs), grouped by the pair key: a plain
+       hash SHUFFLE, 0 nested-loop joins;
+    4. per block-pair, one Arrow-batched numpy GEMM scores all
+       block_size² combinations at BLAS speed and emits only rows
+       over the threshold.
+
+    Identical output to the naive self-join (same float64 dots,
+    rounded to ``round_to`` before the threshold).  For high
+    thresholds where recall<1 is acceptable, LSH/IVF candidate
+    buckets (similarity.py) are the cheaper route.
+    """
+    import numpy as np
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.expr(f"cast(`{id_col}` as long) div {int(block_size)}L")
+        .alias("blk"),
+    )
+    # block-pair keys from pure arithmetic over range(B²) — one tiny
+    # metadata action for B, no cartesian anywhere in the plan
+    spark = df.sparkSession
+    max_blk = base.agg(F.max("blk")).first()[0]
+    if max_blk is None:
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double")
+    n_blk = int(max_blk) + 1
+    bp = (
+        spark.range(n_blk * n_blk)
+        .select(
+            F.expr(f"id div {n_blk}L").alias("bi"),
+            F.expr(f"id % {n_blk}L").alias("bj"),
+        )
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    lhs = (
+        base.alias("l")
+        .join(F.broadcast(bp.alias("p")), F.col("l.blk") == F.col("p.bi"))
+        .select(F.col("p.bi").alias("bi"), F.col("p.bj").alias("bj"),
+                F.col("l.id").alias("id"), F.col("l.v").alias("v"))
+    )
+    rhs = (
+        base.alias("r")
+        .join(F.broadcast(bp.alias("q")), F.col("r.blk") == F.col("q.bj"))
+        .select(F.col("q.bi").alias("bi"), F.col("q.bj").alias("bj"),
+                F.col("r.id").alias("id"), F.col("r.v").alias("v"))
+    )
+
+    def gemm(_key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        A = np.stack(left["v"].to_numpy()).astype(np.float64)
+        B = np.stack(right["v"].to_numpy()).astype(np.float64)
+        an = np.sqrt(np.einsum("ij,ij->i", A, A))
+        bn = np.sqrt(np.einsum("ij,ij->i", B, B))
+        cos = (A @ B.T) / np.outer(an, bn)
+        ia = left["id"].to_numpy()
+        ib = right["id"].to_numpy()
+        ii, jj = np.nonzero(
+            (np.round(cos, round_to) >= threshold)
+            & (ia[:, None] < ib[None, :])
+        )
+        return pd.DataFrame({
+            "id_a": ia[ii], "id_b": ib[jj],
+            "cosine": np.round(cos[ii, jj], round_to),
+        })
+
+    return (
+        lhs.groupBy("bi", "bj")
+        .cogroup(rhs.groupBy("bi", "bj"))
+        .applyInPandas(gemm, "id_a long, id_b long, cosine double")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -366,8 +555,9 @@ def embedding_cosine_pairs(
     *,
     threshold: float = 0.9,
 ) -> DataFrame:
-    """Near-dup pairs by embedding cosine ≥ threshold.  Pairwise —
-    restrict the input or LSH-bucket first at scale (similarity.py)."""
+    """Near-dup pairs by embedding cosine ≥ threshold.  Pairwise
+    verify for SMALL frames (LSH/IVF candidates or capped subsets) —
+    at scale use :func:`embedding_cosine_pairs_blocked`."""
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = base.alias("a"), base.alias("b")
     cos = cosine_col(F.col("a.v"), F.col("b.v"))

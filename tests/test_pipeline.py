@@ -171,3 +171,52 @@ def test_short_doc_shingles_no_throw(spark):
     assert len(sigs) == 3  # no throw; short docs get sentinel sigs
     lsh = minhash_lsh_pairs(short, n=3, threshold=0.1).collect()
     assert isinstance(lsh, list)  # executes without error
+
+
+def test_simhash_pairs_blocked_equals_naive(spark, docs):
+    from loudml_spark.pipeline.dedup import simhash_pairs_blocked
+
+    naive = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs(docs, max_distance=12).collect()
+    )
+    blocked = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash_pairs_blocked(docs, max_distance=12).collect()
+    )
+    assert blocked == naive and len(naive) > 0
+    # plan check: candidate generation is an equi-join, not BNLJ
+    plan = simhash_pairs_blocked(docs, max_distance=12) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        simhash_pairs_blocked(docs, max_distance=6, n_blocks=4)
+
+
+def test_embedding_pairs_blocked_equals_naive(spark, vectors):
+    from loudml_spark.pipeline.dedup import embedding_cosine_pairs_blocked
+
+    naive = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_cosine_pairs(vectors, threshold=0.0).collect()
+    )
+    blocked = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_cosine_pairs_blocked(
+            vectors, threshold=0.0, block_size=2).collect()
+    )
+    assert blocked == naive and len(naive) > 0
+    plan = embedding_cosine_pairs_blocked(vectors, threshold=0.0,
+                                          block_size=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_single_pass_unchanged(spark, docs):
+    # struct<sh,sig> single-pass UDF must not change results
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, n=1, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 4) not in pairs
