@@ -471,9 +471,15 @@ JAN22 = JAN1 + 21 * 86400  # train/test boundary for model queries
 
 
 def _hourly_series(spark, sf_dir):
-    """Hourly avg(value) over the full month — model input series."""
+    """Hourly avg(value) over the full month — model input series.
+
+    Cached: the aggregated series is ≤ n_buckets rows (720), but the
+    model queries walk it several times (profile fit, fallback stats,
+    predict) and each walk would otherwise re-scan the full events
+    table.  Identical logical plans share one cache entry across the
+    catalog's model queries."""
     out = _ev_bucketize(spark, sf_dir, ["avg(value)"], 3600)
-    return out.withColumnRenamed("avg_value", "value")
+    return out.withColumnRenamed("avg_value", "value").cache()
 
 
 def _scored_series(spark, sf_dir):

@@ -477,14 +477,12 @@ def q_streaming_detect_1h(spark, sf_dir):
             .outputMode("append").trigger(availableNow=True).start()
         )
         q.awaitTermination(300)
-        # materialize before the temp dir disappears
-        rows = spark.table(name).select(
+        q.stop()
+        # the memory sink holds the materialized rows in the driver —
+        # return it directly (no collect/re-create round trip; the
+        # temp source dir can be removed, the sink outlives it)
+        return spark.table(name).select(
             "model", "bucket_ts", "score", "is_anomaly", "episode_id"
-        ).collect()
-        return spark.createDataFrame(
-            rows,
-            "model string, bucket_ts long, score double, "
-            "is_anomaly boolean, episode_id long",
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
