@@ -109,6 +109,53 @@ class BaseModel:
             anomaly_type=self.anomaly_type,
         )
 
+    def history_buckets(self) -> int:
+        """How many buckets BEFORE the requested range the estimator
+        needs to predict the first bucket.  Donut-style windows include
+        the current (masked) point → span−1; exclusive-window models
+        override (WindowRegressionModel → span)."""
+        return max(0, int(getattr(self, "span", 1)) - 1)
+
+    def predict_range(
+        self,
+        source_df: DataFrame,
+        from_date,
+        to_date,
+        feature_expr: str,
+        *,
+        ts_col: str = "ts",
+        ts_unit: str = "s",
+        now: float | None = None,
+    ) -> DataFrame:
+        """Predict ``[from, to)`` straight from a raw source: bucketize
+        with the scan AUTOMATICALLY widened by (span−1)·interval of
+        history (donut.py:1210-1217 — the reference widens inside
+        predict rather than trusting callers), score, then trim back
+        to the requested range.  Window models therefore return a full
+        prediction for the very first requested bucket."""
+        from loudml_spark import timeutil
+        from loudml_spark.features import parse_features
+        from loudml_spark.operators.bucketize import BUCKET_COL, bucketize
+
+        interval = self.bucket_interval
+        from_ts, to_ts = timeutil.align_range(
+            timeutil.make_ts(from_date, now=now),
+            timeutil.make_ts(to_date, now=now),
+            interval,
+        )
+        hist_from = from_ts - self.history_buckets() * interval
+        feat = parse_features([feature_expr])[0]
+        series = bucketize(
+            source_df, [feature_expr], hist_from, to_ts, interval,
+            ts_col=ts_col, ts_unit=ts_unit,
+        )
+        series = series.withColumnRenamed(feat.name, self.feature_col)
+        if BUCKET_COL != self.ts_col:
+            series = series.withColumnRenamed(BUCKET_COL, self.ts_col)
+        return self.predict(series).filter(
+            F.col(self.ts_col) >= F.lit(from_ts)
+        )
+
     # -- estimator hooks --------------------------------------------------
     def fit(self, series_df: DataFrame) -> "BaseModel":
         raise NotImplementedError
@@ -402,6 +449,98 @@ class DonutModel(BaseModel):
             rows, f"{self.ts_col} long, predicted double, lower double, "
             "upper double",
         )
+
+
+def auto_hyperparams(
+    series_df: DataFrame,
+    *,
+    max_evals: int = 10,
+    spans=(10, 20, 24, 50),
+    latent_dims=(3, 5, 8),
+    intermediate_dims=(21, 34, 55, 89, 144, 233),
+    train_size: float = 0.67,
+    epochs: int = 15,
+    seed: int = 42,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+) -> dict:
+    """Joint (span, latent_dim, intermediate_dim) hyper-search under a
+    ``max_evals`` budget — the reference's hyperopt TPE space
+    (donut.py:813-855: latent ∈ {3,5,8}, neurons ∈ the Fibonacci run
+    {21..233}, span from the model spec) made deterministic: the full
+    grid is shuffled by a seeded RNG and the first ``max_evals``
+    candidates are trained (short-epoch numpy VAE) and scored on
+    chronological-validation masked-last-point reconstruction MSE —
+    the same quantity ``predict`` minimizes.  Ties break toward the
+    smaller model.  Deterministic across runs and hosts.
+
+    Each eval trains on the collected *aggregated* series (the
+    reference's own sizing) — driver-side by design; for per-key
+    fleets run the same search inside ``applyInPandas`` (the
+    ml/donut_fleet.py pattern).
+
+    Returns {"span", "latent_dim", "intermediate_dim", "loss",
+    "n_evals"}.
+    """
+    import numpy as np
+
+    from loudml_spark.ml.donut_np import NumpyVAE
+
+    if isinstance(spans, int):
+        spans = (spans,)
+    rows = series_df.orderBy(ts_col).select(value_col).collect()
+    vals = np.array(
+        [np.nan if r[0] is None else float(r[0]) for r in rows]
+    )
+    grid = [
+        (s, ld, id_)
+        for s in sorted(spans)
+        for ld in sorted(latent_dims)
+        for id_ in sorted(intermediate_dims)
+    ]
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(grid))[:max_evals]
+    candidates = [grid[i] for i in sorted(order)]
+
+    cut = int(len(vals) * train_size)
+    results = []
+    for span, ld, id_ in candidates:
+        if cut <= span + 2 or len(vals) - cut <= span:
+            continue
+        mean = float(np.nanmean(vals[:cut]))
+        std = float(np.nanstd(vals[:cut]))
+        std = 1.0 if std == 0 or np.isnan(std) else std
+        scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
+        mask = (~np.isnan(vals)).astype(float)
+        Xt = np.lib.stride_tricks.sliding_window_view(
+            scaled[:cut], span).copy()
+        Mt = np.lib.stride_tricks.sliding_window_view(
+            mask[:cut], span).copy()
+        vae = NumpyVAE(span, ld, id_, seed)
+        vae.fit(Xt, Mt, epochs=epochs)
+        lo = cut - span + 1
+        Xv = np.lib.stride_tricks.sliding_window_view(
+            scaled[lo:], span).copy()
+        Mv = np.lib.stride_tricks.sliding_window_view(
+            mask[lo:], span).copy()
+        Mq = Mv.copy()
+        Mq[:, -1] = 0.0
+        mu, _ = vae.reconstruct(
+            Xv, Mq, np.random.default_rng(seed + 7))
+        obs_mask = Mv[:, -1] > 0
+        err = (mu[:, -1] - Xv[:, -1])[obs_mask]
+        loss = float(np.mean(err * err)) if err.size else float("inf")
+        results.append((loss, span, ld, id_))
+    if not results:
+        raise errors.Invalid(
+            "series too short for any candidate span in the search grid"
+        )
+    results.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    loss, span, ld, id_ = results[0]
+    return {
+        "span": span, "latent_dim": ld, "intermediate_dim": id_,
+        "loss": loss, "n_evals": len(results),
+    }
 
 
 MODEL_TYPES = {

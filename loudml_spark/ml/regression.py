@@ -77,6 +77,12 @@ class WindowRegressionModel(BaseModel):
         s.update(span=self.span, ridge=self.ridge)
         return s
 
+    def history_buckets(self) -> int:
+        # the AR window is the span buckets STRICTLY BEFORE the
+        # predicted one (rowsBetween(-span, -1)) — one more than the
+        # Donut-style inclusive window
+        return self.span
+
     def fit(self, series_df: DataFrame):
         rows = series_df.orderBy(self.ts_col).select(
             self.feature_col).collect()

@@ -154,3 +154,55 @@ def test_forecast_constraint(spark, trained):
             parse_constraint(bad)
     with pytest.raises(errors.Invalid):
         forecast_model(m, spark, from_ts, to_ts, constraint="other:low:1")
+
+
+def test_auto_hyperparams_deterministic_and_beats_fixed(spark):
+    from loudml_spark.ml.models import auto_hyperparams
+
+    df = _sine_series(spark, n=360)
+    kw = dict(max_evals=6, epochs=10, spans=(6, 12, 24),
+              latent_dims=(3, 5), intermediate_dims=(21, 34, 55))
+    a = auto_hyperparams(df, **kw)
+    b = auto_hyperparams(df, **kw)
+    assert a == b  # reproducible across runs
+    assert a["span"] in (6, 12, 24)
+    assert a["latent_dim"] in (3, 5)
+    assert a["intermediate_dim"] in (21, 34, 55)
+    assert a["n_evals"] >= 4
+    # the searched choice beats (or ties) an arbitrary fixed config
+    fixed = auto_hyperparams(
+        df, max_evals=1, epochs=10, spans=(6,),
+        latent_dims=(5,), intermediate_dims=(21,),
+    )
+    assert a["loss"] <= fixed["loss"]
+
+
+def test_predict_range_auto_history_extension(spark):
+    # reference widens the scan by (span-1)*interval inside predict
+    # (donut.py:1210-1217); predict_range must return a full-span
+    # prediction for the FIRST requested bucket
+    import numpy as np
+    from loudml_spark.ml.regression import WindowRegressionModel
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (BASE + i * 3600 + 7,  # raw events, off-grid timestamps
+         10.0 + 5.0 * math.sin(2 * math.pi * i / 24)
+         + float(rng.normal(0, 0.02)))
+        for i in range(400)
+    ]
+    src = spark.createDataFrame(rows, "ts long, value double")
+    train = spark.createDataFrame(
+        [(BASE + i * 3600, v) for i, (_, v) in enumerate(rows[:300])],
+        "bucket_ts long, value double",
+    )
+    m = WindowRegressionModel("ar", span=24, bucket_interval=3600).fit(train)
+    from_ts = BASE + 300 * 3600
+    to_ts = BASE + 360 * 3600
+    out = m.predict_range(src, from_ts, to_ts, "avg(value)").collect()
+    assert len(out) == 60
+    by_ts = {r["bucket_ts"]: r for r in out}
+    first = by_ts[from_ts]
+    assert first["predicted"] is not None  # history was auto-widened
+    assert abs(first["predicted"] - first["observed"]) < 1.5
+    assert min(by_ts) == from_ts  # trimmed back to the requested range

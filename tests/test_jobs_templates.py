@@ -55,3 +55,71 @@ def test_template_render_types_and_fanout():
     assert out["features"][0]["match_all"][0]["value"] == "web1"
     with pytest.raises(errors.Invalid, match="missing template"):
         render_template(tpl, {"host": "web1"})
+
+
+# ------------------------------------------------------- scheduled jobs
+
+
+def test_every_next_run_arithmetic():
+    from loudml_spark import errors
+    from loudml_spark.scheduler import Every
+
+    # 2024-01-01 is a Monday; now = 10:00:00 UTC
+    now = 1704103200.0
+    assert Every(30, "seconds").next_run(now) == now + 30
+    assert Every(2, "minutes").next_run(now) == now + 120
+    # daily at 02:30 → tomorrow 02:30 (02:30 today already passed)
+    nxt = Every(1, "days", "02:30").next_run(now)
+    assert nxt == 1704162600.0  # 2024-01-02T02:30:00Z
+    # daily at 18:00 → today 18:00
+    assert Every(1, "days", "18:00").next_run(now) == 1704132000.0
+    # every sunday at 04:00 → 2024-01-07T04:00:00Z
+    assert Every(1, "sunday", "04:00").next_run(now) == 1704600000.0
+    # hourly at :15 → 10:15 same hour
+    assert Every(1, "hours", ":15").next_run(now) == now + 900
+    import pytest as _pt
+    with _pt.raises(errors.Invalid):
+        Every(1, "fortnight")
+    with _pt.raises(errors.Invalid):
+        Every(1, "seconds", "02:30")  # at invalid for sub-hour units
+    with _pt.raises(errors.Invalid):
+        Every(1, "days", "25:00")
+
+
+def test_scheduled_template_fan_out_and_firing():
+    from loudml_spark.jobs import DONE, JobRegistry
+    from loudml_spark.scheduler import ScheduledJobRegistry
+
+    reg = ScheduledJobRegistry(JobRegistry())
+    ran = []
+
+    template = {
+        "name": "eval-{{ model_name }}",
+        "method": "post",
+        "relative_url": "/models/{{ model_name }}/_eval",
+        "every": {"count": 30, "unit": "seconds"},
+    }
+    models = ["m_a", "m_b", "m_c"]
+    jobs = reg.add_template(
+        template, models, fn=lambda desc: ran.append(desc["name"]))
+    assert [j.name for j in jobs] == ["eval-m_a", "eval-m_b", "eval-m_c"]
+    assert all("{{" not in j.desc["relative_url"] for j in jobs)
+
+    now = 1704103200.0
+    # first tick arms the schedules, nothing fires
+    assert reg.run_pending(now) == []
+    assert all(sj["next_run_at"] == now + 30
+               for sj in reg.list_scheduled())
+    # 31s later all three fire through the async registry
+    fired = reg.run_pending(now + 31)
+    assert len(fired) == 3
+    for j in fired:
+        j.wait(10)
+        assert j.state == DONE
+    assert sorted(ran) == ["eval-m_a", "eval-m_b", "eval-m_c"]
+    # rearmed for the next window
+    assert all(sj["next_run_at"] == now + 61
+               for sj in reg.list_scheduled())
+    # non-templated spec passes through unchanged
+    plain = {"name": "cleanup", "every": {"count": 1, "unit": "hours"}}
+    assert len(reg.add_template(plain, models, fn=lambda d: None)) == 1
