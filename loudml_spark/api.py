@@ -251,25 +251,276 @@ def forecast_model(
     return out
 
 
-class Engine:
-    """Convenience façade: named buckets + named models + the
-    read/predict/forecast entry points (the reference's server state:
-    config buckets + filestorage models)."""
+def fake_prediction_frame(spark: SparkSession, model,
+                          now: float | None = None) -> DataFrame:
+    """The hook-test endpoint's synthetic prediction
+    (donut.py:1316-1331): three buckets ending now, the middle one
+    maximally anomalous — enough to drive every hook path."""
+    import sys
+    import time as _time
 
-    def __init__(self, spark: SparkSession, storage=None):
+    now_ts = int(now if now is not None else _time.time())
+    iv = model.bucket_interval
+    rows = [
+        (now_ts - 2 * iv, 0.0, 0.0, -1.0, 1.0),
+        (now_ts - iv, sys.float_info.max, 0.0, -1.0, 1.0),
+        (now_ts, 0.0, 0.0, -1.0, 1.0),
+    ]
+    return spark.createDataFrame(
+        rows, f"{model.ts_col} long, observed double, predicted double, "
+        "lower double, upper double",
+    )
+
+
+class Engine:
+    """The reference server's semantic surface as one façade — named
+    buckets (config list), named models (filestorage), async jobs,
+    scheduled jobs, hooks — minus HTTP framing (loudml_spark.server
+    adds that).  Endpoint map in SURVEY §2.11; every method cites its
+    route."""
+
+    def __init__(self, spark: SparkSession, storage=None,
+                 storage_path: str | None = None):
+        from loudml_spark.jobs import JobRegistry
+        from loudml_spark.ml.models import ModelStorage
+        from loudml_spark.scheduler import ScheduledJobRegistry
         from loudml_spark.sources.base import BucketRegistry
 
         self.spark = spark
         self.buckets = BucketRegistry()
+        if storage is None and storage_path is not None:
+            storage = ModelStorage(storage_path)
         self.storage = storage
+        self._models: dict[str, Any] = {}  # in-memory when no storage
+        self.jobs = JobRegistry(spark)
+        self.scheduled = ScheduledJobRegistry(self.jobs)
+        self.hooks: dict[str, list] = {}  # model name → hooks
 
+    # ---- buckets (server.py:1038-1165) ---------------------------------
     def add_bucket(self, settings: Mapping[str, Any]):
         return self.buckets.add(dict(settings))
 
+    def list_buckets(self) -> list[str]:
+        return self.buckets.names()
+
+    def delete_bucket(self, name: str) -> None:
+        self.buckets.get(name)
+        del self.buckets._buckets[name]
+
+    def clear_bucket(self, name: str) -> None:
+        """POST /buckets/<n>/_clear (server.py:1144-1150)."""
+        self.buckets.get(name).drop()
+
     def read(self, bucket_name: str, from_date, to_date, bucket_interval,
              features, **kw) -> dict:
+        """POST /buckets/<n>/_read (server.py:1168-1217)."""
         bucket = self.buckets.get(bucket_name)
         return read_bucket(
             bucket.read(self.spark), from_date, to_date, bucket_interval,
             features, **kw,
         )
+
+    def write(self, bucket_name: str, df: DataFrame,
+              mode: str = "append") -> None:
+        """POST /buckets/<n>/_write (server.py:1153-1165)."""
+        self.buckets.get(bucket_name).write(df, mode=mode)
+
+    # ---- models (server.py:686-936) ------------------------------------
+    def create_model(self, settings: Mapping[str, Any]):
+        from loudml_spark.ml.models import make_model
+
+        model = make_model(dict(settings))
+        self._models[model.name] = model
+        if self.storage is not None:
+            # settings-only save deferred until first train (no state)
+            pass
+        return model
+
+    def get_model(self, name: str):
+        from loudml_spark import errors
+
+        model = self._models.get(name)
+        if model is None and self.storage is not None:
+            model = self.storage.load(name)
+            self._models[name] = model
+        if model is None:
+            raise errors.ModelNotFound(name)
+        return model
+
+    def list_models(self) -> list[str]:
+        names = set(self._models)
+        if self.storage is not None:
+            names.update(self.storage.list_models())
+        return sorted(names)
+
+    def delete_model(self, name: str) -> None:
+        self.get_model(name)
+        self._models.pop(name, None)
+        if self.storage is not None:
+            try:
+                self.storage.delete(name)
+            except Exception:
+                pass
+
+    # ---- lifecycle (server.py:907-936, 1583-1703) ----------------------
+    def _series_for(self, model, bucket_name: str, from_date, to_date,
+                    feature_expr: str, *, widen: bool = False, **kw):
+        from loudml_spark import timeutil
+        from loudml_spark.features import parse_features
+        from loudml_spark.operators.bucketize import BUCKET_COL, bucketize
+
+        bucket = self.buckets.get(bucket_name)
+        interval = model.bucket_interval
+        from_ts, to_ts = timeutil.align_range(
+            timeutil.make_ts(from_date), timeutil.make_ts(to_date), interval)
+        lo = from_ts - (model.history_buckets() * interval if widen else 0)
+        feat = parse_features([feature_expr])[0]
+        series = bucketize(
+            bucket.read(self.spark), [feature_expr], lo, to_ts, interval,
+            **kw,
+        ).withColumnRenamed(feat.name, model.feature_col)
+        if BUCKET_COL != model.ts_col:
+            series = series.withColumnRenamed(BUCKET_COL, model.ts_col)
+        return series, from_ts, to_ts
+
+    def train(self, model_name: str, bucket_name: str, from_date, to_date,
+              feature_expr: str, *, bg: bool = False, **kw):
+        """POST /models/<n>/_train (server.py:907-936).  ``bg=True``
+        returns a Job immediately (the reference's 202 + job id)."""
+        model = self.get_model(model_name)
+
+        def run():
+            series, _, _ = self._series_for(
+                model, bucket_name, from_date, to_date, feature_expr, **kw)
+            model.fit(series)
+            if self.storage is not None:
+                self.storage.save(model)
+            return model
+
+        if bg:
+            return self.jobs.submit(f"train[{model_name}]", run)
+        return run()
+
+    def eval_model(self, model_name: str, bucket_name: str, from_date,
+                   to_date, feature_expr: str, *, bg: bool = False,
+                   output_bucket: str | None = None, **kw):
+        """POST /models/<n>/_eval (server.py:1583-1602): score a range
+        with automatic history widening; optionally save the
+        prediction frame to an output bucket."""
+        model = self.get_model(model_name)
+
+        def run():
+            series, from_ts, _ = self._series_for(
+                model, bucket_name, from_date, to_date, feature_expr,
+                widen=True, **kw)
+            scored = model.predict(series).filter(
+                F.col(model.ts_col) >= F.lit(from_ts))
+            if output_bucket is not None:
+                self.write(output_bucket, prediction_frame(
+                    scored, model.feature_col, model_name))
+            return scored
+
+        if bg:
+            return self.jobs.submit(f"eval[{model_name}]", run)
+        return run()
+
+    def forecast(self, model_name: str, from_date, to_date, *,
+                 bg: bool = False, **kw):
+        """POST /models/<n>/_forecast (server.py:1677-1703) —
+        constraint=, percent_interval=, history= pass through."""
+        model = self.get_model(model_name)
+        if bg:
+            return self.jobs.submit(
+                f"forecast[{model_name}]",
+                lambda: forecast_model(
+                    model, self.spark, from_date, to_date, **kw),
+            )
+        return forecast_model(model, self.spark, from_date, to_date, **kw)
+
+    def top(self, model_name: str, bucket_name: str, from_date, to_date,
+            feature_expr: str, key_cols: list[str], *, size: int = 10,
+            **kw) -> DataFrame:
+        """GET /models/<n>/_top (server.py:1605-1626) — top abnormal
+        keys.  NotImplementedError in the reference OSS
+        (bucket.py:279-286); here: per-key max anomaly score over the
+        range, descending, key ascending tie-break."""
+        from loudml_spark.ml.models import SeasonalNaiveModel  # noqa: F401
+        from loudml_spark.operators.bucketize import BUCKET_COL, bucketize
+
+        model = self.get_model(model_name)
+        bucket = self.buckets.get(bucket_name)
+        from loudml_spark.features import parse_features
+
+        feat = parse_features([feature_expr])[0]
+        series = bucketize(
+            bucket.read(self.spark), [feature_expr], from_date, to_date,
+            model.bucket_interval, group_by=key_cols, **kw,
+        ).withColumnRenamed(feat.name, model.feature_col)
+        if BUCKET_COL != model.ts_col:
+            series = series.withColumnRenamed(BUCKET_COL, model.ts_col)
+        scored = model.predict(series)
+        return (
+            scored.groupBy(*key_cols)
+            .agg(F.max("score").alias("max_score"),
+                 F.count("*").alias("n_buckets"))
+            .orderBy(F.col("max_score").desc(), *key_cols)
+            .limit(size)
+        )
+
+    # ---- hooks (server.py:939-1028) ------------------------------------
+    def add_hook(self, model_name: str, hook) -> None:
+        self.hooks.setdefault(model_name, []).append(hook)
+
+    def list_hooks(self, model_name: str) -> list[str]:
+        return [h.name for h in self.hooks.get(model_name, [])]
+
+    def delete_hook(self, model_name: str, hook_name: str) -> None:
+        hs = self.hooks.get(model_name, [])
+        self.hooks[model_name] = [h for h in hs if h.name != hook_name]
+
+    def test_hook(self, model_name: str, hook_name: str | None = None,
+                  now: float | None = None) -> int:
+        """POST /models/<n>/hooks/<h>/_test: drive hooks with the fake
+        prediction (donut.py:1316-1331) through the real detect path."""
+        from loudml_spark.ml.detect import detect_anomalies
+        from loudml_spark.ml.hooks import fire_hooks
+        from loudml_spark.ml.scoring import with_scores
+
+        model = self.get_model(model_name)
+        hooks = [
+            h for h in self.hooks.get(model_name, [])
+            if hook_name is None or h.name == hook_name
+        ]
+        fake = with_scores(fake_prediction_frame(self.spark, model, now))
+        episodes = detect_anomalies(fake, ts_col=model.ts_col) \
+            .filter(F.col("is_anomaly"))
+        ep = episodes.groupBy().agg(
+            F.min(model.ts_col).alias("start_ts"),
+            F.max(model.ts_col).alias("end_ts"),
+            F.max("score").alias("max_score"),
+        ).filter(F.col("start_ts").isNotNull())
+        return fire_hooks(ep, hooks, model=model_name)
+
+    # ---- periodic eval (server.py:1629-1674) ---------------------------
+    def start_periodic_eval(self, model_name: str, bucket_name: str,
+                            feature_expr: str, every: dict,
+                            now: float | None = None, **kw):
+        """POST /models/<n>/_start: schedule recurring evals of the
+        trailing window through the scheduler."""
+        desc = {"name": f"eval[{model_name}]", "every": every}
+
+        def fire(_desc):
+            model = self.get_model(model_name)
+            horizon = 2 * model.bucket_interval
+            import time as _time
+
+            end = _time.time()
+            return self.eval_model(
+                model_name, bucket_name, end - horizon, end,
+                feature_expr, **kw)
+
+        return self.scheduled.add(desc, fire, now=now)
+
+    def stop_periodic_eval(self, model_name: str) -> None:
+        """POST /models/<n>/_stop."""
+        self.scheduled.remove(f"eval[{model_name}]")

@@ -1,0 +1,250 @@
+"""Thin REST layer over :class:`loudml_spark.api.Engine`.
+
+Route parity with the reference's Flask server (SURVEY §2.11,
+/root/reference/loudml/server.py) using only the standard library
+(`http.server.ThreadingHTTPServer`) — the engine does the work; this
+module only frames JSON.  Heavy work can run in the background
+(`?bg=true` → 202 + job id, the reference's job contract).
+
+Deliberately NOT a production HTTP stack: the reference's server is
+an operational convenience around the engine, and so is this.  At
+cluster scale the Engine is driven from notebooks / Airflow-style
+schedulers; the HTTP layer exists so a reference user's scripts keep
+working.
+
+Routes:
+  GET  /                               → version banner
+  GET  /buckets                        → names
+  POST /buckets                        → add bucket (settings JSON)
+  DELETE /buckets/<name>
+  POST /buckets/<name>/_read?from&to&bucket_interval&features=a;b
+  POST /buckets/<name>/_write          → rows JSON [{...}]
+  POST /buckets/<name>/_clear
+  GET  /models                         → names
+  POST /models                         → create (settings JSON)
+  DELETE /models/<name>
+  POST /models/<name>/_train?from&to&bucket=<b>&features=<f>&bg
+  POST /models/<name>/_eval?from&to&bucket=<b>&features=<f>
+  POST /models/<name>/_forecast?from&to&constraint=&percent_interval=
+  GET  /models/<name>/_top?from&to&bucket=&features=&keys=a,b&size=
+  POST /models/<name>/_start           → periodic eval (JSON: every…)
+  POST /models/<name>/_stop
+  GET  /jobs                           → job descriptions
+  GET  /jobs/<id>
+  POST /jobs/<id>/_cancel
+  GET  /scheduled_jobs
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from loudml_spark import errors
+
+VERSION = {"version": "loudml-spark", "tagline": "PySpark-native"}
+
+
+def _df_records(df) -> list[dict]:
+    return [r.asDict(recursive=True) for r in df.collect()]
+
+
+class _Handler(BaseHTTPRequestHandler):
+    engine = None  # injected by make_server
+
+    # -- plumbing ---------------------------------------------------------
+    def log_message(self, *a):  # quiet test runs
+        pass
+
+    def _json(self, code: int, payload) -> None:
+        body = json.dumps(payload, default=str).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _body(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        if n == 0:
+            return None
+        return json.loads(self.rfile.read(n))
+
+    def _route(self, method: str) -> None:
+        url = urlparse(self.path)
+        parts = [p for p in url.path.split("/") if p]
+        q = {k: v[0] for k, v in parse_qs(url.query).items()}
+        try:
+            self._dispatch(method, parts, q)
+        except (errors.BucketNotFound, errors.ModelNotFound) as e:
+            self._json(404, {"error": str(e)})
+        except errors.ForecastConstraintViolation as e:
+            self._json(409, {
+                "error": str(e), "feature": e.feature, "type": e.type,
+                "threshold": e.threshold, "timestamp": e.timestamp,
+            })
+        except errors.Invalid as e:
+            self._json(400, {"error": str(e)})
+        except errors.LoudMLSparkError as e:
+            self._json(500, {"error": str(e)})
+
+    def do_GET(self):  # noqa: N802
+        self._route("GET")
+
+    def do_POST(self):  # noqa: N802
+        self._route("POST")
+
+    def do_DELETE(self):  # noqa: N802
+        self._route("DELETE")
+
+    # -- routing ----------------------------------------------------------
+    def _dispatch(self, method, parts, q):
+        eng = self.engine
+        if not parts:
+            return self._json(200, VERSION)
+
+        head = parts[0]
+        if head == "buckets":
+            return self._buckets(method, parts[1:], q)
+        if head == "models":
+            return self._models(method, parts[1:], q)
+        if head == "jobs":
+            return self._jobs(method, parts[1:], q)
+        if head == "scheduled_jobs" and method == "GET":
+            return self._json(200, eng.scheduled.list_scheduled())
+        return self._json(404, {"error": f"no route: {'/'.join(parts)}"})
+
+    def _buckets(self, method, rest, q):
+        eng = self.engine
+        if not rest:
+            if method == "GET":
+                return self._json(200, eng.list_buckets())
+            if method == "POST":
+                eng.add_bucket(self._body())
+                return self._json(201, {"ok": True})
+        name = rest[0]
+        if len(rest) == 1:
+            if method == "DELETE":
+                eng.delete_bucket(name)
+                return self._json(200, {"ok": True})
+            if method == "GET":
+                bucket = eng.buckets.get(name)
+                return self._json(
+                    200, {"name": bucket.name,
+                          "type": type(bucket).__name__})
+        action = rest[1]
+        if action == "_read":
+            features = (q.get("features") or "").split(";")
+            kw = {}
+            if "ts_col" in q:
+                kw["ts_col"] = q["ts_col"]
+            if "ts_unit" in q:
+                kw["ts_unit"] = q["ts_unit"]
+            return self._json(200, eng.read(
+                name, q["from"], q["to"],
+                q.get("bucket_interval", "1h"), features, **kw))
+        if action == "_write":
+            rows = self._body() or []
+            df = eng.spark.createDataFrame(rows)
+            eng.write(name, df)
+            return self._json(200, {"written": len(rows)})
+        if action == "_clear":
+            eng.clear_bucket(name)
+            return self._json(200, {"ok": True})
+        return self._json(404, {"error": f"no bucket action {action}"})
+
+    def _models(self, method, rest, q):
+        eng = self.engine
+        if not rest:
+            if method == "GET":
+                return self._json(200, eng.list_models())
+            if method == "POST":
+                model = eng.create_model(self._body())
+                return self._json(201, {"name": model.name})
+        name = rest[0]
+        if len(rest) == 1:
+            if method == "DELETE":
+                eng.delete_model(name)
+                return self._json(200, {"ok": True})
+            if method == "GET":
+                return self._json(200, eng.get_model(name).settings())
+        action = rest[1]
+        kw = {}
+        if "ts_col" in q:
+            kw["ts_col"] = q["ts_col"]
+        if "ts_unit" in q:
+            kw["ts_unit"] = q["ts_unit"]
+        bg = q.get("bg", "").lower() in ("1", "true", "yes")
+        if action == "_train":
+            out = eng.train(name, q["bucket"], q["from"], q["to"],
+                            q.get("features", "avg(value)"), bg=bg, **kw)
+            if bg:
+                return self._json(202, {"job": out.id})
+            return self._json(200, {"trained": name})
+        if action == "_eval":
+            out = eng.eval_model(
+                name, q["bucket"], q["from"], q["to"],
+                q.get("features", "avg(value)"), bg=bg,
+                output_bucket=q.get("output_bucket"), **kw)
+            if bg:
+                return self._json(202, {"job": out.id})
+            return self._json(200, _df_records(out))
+        if action == "_forecast":
+            fkw = {}
+            if "percent_interval" in q:
+                fkw["percent_interval"] = float(q["percent_interval"])
+            if "constraint" in q:
+                fkw["constraint"] = q["constraint"]
+            out = eng.forecast(name, q["from"], q["to"], bg=bg, **fkw)
+            if bg:
+                return self._json(202, {"job": out.id})
+            return self._json(200, _df_records(out))
+        if action == "_top":
+            out = eng.top(
+                name, q["bucket"], q["from"], q["to"],
+                q.get("features", "avg(value)"),
+                q.get("keys", "").split(","),
+                size=int(q.get("size", 10)), **kw)
+            return self._json(200, _df_records(out))
+        if action == "_start":
+            body = self._body() or {}
+            eng.start_periodic_eval(
+                name, body["bucket"], body.get("features", "avg(value)"),
+                body["every"], **kw)
+            return self._json(200, {"ok": True})
+        if action == "_stop":
+            eng.stop_periodic_eval(name)
+            return self._json(200, {"ok": True})
+        return self._json(404, {"error": f"no model action {action}"})
+
+    def _jobs(self, method, rest, q):
+        eng = self.engine
+        if not rest:
+            return self._json(200, eng.jobs.list_jobs())
+        job_id = rest[0]
+        if len(rest) == 1 and method == "GET":
+            return self._json(200, eng.jobs.get(job_id).describe())
+        if len(rest) == 2 and rest[1] == "_cancel":
+            eng.jobs.cancel(job_id)
+            return self._json(200, {"ok": True})
+        return self._json(404, {"error": "no job route"})
+
+
+def make_server(engine, host: str = "127.0.0.1",
+                port: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server bound to ``engine``.  Port 0
+    picks a free port (server.server_address[1] has the real one)."""
+    handler = type("EngineHandler", (_Handler,), {"engine": engine})
+    return ThreadingHTTPServer((host, port), handler)
+
+
+def serve_background(engine, host: str = "127.0.0.1",
+                     port: int = 0) -> ThreadingHTTPServer:
+    """Start the server on a daemon thread; returns it (call
+    ``shutdown()`` to stop)."""
+    srv = make_server(engine, host, port)
+    threading.Thread(target=srv.serve_forever, daemon=True,
+                     name="loudml-spark-http").start()
+    return srv

@@ -1,0 +1,145 @@
+"""Engine façade — the reference server's semantic surface
+(SURVEY §2.11) end-to-end without HTTP."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+from loudml_spark.api import Engine
+from loudml_spark.ml.hooks import Hook
+
+BASE = 1704067200
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("engine")
+    eng = Engine(spark, storage_path=str(root / "models"))
+    rng = np.random.default_rng(9)
+    rows = [
+        (BASE + i * 3600 + (7 if i % 2 else 13),
+         "web" if i % 3 else "db",
+         10.0 + 5.0 * math.sin(2 * math.pi * i / 24)
+         + float(rng.normal(0, 0.05)))
+        for i in range(480)
+    ]
+    src = spark.createDataFrame(rows, "ts long, host string, value double")
+    path = str(root / "events")
+    src.write.parquet(path)
+    eng.add_bucket({"name": "events", "type": "parquet", "path": path})
+    eng.add_bucket({"name": "out", "type": "mem"})
+    return eng
+
+
+def test_bucket_crud_and_read(engine):
+    assert "events" in engine.list_buckets()
+    res = engine.read(
+        "events", BASE, BASE + 86400, "6h", ["avg(value)", "count(value)"],
+        ts_col="ts",
+    )
+    assert len(res["timestamps"]) == 4
+    assert all(v is not None for v in res["observed"]["avg_value"])
+    with pytest.raises(errors.BucketNotFound):
+        engine.read("nope", BASE, BASE + 3600, "1h", ["avg(value)"])
+
+
+def test_model_lifecycle_train_eval_forecast(engine, spark):
+    engine.create_model({
+        "name": "seasonal", "type": "seasonal_naive",
+        "bucket_interval": 3600,
+    })
+    assert "seasonal" in engine.list_models()
+    engine.train("seasonal", "events", BASE, BASE + 15 * 86400,
+                 "avg(value)", ts_col="ts")
+    scored = engine.eval_model(
+        "seasonal", "events", BASE + 15 * 86400, BASE + 17 * 86400,
+        "avg(value)", ts_col="ts", output_bucket="out",
+    )
+    rows = scored.orderBy("bucket_ts").collect()
+    assert len(rows) == 48
+    assert all(r["score"] is not None for r in rows)
+    # prediction write-back reached the output bucket with the
+    # reference's sink schema (@feature / lower_ / upper_)
+    out_rows = engine.buckets.get("out").rows
+    assert len(out_rows) == 48
+    assert {"timestamp", "value", "lower_value", "upper_value",
+            "@value", "score", "model"} <= set(out_rows[0])
+    fc = engine.forecast(
+        "seasonal", BASE + 17 * 86400, BASE + 18 * 86400,
+        percent_interval=0.95,
+    ).collect()
+    assert len(fc) == 24
+    # storage round-trip happened on train
+    assert engine.storage.load("seasonal").is_trained()
+
+
+def test_background_train_job(engine):
+    engine.create_model({
+        "name": "g1", "type": "gaussian", "bucket_interval": 3600,
+    })
+    job = engine.train("g1", "events", BASE, BASE + 7 * 86400,
+                       "avg(value)", ts_col="ts", bg=True)
+    model = job.wait(120)
+    assert model.is_trained()
+    assert job.state == "done"
+
+
+def test_top_abnormal_keys(engine):
+    engine.create_model({
+        "name": "g2", "type": "gaussian", "bucket_interval": 3600,
+    })
+    engine.train("g2", "events", BASE, BASE + 7 * 86400,
+                 "avg(value)", ts_col="ts")
+    top = engine.top(
+        "g2", "events", BASE, BASE + 7 * 86400, "avg(value)",
+        ["host"], size=1, ts_col="ts",
+    ).collect()
+    assert len(top) == 1
+    assert top[0]["host"] in ("web", "db")
+    assert top[0]["max_score"] >= 0.0
+
+
+def test_hook_test_endpoint_fires_fake_prediction(engine):
+    fired = []
+
+    class Rec(Hook):
+        def on_anomaly_start(self, model, start_ts, score, **kw):
+            fired.append(("start", model, score))
+
+        def on_anomaly_end(self, model, end_ts, score, **kw):
+            fired.append(("end", model, score))
+
+    engine.create_model({
+        "name": "hooked", "type": "gaussian", "bucket_interval": 60,
+    })
+    engine.add_hook("hooked", Rec("rec"))
+    assert engine.list_hooks("hooked") == ["rec"]
+    n = engine.test_hook("hooked", now=BASE)
+    assert n == 1  # the fake prediction contains exactly one episode
+    kinds = {k for k, *_ in fired}
+    assert "start" in kinds
+    assert all(m == "hooked" for _, m, _ in fired)
+    assert all(s == 100.0 for *_, s in fired)  # float-max observed
+    engine.delete_hook("hooked", "rec")
+    assert engine.list_hooks("hooked") == []
+
+
+def test_periodic_eval_schedule(engine):
+    engine.create_model({
+        "name": "p1", "type": "gaussian", "bucket_interval": 3600,
+    })
+    engine.train("p1", "events", BASE, BASE + 7 * 86400,
+                 "avg(value)", ts_col="ts")
+    sj = engine.start_periodic_eval(
+        "p1", "events", "avg(value)",
+        {"count": 30, "unit": "seconds"}, now=float(BASE),
+        ts_col="ts",
+    )
+    assert sj.next_run_at == BASE + 30
+    assert any(d["name"] == "eval[p1]"
+               for d in engine.scheduled.list_scheduled())
+    engine.stop_periodic_eval("p1")
+    assert not engine.scheduled.list_scheduled()
