@@ -820,6 +820,31 @@ def q_forecast_donut_48h(spark, sf_dir):
     )
 
 
+def q_forecast_donut_fleet_6h(spark, sf_dir):
+    """Per-key VAE roll-forward forecast INSIDE executors
+    (applyInPandas): one model per event_type trained on its own month
+    of 6h buckets, each forecasting 8 buckets (2 days) past the end —
+    the fleet generalization of the reference's single-model
+    `_forecast` (donut.py:1333-1475).  Rows-only (learned, iterative);
+    tracking + determinism gates in tests/test_donut_fleet.py."""
+    from loudml_spark.ml.donut_fleet import donut_forecast_many
+
+    series = bucketize(
+        _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
+        ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
+    ).withColumnRenamed("avg_value", "value")
+    out = donut_forecast_many(
+        series, ["event_type"], horizon=8, span=28, epochs=30,
+        bucket_interval=21600, percent_interval=0.95,
+    )
+    return out.select(
+        "event_type", "bucket_ts",
+        F.round("predicted", 4).alias("predicted"),
+        F.round("lower", 4).alias("lower"),
+        F.round("upper", 4).alias("upper"),
+    )
+
+
 def q_donut_fleet_6h(spark, sf_dir):
     """VAE fleet: one Donut model per event_type trained INSIDE
     executors (applyInPandas), scored with the shared erf column math.
@@ -1028,6 +1053,8 @@ QUERIES: dict[str, dict] = {
     "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
     "donut_predict_1h": {"fn": q_donut_predict_1h, "oracle": None},
     "forecast_donut_48h": {"fn": q_forecast_donut_48h, "oracle": None},
+    "forecast_donut_fleet_6h": {
+        "fn": q_forecast_donut_fleet_6h, "oracle": None},
     "donut_fleet_6h": {"fn": q_donut_fleet_6h, "oracle": None},
 }
 

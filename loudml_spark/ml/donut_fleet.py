@@ -113,6 +113,79 @@ def donut_fit_predict_many(
     return series_df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
 
 
+def donut_forecast_many(
+    series_df: DataFrame,
+    key_cols: list[str],
+    *,
+    horizon: int,
+    span: int = 24,
+    latent_dim: int = 3,
+    intermediate_dim: int = 34,
+    epochs: int = 40,
+    percent_interval: float = 0.68,
+    percent_noise: float = 0.0,
+    bucket_interval: int = 3600,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    seed: int = 42,
+) -> DataFrame:
+    """Per-key roll-forward forecast: train one VAE per key on its full
+    series and forecast ``horizon`` buckets past its end, entirely
+    inside executors (``applyInPandas``) — the fleet version of
+    DonutModel.forecast (donut.py:1333-1475), which the reference
+    architecturally cannot do (one process per model).  Deterministic
+    per key.  Output: (keys..., bucket_ts, predicted, lower, upper).
+    """
+    from loudml_spark.ml.scoring import band_sigma_for
+
+    p = band_sigma_for(percent_interval)
+    schema = ", ".join(
+        [f"{k} string" for k in key_cols]
+        + [f"{ts_col} long", "predicted double",
+           "lower double", "upper double"]
+    )
+
+    def fn(keys, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        ts = pdf[ts_col].to_numpy()
+        if len(vals) <= span + 2:
+            return pd.DataFrame(
+                columns=[*key_cols, ts_col, "predicted", "lower", "upper"]
+            )
+        mean = float(np.nanmean(vals))
+        std = float(np.nanstd(vals))
+        std = 1.0 if std == 0 or np.isnan(std) else std
+        mean = 0.0 if np.isnan(mean) else mean
+        scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
+        mask = (~np.isnan(vals)).astype(float)
+        X = np.lib.stride_tricks.sliding_window_view(scaled, span).copy()
+        M = np.lib.stride_tricks.sliding_window_view(mask, span).copy()
+        kseed = _key_seed(keys, seed)
+        vae = NumpyVAE(span, latent_dim, intermediate_dim, kseed)
+        vae.fit(X, M, epochs=epochs)
+        window = np.concatenate([scaled[-(span - 1):], [0.0]])
+        wmask = np.concatenate([mask[-(span - 1):], [0.0]])
+        rng = np.random.default_rng(kseed + 13)
+        noise = percent_noise * float(bucket_interval) / 86400.0
+        y, sig = vae.forecast_roll(window, wmask, horizon, rng,
+                                   noise=noise)
+        pred = y * std + mean
+        half = p * sig * std
+        start = int(ts[-1]) + bucket_interval
+        rows = pd.DataFrame({
+            ts_col: [start + j * bucket_interval for j in range(horizon)],
+            "predicted": pred,
+            "lower": pred - half,
+            "upper": pred + half,
+        })
+        for i, k in enumerate(key_cols):
+            rows.insert(i, k, keys[i])
+        return rows
+
+    return series_df.groupBy(*key_cols).applyInPandas(fn, schema=schema)
+
+
 def states_json(models: dict) -> str:
     """Serialize a {key: NumpyVAE} fleet for storage."""
     return json.dumps({k: v.state_dict() for k, v in models.items()})

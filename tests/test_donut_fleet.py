@@ -62,3 +62,43 @@ def test_fleet_is_deterministic(spark):
     b = donut_fit_predict_many(df.repartition(7), ["series"], **kw) \
         .orderBy("series", "bucket_ts").collect()
     assert a == b  # stable across input partitionings
+
+
+def test_fleet_forecast_tracks_per_key_shape(spark):
+    from loudml_spark.ml.donut_fleet import donut_forecast_many
+
+    df = _series(spark)
+    out = donut_forecast_many(
+        df, ["series"], horizon=48, span=24, epochs=40,
+        percent_interval=0.95,
+    ).orderBy("series", "bucket_ts").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["series"], []).append(r)
+    assert set(by_key) == {"a", "b"}
+    for key, (amp, period) in {"a": (5.0, 24), "b": (2.0, 12)}.items():
+        rows = by_key[key]
+        assert len(rows) == 48
+        # forecast starts right after the last observed bucket
+        assert rows[0]["bucket_ts"] == BASE + 420 * 3600
+        # tracks each key's own seasonal shape (±1.5, reference gate)
+        errs = [
+            abs(r["predicted"]
+                - (10.0 + amp * math.sin(2 * math.pi * ((420 + j) % period)
+                                         / period)))
+            for j, r in enumerate(rows)
+        ]
+        assert float(np.mean(errs)) < 1.5, (key, np.mean(errs))
+        assert all(r["lower"] < r["predicted"] < r["upper"] for r in rows)
+
+
+def test_fleet_forecast_deterministic(spark):
+    from loudml_spark.ml.donut_fleet import donut_forecast_many
+
+    df = _series(spark)
+    kw = dict(horizon=12, span=24, epochs=10)
+    a = donut_forecast_many(df, ["series"], **kw) \
+        .orderBy("series", "bucket_ts").collect()
+    b = donut_forecast_many(df.repartition(5), ["series"], **kw) \
+        .orderBy("series", "bucket_ts").collect()
+    assert a == b
