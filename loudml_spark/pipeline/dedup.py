@@ -107,6 +107,44 @@ def _shingle_hash_set(text: str, n: int) -> set[int]:
     return out
 
 
+def _batch_shingle_hashes(texts, n: int):
+    """Vectorized batch version of :func:`_shingle_hash_set`: all
+    shingles of the whole Arrow batch go into one right-aligned
+    char-code matrix hashed by column-wise Horner steps (int64, mod
+    every step — exact same arithmetic, ~10× faster than the per-char
+    Python loop).  Returns a list of distinct-hash int64 arrays."""
+    import numpy as np
+
+    all_shingles: list[list[str]] = []
+    for t in texts:
+        words = t.split(" ")
+        if n == 1:
+            sh = words
+        else:
+            sh = [" ".join(words[i:i + n])
+                  for i in range(len(words) - n + 1)]
+        all_shingles.append(sh)
+    flat = [s for sh in all_shingles for s in sh]
+    if not flat:
+        return [np.empty(0, dtype=np.int64) for _ in all_shingles]
+    width = max(len(s) for s in flat)
+    codes = np.zeros((len(flat), width), dtype=np.int64)
+    for i, s in enumerate(flat):
+        b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        codes[i, width - len(b):] = b
+    # Horner over columns: leading zero-pads leave h at 0 so the
+    # right-aligned layout reproduces the per-char loop exactly
+    h = np.zeros(len(flat), dtype=np.int64)
+    for j in range(width):
+        h = (h * 31 + codes[:, j]) % HASH_MOD
+    out = []
+    off = 0
+    for sh in all_shingles:
+        out.append(np.unique(h[off:off + len(sh)]))
+        off += len(sh)
+    return out
+
+
 def _shingle_hashes_udf(n: int):
     """array<long> of distinct shingle hashes, Arrow-vectorized.
 
@@ -118,7 +156,7 @@ def _shingle_hashes_udf(n: int):
 
     def fn(texts: pd.Series) -> pd.Series:
         return pd.Series(
-            [list(_shingle_hash_set(t, n)) for t in texts]
+            [hs.tolist() for hs in _batch_shingle_hashes(texts, n)]
         )
 
     return F.pandas_udf(fn, "array<long>")
@@ -128,13 +166,18 @@ def _signature_udf(n: int):
     """array<long>[N_HASHES] minhash signature, Arrow-vectorized."""
 
     def fn(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.array(MINHASH_A, dtype=np.int64)[:, None]
+        B = np.array(MINHASH_B, dtype=np.int64)[:, None]
         out = []
-        for t in texts:
-            hs = _shingle_hash_set(t, n)
-            out.append([
-                min(((a * h + b) % HASH_MOD for h in hs), default=HASH_MOD)
-                for a, b in zip(MINHASH_A, MINHASH_B)
-            ])
+        for hs in _batch_shingle_hashes(texts, n):
+            if hs.size == 0:
+                out.append([HASH_MOD] * N_HASHES)
+            else:
+                out.append(
+                    ((A * hs[None, :] + B) % HASH_MOD).min(axis=1).tolist()
+                )
         return pd.Series(out)
 
     return F.pandas_udf(fn, "array<long>")
@@ -147,14 +190,19 @@ def _shingle_sig_udf(n: int):
     UDF) halves the LSH map stage."""
 
     def fn(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        A = np.array(MINHASH_A, dtype=np.int64)[:, None]
+        B = np.array(MINHASH_B, dtype=np.int64)[:, None]
         shs, sigs = [], []
-        for t in texts:
-            hs = _shingle_hash_set(t, n)
-            shs.append(list(hs))
-            sigs.append([
-                min(((a * h + b) % HASH_MOD for h in hs), default=HASH_MOD)
-                for a, b in zip(MINHASH_A, MINHASH_B)
-            ])
+        for hs in _batch_shingle_hashes(texts, n):
+            shs.append(hs.tolist())
+            if hs.size == 0:
+                sigs.append([HASH_MOD] * N_HASHES)
+            else:
+                sigs.append(
+                    ((A * hs[None, :] + B) % HASH_MOD).min(axis=1).tolist()
+                )
         return pd.DataFrame({"sh": shs, "sig": sigs})
 
     return F.pandas_udf(fn, "struct<sh: array<long>, sig: array<long>>")
