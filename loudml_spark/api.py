@@ -362,6 +362,36 @@ class Engine:
             except Exception:
                 pass
 
+    def model_versions(self, name: str) -> list[int]:
+        """GET /models/<n>/versions (server.py:771-791): numbered
+        training checkpoints in storage."""
+        import os
+        import re
+
+        from loudml_spark import errors
+
+        if self.storage is None:
+            return []
+        d = self.storage._dir(name)
+        if not os.path.isdir(d):
+            raise errors.ModelNotFound(name)
+        return sorted(
+            int(m.group(1))
+            for fn in os.listdir(d)
+            if (m := re.fullmatch(r"state(\d+)\.json", fn))
+        )
+
+    def restore_model(self, name: str, version: int):
+        """POST /models/<n>/_restore (server.py:793-820): load a
+        specific checkpoint and make it current."""
+        from loudml_spark import errors
+
+        if self.storage is None:
+            raise errors.Invalid("no storage configured")
+        model = self.storage.load(name, version=version)
+        self._models[name] = model
+        return model
+
     # ---- lifecycle (server.py:907-936, 1583-1703) ----------------------
     def _series_for(self, model, bucket_name: str, from_date, to_date,
                     feature_expr: str, *, widen: bool = False, **kw):

@@ -177,6 +177,11 @@ class _Handler(BaseHTTPRequestHandler):
         if "ts_unit" in q:
             kw["ts_unit"] = q["ts_unit"]
         bg = q.get("bg", "").lower() in ("1", "true", "yes")
+        if action == "versions" and method == "GET":
+            return self._json(200, eng.model_versions(name))
+        if action == "_restore":
+            eng.restore_model(name, int(q["version"]))
+            return self._json(200, {"restored": int(q["version"])})
         if action == "_train":
             out = eng.train(name, q["bucket"], q["from"], q["to"],
                             q.get("features", "avg(value)"), bg=bg, **kw)

@@ -143,3 +143,22 @@ def test_periodic_eval_schedule(engine):
                for d in engine.scheduled.list_scheduled())
     engine.stop_periodic_eval("p1")
     assert not engine.scheduled.list_scheduled()
+
+
+def test_model_versions_and_restore(engine):
+    engine.create_model({
+        "name": "ver", "type": "gaussian", "bucket_interval": 3600,
+    })
+    engine.train("ver", "events", BASE, BASE + 5 * 86400,
+                 "avg(value)", ts_col="ts")
+    engine.train("ver", "events", BASE, BASE + 10 * 86400,
+                 "avg(value)", ts_col="ts")
+    assert engine.model_versions("ver") == [1, 2]
+    m2_mean = engine.get_model("ver").state["mean"]
+    m1 = engine.restore_model("ver", 1)
+    assert m1.is_trained()
+    # v1 trained on half the data: state differs from v2
+    assert m1.state["mean"] != m2_mean or m1.state["std"] != \
+        engine.storage.load("ver", version=2).state["std"]
+    with pytest.raises(errors.ModelNotFound):
+        engine.model_versions("never-created")
