@@ -474,7 +474,6 @@ class Engine:
         keys.  NotImplementedError in the reference OSS
         (bucket.py:279-286); here: per-key max anomaly score over the
         range, descending, key ascending tie-break."""
-        from loudml_spark.ml.models import SeasonalNaiveModel  # noqa: F401
         from loudml_spark.operators.bucketize import BUCKET_COL, bucketize
 
         model = self.get_model(model_name)

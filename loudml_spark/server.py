@@ -89,6 +89,11 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(400, {"error": str(e)})
         except errors.LoudMLSparkError as e:
             self._json(500, {"error": str(e)})
+        except KeyError as e:
+            # missing required query param / body field
+            self._json(400, {"error": f"missing parameter: {e}"})
+        except Exception as e:  # malformed path, bad JSON, …
+            self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
     def do_GET(self):  # noqa: N802
         self._route("GET")

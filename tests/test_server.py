@@ -135,3 +135,15 @@ def test_errors_are_json(srv):
         _post(srv + f"/buckets/events/_read?from={BASE}&to={BASE + 3600}"
               "&bucket_interval=1h&features=frob(value)&ts_col=ts")
     assert ei.value.code == 400
+
+
+def test_malformed_requests_get_json_errors(srv):
+    # missing required param → 400, not a dropped connection
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv + "/models/m1/_train?bucket=events")  # no from/to
+    assert ei.value.code == 400
+    # malformed path → JSON error, not a stack-trace disconnect
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv + "/buckets")  # POST with no body
+    assert ei.value.code in (400, 500)
+    json.loads(ei.value.read())  # body is JSON
