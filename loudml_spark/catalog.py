@@ -977,6 +977,74 @@ GROUP BY n_name
 """
 
 
+def q_tpch_q7_volume_shipping(spark, sf_dir):
+    """Q7-style: bidirectional nation-pair trade volume by ship year.
+    The lineitem fact joins 5 broadcast dims (nation twice, aliased);
+    the pair condition is a disjunction over both directions; one
+    shuffle for the (supp_nation, cust_nation, year) rollup."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+               "l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1")
+         & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2")
+           & (F.col("cust_nation") == "NATION_1"))
+    )
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").alias("l_year"),
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(3,2)")
+               - F.col("l_discount").cast("decimal(4,2)"))
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_lineitems"),
+    )
+
+
+SQL_TPCH_Q7_VOLUME_SHIPPING = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lineitems
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
 def q_events_by_segment(spark, sf_dir):
     """Stream-table enrichment: events joined to the customer dim
     (broadcast) and rolled up by market segment."""
@@ -1048,6 +1116,9 @@ QUERIES: dict[str, dict] = {
     "tpch_q5_local_supplier": {
         "fn": q_tpch_q5_local_supplier,
         "oracle": SQL_TPCH_Q5_LOCAL_SUPPLIER},
+    "tpch_q7_volume_shipping": {
+        "fn": q_tpch_q7_volume_shipping,
+        "oracle": SQL_TPCH_Q7_VOLUME_SHIPPING},
     "events_by_segment": {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
     "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
