@@ -304,8 +304,7 @@ class Engine:
         return self.buckets.names()
 
     def delete_bucket(self, name: str) -> None:
-        self.buckets.get(name)
-        del self.buckets._buckets[name]
+        self.buckets.remove(name)
 
     def clear_bucket(self, name: str) -> None:
         """POST /buckets/<n>/_clear (server.py:1144-1150)."""
@@ -354,27 +353,31 @@ class Engine:
         return sorted(names)
 
     def delete_model(self, name: str) -> None:
+        from loudml_spark import errors
+
         self.get_model(name)
         self._models.pop(name, None)
         if self.storage is not None:
             try:
                 self.storage.delete(name)
-            except Exception:
-                pass
+            except errors.ModelNotFound:
+                pass  # created but never trained → nothing on disk
+            # any other failure propagates: a delete that leaves the
+            # model resurrectable from disk must not report success
 
     def model_versions(self, name: str) -> list[int]:
         """GET /models/<n>/versions (server.py:771-791): numbered
-        training checkpoints in storage."""
+        training checkpoints in storage.  A model that exists but has
+        never been trained/saved has no checkpoints → []."""
         import os
         import re
 
-        from loudml_spark import errors
-
+        self.get_model(name)  # raises ModelNotFound for unknown names
         if self.storage is None:
             return []
         d = self.storage._dir(name)
         if not os.path.isdir(d):
-            raise errors.ModelNotFound(name)
+            return []
         return sorted(
             int(m.group(1))
             for fn in os.listdir(d)

@@ -199,11 +199,16 @@ class NumpyVAE:
         be 0).  Each step: MCMC-impute the missing slot through the
         deterministic mean path (z_mean → decoder mean, mirroring the
         reference's `_encoder_model`/`_decoder_model` predict calls),
-        optionally expand by uniform noise growing with the step index
-        (``percent_noise`` semantics), measure epistemic spread by MC
-        integration over z (std of decoded means at the last slot —
-        the reference uses exactly np.std(x_decoded[:, -1])), then
-        roll the window left and mark the new last slot missing.
+        optionally multiply the WHOLE window — history slots included
+        — by (1 + U(−noise·j, noise·j)) with the point forecast read
+        AFTER noising (this mirrors the reference's loop verbatim,
+        donut.py:1429-1433: `x *= 1 + expand; …; y[j] = x[-1]` — the
+        noise perturbs the trajectory itself and compounds
+        multiplicatively across steps, it is not a pure band widener),
+        measure epistemic spread by MC integration over z (std of
+        decoded means at the last slot — the reference uses exactly
+        np.std(x_decoded[:, -1])), then roll the window left and mark
+        the new last slot missing.
 
         Returns (y, std) in scaled space, each of length ``steps``.
         """

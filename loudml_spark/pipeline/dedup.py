@@ -127,16 +127,29 @@ def _batch_shingle_hashes(texts, n: int):
     flat = [s for sh in all_shingles for s in sh]
     if not flat:
         return [np.empty(0, dtype=np.int64) for _ in all_shingles]
-    width = max(len(s) for s in flat)
-    codes = np.zeros((len(flat), width), dtype=np.int64)
-    for i, s in enumerate(flat):
-        b = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-        codes[i, width - len(b):] = b
-    # Horner over columns: leading zero-pads leave h at 0 so the
-    # right-aligned layout reproduces the per-char loop exactly
+    # group by EXACT length: no padding, and one pathological long
+    # token (base64 blob, minified JS) cannot blow the matrix up to
+    # n_shingles × max_len — memory is Σ(len) ≈ the batch's text size
+    lens = np.fromiter((len(s) for s in flat), dtype=np.int64,
+                       count=len(flat))
     h = np.zeros(len(flat), dtype=np.int64)
-    for j in range(width):
-        h = (h * 31 + codes[:, j]) % HASH_MOD
+    order = np.argsort(lens, kind="stable")
+    sorted_lens = lens[order]
+    start = 0
+    while start < len(order):
+        L = int(sorted_lens[start])
+        stop = int(np.searchsorted(sorted_lens, L, side="right"))
+        idx = order[start:stop]
+        if L > 0:
+            codes = np.frombuffer(
+                "".join(flat[i] for i in idx).encode("utf-32-le"),
+                dtype=np.uint32,
+            ).reshape(len(idx), L).astype(np.int64)
+            hh = np.zeros(len(idx), dtype=np.int64)
+            for j in range(L):
+                hh = (hh * 31 + codes[:, j]) % HASH_MOD
+            h[idx] = hh
+        start = stop
     out = []
     off = 0
     for sh in all_shingles:

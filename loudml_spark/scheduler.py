@@ -45,16 +45,30 @@ _WEEKDAYS = {
 }
 
 
-def _parse_at(at: str) -> tuple[int, int, int]:
+def _parse_at(at: str, *, hourly: bool = False) -> tuple[int, int, int]:
+    """Wall time for 'at'.  Day/week units: "HH:MM[:SS]".  Hour units
+    (the `schedule` library's documented format, which this module
+    mirrors): ":MM[:SS]" or "MM:SS" — both fields are minute/second,
+    there is no hour field."""
     parts = at.split(":")
     if len(parts) not in (2, 3):
         raise errors.Invalid(f"invalid 'at' time: {at!r}")
     try:
-        h = int(parts[0]) if parts[0] != "" else 0
-        m = int(parts[1])
-        s = int(parts[2]) if len(parts) == 3 else 0
+        nums = [int(p) if p != "" else 0 for p in parts]
     except ValueError:
         raise errors.Invalid(f"invalid 'at' time: {at!r}")
+    if hourly:
+        if len(parts) == 3:
+            raise errors.Invalid(
+                f"invalid hourly 'at' time (use ':MM' or 'MM:SS'): {at!r}")
+        h = 0
+        if parts[0] == "":
+            m, s = nums[1], 0     # ":MM" → minute
+        else:
+            m, s = nums           # "MM:SS" → minute, second
+    else:
+        h, m = nums[0], nums[1]
+        s = nums[2] if len(nums) == 3 else 0
     if not (0 <= h < 24 and 0 <= m < 60 and 0 <= s < 60):
         raise errors.Invalid(f"invalid 'at' time: {at!r}")
     return h, m, s
@@ -72,7 +86,7 @@ class Every:
             if unit in ("second", "seconds", "minute", "minutes"):
                 raise errors.Invalid(
                     f"'at' is not valid with unit {unit!r}")
-            self.at = _parse_at(at)
+            self.at = _parse_at(at, hourly=unit in ("hour", "hours"))
         else:
             self.at = None
         self.count = count
@@ -194,8 +208,11 @@ class ScheduledJobRegistry:
                 sj.next_run_at = sj.every.next_run(now)
                 continue
             if sj.next_run_at <= now:
-                desc = sj.desc
-                job = self.jobs.submit(sj.name, lambda d=desc: sj.fn(d))
+                # bind BOTH desc and fn as defaults: the lambda runs on
+                # a registry thread after this loop has moved on, and a
+                # late-bound `sj` would resolve to the last job iterated
+                job = self.jobs.submit(
+                    sj.name, lambda d=sj.desc, f=sj.fn: f(d))
                 sj.runs.append(job)
                 fired.append(job)
                 sj.next_run_at = sj.every.next_run(now)

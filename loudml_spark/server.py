@@ -127,8 +127,13 @@ class _Handler(BaseHTTPRequestHandler):
             if method == "GET":
                 return self._json(200, eng.list_buckets())
             if method == "POST":
-                eng.add_bucket(self._body())
+                body = self._body()
+                if not body:
+                    return self._json(
+                        400, {"error": "bucket settings body required"})
+                eng.add_bucket(body)
                 return self._json(201, {"ok": True})
+            return self._json(405, {"error": f"{method} not allowed"})
         name = rest[0]
         if len(rest) == 1:
             if method == "DELETE":
@@ -139,6 +144,7 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(
                     200, {"name": bucket.name,
                           "type": type(bucket).__name__})
+            return self._json(405, {"error": f"{method} not allowed"})
         action = rest[1]
         if action == "_read":
             features = (q.get("features") or "").split(";")
@@ -166,8 +172,13 @@ class _Handler(BaseHTTPRequestHandler):
             if method == "GET":
                 return self._json(200, eng.list_models())
             if method == "POST":
-                model = eng.create_model(self._body())
+                body = self._body()
+                if not body:
+                    return self._json(
+                        400, {"error": "model settings body required"})
+                model = eng.create_model(body)
                 return self._json(201, {"name": model.name})
+            return self._json(405, {"error": f"{method} not allowed"})
         name = rest[0]
         if len(rest) == 1:
             if method == "DELETE":
@@ -175,6 +186,7 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(200, {"ok": True})
             if method == "GET":
                 return self._json(200, eng.get_model(name).settings())
+            return self._json(405, {"error": f"{method} not allowed"})
         action = rest[1]
         kw = {}
         if "ts_col" in q:

@@ -163,6 +163,11 @@ class BucketRegistry:
             raise errors.BucketNotFound(name)
         return bucket
 
+    def remove(self, name: str) -> None:
+        if name not in self._buckets:
+            raise errors.BucketNotFound(name)
+        del self._buckets[name]
+
     def names(self):
         return sorted(self._buckets)
 

@@ -162,3 +162,12 @@ def test_model_versions_and_restore(engine):
         engine.storage.load("ver", version=2).state["std"]
     with pytest.raises(errors.ModelNotFound):
         engine.model_versions("never-created")
+
+
+def test_versions_empty_for_untrained_model(engine):
+    engine.create_model({
+        "name": "unt", "type": "gaussian", "bucket_interval": 3600,
+    })
+    assert engine.model_versions("unt") == []  # exists, no checkpoints
+    engine.delete_model("unt")  # no disk state: must still succeed
+    assert "unt" not in engine.list_models()

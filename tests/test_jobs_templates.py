@@ -123,3 +123,36 @@ def test_scheduled_template_fan_out_and_firing():
     # non-templated spec passes through unchanged
     plain = {"name": "cleanup", "every": {"count": 1, "unit": "hours"}}
     assert len(reg.add_template(plain, models, fn=lambda d: None)) == 1
+
+
+def test_run_pending_binds_each_jobs_own_fn():
+    # regression: the fired lambda must not late-bind the loop var —
+    # with per-job closures, each firing must run ITS OWN callback
+    from loudml_spark.scheduler import ScheduledJobRegistry
+
+    reg = ScheduledJobRegistry()
+    ran = []
+    for name in ("alpha", "beta", "gamma"):
+        reg.add(
+            {"name": name, "every": {"count": 10, "unit": "seconds"}},
+            (lambda n: lambda desc: ran.append(n))(name),
+        )
+    now = 1704103200.0
+    reg.run_pending(now)          # arm
+    jobs = reg.run_pending(now + 11)
+    for j in jobs:
+        j.wait(10)
+    assert sorted(ran) == ["alpha", "beta", "gamma"]
+
+
+def test_hourly_at_uses_minute_second_format():
+    from loudml_spark import errors
+    from loudml_spark.scheduler import Every
+
+    now = 1704103200.0  # 10:00:00Z
+    # schedule-library semantics: hourly at "MM:SS"
+    assert Every(1, "hours", "45:30").next_run(now) == now + 45 * 60 + 30
+    assert Every(1, "hours", ":15").next_run(now) == now + 15 * 60
+    import pytest as _pt
+    with _pt.raises(errors.Invalid):
+        Every(1, "hours", "01:02:03")  # no hour field for hourly at

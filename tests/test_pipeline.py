@@ -220,3 +220,18 @@ def test_minhash_lsh_single_pass_unchanged(spark, docs):
              for r in minhash_lsh_pairs(docs, n=1, threshold=0.5).collect()}
     assert pairs[(0, 1)] == 1.0
     assert (0, 4) not in pairs
+
+
+def test_long_token_shingles_no_memory_blowup(spark):
+    # one pathological unbroken token must not widen the whole batch's
+    # hash matrix (hashing groups by exact shingle length)
+    from loudml_spark.pipeline.dedup import (
+        _batch_shingle_hashes,
+        _shingle_hash_set,
+    )
+
+    blob = "x" * 5000
+    texts = ["the cat sat on the mat", blob + " tail word", "a b"]
+    got = _batch_shingle_hashes(__import__("pandas").Series(texts), 1)
+    for t, hs in zip(texts, got):
+        assert sorted(hs.tolist()) == sorted(_shingle_hash_set(t, 1))
