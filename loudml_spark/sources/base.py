@@ -116,6 +116,42 @@ class MemBucket(Bucket):
         self.rows = []
 
 
+class JSONBucket(Bucket):
+    """JSON-lines bucket (Spark reads .gz/.bz2 natively)."""
+
+    def read(self, spark):
+        reader = spark.read
+        if "schema" in self.settings:
+            reader = reader.schema(self.settings["schema"])
+        return reader.json(self.settings["path"])
+
+    def write(self, df, mode="append"):
+        df.write.mode(mode).json(self.settings["path"])
+
+    def drop(self):
+        import shutil
+
+        shutil.rmtree(self.settings["path"], ignore_errors=True)
+
+
+class ORCBucket(Bucket):
+    """ORC bucket — same columnar pushdown story as parquet."""
+
+    def read(self, spark):
+        reader = spark.read
+        if "schema" in self.settings:
+            reader = reader.schema(self.settings["schema"])
+        return reader.orc(self.settings["path"])
+
+    def write(self, df, mode="append"):
+        df.write.mode(mode).orc(self.settings["path"])
+
+    def drop(self):
+        import shutil
+
+        shutil.rmtree(self.settings["path"], ignore_errors=True)
+
+
 class JDBCBucket(Bucket):
     """JDBC bucket — covers the reference's SQL-ish stores. Catalyst
     pushes filters down (DSv2); partitioned reads via
@@ -131,6 +167,8 @@ class JDBCBucket(Bucket):
 _BUCKET_TYPES = {
     "parquet": ParquetBucket,
     "csv": CSVBucket,
+    "json": JSONBucket,
+    "orc": ORCBucket,
     "mem": MemBucket,
     "jdbc": JDBCBucket,
 }

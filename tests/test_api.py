@@ -78,3 +78,20 @@ def test_forecast_model_alignment(spark):
     out = forecast_model(m, spark, 630, 750)
     ts = [r["bucket_ts"] for r in out.orderBy("bucket_ts").collect()]
     assert ts == [600, 660, 720]  # floor/ceil alignment
+
+
+def test_json_and_orc_buckets_roundtrip(spark, tmp_path):
+    from loudml_spark.sources.base import load_bucket
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "ts long, k string, v double")
+    for btype in ("json", "orc"):
+        b = load_bucket({
+            "name": f"t_{btype}", "type": btype,
+            "path": str(tmp_path / btype),
+        })
+        b.write(df)
+        back = b.read(spark)
+        assert back.count() == 2
+        assert {r["k"] for r in back.collect()} == {"a", "b"}
+        b.drop()
