@@ -17,7 +17,17 @@ selection; Python-side work is confined to plan construction and
 (rarely) Arrow-vectorized pandas UDFs.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from loudml_spark.features import Feature, parse_expression  # noqa: F401
 from loudml_spark.operators.bucketize import bucketize  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy heavyweight surface (avoid importing the ml/server stacks
+    # for users who only bucketize)
+    if name == "Engine":
+        from loudml_spark.api import Engine
+
+        return Engine
+    raise AttributeError(name)

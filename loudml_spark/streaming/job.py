@@ -194,9 +194,12 @@ class StreamingEval:
         feat_name = parse_features(self.features)[0].name
         return series.withColumnRenamed(feat_name, self.model.feature_col)
 
-    def start(self, stream_df: DataFrame, sink_fn):
+    def start(self, stream_df: DataFrame, sink_fn, *,
+              available_now: bool = False):
         """Run with foreachBatch: each micro-batch is scored with the
-        (broadcast-small) model profile and handed to ``sink_fn``."""
+        (broadcast-small) model profile and handed to ``sink_fn``.
+        ``available_now=True`` drains the source once and stops
+        (backfill / test mode) instead of the periodic trigger."""
         series = self.build(stream_df)
 
         def process(batch_df: DataFrame, batch_id: int):
@@ -205,12 +208,30 @@ class StreamingEval:
             scored = self.model.predict(batch_df)
             sink_fn(scored, batch_id)
 
-        writer = (
-            series.writeStream
-            .trigger(processingTime=f"{self.interval} seconds")
-            .outputMode("update")
-            .foreachBatch(process)
-        )
+        writer = series.writeStream
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(
+                processingTime=f"{self.interval} seconds")
+        writer = writer.outputMode("update").foreachBatch(process)
         if self.checkpoint_dir:
             writer = writer.option("checkpointLocation", self.checkpoint_dir)
         return writer.start()
+
+    def start_to_bucket(self, stream_df: DataFrame, out_bucket,
+                        model_name: str | None = None, *,
+                        available_now: bool = False):
+        """The reference's ``save_output_data`` write-back for streams:
+        each scored micro-batch lands in ``out_bucket`` with the
+        prediction sink schema (``@<feature>`` / ``lower_`` /
+        ``upper_`` — loudml/bucket.py:232-253) via foreachBatch."""
+        from loudml_spark.api import prediction_frame
+
+        name = model_name or self.model.name
+
+        def sink(scored: DataFrame, _batch_id: int):
+            out_bucket.write(
+                prediction_frame(scored, self.model.feature_col, name))
+
+        return self.start(stream_df, sink, available_now=available_now)

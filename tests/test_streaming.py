@@ -99,3 +99,36 @@ def test_stateful_detection_across_batches(spark, tmpdir):
     assert rows[BASE + 180]["episode_id"] == 1
     assert rows[BASE + 240]["episode_id"] is None  # closed
     assert rows[BASE + 300]["episode_id"] == 2     # new episode number
+
+
+def test_streaming_eval_write_back_to_bucket(spark, tmpdir):
+    """StreamingEval end-to-end: stream → bucketize → model score →
+    prediction-sink write-back into a MemBucket (the reference's
+    save_output_data loop for streams)."""
+    from loudml_spark.ml.models import GaussianModel
+    from loudml_spark.sources.base import MemBucket
+    from loudml_spark.streaming.job import StreamingEval
+
+    src = f"{tmpdir}/src"
+    rows = [(BASE + i * 10, 5.0 + (i % 3)) for i in range(18)]
+    _write_batch(spark, src, rows, "ts long, value double")
+
+    train = spark.createDataFrame(
+        [(BASE + i * 60, 6.0) for i in range(20)],
+        "bucket_ts long, value double",
+    )
+    model = GaussianModel("g", bucket_interval=60).fit(train)
+    out = MemBucket("out")
+    ev = StreamingEval(model, None, ["avg(value)"], offset="0s")
+    stream = (
+        spark.readStream.schema("ts long, value double").parquet(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts")))
+    )
+    q = ev.start_to_bucket(stream, out, available_now=True)
+    q.awaitTermination(120)
+    q.stop()
+    assert len(out.rows) == 3  # 3 one-minute buckets
+    row = out.rows[0]
+    assert {"timestamp", "value", "lower_value", "upper_value",
+            "@value", "score", "model"} <= set(row)
+    assert row["model"] == "g"
