@@ -296,6 +296,56 @@ class Engine:
         self.scheduled = ScheduledJobRegistry(self.jobs)
         self.hooks: dict[str, list] = {}  # model name → hooks
 
+    @classmethod
+    def from_config(cls, spark: SparkSession, path: str) -> "Engine":
+        """Boot from a YAML config file — the reference's config.yml
+        contract (loudml/config.py: ``buckets`` list, ``storage.path``,
+        ``scheduled_jobs``; ``server.listen`` is read by serve_*).
+        Scheduled-job specs with ``{{ model_name }}`` fan out across
+        stored models exactly like server.py:1803-1818."""
+        import yaml
+
+        with open(path) as f:
+            cfg = yaml.safe_load(f) or {}
+        storage_path = (cfg.get("storage") or {}).get("path")
+        eng = cls(spark, storage_path=storage_path)
+        for settings in cfg.get("buckets") or []:
+            eng.add_bucket(settings)
+        eng.config = cfg
+        for sj in (cfg.get("scheduled_jobs") or {}).values() \
+                if isinstance(cfg.get("scheduled_jobs"), dict) \
+                else (cfg.get("scheduled_jobs") or []):
+            eng.scheduled.add_template(
+                sj, eng.list_models(),
+                fn=lambda desc: eng._run_scheduled(desc),
+            )
+        return eng
+
+    def _run_scheduled(self, desc: dict):
+        """Execute a config-file scheduled-job spec: the reference
+        self-calls its own REST URL; here the URL maps back onto the
+        engine action (only the _eval shape is meaningful without a
+        live server)."""
+        url = desc.get("relative_url", "")
+        params = desc.get("params") or {}
+        if url.endswith("/_eval"):
+            model_name = url.split("/")[-2]
+            horizon = 2 * self.get_model(model_name).bucket_interval
+            import time as _time
+
+            end = _time.time()
+            kw = {}
+            if "ts_col" in params:
+                kw["ts_col"] = params["ts_col"]
+            if "ts_unit" in params:
+                kw["ts_unit"] = params["ts_unit"]
+            return self.eval_model(
+                model_name, params.get("bucket"), end - horizon, end,
+                params.get("features", "avg(value)"), **kw)
+        from loudml_spark import errors
+
+        raise errors.Invalid(f"unsupported scheduled-job url: {url!r}")
+
     # ---- buckets (server.py:1038-1165) ---------------------------------
     def add_bucket(self, settings: Mapping[str, Any]):
         return self.buckets.add(dict(settings))

@@ -171,3 +171,36 @@ def test_versions_empty_for_untrained_model(engine):
     assert engine.model_versions("unt") == []  # exists, no checkpoints
     engine.delete_model("unt")  # no disk state: must still succeed
     assert "unt" not in engine.list_models()
+
+
+def test_engine_from_config(spark, tmp_path):
+    cfg = tmp_path / "config.yml"
+    data_path = str(tmp_path / "events")
+    spark.createDataFrame(
+        [(BASE + i * 3600, float(i)) for i in range(48)],
+        "ts long, value double",
+    ).write.parquet(data_path)
+    cfg.write_text(f"""
+buckets:
+  - name: events
+    type: parquet
+    path: {data_path}
+storage:
+  path: {tmp_path}/models
+scheduled_jobs:
+  - name: "eval-{{{{ model_name }}}}"
+    method: post
+    relative_url: "/models/{{{{ model_name }}}}/_eval"
+    params: {{bucket: events, features: "avg(value)", ts_col: ts}}
+    every: {{count: 1, unit: hours}}
+""")
+    from loudml_spark.api import Engine
+
+    eng = Engine.from_config(spark, str(cfg))
+    assert eng.list_buckets() == ["events"]
+    assert eng.storage is not None
+    res = eng.read("events", BASE, BASE + 12 * 3600, "1h",
+                   ["avg(value)"], ts_col="ts")
+    assert len(res["timestamps"]) == 12
+    # no models stored yet → the templated job fans out to zero jobs
+    assert eng.scheduled.list_scheduled() == []
