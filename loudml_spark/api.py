@@ -486,9 +486,12 @@ class Engine:
 
     def eval_model(self, model_name: str, bucket_name: str, from_date,
                    to_date, feature_expr: str, *, bg: bool = False,
-                   output_bucket: str | None = None, **kw):
+                   output_bucket: str | None = None,
+                   flag_abnormal: bool = False, **kw):
         """POST /models/<n>/_eval (server.py:1583-1602): score a range
-        with automatic history widening; optionally save the
+        with automatic history widening; ``flag_abnormal`` runs the
+        hysteresis state machine (the endpoint's flag_abnormal_data
+        arg) adding is_anomaly / episode columns; optionally save the
         prediction frame to an output bucket."""
         model = self.get_model(model_name)
 
@@ -498,6 +501,13 @@ class Engine:
                 widen=True, **kw)
             scored = model.predict(series).filter(
                 F.col(model.ts_col) >= F.lit(from_ts))
+            if flag_abnormal:
+                from loudml_spark.ml.detect import detect_anomalies
+
+                scored = detect_anomalies(
+                    scored, model.min_threshold, model.max_threshold,
+                    model.grace_period, ts_col=model.ts_col,
+                )
             if output_bucket is not None:
                 self.write(output_bucket, prediction_frame(
                     scored, model.feature_col, model_name))

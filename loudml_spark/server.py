@@ -206,10 +206,13 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(202, {"job": out.id})
             return self._json(200, {"trained": name})
         if action == "_eval":
+            flag = q.get("flag_abnormal_data", "").lower() in (
+                "1", "true", "yes")
             out = eng.eval_model(
                 name, q["bucket"], q["from"], q["to"],
                 q.get("features", "avg(value)"), bg=bg,
-                output_bucket=q.get("output_bucket"), **kw)
+                output_bucket=q.get("output_bucket"),
+                flag_abnormal=flag, **kw)
             if bg:
                 return self._json(202, {"job": out.id})
             return self._json(200, _df_records(out))

@@ -204,3 +204,19 @@ scheduled_jobs:
     assert len(res["timestamps"]) == 12
     # no models stored yet → the templated job fans out to zero jobs
     assert eng.scheduled.list_scheduled() == []
+
+
+def test_eval_flag_abnormal(engine):
+    # _eval?flag_abnormal_data=true parity: detection columns appended
+    engine.create_model({
+        "name": "flagm", "type": "seasonal_naive", "bucket_interval": 3600,
+    })
+    engine.train("flagm", "events", BASE, BASE + 15 * 86400,
+                 "avg(value)", ts_col="ts")
+    scored = engine.eval_model(
+        "flagm", "events", BASE + 15 * 86400, BASE + 16 * 86400,
+        "avg(value)", ts_col="ts", flag_abnormal=True,
+    )
+    cols = set(scored.columns)
+    assert {"is_anomaly", "episode_id"} <= cols
+    assert scored.count() == 24
