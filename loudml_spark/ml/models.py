@@ -114,7 +114,10 @@ class BaseModel:
         needs to predict the first bucket.  Donut-style windows include
         the current (masked) point → span−1; exclusive-window models
         override (WindowRegressionModel → span)."""
-        return max(0, int(getattr(self, "span", 1)) - 1)
+        span = getattr(self, "span", 1)
+        if not isinstance(span, int):
+            return 0  # span="auto" unresolved → predict will raise
+        return max(0, span - 1)
 
     def predict_range(
         self,
@@ -295,23 +298,28 @@ class DonutModel(BaseModel):
 
     TYPE = "donut"
 
-    def __init__(self, *args, span: int = 24, latent_dim: int = 5,
+    def __init__(self, *args, span=24, latent_dim: int = 5,
                  intermediate_dim: int = 55, epochs: int = 60,
-                 batch_size: int = 64, seed: int = 42, **kw):
+                 batch_size: int = 64, seed: int = 42,
+                 max_evals: int = 10, **kw):
         super().__init__(*args, **kw)
-        self.span = int(span)
+        # span="auto" resolves at fit time via the max_evals-budgeted
+        # joint hyper-search (the reference's settings contract:
+        # get_hp_span('span') + max_evals, donut.py:813-855)
+        self.span = span if span == "auto" else int(span)
         self.latent_dim = int(latent_dim)
         self.intermediate_dim = int(intermediate_dim)
         self.epochs = int(epochs)
         self.batch_size = int(batch_size)
         self.seed = int(seed)
+        self.max_evals = int(max_evals)
 
     def settings(self):
         s = super().settings()
         s.update(span=self.span, latent_dim=self.latent_dim,
                  intermediate_dim=self.intermediate_dim,
                  epochs=self.epochs, batch_size=self.batch_size,
-                 seed=self.seed)
+                 seed=self.seed, max_evals=self.max_evals)
         return s
 
     def _series(self, series_df):
@@ -339,6 +347,15 @@ class DonutModel(BaseModel):
         import numpy as np
 
         from loudml_spark.ml.donut_np import NumpyVAE
+
+        if self.span == "auto":
+            best = auto_hyperparams(
+                series_df, max_evals=self.max_evals, seed=self.seed,
+                ts_col=self.ts_col, value_col=self.feature_col,
+            )
+            self.span = best["span"]
+            self.latent_dim = best["latent_dim"]
+            self.intermediate_dim = best["intermediate_dim"]
 
         _, vals = self._series(series_df)
         mean = float(np.nanmean(vals))

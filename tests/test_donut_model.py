@@ -206,3 +206,19 @@ def test_predict_range_auto_history_extension(spark):
     assert first["predicted"] is not None  # history was auto-widened
     assert abs(first["predicted"] - first["observed"]) < 1.5
     assert min(by_ts) == from_ts  # trimmed back to the requested range
+
+
+def test_span_auto_resolves_at_fit(spark):
+    df = _sine_series(spark, n=300)
+    m = DonutModel("auto_m", span="auto", max_evals=4, epochs=10,
+                   bucket_interval=3600)
+    assert m.settings()["span"] == "auto"
+    m.fit(df)
+    assert isinstance(m.span, int) and m.span > 1
+    assert m.settings()["span"] == m.span  # resolved choice persists
+    # round-trips through storage with the resolved hyper-params
+    from loudml_spark.ml.models import make_model
+
+    again = make_model(m.settings())
+    assert again.span == m.span
+    assert again.latent_dim == m.latent_dim
