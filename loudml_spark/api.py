@@ -496,7 +496,7 @@ class Engine:
         model = self.get_model(model_name)
 
         def run():
-            series, from_ts, _ = self._series_for(
+            series, from_ts, to_ts = self._series_for(
                 model, bucket_name, from_date, to_date, feature_expr,
                 widen=True, **kw)
             scored = model.predict(series).filter(
@@ -508,6 +508,27 @@ class Engine:
                     scored, model.min_threshold, model.max_threshold,
                     model.grace_period, ts_col=model.ts_col,
                 )
+                hooks = self.hooks.get(model_name)
+                if hooks:
+                    # fire on_anomaly_start/end per episode — the
+                    # reference's hook loop inside detect
+                    # (donut.py:1488-1568); an episode still open at
+                    # the series end keeps its end-hook unfired
+                    from loudml_spark.ml.hooks import fire_hooks
+
+                    ep = (
+                        scored.filter(F.col("episode_id").isNotNull())
+                        .groupBy("episode_id")
+                        .agg(
+                            F.min(model.ts_col).alias("start_ts"),
+                            F.max(model.ts_col).alias("end_ts"),
+                            F.max("score").alias("max_score"),
+                        )
+                    )
+                    fire_hooks(
+                        ep, hooks, model=model_name,
+                        series_end_ts=to_ts - model.bucket_interval,
+                    )
             if output_bucket is not None:
                 self.write(output_bucket, prediction_frame(
                     scored, model.feature_col, model_name))

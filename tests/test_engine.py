@@ -220,3 +220,34 @@ def test_eval_flag_abnormal(engine):
     cols = set(scored.columns)
     assert {"is_anomaly", "episode_id"} <= cols
     assert scored.count() == 24
+
+
+def test_eval_fires_hooks_on_injected_anomaly(spark, tmp_path_factory):
+    # a spiked series must drive on_anomaly_start through _eval's
+    # flag_abnormal path (the reference's hook loop inside detect)
+    root = tmp_path_factory.mktemp("hookeval")
+    eng = Engine(spark)
+    rows = [(BASE + i * 3600, 10.0 + (300.0 if i == 460 else 0.0)
+             + 0.01 * (i % 7))
+            for i in range(480)]
+    spark.createDataFrame(rows, "ts long, value double") \
+        .write.parquet(str(root / "ev"))
+    eng.add_bucket({"name": "ev", "type": "parquet",
+                    "path": str(root / "ev")})
+    eng.create_model({
+        "name": "hm", "type": "seasonal_naive", "bucket_interval": 3600,
+    })
+    eng.train("hm", "ev", BASE, BASE + 18 * 86400, "avg(value)",
+              ts_col="ts")
+    fired = []
+
+    class Rec(Hook):
+        def on_anomaly_start(self, model, start_ts, score, **kw):
+            fired.append((model, start_ts, score))
+
+    eng.add_hook("hm", Rec("rec"))
+    eng.eval_model("hm", "ev", BASE + 18 * 86400, BASE + 20 * 86400,
+                   "avg(value)", ts_col="ts", flag_abnormal=True)
+    assert fired, "hook did not fire on the injected spike"
+    assert fired[0][0] == "hm"
+    assert fired[0][1] == BASE + 460 * 3600
