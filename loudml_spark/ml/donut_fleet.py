@@ -33,7 +33,7 @@ def donut_fit_predict_many(
     series_df: DataFrame,
     key_cols: list[str],
     *,
-    span: int = 24,
+    span=24,
     latent_dim: int = 3,
     intermediate_dim: int = 34,
     epochs: int = 40,
@@ -41,15 +41,24 @@ def donut_fit_predict_many(
     ts_col: str = "bucket_ts",
     value_col: str = "value",
     seed: int = 42,
+    max_evals: int = 6,
+    search_epochs: int = 10,
 ) -> DataFrame:
     """Train on buckets `< train_before` (default: first 2/3) and
     score the rest, per key.  Output: (keys..., bucket_ts, observed,
-    predicted, lower, upper)."""
+    predicted, lower, upper).
+
+    ``span="auto"`` runs the max_evals-budgeted joint hyper-search
+    PER KEY inside the executor (seeded from the key — deterministic
+    across partitionings): thousands of series each pick their own
+    (span, latent, hidden) in one cluster pass, something the
+    reference's one-process-per-model architecture cannot express."""
     schema = ", ".join(
         [f"{k} string" for k in key_cols]
         + [f"{ts_col} long", "observed double", "predicted double",
            "lower double", "upper double"]
     )
+    auto = span == "auto"
 
     def fn(keys, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
@@ -60,8 +69,26 @@ def donut_fit_predict_many(
             cut_idx = int(len(vals) * 2 / 3)
         else:
             cut_idx = int(np.searchsorted(ts, cut))
+        kseed0 = _key_seed(keys, seed)
+        if auto:
+            from loudml_spark.ml.donut_np import search_hyperparams_np
+
+            try:
+                best = search_hyperparams_np(
+                    vals[:cut_idx], max_evals=max_evals,
+                    epochs=search_epochs, seed=kseed0,
+                )
+            except ValueError:
+                return pd.DataFrame(
+                    columns=[*key_cols, ts_col, "observed", "predicted",
+                             "lower", "upper"]
+                )
+            k_span, k_latent, k_inter = (
+                best["span"], best["latent_dim"], best["intermediate_dim"])
+        else:
+            k_span, k_latent, k_inter = span, latent_dim, intermediate_dim
         train = vals[:cut_idx]
-        if len(train) <= span + 2:
+        if len(train) <= k_span + 2:
             return pd.DataFrame(
                 columns=[*key_cols, ts_col, "observed", "predicted",
                          "lower", "upper"]
@@ -77,31 +104,32 @@ def donut_fit_predict_many(
             scaled = (v - mean) / std
             mask = (~np.isnan(scaled)).astype(float)
             scaled = np.nan_to_num(scaled, nan=0.0)
-            X = np.lib.stride_tricks.sliding_window_view(scaled, span).copy()
-            M = np.lib.stride_tricks.sliding_window_view(mask, span).copy()
+            X = np.lib.stride_tricks.sliding_window_view(
+                scaled, k_span).copy()
+            M = np.lib.stride_tricks.sliding_window_view(
+                mask, k_span).copy()
             return X, M
 
-        kseed = _key_seed(keys, seed)
-        vae = NumpyVAE(span, latent_dim, intermediate_dim, kseed)
+        vae = NumpyVAE(k_span, k_latent, k_inter, kseed0)
         Xt, Mt = windows(train)
         vae.fit(Xt, Mt, epochs=epochs)
 
         # score everything from the cut onward (history reaches back
         # span-1 buckets, donut.py:1210-1217)
-        lo = max(0, cut_idx - span + 1)
+        lo = max(0, cut_idx - k_span + 1)
         Xq, Mq = windows(vals[lo:])
         Mq2 = Mq.copy()
         Mq2[:, -1] = 0.0
-        rng = np.random.default_rng(kseed + 7)
+        rng = np.random.default_rng(kseed0 + 7)
         mu, sigma = vae.reconstruct(Xq, Mq2, rng)
         pred = mu[:, -1] * std + mean
         sig = sigma[:, -1] * std
-        out_ts = ts[lo + span - 1:]
+        out_ts = ts[lo + k_span - 1:]
         keep = out_ts >= ts[cut_idx] if cut_idx < len(ts) else \
             np.zeros(len(out_ts), bool)
         rows = pd.DataFrame({
             ts_col: out_ts[keep],
-            "observed": vals[lo + span - 1:][keep],
+            "observed": vals[lo + k_span - 1:][keep],
             "predicted": pred[keep],
             "lower": (pred - BAND_SIGMA * sig)[keep],
             "upper": (pred + BAND_SIGMA * sig)[keep],

@@ -256,3 +256,76 @@ class NumpyVAE:
                   state["seed"])
         vae.params = {k: np.asarray(v) for k, v in state["params"].items()}
         return vae
+
+
+def search_hyperparams_np(
+    vals: "np.ndarray",
+    *,
+    max_evals: int = 10,
+    spans=(10, 20, 24, 50),
+    latent_dims=(3, 5, 8),
+    intermediate_dims=(21, 34, 55, 89, 144, 233),
+    train_size: float = 0.67,
+    epochs: int = 15,
+    seed: int = 42,
+) -> dict:
+    """Pure-numpy joint hyper-search core (reference donut.py:813-855
+    space under a max_evals budget, made deterministic).  Driver-side
+    callers wrap it with a collect (ml.models.auto_hyperparams);
+    executor-side callers run it per key inside applyInPandas — the
+    search itself has no Spark dependency.
+
+    Scores each sampled (span, latent, hidden) candidate by
+    chronological-validation masked-last-point reconstruction MSE.
+    Returns {"span", "latent_dim", "intermediate_dim", "loss",
+    "n_evals"}; raises ValueError if no candidate fits the series.
+    """
+    if isinstance(spans, int):
+        spans = (spans,)
+    grid = [
+        (s, ld, id_)
+        for s in sorted(spans)
+        for ld in sorted(latent_dims)
+        for id_ in sorted(intermediate_dims)
+    ]
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(grid))[:max_evals]
+    candidates = [grid[i] for i in sorted(order)]
+    cut = int(len(vals) * train_size)
+    results = []
+    for span, ld, id_ in candidates:
+        if cut <= span + 2 or len(vals) - cut <= span:
+            continue
+        mean = float(np.nanmean(vals[:cut]))
+        std = float(np.nanstd(vals[:cut]))
+        std = 1.0 if std == 0 or np.isnan(std) else std
+        mean = 0.0 if np.isnan(mean) else mean
+        scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
+        mask = (~np.isnan(vals)).astype(float)
+        Xt = np.lib.stride_tricks.sliding_window_view(
+            scaled[:cut], span).copy()
+        Mt = np.lib.stride_tricks.sliding_window_view(
+            mask[:cut], span).copy()
+        vae = NumpyVAE(span, ld, id_, seed)
+        vae.fit(Xt, Mt, epochs=epochs)
+        lo = cut - span + 1
+        Xv = np.lib.stride_tricks.sliding_window_view(
+            scaled[lo:], span).copy()
+        Mv = np.lib.stride_tricks.sliding_window_view(
+            mask[lo:], span).copy()
+        Mq = Mv.copy()
+        Mq[:, -1] = 0.0
+        mu, _ = vae.reconstruct(Xv, Mq, np.random.default_rng(seed + 7))
+        obs = Mv[:, -1] > 0
+        err = (mu[:, -1] - Xv[:, -1])[obs]
+        loss = float(np.mean(err * err)) if err.size else float("inf")
+        results.append((loss, span, ld, id_))
+    if not results:
+        raise ValueError(
+            "series too short for any candidate span in the search grid")
+    results.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
+    loss, span, ld, id_ = results[0]
+    return {
+        "span": span, "latent_dim": ld, "intermediate_dim": id_,
+        "loss": loss, "n_evals": len(results),
+    }

@@ -501,63 +501,20 @@ def auto_hyperparams(
     """
     import numpy as np
 
-    from loudml_spark.ml.donut_np import NumpyVAE
+    from loudml_spark.ml.donut_np import search_hyperparams_np
 
-    if isinstance(spans, int):
-        spans = (spans,)
     rows = series_df.orderBy(ts_col).select(value_col).collect()
     vals = np.array(
         [np.nan if r[0] is None else float(r[0]) for r in rows]
     )
-    grid = [
-        (s, ld, id_)
-        for s in sorted(spans)
-        for ld in sorted(latent_dims)
-        for id_ in sorted(intermediate_dims)
-    ]
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(len(grid))[:max_evals]
-    candidates = [grid[i] for i in sorted(order)]
-
-    cut = int(len(vals) * train_size)
-    results = []
-    for span, ld, id_ in candidates:
-        if cut <= span + 2 or len(vals) - cut <= span:
-            continue
-        mean = float(np.nanmean(vals[:cut]))
-        std = float(np.nanstd(vals[:cut]))
-        std = 1.0 if std == 0 or np.isnan(std) else std
-        scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
-        mask = (~np.isnan(vals)).astype(float)
-        Xt = np.lib.stride_tricks.sliding_window_view(
-            scaled[:cut], span).copy()
-        Mt = np.lib.stride_tricks.sliding_window_view(
-            mask[:cut], span).copy()
-        vae = NumpyVAE(span, ld, id_, seed)
-        vae.fit(Xt, Mt, epochs=epochs)
-        lo = cut - span + 1
-        Xv = np.lib.stride_tricks.sliding_window_view(
-            scaled[lo:], span).copy()
-        Mv = np.lib.stride_tricks.sliding_window_view(
-            mask[lo:], span).copy()
-        Mq = Mv.copy()
-        Mq[:, -1] = 0.0
-        mu, _ = vae.reconstruct(
-            Xv, Mq, np.random.default_rng(seed + 7))
-        obs_mask = Mv[:, -1] > 0
-        err = (mu[:, -1] - Xv[:, -1])[obs_mask]
-        loss = float(np.mean(err * err)) if err.size else float("inf")
-        results.append((loss, span, ld, id_))
-    if not results:
-        raise errors.Invalid(
-            "series too short for any candidate span in the search grid"
+    try:
+        return search_hyperparams_np(
+            vals, max_evals=max_evals, spans=spans,
+            latent_dims=latent_dims, intermediate_dims=intermediate_dims,
+            train_size=train_size, epochs=epochs, seed=seed,
         )
-    results.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
-    loss, span, ld, id_ = results[0]
-    return {
-        "span": span, "latent_dim": ld, "intermediate_dim": id_,
-        "loss": loss, "n_evals": len(results),
-    }
+    except ValueError as e:
+        raise errors.Invalid(str(e))
 
 
 MODEL_TYPES = {

@@ -102,3 +102,19 @@ def test_fleet_forecast_deterministic(spark):
     b = donut_forecast_many(df.repartition(5), ["series"], **kw) \
         .orderBy("series", "bucket_ts").collect()
     assert a == b
+
+
+def test_fleet_span_auto_per_key(spark):
+    # each key runs its own executor-side hyper-search; scoring still
+    # tracks each series and is deterministic across partitionings
+    df = _series(spark)
+    kw = dict(span="auto", max_evals=3, search_epochs=6, epochs=20,
+              train_before=BASE + 300 * 3600)
+    a = donut_fit_predict_many(df, ["series"], **kw) \
+        .orderBy("series", "bucket_ts").collect()
+    assert {r["series"] for r in a} == {"a", "b"}
+    errs = [abs(r["predicted"] - r["observed"]) for r in a]
+    assert float(np.mean(errs)) < 1.5
+    b = donut_fit_predict_many(df.repartition(6), ["series"], **kw) \
+        .orderBy("series", "bucket_ts").collect()
+    assert a == b
