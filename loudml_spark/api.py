@@ -305,6 +305,8 @@ class Engine:
         stored models exactly like server.py:1803-1818."""
         import yaml
 
+        from loudml_spark import errors
+
         with open(path) as f:
             cfg = yaml.safe_load(f) or {}
         storage_path = (cfg.get("storage") or {}).get("path")
@@ -315,6 +317,13 @@ class Engine:
         for sj in (cfg.get("scheduled_jobs") or {}).values() \
                 if isinstance(cfg.get("scheduled_jobs"), dict) \
                 else (cfg.get("scheduled_jobs") or []):
+            # validate the URL shape at BOOT, while the operator is
+            # looking — not at first firing hours later on a job thread
+            url = sj.get("relative_url", "")
+            if not url.endswith("/_eval"):
+                raise errors.Invalid(
+                    f"unsupported scheduled-job url: {url!r} "
+                    "(only /models/<name>/_eval specs are executable)")
             eng.scheduled.add_template(
                 sj, eng.list_models(),
                 fn=lambda desc: eng._run_scheduled(desc),
@@ -501,6 +510,7 @@ class Engine:
                 widen=True, **kw)
             scored = model.predict(series).filter(
                 F.col(model.ts_col) >= F.lit(from_ts))
+            hooks = self.hooks.get(model_name) if flag_abnormal else None
             if flag_abnormal:
                 from loudml_spark.ml.detect import detect_anomalies
 
@@ -508,27 +518,25 @@ class Engine:
                     scored, model.min_threshold, model.max_threshold,
                     model.grace_period, ts_col=model.ts_col,
                 )
-                hooks = self.hooks.get(model_name)
-                if hooks:
-                    # fire on_anomaly_start/end per episode — the
-                    # reference's hook loop inside detect
-                    # (donut.py:1488-1568); an episode still open at
-                    # the series end keeps its end-hook unfired
-                    from loudml_spark.ml.hooks import fire_hooks
+            if hooks or output_bucket is not None:
+                # the frame is consumed more than once (hook collect /
+                # sink write / the caller's own action) and is bounded
+                # by range/interval rows — cache instead of recomputing
+                # the widened predict lineage per consumer
+                scored = scored.cache()
+            if hooks:
+                # fire on_anomaly_start/end per episode — the
+                # reference's hook loop inside detect
+                # (donut.py:1488-1568); an episode still open at the
+                # series end keeps its end-hook unfired
+                from loudml_spark.ml.detect import anomaly_windows
+                from loudml_spark.ml.hooks import fire_hooks
 
-                    ep = (
-                        scored.filter(F.col("episode_id").isNotNull())
-                        .groupBy("episode_id")
-                        .agg(
-                            F.min(model.ts_col).alias("start_ts"),
-                            F.max(model.ts_col).alias("end_ts"),
-                            F.max("score").alias("max_score"),
-                        )
-                    )
-                    fire_hooks(
-                        ep, hooks, model=model_name,
-                        series_end_ts=to_ts - model.bucket_interval,
-                    )
+                fire_hooks(
+                    anomaly_windows(scored, ts_col=model.ts_col),
+                    hooks, model=model_name,
+                    series_end_ts=to_ts - model.bucket_interval,
+                )
             if output_bucket is not None:
                 self.write(output_bucket, prediction_frame(
                     scored, model.feature_col, model_name))
@@ -595,7 +603,7 @@ class Engine:
                   now: float | None = None) -> int:
         """POST /models/<n>/hooks/<h>/_test: drive hooks with the fake
         prediction (donut.py:1316-1331) through the real detect path."""
-        from loudml_spark.ml.detect import detect_anomalies
+        from loudml_spark.ml.detect import anomaly_windows, detect_anomalies
         from loudml_spark.ml.hooks import fire_hooks
         from loudml_spark.ml.scoring import with_scores
 
@@ -605,13 +613,9 @@ class Engine:
             if hook_name is None or h.name == hook_name
         ]
         fake = with_scores(fake_prediction_frame(self.spark, model, now))
-        episodes = detect_anomalies(fake, ts_col=model.ts_col) \
-            .filter(F.col("is_anomaly"))
-        ep = episodes.groupBy().agg(
-            F.min(model.ts_col).alias("start_ts"),
-            F.max(model.ts_col).alias("end_ts"),
-            F.max("score").alias("max_score"),
-        ).filter(F.col("start_ts").isNotNull())
+        detected = detect_anomalies(fake, ts_col=model.ts_col)
+        ep = anomaly_windows(detected, ts_col=model.ts_col) \
+            .drop("episode_id")
         return fire_hooks(ep, hooks, model=model_name)
 
     # ---- periodic eval (server.py:1629-1674) ---------------------------

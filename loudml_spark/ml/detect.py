@@ -142,17 +142,30 @@ def detect_anomalies(
 
 
 def anomaly_windows(detected: DataFrame,
-                    key_cols: Sequence[str] | None = None) -> DataFrame:
+                    key_cols: Sequence[str] | None = None,
+                    *, ts_col: str = "bucket_ts") -> DataFrame:
     """Collapse per-bucket episode columns into one row per episode:
     (key..., episode_id, start_ts, end_ts, max_score) — the
-    ``list_anomalies`` round-trip shape (loudml/influx.py:662-694)."""
+    ``list_anomalies`` round-trip shape (loudml/influx.py:662-694).
+    The single authority for episode collapse — hook firing and the
+    annotation round-trip both go through here."""
     key_cols = list(key_cols or [])
+    start = (
+        F.min("episode_start_ts")
+        if "episode_start_ts" in detected.columns
+        else F.min(ts_col)
+    )
+    max_score = (
+        F.max("episode_max_score")
+        if "episode_max_score" in detected.columns
+        else F.max("score")
+    )
     return (
         detected.filter(F.col("episode_id").isNotNull())
         .groupBy(*key_cols, "episode_id")
         .agg(
-            F.min("episode_start_ts").alias("start_ts"),
-            F.max("bucket_ts").alias("end_ts"),
-            F.max("episode_max_score").alias("max_score"),
+            start.alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            max_score.alias("max_score"),
         )
     )

@@ -88,7 +88,14 @@ def donut_fit_predict_many(
         else:
             k_span, k_latent, k_inter = span, latent_dim, intermediate_dim
         train = vals[:cut_idx]
-        if len(train) <= k_span + 2:
+        # nothing to score (series ends at/before the cut) or not
+        # enough history for even one query window → empty, not a
+        # sliding_window_view crash inside the executor
+        if (
+            len(train) <= k_span + 2
+            or cut_idx >= len(vals)
+            or len(vals) - max(0, cut_idx - k_span + 1) < k_span
+        ):
             return pd.DataFrame(
                 columns=[*key_cols, ts_col, "observed", "predicted",
                          "lower", "upper"]
@@ -146,7 +153,7 @@ def donut_forecast_many(
     key_cols: list[str],
     *,
     horizon: int,
-    span: int = 24,
+    span=24,
     latent_dim: int = 3,
     intermediate_dim: int = 34,
     epochs: int = 40,
@@ -156,13 +163,17 @@ def donut_forecast_many(
     ts_col: str = "bucket_ts",
     value_col: str = "value",
     seed: int = 42,
+    max_evals: int = 6,
+    search_epochs: int = 10,
 ) -> DataFrame:
     """Per-key roll-forward forecast: train one VAE per key on its full
     series and forecast ``horizon`` buckets past its end, entirely
     inside executors (``applyInPandas``) — the fleet version of
     DonutModel.forecast (donut.py:1333-1475), which the reference
     architecturally cannot do (one process per model).  Deterministic
-    per key.  Output: (keys..., bucket_ts, predicted, lower, upper).
+    per key.  ``span="auto"`` runs the per-key hyper-search first,
+    like donut_fit_predict_many.  Output: (keys..., bucket_ts,
+    predicted, lower, upper).
     """
     from loudml_spark.ml.scoring import band_sigma_for
 
@@ -172,28 +183,43 @@ def donut_forecast_many(
         + [f"{ts_col} long", "predicted double",
            "lower double", "upper double"]
     )
+    auto = span == "auto"
 
     def fn(keys, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col).reset_index(drop=True)
         vals = pdf[value_col].to_numpy(dtype=float)
         ts = pdf[ts_col].to_numpy()
-        if len(vals) <= span + 2:
-            return pd.DataFrame(
-                columns=[*key_cols, ts_col, "predicted", "lower", "upper"]
-            )
+        kseed = _key_seed(keys, seed)
+        empty = pd.DataFrame(
+            columns=[*key_cols, ts_col, "predicted", "lower", "upper"])
+        if auto:
+            from loudml_spark.ml.donut_np import search_hyperparams_np
+
+            try:
+                best = search_hyperparams_np(
+                    vals, max_evals=max_evals, epochs=search_epochs,
+                    seed=kseed)
+            except ValueError:
+                return empty
+            k_span, k_latent, k_inter = (
+                best["span"], best["latent_dim"],
+                best["intermediate_dim"])
+        else:
+            k_span, k_latent, k_inter = span, latent_dim, intermediate_dim
+        if len(vals) <= k_span + 2:
+            return empty
         mean = float(np.nanmean(vals))
         std = float(np.nanstd(vals))
         std = 1.0 if std == 0 or np.isnan(std) else std
         mean = 0.0 if np.isnan(mean) else mean
         scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
         mask = (~np.isnan(vals)).astype(float)
-        X = np.lib.stride_tricks.sliding_window_view(scaled, span).copy()
-        M = np.lib.stride_tricks.sliding_window_view(mask, span).copy()
-        kseed = _key_seed(keys, seed)
-        vae = NumpyVAE(span, latent_dim, intermediate_dim, kseed)
+        X = np.lib.stride_tricks.sliding_window_view(scaled, k_span).copy()
+        M = np.lib.stride_tricks.sliding_window_view(mask, k_span).copy()
+        vae = NumpyVAE(k_span, k_latent, k_inter, kseed)
         vae.fit(X, M, epochs=epochs)
-        window = np.concatenate([scaled[-(span - 1):], [0.0]])
-        wmask = np.concatenate([mask[-(span - 1):], [0.0]])
+        window = np.concatenate([scaled[-(k_span - 1):], [0.0]])
+        wmask = np.concatenate([mask[-(k_span - 1):], [0.0]])
         rng = np.random.default_rng(kseed + 13)
         noise = percent_noise * float(bucket_interval) / 86400.0
         y, sig = vae.forecast_roll(window, wmask, horizon, rng,

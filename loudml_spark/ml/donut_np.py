@@ -292,16 +292,18 @@ def search_hyperparams_np(
     order = rng.permutation(len(grid))[:max_evals]
     candidates = [grid[i] for i in sorted(order)]
     cut = int(len(vals) * train_size)
+    # scaling is candidate-invariant (depends only on vals/cut) —
+    # hoisted out of the eval loop (it runs per key in fleet mode)
+    mean = float(np.nanmean(vals[:cut])) if cut else 0.0
+    std = float(np.nanstd(vals[:cut])) if cut else 1.0
+    std = 1.0 if std == 0 or np.isnan(std) else std
+    mean = 0.0 if np.isnan(mean) else mean
+    scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
+    mask = (~np.isnan(vals)).astype(float)
     results = []
     for span, ld, id_ in candidates:
         if cut <= span + 2 or len(vals) - cut <= span:
             continue
-        mean = float(np.nanmean(vals[:cut]))
-        std = float(np.nanstd(vals[:cut]))
-        std = 1.0 if std == 0 or np.isnan(std) else std
-        mean = 0.0 if np.isnan(mean) else mean
-        scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
-        mask = (~np.isnan(vals)).astype(float)
         Xt = np.lib.stride_tricks.sliding_window_view(
             scaled[:cut], span).copy()
         Mt = np.lib.stride_tricks.sliding_window_view(

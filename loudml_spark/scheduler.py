@@ -64,6 +64,11 @@ def _parse_at(at: str, *, hourly: bool = False) -> tuple[int, int, int]:
         h = 0
         if parts[0] == "":
             m, s = nums[1], 0     # ":MM" → minute
+        elif parts[1] == "":
+            # "MM:" is neither documented form — reject rather than
+            # silently guessing (a user typing "5:" likely meant 05:00)
+            raise errors.Invalid(
+                f"invalid hourly 'at' time (use ':MM' or 'MM:SS'): {at!r}")
         else:
             m, s = nums           # "MM:SS" → minute, second
     else:

@@ -118,3 +118,32 @@ def test_fleet_span_auto_per_key(spark):
     b = donut_fit_predict_many(df.repartition(6), ["series"], **kw) \
         .orderBy("series", "bucket_ts").collect()
     assert a == b
+
+
+def test_fleet_handles_series_ending_before_cut(spark):
+    # a key whose series ends at/before train_before must yield zero
+    # rows, not a sliding_window_view crash inside the executor
+    rows = [("short", BASE + i * 3600, 5.0) for i in range(100)] + \
+        [("full", BASE + i * 3600, 5.0 + (i % 5)) for i in range(420)]
+    df = spark.createDataFrame(
+        rows, "series string, bucket_ts long, value double")
+    out = donut_fit_predict_many(
+        df, ["series"], span=24, epochs=5,
+        train_before=BASE + 300 * 3600,
+    ).collect()
+    assert {r["series"] for r in out} == {"full"}
+
+
+def test_fleet_forecast_span_auto(spark):
+    from loudml_spark.ml.donut_fleet import donut_forecast_many
+
+    df = _series(spark)
+    out = donut_forecast_many(
+        df, ["series"], horizon=6, span="auto", max_evals=3,
+        search_epochs=5, epochs=10,
+    ).orderBy("series", "bucket_ts").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["series"], []).append(r)
+    assert set(by_key) == {"a", "b"}
+    assert all(len(v) == 6 for v in by_key.values())

@@ -156,3 +156,12 @@ def test_hourly_at_uses_minute_second_format():
     import pytest as _pt
     with _pt.raises(errors.Invalid):
         Every(1, "hours", "01:02:03")  # no hour field for hourly at
+
+
+def test_hourly_at_rejects_trailing_colon():
+    from loudml_spark import errors
+    from loudml_spark.scheduler import Every
+    import pytest as _pt
+
+    with _pt.raises(errors.Invalid):
+        Every(1, "hours", "5:")
