@@ -872,8 +872,14 @@ def q_donut_fleet_6h(spark, sf_dir):
 
 
 def q_tpch_q3_shipping(spark, sf_dir):
-    """Q3-style: filtered 3-way join (broadcast dims) + decimal-exact
-    revenue + deterministic top-10."""
+    """Q3-style: filtered 3-way join + decimal-exact revenue +
+    deterministic top-10.
+
+    Broadcast policy: orders and customer are FACT-sized (¼ and 1/10
+    of lineitem at any TPC-H scale) so they get NO broadcast hint —
+    AQE picks broadcast at small SF and shuffled-hash/sort-merge at
+    scale.  Forcing `F.broadcast` on a fact table OOMs executors at
+    100×."""
     from loudml_spark.operators.ranking import top_k
 
     cust = load_table(spark, sf_dir, "customer").filter(
@@ -886,8 +892,8 @@ def q_tpch_q3_shipping(spark, sf_dir):
         F.expr("l_shipdate > TIMESTAMP_NTZ '1998-03-15 00:00:00'")
     )
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
     )
     agg = joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
         F.sum(
@@ -926,8 +932,10 @@ FROM agg QUALIFY rank <= 10
 def q_tpch_q5_local_supplier(spark, sf_dir):
     """Q5-style: 6-way join (lineitem↔orders↔customer↔supplier↔nation↔
     region) with the local-supplier condition, decimal-exact revenue
-    per nation.  All dims broadcast; the only shuffle is the final
-    rollup."""
+    per nation.  True dims (supplier/nation/region) broadcast;
+    fact-sized orders/customer join plain — AQE decides (broadcast at
+    small SF, shuffle join at scale; a forced hint would OOM at
+    100×)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
@@ -940,8 +948,8 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
         F.col("r_name") == "ASIA"
     )
     joined = (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp),
               (li.l_suppkey == supp.s_suppkey)
               & (cust.c_nationkey == supp.s_nationkey))
@@ -979,9 +987,12 @@ GROUP BY n_name
 
 def q_tpch_q7_volume_shipping(spark, sf_dir):
     """Q7-style: bidirectional nation-pair trade volume by ship year.
-    The lineitem fact joins 5 broadcast dims (nation twice, aliased);
-    the pair condition is a disjunction over both directions; one
-    shuffle for the (supp_nation, cust_nation, year) rollup."""
+    True dims (supplier, nation ×2 aliased) broadcast; fact-sized
+    orders/customer join plain so AQE picks the strategy (broadcast
+    at small SF, shuffled-hash/sort-merge at scale — a forced hint on
+    a fact table OOMs executors at 100×).  The pair condition is a
+    disjunction over both directions; one shuffle for the
+    (supp_nation, cust_nation, year) rollup."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
                "l_shipdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'")
@@ -1005,8 +1016,8 @@ def q_tpch_q7_volume_shipping(spark, sf_dir):
     )
     joined = (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -1046,12 +1057,14 @@ GROUP BY 1, 2, 3
 
 
 def q_events_by_segment(spark, sf_dir):
-    """Stream-table enrichment: events joined to the customer dim
-    (broadcast) and rolled up by market segment."""
+    """Stream-table enrichment: events joined to the customer table
+    and rolled up by market segment.  customer scales with SF (a fact
+    in TPC-H terms) so no broadcast hint — AQE broadcasts it at small
+    SF and falls back to a shuffle join at scale."""
     ev = _events(spark, sf_dir)
     cust = load_table(spark, sf_dir, "customer")
     return (
-        ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        ev.join(cust, ev.user_id == cust.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
@@ -1067,6 +1080,104 @@ SELECT c_mktsegment,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
+"""
+
+
+def _asof_inputs(spark, sf_dir):
+    """Left = raw events keyed by customer; right = per-(customer, day)
+    order rollup with exact-int64 ns timestamps on both sides.  The
+    right side is pre-aggregated to one row per (key, ts) so the
+    as-of match is deterministic in every engine."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("ts_ns").alias("ts"),
+        F.col("user_id").alias("custkey"),
+        "value",
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    right = (
+        orders.groupBy(
+            F.col("o_custkey").alias("custkey"),
+            (F.unix_micros(F.col("o_orderdate")) * F.lit(1000))
+            .alias("ts"),
+        )
+        .agg(
+            F.max("o_totalprice").alias("last_price"),
+            F.count("*").cast("double").alias("n_orders"),
+        )
+    )
+    return ev, right
+
+
+_ASOF_SELECT = (
+    "event_id", "custkey", "ts", "value", "order_ts",
+    "last_price", "n_orders",
+)
+
+
+def q_asof_enrich_events_orders(spark, sf_dir):
+    """Point-in-time enrichment: each event picks up the most recent
+    order activity of the same customer (backward inclusive).  One
+    shuffle on the key (union + window forward-fill), no range
+    theta-join — see operators/asof.py.  Oracle: DuckDB native
+    ``ASOF LEFT JOIN``."""
+    from loudml_spark.operators.asof import asof_join
+
+    ev, right = _asof_inputs(spark, sf_dir)
+    out = asof_join(ev, right, on="ts", by=["custkey"])
+    return out.withColumnRenamed("__asof_ts", "order_ts").select(
+        *_ASOF_SELECT)
+
+
+ASOF_TOL_NS = 7 * 86400 * NS  # 7-day staleness cutoff
+
+
+def q_asof_enrich_tolerance_7d(spark, sf_dir):
+    """Same as-of enrichment but with a 7-day tolerance: matches older
+    than the cutoff are nulled (payload AND matched ts together —
+    the whole right row is attached or dropped atomically)."""
+    from loudml_spark.operators.asof import asof_join
+
+    ev, right = _asof_inputs(spark, sf_dir)
+    out = asof_join(ev, right, on="ts", by=["custkey"],
+                    tolerance=ASOF_TOL_NS)
+    return out.withColumnRenamed("__asof_ts", "order_ts").select(
+        *_ASOF_SELECT)
+
+
+_SQL_ASOF_BASE = """
+WITH ro AS (
+  SELECT o_custkey AS custkey, epoch_ns(o_orderdate) AS ts,
+         MAX(o_totalprice) AS last_price,
+         CAST(COUNT(*) AS DOUBLE) AS n_orders
+  FROM orders GROUP BY 1, 2
+),
+le AS (
+  SELECT event_id, epoch_ns(ts) AS ts, user_id AS custkey, value
+  FROM events
+),
+j AS (
+  SELECT le.event_id, le.custkey, le.ts, le.value,
+         ro.ts AS order_ts, ro.last_price, ro.n_orders
+  FROM le ASOF LEFT JOIN ro
+    ON le.custkey = ro.custkey AND le.ts >= ro.ts
+)
+"""
+
+SQL_ASOF_ENRICH_EVENTS_ORDERS = _SQL_ASOF_BASE + """
+SELECT event_id, custkey, ts, value, order_ts, last_price, n_orders
+FROM j
+"""
+
+SQL_ASOF_ENRICH_TOLERANCE_7D = _SQL_ASOF_BASE + f"""
+SELECT event_id, custkey, ts, value,
+       CASE WHEN ts - order_ts > {ASOF_TOL_NS} THEN NULL
+            ELSE order_ts END AS order_ts,
+       CASE WHEN ts - order_ts > {ASOF_TOL_NS} THEN NULL
+            ELSE last_price END AS last_price,
+       CASE WHEN ts - order_ts > {ASOF_TOL_NS} THEN NULL
+            ELSE n_orders END AS n_orders
+FROM j
 """
 
 
@@ -1121,6 +1232,12 @@ QUERIES: dict[str, dict] = {
         "oracle": SQL_TPCH_Q7_VOLUME_SHIPPING},
     "events_by_segment": {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
+    "asof_enrich_events_orders": {
+        "fn": q_asof_enrich_events_orders,
+        "oracle": SQL_ASOF_ENRICH_EVENTS_ORDERS},
+    "asof_enrich_tolerance_7d": {
+        "fn": q_asof_enrich_tolerance_7d,
+        "oracle": SQL_ASOF_ENRICH_TOLERANCE_7D},
     "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
     "donut_predict_1h": {"fn": q_donut_predict_1h, "oracle": None},
     "forecast_donut_48h": {"fn": q_forecast_donut_48h, "oracle": None},

@@ -13,10 +13,13 @@ NOT a range theta-join —
 1. tag both inputs and union them (right rows carry the payload
    columns, left rows carry nulls there);
 2. one shuffle on the key columns orders each key's timeline once;
-3. ``last(payload, ignorenulls)`` over ``(key) ORDER BY (ts, tag)``
-   forward-fills the latest right payload onto every subsequent left
-   row — right rows sort BEFORE left rows at equal ts, making the
-   match inclusive;
+3. each right row is packed into ONE ``struct(ts, payload…)`` and a
+   single ``last(struct, ignorenulls)`` over ``(key) ORDER BY
+   (ts, tag)`` forward-fills the latest right ROW (not each column
+   independently) onto every subsequent left row — right rows sort
+   BEFORE left rows at equal ts, making the match inclusive, and
+   NULLs inside the newest matching row are preserved as-is instead
+   of leaking values from older rows;
 4. keep only left rows; enforce ``tolerance`` by also filling the
    matched right timestamp and nulling the payload where
    ``left.ts − right.ts > tolerance``.
@@ -68,12 +71,18 @@ def asof_join(
         c: (c + suffix if c in left.columns else c) for c in payload
     }
 
+    # Pack the whole right row into ONE struct so the forward-fill
+    # picks an entire row atomically — filling columns independently
+    # would mix payload from different right rows whenever the newest
+    # one holds a NULL (merge_asof attaches the row, NULLs included).
     r = right.select(
         *by,
         F.col(on).alias(on),
         F.lit(0).alias("__tag"),  # right rows first at equal ts
-        F.col(on).alias("__asof_ts"),
-        *[F.col(c).alias(renames[c]) for c in payload],
+        F.struct(
+            F.col(on).alias("__asof_ts"),
+            *[F.col(c).alias(renames[c]) for c in payload],
+        ).alias("__pack"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns
           if c not in (on, *by)],
     )
@@ -82,10 +91,7 @@ def asof_join(
         *by,
         F.col(on).alias(on),
         F.lit(1).alias("__tag"),
-        F.lit(None).cast(r.schema["__asof_ts"].dataType)
-        .alias("__asof_ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(renames[c])
-          for c in payload],
+        F.lit(None).cast(r.schema["__pack"].dataType).alias("__pack"),
         *[F.col(c).alias(f"__l_{c}") for c in l_payload],
     )
     unioned = r.unionByName(lf)
@@ -96,27 +102,25 @@ def asof_join(
         Window.orderBy(on, "__tag")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned
-    for c in ["__asof_ts", *[renames[c] for c in payload]]:
-        filled = filled.withColumn(
-            c, F.last(F.col(c), ignorenulls=True).over(w))
+    filled = unioned.withColumn(
+        "__pack", F.last(F.col("__pack"), ignorenulls=True).over(w))
     out = filled.filter(F.col("__tag") == 1).drop("__tag")
     if tolerance is not None:
-        stale = (F.col(on) - F.col("__asof_ts")) > F.lit(tolerance)
-        miss = F.col("__asof_ts").isNull() | stale
-        for c in payload:
-            out = out.withColumn(
-                renames[c],
-                F.when(miss, F.lit(None)).otherwise(F.col(renames[c])),
-            )
+        stale = (
+            (F.col(on) - F.col("__pack.__asof_ts")) > F.lit(tolerance)
+        )
+        miss = F.col("__pack").isNull() | stale
         out = out.withColumn(
-            "__asof_ts",
-            F.when(miss, F.lit(None)).otherwise(F.col("__asof_ts")),
+            "__pack",
+            F.when(miss, F.lit(None).cast(r.schema["__pack"].dataType))
+            .otherwise(F.col("__pack")),
         )
     # restore original left column names
     for c in l_payload:
         out = out.withColumnRenamed(f"__l_{c}", c)
     return out.select(
-        *by, on, *l_payload, "__asof_ts",
-        *[renames[c] for c in payload],
+        *by, on, *l_payload,
+        F.col("__pack.__asof_ts").alias("__asof_ts"),
+        *[F.col(f"__pack.{renames[c]}").alias(renames[c])
+          for c in payload],
     )

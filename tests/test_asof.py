@@ -79,6 +79,22 @@ def test_asof_matches_pandas_merge_asof(spark):
         assert r["v"] in vals, (r["k"], r["ts"], r["v"], vals)
 
 
+def test_asof_null_in_newest_row_not_mixed(spark):
+    """A NULL payload column in the newest right row must stay NULL —
+    not get back-filled from an older right row (merge_asof attaches
+    one row atomically)."""
+    left = spark.createDataFrame(
+        [("a", 10, 1.0)], "k string, ts long, lv double")
+    right = spark.createDataFrame(
+        [("a", 1, 5.0, 50.0), ("a", 9, None, 90.0)],
+        "k string, ts long, px double, qty double",
+    )
+    row = asof_join(left, right, by=["k"]).collect()[0]
+    assert row["__asof_ts"] == 9
+    assert row["qty"] == 90.0
+    assert row["px"] is None, "px leaked from the older right row"
+
+
 def test_asof_validates_inputs(spark, frames):
     trades, quotes = frames
     with pytest.raises(errors.Invalid):
