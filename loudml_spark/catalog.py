@@ -1098,8 +1098,10 @@ def _asof_inputs(spark, sf_dir):
     right = (
         orders.groupBy(
             F.col("o_custkey").alias("custkey"),
-            (F.unix_micros(F.col("o_orderdate")) * F.lit(1000))
-            .alias("ts"),
+            # o_orderdate loads as TIMESTAMP_NTZ; Spark 4's unix_micros
+            # needs TIMESTAMP (UTC session tz => matches DuckDB epoch_ns).
+            (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+             * F.lit(1000)).alias("ts"),
         )
         .agg(
             F.max("o_totalprice").alias("last_price"),

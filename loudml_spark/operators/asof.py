@@ -52,7 +52,7 @@ def asof_join(
     """Left as-of join (backward, inclusive): every left row plus the
     payload of the latest right row with ``right[on] <= left[on]``
     (same ``by`` keys), or nulls if none (or none within
-    ``tolerance`` seconds).
+    ``tolerance``, expressed in the same units as the ``on`` column).
 
     Payload = every right column except ``on``/``by``; name clashes
     with left columns get ``suffix``.  Adds ``__asof_ts``: the matched

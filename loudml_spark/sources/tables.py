@@ -3,15 +3,20 @@
 Tables: region nation customer supplier part orders lineitem events
 documents embeddings — one parquet each under /root/testdata/sf*/.
 
-The ``events`` table stores nanosecond timestamps, which Spark 4
-rejects by default (PARQUET_TYPE_ILLEGAL INT64 TIMESTAMP(NANOS)).  We
-flip ``spark.sql.legacy.parquet.nanosAsLong`` and expose BOTH:
+The ``events`` table has shipped in two physical layouts across test
+data generations: int64 raw-nanosecond epochs (which Spark 4 rejects
+by default — PARQUET_TYPE_ILLEGAL INT64 TIMESTAMP(NANOS) — unless
+``spark.sql.legacy.parquet.nanosAsLong`` is set) and plain
+``timestamp[us]`` (which Spark reads as TIMESTAMP_NTZ).  We detect
+which one we got and expose BOTH columns either way:
 
-* ``ts``    — TimestampType (µs precision) for human-facing plans;
-* ``ts_ns`` — the raw int64 nanoseconds, so time bucketization can be
-  done in **exact integer arithmetic** that matches DuckDB's
-  ``epoch_ns`` bit-for-bit (no double-rounding flips at bucket
-  boundaries).
+* ``ts``    — a timestamp column for human-facing plans;
+* ``ts_ns`` — int64 nanoseconds since the epoch, so time
+  bucketization can be done in **exact integer arithmetic** that
+  matches DuckDB's ``epoch_ns`` bit-for-bit (no double-rounding flips
+  at bucket boundaries).  For the timestamp[us] layout this is
+  ``unix_micros(ts::timestamp) * 1000`` under a UTC session timezone,
+  which equals DuckDB's ``epoch_ns(ts)`` on the same parquet.
 """
 
 from __future__ import annotations
@@ -33,10 +38,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NTZ->TIMESTAMP casts below interpret wall-clock in the session
+        # timezone; pin UTC so ts_ns == DuckDB epoch_ns regardless of host.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        return (
-            df.withColumnRenamed("ts", "ts_ns")
-            .withColumn("ts", F.timestamp_seconds(F.col("ts_ns") / F.lit(1e9)))
+        ts_type = df.schema["ts"].dataType.simpleString()
+        if ts_type == "bigint":
+            return (
+                df.withColumnRenamed("ts", "ts_ns")
+                .withColumn("ts", F.timestamp_seconds(F.col("ts_ns") / F.lit(1e9)))
+            )
+        return df.withColumn(
+            "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
         )
     return spark.read.parquet(path)
 
