@@ -244,8 +244,13 @@ SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
 
 
 def q_ngram_jaccard_pairs_docs(spark, sf_dir):
+    """Prefix-filtered inverted-index all-pairs join (PPJoin-style) —
+    exact same output as the naive O(N²) verifier, which is retired
+    to unit-level parity tests (tests/test_pipeline.py)."""
+    from loudml_spark.pipeline.dedup import ngram_jaccard_pairs_indexed
+
     docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
-    return ngram_jaccard_pairs(docs, n=1, threshold=0.8)
+    return ngram_jaccard_pairs_indexed(docs, n=1, threshold=0.8)
 
 
 SQL_NGRAM_JACCARD_PAIRS_DOCS = f"""
@@ -291,8 +296,13 @@ FROM v GROUP BY doc_id
 
 
 def q_simhash_pairs_docs(spark, sf_dir):
+    """Runs the BLOCKED pigeonhole implementation (full recall by
+    construction) — the naive O(N²) self-join is retired to
+    unit-level parity tests (tests/test_pipeline.py)."""
+    from loudml_spark.pipeline.dedup import simhash_pairs_blocked
+
     docs = load_table(spark, sf_dir, "documents").filter("doc_id < 150")
-    out = simhash_pairs(docs, max_distance=6)
+    out = simhash_pairs_blocked(docs, max_distance=6)
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
@@ -354,8 +364,13 @@ def q_simhash_pairs_blocked(spark, sf_dir):
 
 
 def q_embedding_cosine_pairs(spark, sf_dir):
+    """Runs the blocked-GEMM exact implementation — the naive
+    cartesian verifier is retired to unit-level parity tests
+    (tests/test_pipeline.py)."""
+    from loudml_spark.pipeline.dedup import embedding_cosine_pairs_blocked
+
     emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 100")
-    return embedding_cosine_pairs(emb, threshold=0.3)
+    return embedding_cosine_pairs_blocked(emb, threshold=0.3, block_size=32)
 
 
 def q_embedding_pairs_blocked(spark, sf_dir):

@@ -343,6 +343,95 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_indexed(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram Jaccard pairs via a prefix-filtered inverted-index
+    join — the scale path replacing :func:`ngram_jaccard_pairs`'
+    O(N²) self-join.  Same output, same oracle.
+
+    All-pairs similarity join (Bayardo et al., WWW'07 / PPJoin):
+
+    1. each doc's distinct shingles are ordered canonically by global
+       document frequency ascending (rare first; ties by string) —
+       one small agg + broadcast-rank join;
+    2. only the first ``|sh| − ⌈t·|sh|⌉ + 1`` shingles (the PREFIX)
+       are indexed.  Two docs with Jaccard ≥ t MUST share a prefix
+       shingle under a common global order, so the equi-join on
+       prefix shingles has full recall — and because prefixes are
+       rare-first, stop-word shingles never become join keys: the
+       hot-key blowup of a naive inverted index is designed out;
+    3. candidate pairs (deduped) pull both full shingle arrays and
+       verify exact Jaccard — identical int/int arithmetic to the
+       naive path and the DuckDB oracle.
+
+    Requires ``threshold > 0`` (a zero threshold would include
+    zero-overlap pairs, which no index can enumerate without a cross
+    join — that regime is the naive verifier's, on bounded input).
+    """
+    if not threshold > 0:
+        raise ValueError("ngram_jaccard_pairs_indexed needs threshold > 0")
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingles_col(F.col(text_col), n).alias("sh"),
+    )
+    # global canonical order: document frequency asc, then string asc.
+    # No global rank materialization needed — the (df, s) tuple IS a
+    # total order, so the only window below is per-doc (partitioned by
+    # id, bounded by doc length), never a global sort.
+    from pyspark.sql import Window
+
+    vocab = (
+        sets.select(F.explode("sh").alias("s"))
+        .groupBy("s").agg(F.count("*").alias("df"))
+    )
+    exploded = sets.select("id", F.size("sh").alias("sz"),
+                           F.explode("sh").alias("s"))
+    # no broadcast hint: the shingle vocabulary is corpus-sized at
+    # 100 TB (fact, not dim) — AQE broadcasts it when it is small
+    ranked = exploded.join(vocab, "s")
+    # prefix length p = sz - ceil(t*sz) + 1; keep the p rarest shingles
+    pfx = (
+        ranked.withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("id")
+                .orderBy(F.asc("df"), F.asc("s"))),
+        )
+        .filter(F.col("pos")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "s")
+    )
+    cand = (
+        pfx.alias("a")
+        .join(pfx.alias("b"),
+              (F.col("a.s") == F.col("b.s"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
+        .otherwise(F.lit(0.0))
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -214,6 +214,30 @@ def test_embedding_pairs_blocked_equals_naive(spark, vectors):
     assert "CartesianProduct" not in plan
 
 
+def test_ngram_jaccard_indexed_equals_naive(spark, docs):
+    from loudml_spark.pipeline.dedup import ngram_jaccard_pairs_indexed
+
+    for n, t in ((1, 0.5), (1, 0.8), (2, 0.3)):
+        naive = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, n=n, threshold=t).collect()
+        )
+        indexed = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in ngram_jaccard_pairs_indexed(
+                docs, n=n, threshold=t).collect()
+        )
+        assert indexed == naive
+    assert len(indexed) >= 0  # n=2/t=0.3 may legitimately be empty
+    # candidate generation must be an equi-join, never a cross join
+    plan = ngram_jaccard_pairs_indexed(docs, n=1, threshold=0.5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs_indexed(docs, n=1, threshold=0.0)
+
+
 def test_minhash_lsh_single_pass_unchanged(spark, docs):
     # struct<sh,sig> single-pass UDF must not change results
     pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
