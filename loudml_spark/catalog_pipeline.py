@@ -11,6 +11,8 @@ before thresholds/ranking so pair sets and ranks match exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from loudml_spark.pipeline.dedup import (
@@ -418,8 +420,10 @@ FROM p QUALIFY rank <= 5
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """ANN scale path (LSH sign-buckets) — rows-only check: the
-    hyperplane literals are seeded Python-side; recall < 1 by design."""
+    """ANN scale path (LSH sign-buckets).  Fully oracle-paired since
+    r4: the hyperplanes are SEEDED LITERALS, so the DuckDB oracle
+    recomputes the exact same buckets (same fold order, same doubles)
+    and the value-hash covers buckets + candidate join + ranking."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10")
     return lsh_cosine_topk(queries, emb, k=5, bits=6)
@@ -427,12 +431,114 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 def q_ann_ivf_topk(spark, sf_dir):
     """ANN via IVF (spherical k-means coarse quantizer + n_probe cell
-    search) — rows-only: centroid training is iterative numpy."""
+    search).  Fully oracle-paired since r4: centroid training samples
+    by a PORTABLE id-hash and runs shared deterministic numpy, so the
+    oracle generator retrains bit-identical centroids from the same
+    parquet and inlines them as SQL literals — the value-hash covers
+    assignment, probing and ranking."""
     from loudml_spark.pipeline.similarity import ivf_cosine_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 10")
     return ivf_cosine_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
+
+
+def _sql_list_dot(v: str, lit: list[float]) -> str:
+    """Sequential-fold dot of a vector column against a literal list —
+    the exact fold order of Spark's F.aggregate(zip_with(...)), so
+    sign decisions are bit-identical."""
+    arr = "[" + ", ".join(repr(float(x)) for x in lit) + "]"
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range({len(lit)}), "
+        f"i -> {v}[i + 1]::DOUBLE * {arr}[i + 1])), (x, y) -> x + y)"
+    )
+
+
+def _sql_ann_lsh_topk() -> str:
+    """DuckDB mirror of q_ann_lsh_topk with inlined plane literals."""
+    from loudml_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, bits=6, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_list_dot('embedding', p)} >= 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+),
+p AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROUND({_sql_cosine('q.embedding', 'c.embedding')}, 6) AS cosine
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM p QUALIFY rank <= 5
+"""
+
+
+def _sql_ann_ivf_topk() -> str:
+    """DuckDB mirror of q_ann_ivf_topk.  Retrains the coarse
+    quantizer from the same parquet via the shared numpy path (the
+    portable sample key makes the sample — hence the centroids —
+    bit-identical to Spark's), then inlines centroids as literals.
+    The sf dir must match the one the Spark side runs against
+    (the driver's correctness gate runs both at sf0.01)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from loudml_spark.pipeline.similarity import (
+        train_ivf_centroids_from_arrays,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    C = train_ivf_centroids_from_arrays(ids, X, n_centroids=16, seed=42)
+    values = ", ".join(
+        "(" + str(j) + ", ["
+        + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, row in enumerate(C)
+    )
+    dot = _SQL_DOT.format(a="e.embedding", b="C.cv")
+    return f"""
+WITH C(cell, cv) AS (VALUES {values}),
+a AS (
+  SELECT e.vec_id, e.embedding, C.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {dot} DESC, C.cell ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN C
+),
+cor AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, cell FROM a WHERE rn = 1
+),
+qa AS (
+  SELECT vec_id AS query_id, embedding AS qv, cell
+  FROM a WHERE vec_id < 10 AND rn <= 4
+),
+p AS (
+  SELECT qa.query_id, cor.neighbor_id,
+         ROUND({_sql_cosine('qa.qv', 'cor.cv')}, 6) AS cosine
+  FROM qa JOIN cor ON qa.cell = cor.cell
+  WHERE qa.query_id != cor.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM p QUALIFY rank <= 5
+"""
 
 
 # ----------------------------------------------------- multimodal / streaming
@@ -567,8 +673,8 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "oracle": SQL_EMBEDDING_COSINE_PAIRS},
     "ann_cosine_topk": {
         "fn": q_ann_cosine_topk, "oracle": SQL_ANN_COSINE_TOPK},
-    "ann_lsh_topk": {"fn": q_ann_lsh_topk, "oracle": None},
-    "ann_ivf_topk": {"fn": q_ann_ivf_topk, "oracle": None},
+    "ann_lsh_topk": {"fn": q_ann_lsh_topk, "oracle_fn": _sql_ann_lsh_topk},
+    "ann_ivf_topk": {"fn": q_ann_ivf_topk, "oracle_fn": _sql_ann_ivf_topk},
     "multimodal_features": {
         "fn": q_multimodal_features, "oracle": SQL_MULTIMODAL_FEATURES},
     "streaming_detect_1h": {

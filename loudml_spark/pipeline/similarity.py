@@ -83,26 +83,21 @@ def lsh_bucket_col(vec, planes: list[list[float]]):
     return bucket
 
 
-def train_ivf_centroids(
-    corpus: DataFrame,
-    n_centroids: int = 16,
-    *,
-    vec_col: str = "embedding",
-    sample: int = 4096,
-    iters: int = 10,
-    seed: int = 42,
+def sample_order_key_expr(id_col: str, seed: int = 42) -> str:
+    """Portable pseudo-random sample ordering key over an int id —
+    plain int64 arithmetic mod 1e9+7, reproducible in Spark, numpy
+    and SQL alike (unlike xxhash64, which only Spark can compute).
+    Seeding shifts the id so different seeds draw different samples."""
+    return f"(({id_col} + {int(seed)}) * 1299721 + 15485863) % 1000000007"
+
+
+def kmeans_spherical_np(
+    X: np.ndarray, n_centroids: int, *, iters: int = 10, seed: int = 42
 ) -> np.ndarray:
-    """Spherical k-means on a bounded, seeded corpus sample (driver
-    numpy).  The sample, not the corpus, bounds driver memory — the
-    classic IVF coarse-quantizer training step."""
-    rows = (
-        corpus.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(sample)
-        .collect()
-    )
-    X = np.array([r[0] for r in rows], dtype=np.float64)
-    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    """Spherical k-means on an in-memory sample (numpy, deterministic
+    given X row order and seed).  Shared by the Spark IVF path and the
+    DuckDB oracle generator so both train bit-identical centroids."""
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(iters):
@@ -113,6 +108,52 @@ def train_ivf_centroids(
                 c = pts.mean(axis=0)
                 C[j] = c / max(np.linalg.norm(c), 1e-12)
     return C
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Spherical k-means on a bounded, seeded corpus sample (driver
+    numpy).  The sample, not the corpus, bounds driver memory — the
+    classic IVF coarse-quantizer training step.  Sample selection and
+    order use a portable id-hash (see sample_order_key_expr), so an
+    external engine holding the same (id, vector) rows reproduces the
+    exact centroids."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.expr(sample_order_key_expr(id_col, seed)),
+                 F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    return kmeans_spherical_np(X, n_centroids, iters=iters, seed=seed)
+
+
+def train_ivf_centroids_from_arrays(
+    ids: np.ndarray,
+    X: np.ndarray,
+    n_centroids: int = 16,
+    *,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Mirror of :func:`train_ivf_centroids` for engines that already
+    hold (id, vector) arrays (e.g. the DuckDB oracle generator) —
+    same portable sample order, same k-means, same centroids."""
+    key = ((ids.astype(np.int64) + seed) * 1299721 + 15485863) \
+        % 1000000007
+    order = np.lexsort((ids, key))[:sample]
+    return kmeans_spherical_np(
+        X[order].astype(np.float64), n_centroids, iters=iters, seed=seed)
 
 
 def _centroid_assign_udf(C: np.ndarray, n_probe: int = 1):
