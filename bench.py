@@ -62,24 +62,38 @@ def main():
     # Reps run as FULL PASSES over the catalog (not back-to-back per
     # query) so a multi-second host stall lands on different queries
     # in each pass and the per-query min survives it.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
-    timings: dict[str, float] = {}
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    samples: dict[str, list[float]] = {}
     for _ in range(reps):
         for name, spec in QUERIES.items():
             t0 = time.perf_counter()
             df = spec["fn"](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
-            dt = time.perf_counter() - t0
-            if name not in timings or dt < timings[name]:
-                timings[name] = dt
-    timings = {k: round(v, 3) for k, v in timings.items()}
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
 
+    from loudml_spark.catalog import release_caches
+
+    release_caches()
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {k: round(min(v), 3) for k, v in samples.items()}
+    medians = {k: round(median(v), 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
+    # `queries` stays the per-query MIN (steady-state, the number
+    # comparable across rounds); `queries_median` exposes the spread so
+    # a contended pass is visible instead of silently inflating totals.
     print(json.dumps({
         "metric": "catalog query wall-clock (noop sink)",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
+        "value_median": round(sum(medians.values()), 3),
+        "reps": reps,
         "sf": sf_of(SF_DIR),
     }))
 

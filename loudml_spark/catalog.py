@@ -470,6 +470,23 @@ GROUP BY l_returnflag, l_linestatus
 JAN22 = JAN1 + 21 * 86400  # train/test boundary for model queries
 
 
+# cached frames handed out by _hourly_series, keyed by (app id, sf_dir)
+# so a long-lived session can release them explicitly — an unbounded
+# .cache() with no unpersist is a storage-leak pattern in services.
+_CACHED_SERIES: dict = {}
+
+
+def release_caches() -> None:
+    """Unpersist every series cached by the catalog helpers.  Call at
+    catalog teardown (bench does, after its last pass)."""
+    while _CACHED_SERIES:
+        _, df = _CACHED_SERIES.popitem()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+
 def _hourly_series(spark, sf_dir):
     """Hourly avg(value) over the full month — model input series.
 
@@ -477,9 +494,14 @@ def _hourly_series(spark, sf_dir):
     model queries walk it several times (profile fit, fallback stats,
     predict) and each walk would otherwise re-scan the full events
     table.  Identical logical plans share one cache entry across the
-    catalog's model queries."""
-    out = _ev_bucketize(spark, sf_dir, ["avg(value)"], 3600)
-    return out.withColumnRenamed("avg_value", "value").cache()
+    catalog's model queries; release_caches() ends the lifecycle."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CACHED_SERIES:
+        out = _ev_bucketize(spark, sf_dir, ["avg(value)"], 3600)
+        _CACHED_SERIES[key] = (
+            out.withColumnRenamed("avg_value", "value").cache()
+        )
+    return _CACHED_SERIES[key]
 
 
 def _scored_series(spark, sf_dir):
