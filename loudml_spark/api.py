@@ -476,15 +476,23 @@ class Engine:
         return series, from_ts, to_ts
 
     def train(self, model_name: str, bucket_name: str, from_date, to_date,
-              feature_expr: str, *, bg: bool = False, **kw):
+              feature_expr: str, *, bg: bool = False,
+              resume: bool = False, **kw):
         """POST /models/<n>/_train (server.py:907-936).  ``bg=True``
-        returns a Job immediately (the reference's 202 + job id)."""
+        returns a Job immediately (the reference's 202 + job id).
+        ``resume=True`` warm-starts from the stored checkpoint when the
+        model supports it and is already trained (the reference's
+        continue-from-ckpt train path, donut.py:857-897) — each train
+        still bumps the checkpoint version on save."""
         model = self.get_model(model_name)
 
         def run():
             series, _, _ = self._series_for(
                 model, bucket_name, from_date, to_date, feature_expr, **kw)
-            model.fit(series)
+            if resume and model.is_trained():
+                model.fit(series, resume=True)
+            else:
+                model.fit(series)
             if self.storage is not None:
                 self.storage.save(model)
             return model

@@ -165,6 +165,7 @@ def donut_forecast_many(
     seed: int = 42,
     max_evals: int = 6,
     search_epochs: int = 10,
+    constraint: str | dict | None = None,
 ) -> DataFrame:
     """Per-key roll-forward forecast: train one VAE per key on its full
     series and forecast ``horizon`` buckets past its end, entirely
@@ -174,14 +175,37 @@ def donut_forecast_many(
     per key.  ``span="auto"`` runs the per-key hyper-search first,
     like donut_fit_predict_many.  Output: (keys..., bucket_ts,
     predicted, lower, upper).
+
+    ``constraint`` ("feature:low|high:threshold", misc.py:311-330
+    grammar, or the parsed dict) adds a ``constraint_breach`` boolean
+    column flagging the FIRST violating bucket per key.  The
+    single-model path raises at the first violation
+    (api.test_constraint); a fleet must not let one bad key kill a
+    thousand good ones, so violations are data, not exceptions —
+    filter ``constraint_breach`` to alert.
     """
     from loudml_spark.ml.scoring import band_sigma_for
+
+    c = None
+    if constraint is not None:
+        from loudml_spark.api import parse_constraint
+
+        c = (parse_constraint(constraint)
+             if isinstance(constraint, str) else dict(constraint))
+        if c["feature"] != value_col:
+            from loudml_spark import errors
+
+            raise errors.Invalid(
+                f"unknown constraint feature: {c['feature']!r} "
+                f"(fleet value column is {value_col!r})"
+            )
 
     p = band_sigma_for(percent_interval)
     schema = ", ".join(
         [f"{k} string" for k in key_cols]
         + [f"{ts_col} long", "predicted double",
            "lower double", "upper double"]
+        + (["constraint_breach boolean"] if c else [])
     )
     auto = span == "auto"
 
@@ -191,7 +215,8 @@ def donut_forecast_many(
         ts = pdf[ts_col].to_numpy()
         kseed = _key_seed(keys, seed)
         empty = pd.DataFrame(
-            columns=[*key_cols, ts_col, "predicted", "lower", "upper"])
+            columns=[*key_cols, ts_col, "predicted", "lower", "upper",
+                     *(["constraint_breach"] if c else [])])
         if auto:
             from loudml_spark.ml.donut_np import search_hyperparams_np
 
@@ -233,6 +258,14 @@ def donut_forecast_many(
             "lower": pred - half,
             "upper": pred + half,
         })
+        if c:
+            viol = (pred < c["threshold"] if c["type"] == "low"
+                    else pred > c["threshold"])
+            breach = np.zeros(horizon, dtype=bool)
+            hit = np.flatnonzero(viol)
+            if hit.size:
+                breach[hit[0]] = True
+            rows["constraint_breach"] = breach
         for i, k in enumerate(key_cols):
             rows.insert(i, k, keys[i])
         return rows

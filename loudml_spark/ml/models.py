@@ -343,19 +343,37 @@ class DonutModel(BaseModel):
         M = np.lib.stride_tricks.sliding_window_view(mask, self.span).copy()
         return X, M
 
-    def fit(self, series_df):
+    def fit(self, series_df, *, resume: bool = False):
+        """Train (or, with ``resume=True`` and an existing checkpoint,
+        CONTINUE training) the VAE.  Resume mirrors the reference's
+        `_train_ckpt_on_dataset` (donut.py:857-897), which keeps the
+        existing keras graph and fits it further on the new window:
+        weights warm-start from ``state["vae"]``; data statistics are
+        re-estimated on the new series (stat_dataset is re-run per
+        train in the reference, donut.py:866); the architecture
+        (span/latent/hidden) is pinned by the checkpoint.  Adam
+        moments restart — matching a fresh `fit` call on a built
+        model, not a mid-epoch suspend."""
         import numpy as np
 
         from loudml_spark.ml.donut_np import NumpyVAE
 
+        warm = resume and isinstance(self.state, dict) \
+            and "vae" in self.state
         if self.span == "auto":
-            best = auto_hyperparams(
-                series_df, max_evals=self.max_evals, seed=self.seed,
-                ts_col=self.ts_col, value_col=self.feature_col,
-            )
-            self.span = best["span"]
-            self.latent_dim = best["latent_dim"]
-            self.intermediate_dim = best["intermediate_dim"]
+            if warm:
+                # checkpoint pins the architecture — no re-search
+                self.span = int(self.state["vae"]["span"])
+                self.latent_dim = int(self.state["vae"]["latent"])
+                self.intermediate_dim = int(self.state["vae"]["hidden"])
+            else:
+                best = auto_hyperparams(
+                    series_df, max_evals=self.max_evals, seed=self.seed,
+                    ts_col=self.ts_col, value_col=self.feature_col,
+                )
+                self.span = best["span"]
+                self.latent_dim = best["latent_dim"]
+                self.intermediate_dim = best["intermediate_dim"]
 
         _, vals = self._series(series_df)
         mean = float(np.nanmean(vals))
@@ -363,8 +381,11 @@ class DonutModel(BaseModel):
         if std == 0 or np.isnan(std):
             std = 1.0  # donut.py:650
         X, M = self._windows(vals, mean, std)
-        vae = NumpyVAE(self.span, self.latent_dim, self.intermediate_dim,
-                       self.seed)
+        if warm:
+            vae = NumpyVAE.from_state(self.state["vae"])
+        else:
+            vae = NumpyVAE(self.span, self.latent_dim,
+                           self.intermediate_dim, self.seed)
         history = vae.fit(X, M, epochs=self.epochs,
                           batch_size=self.batch_size)
         # keep the raw training tail (span-1 values) so forecast can

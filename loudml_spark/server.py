@@ -200,8 +200,10 @@ class _Handler(BaseHTTPRequestHandler):
             eng.restore_model(name, int(q["version"]))
             return self._json(200, {"restored": int(q["version"])})
         if action == "_train":
+            resume = q.get("resume", "").lower() in ("1", "true", "yes")
             out = eng.train(name, q["bucket"], q["from"], q["to"],
-                            q.get("features", "avg(value)"), bg=bg, **kw)
+                            q.get("features", "avg(value)"), bg=bg,
+                            resume=resume, **kw)
             if bg:
                 return self._json(202, {"job": out.id})
             return self._json(200, {"trained": name})

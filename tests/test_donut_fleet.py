@@ -147,3 +147,39 @@ def test_fleet_forecast_span_auto(spark):
         by_key.setdefault(r["series"], []).append(r)
     assert set(by_key) == {"a", "b"}
     assert all(len(v) == 6 for v in by_key.values())
+
+
+def test_fleet_forecast_constraint_flags_per_key(spark):
+    # constraint is data, not an exception, on the fleet path: one bad
+    # key must not kill the thousand good ones (VERDICT r2 #6).  Key
+    # "a" swings 5..15 so a low:7 constraint breaches; key "b" stays
+    # within 8..12 so it must not.
+    import pytest as _pytest
+
+    from loudml_spark import errors
+    from loudml_spark.ml.donut_fleet import donut_forecast_many
+
+    df = _series(spark)
+    out = donut_forecast_many(
+        df, ["series"], horizon=48, span=24, epochs=40,
+        constraint="value:low:7.0",
+    ).orderBy("series", "bucket_ts").collect()
+    assert "constraint_breach" in out[0].__fields__
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["series"], []).append(r)
+    a_breach = [r for r in by_key["a"] if r["constraint_breach"]]
+    assert len(a_breach) == 1  # first violating bucket only
+    first_low = next(r for r in by_key["a"] if r["predicted"] < 7.0)
+    assert a_breach[0]["bucket_ts"] == first_low["bucket_ts"]
+    assert not any(r["constraint_breach"] for r in by_key["b"])
+
+    # no constraint -> schema unchanged
+    plain = donut_forecast_many(
+        df, ["series"], horizon=4, span=24, epochs=5)
+    assert "constraint_breach" not in plain.columns
+
+    # unknown feature fails fast on the driver
+    with _pytest.raises(errors.Invalid):
+        donut_forecast_many(df, ["series"], horizon=4,
+                            constraint="other:low:1.0")

@@ -222,3 +222,40 @@ def test_span_auto_resolves_at_fit(spark):
     again = make_model(m.settings())
     assert again.span == m.span
     assert again.latent_dim == m.latent_dim
+
+
+def test_resume_training_warm_start(spark, tmp_path):
+    # reference: train continues from the stored checkpoint
+    # (donut.py:857-897).  Resumed training at equal per-call epochs
+    # must end at-or-below the from-scratch loss (it has strictly more
+    # optimization steps on the same data), and weights must actually
+    # carry over (resumed != re-initialized).
+    df = _sine_series(spark, n=300)
+    cold = DonutModel("rs", span=24, latent_dim=3, intermediate_dim=34,
+                      epochs=20, bucket_interval=3600).fit(df)
+    loss_cold = cold.state["loss"]
+
+    st = ModelStorage(str(tmp_path))
+    v1 = st.save(cold)
+    resumed = st.load("rs")
+    resumed.fit(df, resume=True)
+    assert resumed.state["loss"] <= loss_cold + 1e-9
+    v2 = st.save(resumed)
+    assert v2 > v1  # checkpoint version bumps per train
+
+    # warm start is a real continuation: a fresh fit with the same
+    # seed reproduces loss_cold exactly, the resumed one does not
+    again = DonutModel("rs2", span=24, latent_dim=3, intermediate_dim=34,
+                       epochs=20, bucket_interval=3600).fit(df)
+    assert again.state["loss"] == pytest.approx(loss_cold)
+    assert resumed.state["loss"] != pytest.approx(loss_cold)
+
+
+def test_resume_with_span_auto_pins_architecture(spark):
+    df = _sine_series(spark, n=260)
+    m = DonutModel("rsa", span="auto", latent_dim=3, intermediate_dim=34,
+                   epochs=10, max_evals=2, bucket_interval=3600).fit(df)
+    span1 = m.span
+    m.fit(df, resume=True)  # must NOT re-run the hyper-search
+    assert m.span == span1
+    assert m.state["vae"]["span"] == span1
