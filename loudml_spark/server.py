@@ -119,7 +119,36 @@ class _Handler(BaseHTTPRequestHandler):
             return self._jobs(method, parts[1:], q)
         if head == "scheduled_jobs" and method == "GET":
             return self._json(200, eng.scheduled.list_scheduled())
+        if head == "_nodes" and method == "GET":
+            return self._nodes(parts[1:])
         return self._json(404, {"error": f"no route: {'/'.join(parts)}"})
+
+    def _nodes(self, rest):
+        """GET /_nodes[/<node>[/http]] — single-node cluster listing
+        (server.py:1739-1775 shape; Spark is the 'cluster', so the one
+        node reports the driver's bound address; no DNS lookups so the
+        endpoint stays offline-safe)."""
+        host = self.server.server_address[0] or "127.0.0.1"
+        port = self.server.server_address[1]
+        addr = f"{host}:{port}"
+        node = {
+            "name": "node-0",
+            "transport_address": addr,
+            "host": host,
+            "version": VERSION["version"],
+            "roles": ["master", "data"],
+            "http": {"bound_address": [addr], "publish_address": addr},
+        }
+        if rest and rest[0] not in ("node-0", "_all"):
+            return self._json(404, {"error": f"no node: {rest[0]}"})
+        if len(rest) >= 2 and rest[1] == "http":
+            return self._json(200, {"nodes": {"node-0": {
+                "name": node["name"], "http": node["http"]}}})
+        return self._json(200, {
+            "_nodes": {"total": 1, "successful": 1, "failed": 0},
+            "cluster_name": "loudml-spark",
+            "nodes": {"node-0": node},
+        })
 
     def _buckets(self, method, rest, q):
         eng = self.engine

@@ -147,3 +147,17 @@ def test_malformed_requests_get_json_errors(srv):
         _post(srv + "/buckets")  # POST with no body
     assert ei.value.code in (400, 500)
     json.loads(ei.value.read())  # body is JSON
+
+
+def test_nodes_endpoint(srv):
+    code, body = _get(f"{srv}/_nodes")
+    assert code == 200
+    assert body["_nodes"] == {"total": 1, "successful": 1, "failed": 0}
+    node = body["nodes"]["node-0"]
+    assert node["http"]["publish_address"].split(":")[1].isdigit()
+    code, body = _get(f"{srv}/_nodes/node-0/http")
+    assert code == 200
+    assert set(body["nodes"]["node-0"]) == {"name", "http"}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(f"{srv}/_nodes/nope")
+    assert ei.value.code == 404
