@@ -204,8 +204,8 @@ def q_minhash_lsh_pairs_docs(spark, sf_dir):
     return minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
 
 
-SQL_MINHASH_LSH_PAIRS_DOCS = f"""
-WITH sh AS (
+# CTE chain shared by the pair query and the dedup-cluster oracle
+_SQL_LSH_CTES = f"""sh AS (
   SELECT doc_id, {_SQL_WORD_HASHES} AS sh FROM documents
   WHERE doc_id < 1000
 ),
@@ -240,8 +240,40 @@ j AS (
   FROM cand c
   JOIN sh sa ON sa.doc_id = c.id_a
   JOIN sh sb ON sb.doc_id = c.id_b
-)
+)"""
+
+SQL_MINHASH_LSH_PAIRS_DOCS = f"""
+WITH {_SQL_LSH_CTES}
 SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8
+"""
+
+# connected components of the >= 0.8 LSH pair graph: cluster id = min
+# reachable doc_id (recursive transitive closure — fine at oracle
+# scale; the Spark side uses log-round label propagation instead).
+# Docs outside any pair are their own singleton cluster.
+SQL_DEDUP_CLUSTERS_DOCS = f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+pairs AS (
+  SELECT id_a, id_b FROM j WHERE jaccard >= 0.8
+),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+),
+comp AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.doc_id,
+       COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(comp.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
@@ -269,6 +301,21 @@ p AS (
 )
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
 """
+
+
+def q_dedup_clusters_docs(spark, sf_dir):
+    """LSH pairs → connected components → canonical doc per cluster
+    (the keep/drop decision of a dedup pass).  Spark: log-round
+    min-label propagation with path halving; oracle: recursive-CTE
+    transitive closure.  Both reduce to the same deterministic
+    component-min labels."""
+    from loudml_spark.pipeline.dedup import dedup_clusters
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    return dedup_clusters(pairs, docs)
 
 
 def q_simhash_docs(spark, sf_dir):
@@ -660,6 +707,8 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "ngram_jaccard_pairs_docs": {
         "fn": q_ngram_jaccard_pairs_docs,
         "oracle": SQL_NGRAM_JACCARD_PAIRS_DOCS},
+    "dedup_clusters_docs": {
+        "fn": q_dedup_clusters_docs, "oracle": SQL_DEDUP_CLUSTERS_DOCS},
     "simhash_docs": {"fn": q_simhash_docs, "oracle": SQL_SIMHASH_DOCS},
     "simhash_pairs_docs": {
         "fn": q_simhash_pairs_docs, "oracle": SQL_SIMHASH_PAIRS_DOCS},

@@ -581,6 +581,113 @@ def simhash_pairs_blocked(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame | None = None,
+    *,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → one canonical
+    doc per cluster — the decision step after pair generation: keep
+    ``is_canonical``, drop the rest.
+
+    Input ``pairs`` needs (id_a, id_b) columns (minhash_lsh_pairs /
+    simhash_pairs_blocked / ngram_jaccard_pairs_indexed output all
+    qualify).  Output: (id_col, cluster_id, is_canonical) where
+    cluster_id is the component's MINIMUM id — a deterministic result
+    independent of iteration or partition order.  When ``docs`` is
+    given, docs absent from every pair come back as singleton
+    clusters of themselves.
+
+    Algorithm: min-label propagation with PATH HALVING — each round
+    (a) every node takes the min label among itself and its
+    neighbors (one hash shuffle on the edge key), then (b) labels
+    chase their own label's label (pointer doubling, one self-join).
+    Halving makes convergence O(log diameter) rounds instead of
+    O(diameter) — the Hash-to-Min / CC-MR family of MapReduce CC
+    algorithms — and near-dup graphs have tiny diameters anyway.
+    Each round localCheckpoints the label frame to truncate lineage
+    (on a real cluster, set a checkpoint dir and use checkpoint()
+    for fault tolerance instead).  Raises if not converged within
+    ``max_iter`` — a silent partial clustering would corrupt a dedup
+    pass downstream.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"),
+                                 F.col("src").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    converged = False
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"),
+                              F.col("label").alias("nlabel")),
+                "dst",
+            )
+            .groupBy("src").agg(F.min("nlabel").alias("nmin"))
+            .select(F.col("src").alias("id"), "nmin")
+        )
+        prop = (
+            labels.join(nmin, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nmin"), F.col("label")))
+                .alias("label"),
+            )
+        )
+        # path halving: label <- label(label)
+        halved = (
+            prop.alias("a")
+            .join(
+                prop.select(F.col("id").alias("label"),
+                            F.col("label").alias("ll")).alias("b"),
+                "label", "left",
+            )
+            .select(F.col("id"),
+                    F.coalesce(F.col("ll"), F.col("label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            halved.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = halved
+        if changed == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds"
+        )
+    out = labels.select(F.col("id").alias(id_col),
+                        F.col("label").alias("cluster_id"))
+    if docs is not None:
+        out = (
+            docs.select(id_col)
+            .join(out, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("cluster_id"), F.col(id_col))
+                .alias("cluster_id"),
+            )
+        )
+    return out.withColumn(
+        "is_canonical", F.col("cluster_id") == F.col(id_col)
+    )
+
+
 def _cosine_udf():
     """Row-batched cosine via numpy einsum (Arrow in, BLAS-grade
     compute).  Summation order differs from a sequential fold by

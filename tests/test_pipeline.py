@@ -259,3 +259,30 @@ def test_long_token_shingles_no_memory_blowup(spark):
     got = _batch_shingle_hashes(__import__("pandas").Series(texts), 1)
     for t, hs in zip(texts, got):
         assert sorted(hs.tolist()) == sorted(_shingle_hash_set(t, 1))
+
+
+def test_dedup_clusters(spark):
+    from loudml_spark.pipeline.dedup import dedup_clusters
+
+    # components: {1,2,3,7} (chain + extra edge), {5,9}; 4 is a
+    # singleton only present in docs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (5, 9), (1, 7)],
+        "id_a long, id_b long",
+    )
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 4, 5, 7, 9)], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup_clusters(pairs, docs).collect()}
+    assert out == {
+        1: (1, True), 2: (1, False), 3: (1, False), 7: (1, False),
+        5: (5, True), 9: (5, False), 4: (4, True),
+    }
+    # without docs: only pair participants
+    out2 = {r["doc_id"] for r in dedup_clusters(pairs).collect()}
+    assert out2 == {1, 2, 3, 5, 7, 9}
+    # long chain converges via path halving
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    labs = {r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    assert labs == {0}
