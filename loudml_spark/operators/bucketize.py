@@ -82,9 +82,28 @@ def _range_predicate(
         return (F.col(ts_col) >= lo) & (F.col(ts_col) < hi)
     if isinstance(dtype, (T.LongType, T.IntegerType)) and ts_unit in _UNIT_SCALE:
         scale = _UNIT_SCALE[ts_unit]
-        return (F.col(ts_col) >= F.lit(int(from_ts * scale))) & (
+        pred = (F.col(ts_col) >= F.lit(int(from_ts * scale))) & (
             F.col(ts_col) < F.lit(int(to_ts * scale))
         )
+        # when ts_col is an expression DERIVED from a physical
+        # timestamp column (loader marks it via column metadata), a
+        # predicate on it cannot reach the parquet scan; AND in the
+        # equivalent range on the raw column — semantically redundant
+        # (same instants by construction) but pushable, restoring
+        # row-group pruning.  Only metadata-marked columns get this:
+        # for a raw int64 ts_ns with a double-rounded derived ts the
+        # extra filter could flip boundary rows, so it must never be
+        # inferred from column names alone.
+        raw = df.schema[ts_col].metadata.get("derived_from") \
+            if df.schema[ts_col].metadata else None
+        if raw and raw in df.columns and isinstance(
+            df.schema[raw].dataType, (T.TimestampType, T.TimestampNTZType)
+        ):
+            rdtype = df.schema[raw].dataType
+            lo = F.timestamp_seconds(F.lit(float(from_ts))).cast(rdtype)
+            hi = F.timestamp_seconds(F.lit(float(to_ts))).cast(rdtype)
+            pred = pred & (F.col(raw) >= lo) & (F.col(raw) < hi)
+        return pred
     return (F.col(ts_col) >= F.lit(float(from_ts))) & (
         F.col(ts_col) < F.lit(float(to_ts))
     )

@@ -48,8 +48,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 df.withColumnRenamed("ts", "ts_ns")
                 .withColumn("ts", F.timestamp_seconds(F.col("ts_ns") / F.lit(1e9)))
             )
-        return df.withColumn(
-            "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        # column metadata marks ts_ns as derived from the physical ts
+        # column — bucketize reads it to add a REDUNDANT range
+        # predicate on ts itself, which (unlike a predicate on this
+        # computed expression) pushes down to the parquet scan for
+        # row-group pruning.
+        return df.select(
+            "*",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+            .alias("ts_ns", metadata={"derived_from": "ts"}),
         )
     return spark.read.parquet(path)
 
