@@ -1275,6 +1275,12 @@ from loudml_spark.catalog_pipeline import PIPELINE_QUERIES  # noqa: E402
 
 QUERIES.update(PIPELINE_QUERIES)
 
+# relational/time-series extensions (sessionize / range join / rollup /
+# corpus vocabulary + TF-IDF)
+from loudml_spark.catalog_ext import EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)
+
 
 def queries():
     return {name: spec["fn"] for name, spec in QUERIES.items()}

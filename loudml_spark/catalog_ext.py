@@ -1,0 +1,297 @@
+"""Catalog: relational/time-series extensions beyond the reference —
+sessionization, binned range join, hierarchical rollup, corpus
+vocabulary and TF-IDF.
+
+Same oracle conventions as catalog.py: integer-ns time arithmetic,
+DECIMAL-routed sums, ROUND on both sides of any float the two engines
+would otherwise sum in different orders, identical aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from loudml_spark.sources.tables import load_table
+
+NS = 10**9
+
+SESSION_GAP_NS = 1800 * NS         # 30 min
+RJ_WIN_NS = 2 * 3600 * NS          # 2 h maintenance windows
+RJ_EVERY = 199                     # every 199th event opens a window
+ROLLUP_LEVELS = (3600, 21600, 86400)   # 1h → 6h → 1d
+VOCAB_TOP_K = 100
+TFIDF_MAX_DOC = 100                # bound the per-doc term output
+TFIDF_TOP_TERMS = 5
+
+
+def _events_ts(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts_ns").alias("ts"),
+        "user_id",
+        "value",
+    )
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def q_sessionize_users_30m(spark, sf_dir):
+    """Gap-based sessionization of the event stream per user (30-min
+    inactivity closes a session), collapsed to per-session stats.
+    One shuffle on user_id + two window passes — see
+    operators/sessionize.py.  Oracle: the same lag/running-sum
+    construction in DuckDB window SQL."""
+    from loudml_spark.operators.sessionize import session_stats
+
+    ev = _events_ts(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    out = session_stats(
+        ev, gap=SESSION_GAP_NS, ts_col="ts", by=["user_id"],
+        value_col="value",
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        "duration",
+        "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+SQL_SESSIONIZE_USERS_30M = f"""
+WITH t AS (
+  SELECT user_id, epoch_ns(ts) AS ts, value,
+         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+                   OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w
+                      > {SESSION_GAP_NS}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       MAX(ts) - MIN(ts) AS duration,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------------------ range join
+
+
+def q_range_join_windows_2h(spark, sf_dir):
+    """Point-in-interval join: events against 2-hour "maintenance
+    windows" (opened by every {RJ_EVERY}th event), aggregated per
+    window.  Binned equi-join — no nested-loop range join; see
+    operators/rangejoin.py.  Oracle: DuckDB theta-join."""
+    from loudml_spark.operators.rangejoin import range_join
+
+    ev = _events_ts(spark, sf_dir).select("event_id", "ts", "value")
+    wins = ev.filter(F.col("event_id") % RJ_EVERY == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.lit(RJ_WIN_NS)).alias("win_end"),
+    )
+    j = range_join(
+        ev, wins, on="ts", start_col="win_start", end_col="win_end",
+        bin_width=RJ_WIN_NS,
+    )
+    return j.groupBy("window_id", "win_start").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double").alias("sum_value"),
+    )
+
+
+SQL_RANGE_JOIN_WINDOWS_2H = f"""
+WITH ev AS (
+  SELECT event_id, epoch_ns(ts) AS ts, value FROM events
+),
+w AS (
+  SELECT event_id AS window_id, ts AS win_start,
+         ts + {RJ_WIN_NS} AS win_end
+  FROM ev WHERE event_id % {RJ_EVERY} = 0
+)
+SELECT w.window_id AS window_id, w.win_start AS win_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM ev JOIN w ON ev.ts >= w.win_start AND ev.ts < w.win_end
+GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------ rollup
+
+
+def q_rollup_1h_6h_1d(spark, sf_dir):
+    """Hierarchical rollup 1h → 6h → 1d where each coarser level
+    re-aggregates the previous level's partials (sum-of-sums /
+    min-of-mins…), the continuous-aggregate pattern — raw events are
+    scanned once and the 6h/1d levels run over ~tiny inputs (Spark
+    reuses the level-0 exchange across the union's branches).
+    Oracle: three direct aggregations of the raw table, proving the
+    cascade is exactly equal to recomputation (sums ride DECIMAL, so
+    re-association is exact)."""
+    from loudml_spark.operators.rollup import rollup_cascade
+
+    ev = _events_ts(spark, sf_dir)
+    out = rollup_cascade(
+        ev, value_col="value", intervals=list(ROLLUP_LEVELS),
+        ts_col="ts", ts_scale=NS,
+    )
+    return out.select(
+        "interval_s", "bucket_ts", "n", "sum_value",
+        "min_value", "max_value",
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
+def _sql_rollup_level(interval: int) -> str:
+    return f"""
+SELECT CAST({interval} AS BIGINT) AS interval_s,
+       (epoch_ns(ts) // {interval * NS}) * {interval} AS bucket_ts,
+       COUNT(value) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+SQL_ROLLUP_1H_6H_1D = " UNION ALL ".join(
+    _sql_rollup_level(iv) for iv in ROLLUP_LEVELS
+)
+
+
+# ------------------------------------------------------------ corpus
+
+
+def q_vocab_top100(spark, sf_dir):
+    """Corpus vocabulary over `documents`: total term frequency and
+    document frequency per token, deterministic top-{VOCAB_TOP_K}
+    (tf desc, token asc).  Map-side partial aggregation bounds the
+    shuffle at |vocab|·|tasks| rows; top-k is TakeOrderedAndProject
+    (per-task heaps, no global sort) — see pipeline/corpus.py."""
+    from loudml_spark.pipeline.corpus import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocabulary(docs, top_k=VOCAB_TOP_K)
+
+
+SQL_VOCAB_TOP100 = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS tf_doc
+  FROM tok GROUP BY doc_id, token
+)
+SELECT token, CAST(SUM(tf_doc) AS BIGINT) AS tf, COUNT(*) AS df
+FROM per_doc
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+def q_tfidf_top5_per_doc(spark, sf_dir):
+    """Smoothed TF-IDF (sklearn formula) for the top
+    {TFIDF_TOP_TERMS} terms of each document with
+    doc_id < {TFIDF_MAX_DOC} (bounded output).  Term ranking is by
+    integer (tf desc, token asc) so the cut is engine-deterministic;
+    the float tfidf itself is ROUNDed on both sides."""
+    from pyspark.sql import Window
+
+    from loudml_spark.pipeline.corpus import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tf_idf(docs).filter(F.col("doc_id") < TFIDF_MAX_DOC)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_TERMS)
+        .select(
+            "doc_id", "token", "tf", "doc_len", "df",
+            F.round("tfidf", 6).alias("tfidf"), "rank",
+        )
+    )
+
+
+SQL_TFIDF_TOP5_PER_DOC = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+lens AS (
+  SELECT doc_id, SUM(tf) AS doc_len FROM per_doc GROUP BY doc_id
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM per_doc GROUP BY token
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+  SELECT p.doc_id, p.token, p.tf, l.doc_len, d.df,
+         (CAST(p.tf AS DOUBLE) / l.doc_len)
+         * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0) AS tfidf
+  FROM per_doc p
+  JOIN lens l USING (doc_id)
+  JOIN dfreq d USING (token)
+  CROSS JOIN n
+  WHERE p.doc_id < {TFIDF_MAX_DOC}
+)
+SELECT doc_id, token, tf, doc_len, df, ROUND(tfidf, 6) AS tfidf,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf DESC, token ASC)
+            AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= {TFIDF_TOP_TERMS}
+"""
+
+
+EXT_QUERIES: dict[str, dict] = {
+    "sessionize_users_30m": {
+        "fn": q_sessionize_users_30m,
+        "oracle": SQL_SESSIONIZE_USERS_30M,
+    },
+    "range_join_windows_2h": {
+        "fn": q_range_join_windows_2h,
+        "oracle": SQL_RANGE_JOIN_WINDOWS_2H,
+    },
+    "rollup_1h_6h_1d": {
+        "fn": q_rollup_1h_6h_1d,
+        "oracle": SQL_ROLLUP_1H_6H_1D,
+    },
+    "vocab_top100": {
+        "fn": q_vocab_top100,
+        "oracle": SQL_VOCAB_TOP100,
+    },
+    "tfidf_top5_per_doc": {
+        "fn": q_tfidf_top5_per_doc,
+        "oracle": SQL_TFIDF_TOP5_PER_DOC,
+    },
+}

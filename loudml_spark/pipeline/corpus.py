@@ -1,0 +1,98 @@
+"""Corpus-level lexical statistics — vocabulary and TF-IDF.
+
+The foundational batch jobs of an LLM-training-data pipeline: build
+the corpus vocabulary (token → frequency) and score document terms
+with TF-IDF.  Everything is expressed as explode → groupBy so Spark
+runs it with map-side partial aggregation (a token appearing 10⁹
+times contributes ONE partial count per task, not 10⁹ shuffled
+rows) — the word-count shuffle moves |vocab|·|tasks| rows at most,
+independent of corpus size.
+
+Top-k selection uses ``orderBy(...).limit(k)``, which Spark plans as
+TakeOrderedAndProject: each task keeps a k-row heap and the driver
+merges heaps — no global sort shuffle.  Ordering ties break on the
+token string, so results are deterministic across engines.
+
+Tokenization is ``regexp_extract_all(lower(text), '[a-z]+')`` —
+deliberately the simplest cross-engine-reproducible scheme (the same
+call exists verbatim in DuckDB for the oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z]+"
+
+
+def tokens(
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode documents into (id, token) rows."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("token"),
+    )
+
+
+def vocabulary(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: ``token``, ``tf`` (total occurrences),
+    ``df`` (documents containing it), deterministically ordered by
+    (tf desc, token asc) and optionally truncated to ``top_k``."""
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    # per-(doc, token) first: the df count then needs no count-distinct
+    # (a second full shuffle of raw occurrences) — just a count of the
+    # already-reduced pairs.
+    per_doc = t.groupBy(id_col, "token").agg(F.count("*").alias("tf_doc"))
+    vocab = per_doc.groupBy("token").agg(
+        F.sum("tf_doc").alias("tf"), F.count("*").alias("df")
+    )
+    vocab = vocab.orderBy(F.desc("tf"), F.asc("token"))
+    return vocab.limit(top_k) if top_k else vocab
+
+
+def tf_idf(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Smoothed TF-IDF per (document, token):
+    ``tf/doc_len · (ln((1+N)/(1+df)) + 1)`` (sklearn's smooth-idf).
+
+    Returns ``id_col, token, tf, doc_len, df, tfidf``.  The doc-count
+    N is a scalar: pass it if known, else it is computed eagerly with
+    one column-pruned distinct-count pass and inlined as a literal.
+    (Attaching it as a 1-row cross/constant-key join instead plans as
+    BroadcastNestedLoopJoin — Catalyst folds a constant join key away
+    — which would break the catalog's no-nested-loop invariant; a
+    scalar distributed count is the cheaper, idiomatic shape.)
+    """
+    if n_docs is None:
+        n_docs = df.select(id_col).distinct().count()
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    per_doc = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    doc_len = per_doc.groupBy(id_col).agg(F.sum("tf").alias("doc_len"))
+    dfreq = per_doc.groupBy("token").agg(F.count("*").alias("df"))
+    out = per_doc.join(doc_len, id_col).join(dfreq, "token")
+    idf = F.log(
+        (F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))
+    ) + F.lit(1.0)
+    return out.select(
+        id_col,
+        "token",
+        "tf",
+        "doc_len",
+        "df",
+        ((F.col("tf") / F.col("doc_len")) * idf).alias("tfidf"),
+    )

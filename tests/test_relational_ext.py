@@ -1,0 +1,240 @@
+"""Sessionize / range join / rollup / corpus operators vs hand goldens."""
+
+import math
+
+import pytest
+
+from loudml_spark import errors
+from loudml_spark.operators.rangejoin import range_join
+from loudml_spark.operators.rollup import rollup_cascade
+from loudml_spark.operators.sessionize import session_stats, sessionize
+from loudml_spark.pipeline.corpus import tf_idf, tokens, vocabulary
+
+
+# ------------------------------------------------------------ sessionize
+
+
+def test_sessionize_gap_splits_per_key(spark):
+    df = spark.createDataFrame(
+        [("u", 0), ("u", 10), ("u", 200), ("u", 205), ("v", 0)],
+        "k string, ts long",
+    )
+    out = {(r["k"], r["ts"]): r["session_id"]
+           for r in sessionize(df, gap=100, by=["k"]).collect()}
+    assert out[("u", 0)] == 1
+    assert out[("u", 10)] == 1      # gap 10 <= 100
+    assert out[("u", 200)] == 2     # gap 190 > 100
+    assert out[("u", 205)] == 2
+    assert out[("v", 0)] == 1       # numbering restarts per key
+
+
+def test_sessionize_gap_boundary_is_exclusive(spark):
+    df = spark.createDataFrame([("u", 0), ("u", 100)], "k string, ts long")
+    out = sessionize(df, gap=100, by=["k"]).collect()
+    assert {r["session_id"] for r in out} == {1}  # gap == 100 keeps session
+
+
+def test_sessionize_ties_share_session(spark):
+    df = spark.createDataFrame(
+        [("u", 500), ("u", 500), ("u", 700)], "k string, ts long")
+    out = sessionize(df, gap=100, by=["k"]).collect()
+    by_ts = sorted((r["ts"], r["session_id"]) for r in out)
+    assert by_ts == [(500, 1), (500, 1), (700, 2)]
+
+
+def test_session_stats_golden(spark):
+    df = spark.createDataFrame(
+        [("u", 0, 1.0), ("u", 50, 2.0), ("u", 400, 4.0)],
+        "k string, ts long, value double",
+    )
+    rows = {r["session_id"]: r for r in session_stats(
+        df, gap=100, by=["k"], value_col="value").collect()}
+    assert rows[1]["session_start"] == 0
+    assert rows[1]["session_end"] == 50
+    assert rows[1]["duration"] == 50
+    assert rows[1]["n_events"] == 2
+    assert rows[1]["sum_value"] == 3.0
+    assert rows[2]["n_events"] == 1
+    assert rows[2]["sum_value"] == 4.0
+
+
+def test_sessionize_validates_inputs(spark):
+    df = spark.createDataFrame([("u", 0)], "k string, ts long")
+    with pytest.raises(errors.Invalid):
+        sessionize(df, gap=0, by=["k"])
+    with pytest.raises(errors.Invalid):
+        sessionize(df, gap=10, by=["nope"])
+
+
+# ------------------------------------------------------------ range join
+
+
+@pytest.fixture(scope="module")
+def rj_frames(spark):
+    pts = spark.createDataFrame(
+        [(1, 5), (2, 10), (3, 19), (4, 20), (5, 35)],
+        "pid long, ts long",
+    )
+    iv = spark.createDataFrame(
+        [(100, 0, 20), (200, 18, 25), (300, 30, 31)],
+        "wid long, start long, end long",
+    )
+    return pts, iv
+
+
+def brute_pairs(pts, iv):
+    return {(p, w) for p, t in pts for w, s, e in iv if s <= t < e}
+
+
+def test_range_join_matches_brute_force(spark, rj_frames):
+    pts, iv = rj_frames
+    pts_rows = [(r["pid"], r["ts"]) for r in pts.collect()]
+    iv_rows = [(r["wid"], r["start"], r["end"]) for r in iv.collect()]
+    for bin_width in (1, 7, 20, 100):
+        out = range_join(
+            pts, iv, on="ts", start_col="start", end_col="end",
+            bin_width=bin_width,
+        )
+        got = {(r["pid"], r["wid"]) for r in out.collect()}
+        assert got == brute_pairs(pts_rows, iv_rows), bin_width
+
+
+def test_range_join_no_duplicate_pairs(spark, rj_frames):
+    pts, iv = rj_frames
+    out = range_join(pts, iv, on="ts", start_col="start",
+                     end_col="end", bin_width=3).collect()
+    pairs = [(r["pid"], r["wid"]) for r in out]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_range_join_exact_for_ns_scale_epochs(spark):
+    # ns epochs exceed 2^53: double bin math would misplace boundaries
+    base = 1_704_067_200 * 10**9
+    pts = spark.createDataFrame(
+        [(1, base), (2, base + 1), (3, base + 7_199_999_999_999)],
+        "pid long, ts long",
+    )
+    iv = spark.createDataFrame(
+        [(9, base, base + 2 * 3600 * 10**9)], "wid long, start long, end long")
+    out = range_join(pts, iv, on="ts", start_col="start", end_col="end",
+                     bin_width=2 * 3600 * 10**9)
+    assert {r["pid"] for r in out.collect()} == {1, 2, 3}
+
+
+def test_range_join_validates_inputs(spark, rj_frames):
+    pts, iv = rj_frames
+    with pytest.raises(errors.Invalid):
+        range_join(pts, iv, on="ts", start_col="start", end_col="end",
+                   bin_width=0)
+    with pytest.raises(errors.Invalid):
+        range_join(pts, iv, on="nope", start_col="start", end_col="end",
+                   bin_width=5)
+
+
+# ------------------------------------------------------------ rollup
+
+
+def test_rollup_cascade_equals_direct(spark):
+    rows = [(t, float(t % 7)) for t in range(0, 86400 * 2, 977)]
+    df = spark.createDataFrame(rows, "ts long, value double")
+    out = rollup_cascade(
+        df, value_col="value", intervals=[3600, 21600, 86400])
+    got = {(r["interval_s"], r["bucket_ts"]):
+           (r["n"], r["sum_value"], r["min_value"], r["max_value"])
+           for r in out.collect()}
+    # direct recomputation per level
+    for iv in (3600, 21600, 86400):
+        buckets = {}
+        for t, v in rows:
+            b = (t // iv) * iv
+            buckets.setdefault(b, []).append(v)
+        for b, vs in buckets.items():
+            n, s, mn, mx = got[(iv, b)]
+            assert n == len(vs)
+            assert s == pytest.approx(sum(vs), abs=1e-9)
+            assert mn == min(vs) and mx == max(vs)
+    # avg derived from exact decimal sum
+    r0 = next(r for r in out.collect() if r["interval_s"] == 86400)
+    assert r0["avg_value"] == pytest.approx(
+        r0["sum_value"] / r0["n"], abs=1e-12)
+
+
+def test_rollup_validates_intervals(spark):
+    df = spark.createDataFrame([(0, 1.0)], "ts long, value double")
+    with pytest.raises(errors.Invalid):
+        rollup_cascade(df, value_col="value", intervals=[3600, 5000])
+    with pytest.raises(errors.Invalid):
+        rollup_cascade(df, value_col="value", intervals=[])
+    with pytest.raises(errors.Invalid):
+        rollup_cascade(df, value_col="value", intervals=[60, 60])
+
+
+def test_rollup_grouped(spark):
+    df = spark.createDataFrame(
+        [("a", 10, 1.0), ("a", 3700, 2.0), ("b", 10, 5.0)],
+        "k string, ts long, value double",
+    )
+    out = rollup_cascade(
+        df, value_col="value", intervals=[3600, 7200], group_by=["k"])
+    got = {(r["interval_s"], r["k"], r["bucket_ts"]): r["n"]
+           for r in out.collect()}
+    assert got[(3600, "a", 0)] == 1
+    assert got[(3600, "a", 3600)] == 1
+    assert got[(7200, "a", 0)] == 2
+    assert got[(7200, "b", 0)] == 1
+
+
+# ------------------------------------------------------------ corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog"), (2, "a cat! A CAT")],
+        "doc_id long, text string",
+    )
+
+
+def test_tokens_lowercase_letters_only(spark, docs):
+    t = sorted((r["doc_id"], r["token"]) for r in tokens(docs).collect())
+    assert t == sorted([
+        (0, "the"), (0, "cat"), (0, "sat"),
+        (1, "the"), (1, "dog"),
+        (2, "a"), (2, "cat"), (2, "a"), (2, "cat"),
+    ])
+
+
+def test_vocabulary_counts_and_order(spark, docs):
+    v = vocabulary(docs).collect()
+    as_map = {r["token"]: (r["tf"], r["df"]) for r in v}
+    assert as_map["cat"] == (3, 2)
+    assert as_map["the"] == (2, 2)
+    assert as_map["a"] == (2, 1)
+    assert as_map["sat"] == (1, 1)
+    # deterministic ordering: tf desc then token asc
+    assert [r["token"] for r in v] == ["cat", "a", "the", "dog", "sat"]
+    assert [r["token"] for r in vocabulary(docs, top_k=2).collect()] == \
+        ["cat", "a"]
+
+
+def test_no_nested_loop_joins(spark, docs, rj_frames):
+    pts, iv = rj_frames
+    for df in (
+        range_join(pts, iv, on="ts", start_col="start", end_col="end",
+                   bin_width=7),
+        tf_idf(docs),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_tf_idf_golden(spark, docs):
+    out = {(r["doc_id"], r["token"]): r for r in tf_idf(docs).collect()}
+    n_docs = 3
+    r = out[(0, "cat")]
+    assert r["tf"] == 1 and r["doc_len"] == 3 and r["df"] == 2
+    expect = (1 / 3) * (math.log((1 + n_docs) / (1 + 2)) + 1)
+    assert r["tfidf"] == pytest.approx(expect, rel=1e-12)
+    r2 = out[(2, "cat")]
+    assert r2["tf"] == 2 and r2["doc_len"] == 4

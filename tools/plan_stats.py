@@ -1,0 +1,79 @@
+"""Emit PLANS.md-style physical-plan stats for catalog queries.
+
+Usage: python tools/plan_stats.py [sf_dir] query [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    else "/root/testdata/sf0.01"
+NAMES = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+
+
+def stats(plan: str) -> dict:
+    return {
+        "exchanges": len(re.findall(r"\bExchange |\bBroadcastExchange ",
+                                    plan)),
+        "reused": len(re.findall(r"\bReusedExchange", plan)),
+        "bhj": len(re.findall(r"\bBroadcastHashJoin", plan)),
+        "smj": len(re.findall(r"\bSortMergeJoin", plan)),
+        "shj": len(re.findall(r"\bShuffledHashJoin", plan)),
+        "bnlj": len(re.findall(r"\bBroadcastNestedLoopJoin|CartesianProduct",
+                               plan)),
+        "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "pushed": sorted(set(re.findall(r"PushedFilters: \[([^\]]*)\]",
+                                        plan))),
+        "schemas": sorted(set(re.findall(r"ReadSchema: struct<([^>]*)", plan))),
+    }
+
+
+def main():
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-stats")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from loudml_spark.catalog import QUERIES
+
+    for name in NAMES:
+        df = QUERIES[name]["fn"](spark, SF_DIR)
+        import contextlib
+        import io
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        s = stats(plan)
+        print(f"\n## {name}")
+        print(f"- exchanges (shuffles incl. broadcast-exchange): "
+              f"{s['exchanges']}"
+              + (f" ({s['reused']} reused)" if s["reused"] else ""))
+        joins = (f"{s['bhj']} broadcast hash, {s['smj']} sort-merge"
+                 + (f", {s['shj']} shuffled-hash" if s["shj"] else ""))
+        print(f"- joins: {joins}")
+        if s["bnlj"]:
+            print(f"- **NESTED LOOP JOINS: {s['bnlj']} — scale bug**")
+        print(f"- whole-stage codegen spans: {s['codegen']}")
+        for p in s["pushed"]:
+            if p:
+                print(f"- pushed filters: `{p}`")
+        for sch in s["schemas"]:
+            ncols = sch.count(":")
+            print(f"- pruned read schema ({ncols} cols): `{sch}`")
+
+
+if __name__ == "__main__":
+    main()
