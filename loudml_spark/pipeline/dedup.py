@@ -619,6 +619,11 @@ def dedup_clusters(
         edges.union(edges.select(F.col("dst").alias("src"),
                                  F.col("src").alias("dst")))
         .distinct()
+        # materialize ONCE: edges join into every propagation round,
+        # and without this the whole upstream pair-generation pipeline
+        # (LSH banding, signature UDFs…) re-executes per iteration —
+        # measured 5× the query cost at sf0.1.
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
