@@ -90,6 +90,56 @@ GROUP BY user_id, session_id
 """
 
 
+def q_sessionize_native_30m(spark, sf_dir):
+    """Same sessionization via Spark's NATIVE session_window — the
+    streaming-compatible formulation (identical expression runs under
+    readStream + watermark).  Boundary semantics match the lag-based
+    operator (an event exactly `gap` after its predecessor merges —
+    tests/test_relational_ext.py pins this), so the oracle is the
+    same `diff > gap` construction in µs."""
+    from loudml_spark.operators.sessionize import session_stats_native
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.col("value").cast("decimal(18,2)").alias("value")
+    )
+    out = session_stats_native(
+        ev, gap_seconds=1800, ts_col="ts", by=["user_id"],
+        value_col="value",
+    )
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+US = 10**6
+
+SQL_SESSIONIZE_NATIVE_30M = f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS ts, value,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > {1800 * US}
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM t
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
 # ------------------------------------------------------------ range join
 
 
@@ -277,6 +327,10 @@ EXT_QUERIES: dict[str, dict] = {
     "sessionize_users_30m": {
         "fn": q_sessionize_users_30m,
         "oracle": SQL_SESSIONIZE_USERS_30M,
+    },
+    "sessionize_native_30m": {
+        "fn": q_sessionize_native_30m,
+        "oracle": SQL_SESSIONIZE_NATIVE_30M,
     },
     "range_join_windows_2h": {
         "fn": q_range_join_windows_2h,

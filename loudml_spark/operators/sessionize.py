@@ -64,6 +64,51 @@ def sessionize(
     ).drop("__start")
 
 
+def session_stats_native(
+    df: DataFrame,
+    *,
+    gap_seconds: int,
+    ts_col: str = "ts",
+    by: Sequence[str] = (),
+    value_col: str | None = None,
+) -> DataFrame:
+    """Spark-native ``session_window`` variant of :func:`session_stats`
+    — the streaming-compatible path (the same expression works under
+    ``readStream`` + watermark, where the window-function formulation
+    cannot run).
+
+    Boundary semantics match :func:`sessionize` (verified by test):
+    Spark merges a session window with an event landing EXACTLY at
+    its end (``[ts, ts+gap]`` effectively closed), so ``diff > gap``
+    splits in both formulations and both pair with the same oracle.
+
+    ``ts_col`` must be a timestamp-typed column.  Returns ``by…``,
+    ``session_start``/``session_end`` (epoch microseconds, min/max
+    event time), ``n_events``, and ``sum_value`` when ``value_col``
+    is given.
+    """
+    by = list(by)
+    for col in (ts_col, *by):
+        if col not in df.columns:
+            raise errors.Invalid(f"missing column {col!r}")
+    if gap_seconds is None or gap_seconds <= 0:
+        raise errors.Invalid("gap_seconds must be a positive duration")
+    ts = F.col(ts_col).cast("timestamp")
+    us = F.unix_micros(ts)
+    aggs = [
+        F.min(us).alias("session_start"),
+        F.max(us).alias("session_end"),
+        F.count("*").alias("n_events"),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (
+        df.groupBy(*by, F.session_window(ts, f"{gap_seconds} seconds"))
+        .agg(*aggs)
+        .drop("session_window")
+    )
+
+
 def session_stats(
     df: DataFrame,
     *,

@@ -3,6 +3,7 @@
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from loudml_spark import errors
 from loudml_spark.operators.rangejoin import range_join
@@ -56,6 +57,47 @@ def test_session_stats_golden(spark):
     assert rows[1]["sum_value"] == 3.0
     assert rows[2]["n_events"] == 1
     assert rows[2]["sum_value"] == 4.0
+
+
+def test_session_native_boundary_matches_lag_based(spark):
+    from loudml_spark.operators.sessionize import session_stats_native
+
+    # event exactly `gap` after its predecessor MERGES in both
+    # formulations (Spark session windows are boundary-inclusive);
+    # one microsecond beyond splits
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00"),
+         ("u", "2024-01-01 00:30:00"),
+         ("u", "2024-01-01 01:00:00.000001")],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    native = session_stats_native(df, gap_seconds=1800, by=["k"])
+    assert native.count() == 2
+    lagged = session_stats(
+        df.withColumn("ts", F.unix_micros("ts")), gap=1800 * 10**6,
+        by=["k"])
+    assert lagged.count() == 2
+
+
+def test_session_native_merges_within_gap(spark):
+    from loudml_spark.operators.sessionize import session_stats_native
+
+    df = spark.createDataFrame(
+        [("u", "2024-01-01 00:00:00", 1.0),
+         ("u", "2024-01-01 00:10:00", 2.0),
+         ("u", "2024-01-01 02:00:00", 4.0),
+         ("v", "2024-01-01 00:00:00", 8.0)],
+        "k string, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = session_stats_native(
+        df, gap_seconds=1800, by=["k"], value_col="value").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r["k"], []).append(r)
+    assert len(by_key["u"]) == 2 and len(by_key["v"]) == 1
+    first = min(by_key["u"], key=lambda r: r["session_start"])
+    assert first["n_events"] == 2 and first["sum_value"] == 3.0
+    assert first["session_end"] - first["session_start"] == 600 * 10**6
 
 
 def test_sessionize_validates_inputs(spark):
