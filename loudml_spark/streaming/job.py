@@ -70,6 +70,40 @@ def stream_bucketize(
     return out
 
 
+def stream_sessionize(
+    stream_df: DataFrame,
+    *,
+    gap_seconds: int,
+    ts_col: str = "ts",
+    by: Sequence[str] = (),
+    value_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming gap-based sessionization via native session windows.
+
+    Identical semantics to the batch
+    :func:`loudml_spark.operators.sessionize.session_stats_native`
+    (it IS the same expression — session_window groupBy), but over a
+    ``readStream`` source: Spark's state store holds open sessions
+    and MERGES sessions that span micro-batch boundaries.
+
+    ``watermark`` (e.g. ``"30 minutes"``) bounds state and is
+    required for append-mode output (a session emits once the
+    watermark passes its close); without it use complete/update
+    output modes.  State size is O(open sessions) = O(active keys),
+    independent of throughput.
+    """
+    from loudml_spark.operators.sessionize import session_stats_native
+
+    df = stream_df
+    if watermark is not None:
+        df = df.withWatermark(ts_col, watermark)
+    return session_stats_native(
+        df, gap_seconds=gap_seconds, ts_col=ts_col, by=by,
+        value_col=value_col,
+    )
+
+
 _DETECT_STATE_SCHEMA = (
     "episode_no long, episode_start long, episode_max double, "
     "last_anomaly_ts double, open boolean"

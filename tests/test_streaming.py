@@ -132,3 +132,45 @@ def test_streaming_eval_write_back_to_bucket(spark, tmpdir):
     assert {"timestamp", "value", "lower_value", "upper_value",
             "@value", "score", "model"} <= set(row)
     assert row["model"] == "g"
+
+
+def test_stream_sessionize_merges_across_batches(spark, tmpdir):
+    from loudml_spark.streaming.job import stream_sessionize
+
+    src = f"{tmpdir}/sess_src"
+    # batch 1: u starts a session; batch 2 continues it within the gap,
+    # then jumps past the gap to open a second session
+    _write_batch(
+        spark, src,
+        [("u", BASE), ("u", BASE + 60), ("v", BASE)],
+        "k string, sec long",
+    )
+    _write_batch(
+        spark, src,
+        [("u", BASE + 120), ("u", BASE + 10_000)],
+        "k string, sec long",
+    )
+    stream = (
+        spark.readStream.schema("k string, sec long")
+        .option("maxFilesPerTrigger", "1")  # force >=2 micro-batches
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    )
+    out = stream_sessionize(stream, gap_seconds=300, by=["k"])
+    q = (
+        out.writeStream.format("memory").queryName("sess_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from sess_test").collect()
+    sessions = {}
+    for r in rows:
+        sessions.setdefault(r["k"], []).append(r)
+    # u: one merged session across both micro-batches + one later
+    by_start = sorted(sessions["u"], key=lambda r: r["session_start"])
+    assert len(by_start) == 2
+    assert by_start[0]["n_events"] == 3  # BASE, +60, +120 merged
+    assert by_start[0]["session_end"] - by_start[0]["session_start"] \
+        == 120 * 10**6
+    assert by_start[1]["n_events"] == 1
+    assert len(sessions["v"]) == 1
