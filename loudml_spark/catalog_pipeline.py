@@ -153,6 +153,41 @@ FROM f GROUP BY fingerprint
 """
 
 
+def q_split_docs_80_10_10(spark, sf_dir):
+    """Deterministic content-hash train/val/test split (80/10/10):
+    the split label is a pure function of the document's rolling-hash
+    fingerprint, so re-runs, repartitions, and other engines assign
+    identically — unlike randomSplit.  Zero shuffles: the assignment
+    is Column arithmetic folded into the scan projection.  See
+    pipeline/sampling.py."""
+    from loudml_spark.pipeline.sampling import hash_split, split_bucket
+    from loudml_spark.pipeline.text import rolling_hash_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", rolling_hash_col(F.col("text")).alias("fp")
+    )
+    out = hash_split(
+        docs, key=F.col("fp"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select(
+        "doc_id", "lang",
+        split_bucket(F.col("fp")).alias("fp_bucket"),
+        "split",
+    )
+
+
+SQL_SPLIT_DOCS_80_10_10 = f"""
+WITH f AS (SELECT doc_id, lang, {_SQL_FP} AS fp FROM documents),
+b AS (SELECT doc_id, lang, fp % 10000 AS fp_bucket FROM f)
+SELECT doc_id, lang, fp_bucket,
+       CASE WHEN fp_bucket < 8000 THEN 'train'
+            WHEN fp_bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def _rebalance(spark, df):
     """The test documents parquet is one tiny file → one input split;
     per-row hash compute would run on a single core.  Rebalancing a
@@ -728,4 +763,6 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_multimodal_features, "oracle": SQL_MULTIMODAL_FEATURES},
     "streaming_detect_1h": {
         "fn": q_streaming_detect_1h, "oracle_fn": _sql_streaming_detect},
+    "split_docs_80_10_10": {
+        "fn": q_split_docs_80_10_10, "oracle": SQL_SPLIT_DOCS_80_10_10},
 }

@@ -280,3 +280,52 @@ def test_tf_idf_golden(spark, docs):
     assert r["tfidf"] == pytest.approx(expect, rel=1e-12)
     r2 = out[(2, "cat")]
     assert r2["tf"] == 2 and r2["doc_len"] == 4
+
+
+# ------------------------------------------------------------ sampling
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from loudml_spark.pipeline.sampling import hash_split
+
+    df = spark.range(10_000).withColumn("h", F.col("id") * 7919)
+    out = hash_split(
+        df, key=F.col("h"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 10_000
+    assert counts["train"] == pytest.approx(8000, abs=400)
+    assert counts["val"] == pytest.approx(1000, abs=200)
+    # stable across repartition
+    again = hash_split(
+        df.repartition(13), key=F.col("h"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    a = sorted((r["id"], r["split"]) for r in out.collect())
+    b = sorted((r["id"], r["split"]) for r in again.collect())
+    assert a == b
+
+
+def test_hash_split_validates_weights(spark):
+    from loudml_spark.pipeline.sampling import hash_split
+
+    df = spark.range(10)
+    with pytest.raises(errors.Invalid):
+        hash_split(df, key=F.col("id"), weights={"a": 0.5, "b": 0.4})
+    with pytest.raises(errors.Invalid):
+        hash_split(df, key=F.col("id"), weights={})
+
+
+def test_deterministic_sample(spark):
+    from loudml_spark.pipeline.sampling import deterministic_sample
+
+    df = spark.range(10_000).withColumn("h", F.col("id") * 104729)
+    kept = deterministic_sample(df, key=F.col("h"), fraction=0.25)
+    n = kept.count()
+    assert n == pytest.approx(2500, abs=300)
+    ids1 = {r["id"] for r in kept.collect()}
+    ids2 = {r["id"] for r in deterministic_sample(
+        df.repartition(7), key=F.col("h"), fraction=0.25).collect()}
+    assert ids1 == ids2
+    with pytest.raises(errors.Invalid):
+        deterministic_sample(df, key=F.col("h"), fraction=0.0)
