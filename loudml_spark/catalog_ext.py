@@ -184,6 +184,65 @@ GROUP BY 1, 2
 """
 
 
+def q_salted_agg_users(spark, sf_dir):
+    """Skew-safe two-phase aggregation (salted partials → re-agg) per
+    user, bit-identical to the plain groupBy — the declarative
+    fallback for aggregation skew AQE cannot rewrite.  Oracle: the
+    UNSALTED GROUP BY, proving the salt only changes shuffle layout."""
+    from loudml_spark.operators.skew import salted_agg
+
+    ev = _events_ts(spark, sf_dir).withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev, keys=["user_id"], salt_on="event_id", n_salt=8,
+        sums=["value_dec"], mins=["value"], maxs=["value"],
+    )
+    return out.select(
+        "user_id", "n",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        "min_value", "max_value",
+    )
+
+
+SQL_SALTED_AGG_USERS = """
+SELECT user_id,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_salted_join_segments(spark, sf_dir):
+    """Skew-safe shuffle join: the (big) events side is salted, the
+    (dim) customer side replicated n_salt times, each hot user spread
+    over n_salt reducers.  Oracle: the plain join — identical rows."""
+    from loudml_spark.operators.skew import salted_join
+
+    ev = _events_ts(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(ev, cust, ["user_id"], salt_on="event_id", n_salt=8)
+    return j.groupBy("c_mktsegment", "user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double").alias("sum_value"),
+    )
+
+
+SQL_SALTED_JOIN_SEGMENTS = """
+SELECT c_mktsegment, user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 # ------------------------------------------------------------ rollup
 
 
@@ -335,6 +394,14 @@ EXT_QUERIES: dict[str, dict] = {
     "range_join_windows_2h": {
         "fn": q_range_join_windows_2h,
         "oracle": SQL_RANGE_JOIN_WINDOWS_2H,
+    },
+    "salted_agg_users": {
+        "fn": q_salted_agg_users,
+        "oracle": SQL_SALTED_AGG_USERS,
+    },
+    "salted_join_segments": {
+        "fn": q_salted_join_segments,
+        "oracle": SQL_SALTED_JOIN_SEGMENTS,
     },
     "rollup_1h_6h_1d": {
         "fn": q_rollup_1h_6h_1d,

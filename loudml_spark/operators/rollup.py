@@ -46,6 +46,65 @@ def _floor_to(col: str, step: int) -> str:
     return f"((`{col}` - pmod(`{col}`, {step}L)) div {step}L) * {step}L"
 
 
+def rollup_partials(
+    df: DataFrame,
+    *,
+    value_col: str,
+    interval: int,
+    ts_col: str = "ts",
+    ts_scale: int = 1,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Decomposable partial aggregates per bucket — the persisted
+    state of an incrementally-maintained rollup: ``group_by…``,
+    ``bucket_ts`` (epoch seconds), ``n``, ``sum_dec`` (DECIMAL,
+    exact), ``min_value``, ``max_value``."""
+    if interval <= 0:
+        raise errors.Invalid("interval must be positive")
+    if ts_col not in df.columns:
+        raise errors.Invalid(f"missing column {ts_col!r}")
+    step = interval * ts_scale
+    bucket = F.expr(
+        f"({_floor_to(ts_col, step)}) div {ts_scale}L"
+    ).cast("long")
+    return (
+        df.withColumn("bucket_ts", bucket)
+        .groupBy(*group_by, "bucket_ts")
+        .agg(
+            F.count(value_col).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(18,2)")).alias("sum_dec"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+    )
+
+
+def rollup_merge(
+    *partials: DataFrame,
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Merge partial-aggregate frames (``rollup_partials`` schema)
+    into one — the incremental-refresh step: when a new raw partition
+    lands, roll up ONLY its rows and merge with the stored partials
+    instead of rescanning history.  Exact by construction (DECIMAL
+    sums re-associate losslessly); unit tests pin
+    ``merge(partials(A), partials(B)) == partials(A ∪ B)``."""
+    if not partials:
+        raise errors.Invalid("nothing to merge")
+    unioned = partials[0]
+    for p in partials[1:]:
+        unioned = unioned.unionByName(p)
+    return (
+        unioned.groupBy(*group_by, "bucket_ts")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("sum_dec"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
 def rollup_cascade(
     df: DataFrame,
     *,

@@ -329,3 +329,81 @@ def test_deterministic_sample(spark):
     assert ids1 == ids2
     with pytest.raises(errors.Invalid):
         deterministic_sample(df, key=F.col("h"), fraction=0.0)
+
+
+# ------------------------------------------------------------ skew ops
+
+
+def test_salted_agg_equals_plain(spark):
+    from loudml_spark.operators.skew import salted_agg
+
+    # heavy skew: 90% of rows share key 0
+    rows = [(i, 0 if i % 10 else i, float(i % 13)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "rid long, k long, value double") \
+        .withColumn("vdec", F.col("value").cast("decimal(18,2)"))
+    out = salted_agg(df, keys=["k"], salt_on="rid", n_salt=8,
+                     sums=["vdec"], mins=["value"], maxs=["value"])
+    got = {r["k"]: (r["n"], float(r["sum_vdec"]), r["min_value"],
+                    r["max_value"]) for r in out.collect()}
+    plain = df.groupBy("k").agg(
+        F.count("*").alias("n"), F.sum("vdec").alias("s"),
+        F.min("value").alias("mn"), F.max("value").alias("mx"))
+    want = {r["k"]: (r["n"], float(r["s"]), r["mn"], r["mx"])
+            for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_equals_plain(spark):
+    from loudml_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(i, 0 if i % 5 else i % 3, float(i)) for i in range(500)],
+        "rid long, k long, v double")
+    right = spark.createDataFrame(
+        [(0, "hot"), (1, "one"), (2, "two"), (99, "absent-left")],
+        "k long, name string")
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["rid"], r["k"], r["name"])
+            for r in salted_join(left, right, ["k"], salt_on="rid",
+                                 n_salt=4, how=how).collect())
+        want = sorted(
+            (r["rid"], r["k"], r["name"])
+            for r in left.join(right, ["k"], how).collect())
+        assert got == want, how
+
+
+def test_salted_join_validates(spark):
+    from loudml_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, 2)], "k long, rid long")
+    with pytest.raises(errors.Invalid):
+        salted_join(df, df, ["k"], salt_on="rid", n_salt=1)
+    with pytest.raises(errors.Invalid):
+        salted_join(df, df, ["k"], salt_on="rid", n_salt=4, how="full")
+
+
+# ------------------------------------------------------------ rollup merge
+
+
+def test_rollup_merge_equals_full_recompute(spark):
+    from loudml_spark.operators.rollup import rollup_merge, rollup_partials
+
+    rows_a = [(t, float(t % 11)) for t in range(0, 7200, 97)]
+    rows_b = [(t, float(t % 5)) for t in range(7200, 14400, 101)]
+    da = spark.createDataFrame(rows_a, "ts long, value double")
+    db = spark.createDataFrame(rows_b, "ts long, value double")
+    dall = spark.createDataFrame(rows_a + rows_b, "ts long, value double")
+    merged = rollup_merge(
+        rollup_partials(da, value_col="value", interval=3600),
+        rollup_partials(db, value_col="value", interval=3600),
+    )
+    full = rollup_partials(dall, value_col="value", interval=3600)
+    key = lambda r: r["bucket_ts"]
+    got = sorted(((r["bucket_ts"], r["n"], float(r["sum_dec"]),
+                   r["min_value"], r["max_value"])
+                  for r in merged.collect()))
+    want = sorted(((r["bucket_ts"], r["n"], float(r["sum_dec"]),
+                    r["min_value"], r["max_value"])
+                   for r in full.collect()))
+    assert got == want
