@@ -322,6 +322,32 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+def q_inverted_index_docs(spark, sf_dir):
+    """Posting lists over `documents` (min_df=2): token → sorted
+    doc-id array + document frequency.  Two map-side-combined
+    shuffles; output row count is |vocab|, posting length bounded by
+    |docs| — see pipeline/corpus.py.  Oracle: DuckDB list aggregation
+    over the same tokenization."""
+    from loudml_spark.pipeline.corpus import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2)
+
+
+SQL_INVERTED_INDEX_DOCS = """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+)
+SELECT token, COUNT(*) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM tok
+GROUP BY token
+HAVING COUNT(*) >= 2
+"""
+
+
 def q_tfidf_top5_per_doc(spark, sf_dir):
     """Smoothed TF-IDF (sklearn formula) for the top
     {TFIDF_TOP_TERMS} terms of each document with
@@ -410,6 +436,10 @@ EXT_QUERIES: dict[str, dict] = {
     "vocab_top100": {
         "fn": q_vocab_top100,
         "oracle": SQL_VOCAB_TOP100,
+    },
+    "inverted_index_docs": {
+        "fn": q_inverted_index_docs,
+        "oracle": SQL_INVERTED_INDEX_DOCS,
     },
     "tfidf_top5_per_doc": {
         "fn": q_tfidf_top5_per_doc,

@@ -60,6 +60,39 @@ def vocabulary(
     return vocab.limit(top_k) if top_k else vocab
 
 
+def inverted_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Posting lists: ``token``, ``df`` (distinct docs), ``postings``
+    (sorted doc-id array) — the search-index build step.
+
+    One shuffle on (id, token) to dedupe occurrences, one on token to
+    assemble lists (both ride map-side partial aggregation).  Sorted
+    arrays make output deterministic.  Posting-list length is bounded
+    by the corpus' document count, not its token count, but
+    stop-word rows still dominate: ``min_df`` drops hapax noise and
+    ``max_postings`` truncates (keeping the SMALLEST ids —
+    deterministic) for engines that cap row width; real deployments
+    shard long lists instead.
+    """
+    t = tokens(df, text_col=text_col, id_col=id_col).distinct()
+    idx = t.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list(id_col)).alias("postings"),
+    )
+    if min_df > 1:
+        idx = idx.filter(F.col("df") >= min_df)
+    if max_postings is not None:
+        idx = idx.withColumn(
+            "postings", F.slice("postings", 1, max_postings))
+    return idx
+
+
 def tf_idf(
     df: DataFrame,
     *,

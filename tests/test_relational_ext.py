@@ -407,3 +407,20 @@ def test_rollup_merge_equals_full_recompute(spark):
                     r["min_value"], r["max_value"])
                    for r in full.collect()))
     assert got == want
+
+
+def test_inverted_index_golden(spark, docs):
+    from loudml_spark.pipeline.corpus import inverted_index
+
+    out = {r["token"]: (r["df"], r["postings"])
+           for r in inverted_index(docs).collect()}
+    assert out["cat"] == (2, [0, 2])
+    assert out["the"] == (2, [0, 1])
+    assert out["a"] == (1, [2])        # duplicate occurrences deduped
+    assert out["dog"] == (1, [1])
+    only_multi = {r["token"] for r in
+                  inverted_index(docs, min_df=2).collect()}
+    assert only_multi == {"cat", "the"}
+    capped = {r["token"]: r["postings"] for r in
+              inverted_index(docs, max_postings=1).collect()}
+    assert capped["cat"] == [0]
