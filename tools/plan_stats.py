@@ -28,7 +28,8 @@ def stats(plan: str) -> dict:
         "shj": len(re.findall(r"\bShuffledHashJoin", plan)),
         "bnlj": len(re.findall(r"\bBroadcastNestedLoopJoin|CartesianProduct",
                                plan)),
-        "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
+        "codegen": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+                       or set(re.findall(r"\[codegen id : (\d+)\]", plan))),
         "pushed": sorted(set(re.findall(r"PushedFilters: \[([^\]]*)\]",
                                         plan))),
         "schemas": sorted(set(re.findall(r"ReadSchema: struct<([^>]*)", plan))),
@@ -50,6 +51,9 @@ def main():
 
     for name in NAMES:
         df = QUERIES[name]["fn"](spark, SF_DIR)
+        # execute first: AQE's FINAL plan (stage reuse, codegen span
+        # numbering) only exists after materialization
+        df.count()
         import contextlib
         import io
         buf = io.StringIO()
