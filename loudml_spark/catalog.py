@@ -219,26 +219,32 @@ GROUP BY s.bucket_ts
 
 
 def q_ts_fill_previous_1h(spark, sf_dir):
+    # mean_exact (DECIMAL sum ÷ count), not avg: a double-summed mean
+    # ROUND(…,6) straddled a rounding boundary against DuckDB at
+    # sf0.1 (engines sum in different orders); the exact mean needs
+    # no rounding at any scale
     feat = Feature(
-        metric="avg", field="value", name="avg_value",
+        metric="mean_exact", field="value", name="avg_value",
         match_all=[{"tag": "event_type", "value": "signup"}],
         default="previous",
     )
     out = _ev_bucketize(spark, sf_dir, [feat], 3600)
-    return out.select("bucket_ts", F.round("avg_value", 6).alias("avg_value"))
+    return out.select("bucket_ts", "avg_value")
 
 
 SQL_TS_FILL_PREVIOUS_1H = _spine_sql(3600) + """
 , agg AS (
   SELECT s.bucket_ts AS bucket_ts,
-         AVG(CASE WHEN p.event_type = 'signup' THEN p.value END) AS a
+         CAST(SUM(CASE WHEN p.event_type = 'signup'
+                       THEN CAST(p.value AS DECIMAL(18,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN p.event_type = 'signup' THEN p.value END) AS a
   FROM spine s LEFT JOIN pts p USING (bucket_ts)
   GROUP BY s.bucket_ts
 )
 SELECT bucket_ts,
-       ROUND(LAST_VALUE(a IGNORE NULLS) OVER (
+       LAST_VALUE(a IGNORE NULLS) OVER (
          ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 6) AS avg_value
+       ) AS avg_value
 FROM agg
 """
 

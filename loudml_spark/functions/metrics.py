@@ -77,6 +77,18 @@ def _integral_post(col: Column, interval: float, w) -> Column:
     return col * F.lit(float(interval))
 
 
+def _mean_exact(col: Column) -> Column:
+    # cross-engine-deterministic mean for fixed-point data: the sum
+    # rides DECIMAL (exact, association-independent — double sums
+    # depend on partition order), then ONE IEEE division.  Equals
+    # DuckDB's CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)/COUNT(x)
+    # bit-for-bit; plain avg(double) can straddle a ROUND boundary
+    # between engines at large row counts.
+    return (
+        F.sum(col.cast("decimal(18,2)")).cast("double") / F.count(col)
+    )
+
+
 def _mode_agg(col: Column) -> Column:
     # deterministic mode: lowest value among the most frequent
     # (Spark >= 3.4 `mode`; deterministic flag picks the lowest)
@@ -85,6 +97,7 @@ def _mode_agg(col: Column) -> Column:
 
 METRICS: dict[str, MetricSpec] = {
     "avg": MetricSpec(F.avg),
+    "mean_exact": MetricSpec(_mean_exact),
     "count": MetricSpec(F.count, fill_zero=True),
     "sum": MetricSpec(F.sum),
     "min": MetricSpec(F.min),

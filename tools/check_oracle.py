@@ -20,6 +20,9 @@ import __spark_entry__ as entry  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
+# data-derived oracles (IVF centroids) must train from the SAME sf
+# the Spark side reads, or the comparison is apples-to-oranges
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
