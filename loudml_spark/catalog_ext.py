@@ -184,6 +184,45 @@ GROUP BY 1, 2
 """
 
 
+def q_ts_moving_avg_6x1h(spark, sf_dir):
+    """Trailing-window smoothing (PromQL avg_over_time): per 1h
+    bucket, the mean over the last 6 buckets' events.  Windowed sums
+    of DECIMAL partials (exact in both engines — window'd double sums
+    would drift), one final IEEE division.  Rows exist only for
+    non-empty buckets (compression semantics, like the rollup; the
+    spine variant is bucketize's job).  One shuffle for the bucket
+    aggregation; the window pass runs on ≤ n_buckets rows — the
+    deliberate single-partition window documented safe in SCALE.md."""
+    from pyspark.sql import Window
+
+    from loudml_spark.operators.rollup import rollup_partials
+
+    ev = _events_ts(spark, sf_dir)
+    base = rollup_partials(
+        ev, value_col="value", interval=3600, ts_col="ts", ts_scale=NS)
+    w = Window.orderBy("bucket_ts").rowsBetween(-5, 0)
+    return base.select(
+        "bucket_ts",
+        (F.sum("sum_dec").over(w).cast("double")
+         / F.sum("n").over(w)).alias("avg_6h"),
+    )
+
+
+SQL_TS_MOVING_AVG_6X1H = f"""
+WITH b AS (
+  SELECT (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM events
+  GROUP BY 1
+)
+SELECT bucket_ts,
+       CAST(SUM(sum_dec) OVER w AS DOUBLE) / SUM(n) OVER w AS avg_6h
+FROM b
+WINDOW w AS (ORDER BY bucket_ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
 def q_salted_agg_users(spark, sf_dir):
     """Skew-safe two-phase aggregation (salted partials → re-agg) per
     user, bit-identical to the plain groupBy — the declarative
@@ -432,6 +471,10 @@ EXT_QUERIES: dict[str, dict] = {
     "rollup_1h_6h_1d": {
         "fn": q_rollup_1h_6h_1d,
         "oracle": SQL_ROLLUP_1H_6H_1D,
+    },
+    "ts_moving_avg_6x1h": {
+        "fn": q_ts_moving_avg_6x1h,
+        "oracle": SQL_TS_MOVING_AVG_6X1H,
     },
     "vocab_top100": {
         "fn": q_vocab_top100,
