@@ -51,9 +51,10 @@ def main():
 
     for name in NAMES:
         df = QUERIES[name]["fn"](spark, SF_DIR)
-        # execute first: AQE's FINAL plan (stage reuse, codegen span
-        # numbering) only exists after materialization
-        df.count()
+        # execute THIS frame (noop sink): .count() would execute a
+        # different plan clone, leaving this one's AQE plan non-final
+        # (no stage reuse / codegen markers)
+        df.write.format("noop").mode("overwrite").save()
         import contextlib
         import io
         buf = io.StringIO()
@@ -70,7 +71,15 @@ def main():
         print(f"- joins: {joins}")
         if s["bnlj"]:
             print(f"- **NESTED LOOP JOINS: {s['bnlj']} — scale bug**")
-        print(f"- whole-stage codegen spans: {s['codegen']}")
+        if s["codegen"]:
+            print(f"- whole-stage codegen spans: {s['codegen']}")
+        else:
+            # this PySpark 4.1 build's AQE explain paths expose no
+            # codegen-id markers from Python (every action re-plans a
+            # fresh QueryExecution), so absence here is an explain
+            # artifact, not evidence codegen is off
+            print("- whole-stage codegen spans: n/a (AQE explain "
+                  "hides codegen ids in this build)")
         for p in s["pushed"]:
             if p:
                 print(f"- pushed filters: `{p}`")
