@@ -223,6 +223,26 @@ WINDOW w AS (ORDER BY bucket_ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """
 
 
+def q_histogram_values_by_type(spark, sf_dir):
+    """Value-distribution histogram per event_type (bin width 10):
+    one map-side-combined shuffle, |types|·|bins| output rows
+    regardless of input size — see operators/histogram.py.  Oracle:
+    the same floor arithmetic in SQL."""
+    from loudml_spark.operators.histogram import histogram
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return histogram(ev, value_col="value", bin_width=10.0,
+                     by=["event_type"])
+
+
+SQL_HISTOGRAM_VALUES_BY_TYPE = """
+SELECT event_type, FLOOR(value / 10.0) * 10.0 AS bin, COUNT(*) AS n
+FROM events
+WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 def q_salted_agg_users(spark, sf_dir):
     """Skew-safe two-phase aggregation (salted partials → re-agg) per
     user, bit-identical to the plain groupBy — the declarative
@@ -475,6 +495,10 @@ EXT_QUERIES: dict[str, dict] = {
     "ts_moving_avg_6x1h": {
         "fn": q_ts_moving_avg_6x1h,
         "oracle": SQL_TS_MOVING_AVG_6X1H,
+    },
+    "histogram_values_by_type": {
+        "fn": q_histogram_values_by_type,
+        "oracle": SQL_HISTOGRAM_VALUES_BY_TYPE,
     },
     "vocab_top100": {
         "fn": q_vocab_top100,

@@ -424,3 +424,37 @@ def test_inverted_index_golden(spark, docs):
     capped = {r["token"]: r["postings"] for r in
               inverted_index(docs, max_postings=1).collect()}
     assert capped["cat"] == [0]
+
+
+# ------------------------------------------------------------ histogram
+
+
+def test_histogram_bins_and_clamping(spark):
+    from loudml_spark.operators.histogram import histogram
+
+    df = spark.createDataFrame(
+        [("a", -5.0), ("a", 3.0), ("a", 7.0), ("a", 15.0), ("a", 99.0),
+         ("b", 3.0), ("b", None)],
+        "k string, value double",
+    )
+    out = {(r["k"], r["bin"]): r["n"] for r in histogram(
+        df, value_col="value", bin_width=10.0, by=["k"],
+        lo=0.0, hi=20.0).collect()}
+    assert out[("a", 0.0)] == 3   # -5 clamps up; 3 and 7 land here
+    assert out[("a", 10.0)] == 2  # 15 plus 99 clamped into last bin
+    assert out[("b", 0.0)] == 1   # null dropped
+    assert sum(out.values()) == 6
+    unclamped = {(r["k"], r["bin"]): r["n"] for r in histogram(
+        df, value_col="value", bin_width=10.0, by=["k"]).collect()}
+    assert unclamped[("a", -10.0)] == 1
+    assert unclamped[("a", 90.0)] == 1
+
+
+def test_histogram_validates(spark):
+    from loudml_spark.operators.histogram import histogram
+
+    df = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(errors.Invalid):
+        histogram(df, value_col="value", bin_width=0)
+    with pytest.raises(errors.Invalid):
+        histogram(df, value_col="nope", bin_width=1)
