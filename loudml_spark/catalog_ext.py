@@ -243,6 +243,66 @@ GROUP BY 1, 2
 """
 
 
+PSI_MID = 1704067200 + 15 * 86400   # 2024-01-16T00:00:00Z
+
+
+def q_psi_value_drift_by_type(spark, sf_dir):
+    """Dataset-drift score: PSI of the value distribution per
+    event_type between the first and second half of the month.  Two
+    histogram aggregations + one tiny full-outer join on (type, bin)
+    — cost is |types|·|bins| however large the corpus.  ln is
+    computed on identical doubles in both engines; ROUND(6) guards
+    the last ulp."""
+    from loudml_spark.operators.histogram import histogram, psi
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts_ns", "event_type", "value")
+    first = ev.filter(F.col("ts_ns") < PSI_MID * NS)
+    second = ev.filter(F.col("ts_ns") >= PSI_MID * NS)
+    h_e = histogram(first, value_col="value", bin_width=10.0,
+                    by=["event_type"])
+    h_a = histogram(second, value_col="value", bin_width=10.0,
+                    by=["event_type"])
+    out = psi(h_e, h_a, by=["event_type"])
+    return out.select(
+        "event_type", F.round("psi", 6).alias("psi"))
+
+
+SQL_PSI_VALUE_DRIFT_BY_TYPE = f"""
+WITH he AS (
+  SELECT event_type, FLOOR(value / 10.0) * 10.0 AS bin, COUNT(*) AS ne
+  FROM events
+  WHERE value IS NOT NULL AND epoch_ns(ts) < {PSI_MID * NS}
+  GROUP BY 1, 2
+),
+ha AS (
+  SELECT event_type, FLOOR(value / 10.0) * 10.0 AS bin, COUNT(*) AS na
+  FROM events
+  WHERE value IS NOT NULL AND epoch_ns(ts) >= {PSI_MID * NS}
+  GROUP BY 1, 2
+),
+te AS (SELECT event_type, SUM(ne) AS t FROM he GROUP BY 1),
+ta AS (SELECT event_type, SUM(na) AS t FROM ha GROUP BY 1),
+j AS (
+  SELECT COALESCE(he.event_type, ha.event_type) AS event_type,
+         COALESCE(he.bin, ha.bin) AS bin, he.ne, ha.na
+  FROM he FULL OUTER JOIN ha
+    ON he.event_type = ha.event_type AND he.bin = ha.bin
+)
+SELECT j.event_type AS event_type,
+       ROUND(SUM(
+         (GREATEST(COALESCE(j.na, 0) / CAST(ta.t AS DOUBLE), 1e-6)
+          - GREATEST(COALESCE(j.ne, 0) / CAST(te.t AS DOUBLE), 1e-6))
+         * LN(GREATEST(COALESCE(j.na, 0) / CAST(ta.t AS DOUBLE), 1e-6)
+              / GREATEST(COALESCE(j.ne, 0) / CAST(te.t AS DOUBLE), 1e-6))
+       ), 6) AS psi
+FROM j
+JOIN te ON j.event_type = te.event_type
+JOIN ta ON j.event_type = ta.event_type
+GROUP BY 1
+"""
+
+
 def q_salted_agg_users(spark, sf_dir):
     """Skew-safe two-phase aggregation (salted partials → re-agg) per
     user, bit-identical to the plain groupBy — the declarative
@@ -499,6 +559,10 @@ EXT_QUERIES: dict[str, dict] = {
     "histogram_values_by_type": {
         "fn": q_histogram_values_by_type,
         "oracle": SQL_HISTOGRAM_VALUES_BY_TYPE,
+    },
+    "psi_value_drift_by_type": {
+        "fn": q_psi_value_drift_by_type,
+        "oracle": SQL_PSI_VALUE_DRIFT_BY_TYPE,
     },
     "vocab_top100": {
         "fn": q_vocab_top100,

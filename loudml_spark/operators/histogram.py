@@ -19,6 +19,53 @@ from pyspark.sql import functions as F
 from loudml_spark import errors
 
 
+def psi(
+    expected: DataFrame,
+    actual: DataFrame,
+    *,
+    by: Sequence[str] = (),
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two histogram frames
+    (outputs of :func:`histogram` with the same binning):
+    ``Σ (p_a − p_e) · ln(p_a / p_e)`` per ``by`` group — the standard
+    dataset-drift score (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Bins present in one side only get probability ``eps`` (the
+    conventional smoothing), via a full-outer join on (by…, bin).
+    All-Column math after one small join — inputs are already
+    aggregated histograms, so cost is |groups|·|bins| regardless of
+    the corpora the histograms came from.
+    """
+    by = list(by)
+    for side, df in (("expected", expected), ("actual", actual)):
+        for col in (*by, "bin", "n"):
+            if col not in df.columns:
+                raise errors.Invalid(
+                    f"{side} side is missing column {col!r} "
+                    "(pass histogram() outputs)")
+    e_tot = expected.groupBy(*by).agg(F.sum("n").alias("__te"))
+    a_tot = actual.groupBy(*by).agg(F.sum("n").alias("__ta"))
+    e = expected.withColumnRenamed("n", "__ne")
+    a = actual.withColumnRenamed("n", "__na")
+    joined = (
+        e.join(a, [*by, "bin"], "full_outer")
+        .join(e_tot, by) if by else
+        e.join(a, ["bin"], "full_outer").crossJoin(F.broadcast(e_tot))
+    )
+    joined = joined.join(a_tot, by) if by else \
+        joined.crossJoin(F.broadcast(a_tot))
+    pe = F.greatest(
+        F.coalesce(F.col("__ne"), F.lit(0)) / F.col("__te"), F.lit(eps))
+    pa = F.greatest(
+        F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta"), F.lit(eps))
+    term = (pa - pe) * F.log(pa / pe)
+    return (
+        joined.groupBy(*by)
+        .agg(F.sum(term).alias("psi"))
+    )
+
+
 def histogram(
     df: DataFrame,
     *,

@@ -458,3 +458,29 @@ def test_histogram_validates(spark):
         histogram(df, value_col="value", bin_width=0)
     with pytest.raises(errors.Invalid):
         histogram(df, value_col="nope", bin_width=1)
+
+
+def test_psi_zero_for_identical_and_positive_for_shifted(spark):
+    from loudml_spark.operators.histogram import histogram, psi
+
+    base = spark.createDataFrame(
+        [("a", float(v)) for v in [1, 2, 3, 11, 12, 21]],
+        "k string, value double")
+    shifted = spark.createDataFrame(
+        [("a", float(v)) for v in [21, 22, 23, 31, 32, 41]],
+        "k string, value double")
+    h = histogram(base, value_col="value", bin_width=10.0, by=["k"])
+    same = psi(h, h, by=["k"]).collect()[0]["psi"]
+    assert same == pytest.approx(0.0, abs=1e-12)
+    h2 = histogram(shifted, value_col="value", bin_width=10.0, by=["k"])
+    moved = psi(h, h2, by=["k"]).collect()[0]["psi"]
+    assert moved > 0.25  # fully shifted distribution
+
+
+def test_psi_validates_inputs(spark):
+    from loudml_spark.operators.histogram import psi
+
+    df = spark.createDataFrame([("a", 0.0, 1)], "k string, bin double, n long")
+    bad = spark.createDataFrame([("a", 1)], "k string, n long")
+    with pytest.raises(errors.Invalid):
+        psi(df, bad, by=["k"])
