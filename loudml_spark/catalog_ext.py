@@ -243,6 +243,67 @@ GROUP BY 1, 2
 """
 
 
+def q_distinct_users_daily(spark, sf_dir):
+    """Exact per-day distinct-user counts: Spark plans COUNT(DISTINCT)
+    as a two-stage expand/partial-agg (the dedup shuffle carries
+    (day, user) pairs, already reduced map-side — not raw events).
+    For approximate-at-scale use approx_count_distinct; this query is
+    the exact anchor."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(
+        f"((`ts_ns` - pmod(`ts_ns`, {86400 * NS}L)) div {86400 * NS}L)"
+        " * 86400"
+    ).cast("long").alias("day_ts")
+    return (
+        ev.select(day, "user_id", "event_type")
+        .groupBy("day_ts")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_DISTINCT_USERS_DAILY = f"""
+SELECT (epoch_ns(ts) // {86400 * NS}) * 86400 AS day_ts,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1
+"""
+
+
+def q_rollup_grouping_sets(spark, sf_dir):
+    """SQL ROLLUP (grouping sets): per-(segment, event_type) sums
+    with segment subtotals and a grand total in ONE pass — Spark's
+    Expand operator replicates each row once per grouping set before
+    a single aggregation (no per-level rescan).  NULL marks the
+    rolled-up level, same convention both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    j = ev.join(F.broadcast(cust), "user_id").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)"))
+    return (
+        j.rollup("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_dec").cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_ROLLUP_GROUPING_SETS = """
+SELECT c_mktsegment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY ROLLUP (c_mktsegment)
+"""
+
+
 PSI_MID = 1704067200 + 15 * 86400   # 2024-01-16T00:00:00Z
 
 
@@ -563,6 +624,14 @@ EXT_QUERIES: dict[str, dict] = {
     "psi_value_drift_by_type": {
         "fn": q_psi_value_drift_by_type,
         "oracle": SQL_PSI_VALUE_DRIFT_BY_TYPE,
+    },
+    "distinct_users_daily": {
+        "fn": q_distinct_users_daily,
+        "oracle": SQL_DISTINCT_USERS_DAILY,
+    },
+    "rollup_grouping_sets": {
+        "fn": q_rollup_grouping_sets,
+        "oracle": SQL_ROLLUP_GROUPING_SETS,
     },
     "vocab_top100": {
         "fn": q_vocab_top100,
