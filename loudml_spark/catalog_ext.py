@@ -304,6 +304,74 @@ GROUP BY ROLLUP (c_mktsegment)
 """
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_types_daily(spark, sf_dir):
+    """Pivot: one row per day, one column per event type (explicit
+    value list, so the plan is a single conditional-aggregation pass
+    — no second job to discover pivot values, which at 100 TB would
+    be a full extra scan).  Oracle: CASE-based conditional sums."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr(
+        f"((`ts_ns` - pmod(`ts_ns`, {86400 * NS}L)) div {86400 * NS}L)"
+        " * 86400"
+    ).cast("long").alias("day_ts")
+    return (
+        ev.select(day, "event_type",
+                  F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("day_ts")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.sum("v").cast("double"))
+    )
+
+
+SQL_PIVOT_TYPES_DAILY = f"""
+SELECT (epoch_ns(ts) // {86400 * NS}) * 86400 AS day_ts,
+  {", ".join(
+      f"CAST(SUM(CASE WHEN event_type = '{t}' "
+      f"THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS {t}"
+      for t in EVENT_TYPES)}
+FROM events
+GROUP BY 1
+"""
+
+
+def q_tpch_q4_priority_semi(spark, sf_dir):
+    """TPC-H Q4 shape (order-priority checking): LEFT SEMI join —
+    each order counted once if ANY line item shipped after the order
+    date (EXISTS semantics; a plain join would double-count
+    multi-line orders).  Semi joins stop probing on first match and
+    never materialize the right payload.  Date columns adapted to
+    this testdata (no l_commitdate/l_receiptdate).  Reference shape:
+    TPC-H spec Q4."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+               "o_orderdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"))
+
+
+SQL_TPCH_Q4_PRIORITY_SEMI = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
 PSI_MID = 1704067200 + 15 * 86400   # 2024-01-16T00:00:00Z
 
 
@@ -632,6 +700,14 @@ EXT_QUERIES: dict[str, dict] = {
     "rollup_grouping_sets": {
         "fn": q_rollup_grouping_sets,
         "oracle": SQL_ROLLUP_GROUPING_SETS,
+    },
+    "pivot_types_daily": {
+        "fn": q_pivot_types_daily,
+        "oracle": SQL_PIVOT_TYPES_DAILY,
+    },
+    "tpch_q4_priority_semi": {
+        "fn": q_tpch_q4_priority_semi,
+        "oracle": SQL_TPCH_Q4_PRIORITY_SEMI,
     },
     "vocab_top100": {
         "fn": q_vocab_top100,
