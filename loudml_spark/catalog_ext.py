@@ -372,6 +372,39 @@ GROUP BY 1
 """
 
 
+def q_orders_no_late_lines_anti(spark, sf_dir):
+    """NOT EXISTS via LEFT ANTI join: orders in the quarter with NO
+    line item shipped after the order date — the complement of the
+    semi-join query (their n_orders sum to the quarter's order count,
+    pinned by the shared oracle data).  Anti joins are the scalable
+    NOT IN: no right payload, null-safe, one hash probe per row."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+               "o_orderdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    anti = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_anti",
+    )
+    return anti.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"))
+
+
+SQL_ORDERS_NO_LATE_LINES_ANTI = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+GROUP BY 1
+"""
+
+
 PSI_MID = 1704067200 + 15 * 86400   # 2024-01-16T00:00:00Z
 
 
@@ -708,6 +741,10 @@ EXT_QUERIES: dict[str, dict] = {
     "tpch_q4_priority_semi": {
         "fn": q_tpch_q4_priority_semi,
         "oracle": SQL_TPCH_Q4_PRIORITY_SEMI,
+    },
+    "orders_no_late_lines_anti": {
+        "fn": q_orders_no_late_lines_anti,
+        "oracle": SQL_ORDERS_NO_LATE_LINES_ANTI,
     },
     "vocab_top100": {
         "fn": q_vocab_top100,
