@@ -484,3 +484,57 @@ def test_psi_validates_inputs(spark):
     bad = spark.createDataFrame([("a", 1)], "k string, n long")
     with pytest.raises(errors.Invalid):
         psi(df, bad, by=["k"])
+
+
+# ------------------------------------------------------ edge hardening
+
+
+def test_range_join_with_by_keys(spark):
+    pts = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 25), ("b", 3, 5)],
+        "g string, pid long, ts long")
+    iv = spark.createDataFrame(
+        [("a", 10, 0, 10), ("b", 20, 0, 10), ("a", 30, 20, 30)],
+        "g string, wid long, start long, end long")
+    out = range_join(pts, iv, on="ts", start_col="start", end_col="end",
+                     by=["g"], bin_width=10)
+    got = {(r["g"], r["pid"], r["wid"]) for r in out.collect()}
+    # key isolation: b's point never matches a's window
+    assert got == {("a", 1, 10), ("a", 2, 30), ("b", 3, 20)}
+
+
+def test_sessionize_unkeyed_global_timeline(spark):
+    df = spark.createDataFrame([(0,), (50,), (500,)], "ts long")
+    out = sessionize(df, gap=100)
+    got = sorted((r["ts"], r["session_id"]) for r in out.collect())
+    assert got == [(0, 1), (50, 1), (500, 2)]
+
+
+def test_salted_agg_sums_only_no_counts(spark):
+    from loudml_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(1, "k", 2.0), (2, "k", 3.0)], "rid long, k string, v double")
+    out = salted_agg(df, keys=["k"], salt_on="rid", n_salt=2,
+                     sums=["v"], counts=False).collect()
+    assert out[0]["sum_v"] == 5.0
+    assert "n" not in out[0].asDict()
+    with pytest.raises(errors.Invalid):
+        salted_agg(df, keys=["k"], salt_on="rid", n_salt=2, counts=False)
+
+
+def test_rollup_cascade_negative_epochs(spark):
+    # pre-1970 timestamps must floor to the LEFT bucket edge
+    df = spark.createDataFrame(
+        [(-1, 1.0), (-3600, 2.0), (0, 4.0)], "ts long, value double")
+    out = rollup_cascade(df, value_col="value", intervals=[3600])
+    got = {r["bucket_ts"]: r["n"] for r in out.collect()}
+    assert got == {-3600: 2, 0: 1}
+
+
+def test_hash_split_single_bucket_weights(spark):
+    from loudml_spark.pipeline.sampling import hash_split
+
+    df = spark.range(100)
+    out = hash_split(df, key=F.col("id"), weights={"all": 1.0})
+    assert {r["split"] for r in out.collect()} == {"all"}
