@@ -489,9 +489,17 @@ class Engine:
         def run():
             series, _, _ = self._series_for(
                 model, bucket_name, from_date, to_date, feature_expr, **kw)
-            if resume and model.is_trained():
+            import inspect
+
+            supports_resume = "resume" in inspect.signature(
+                model.fit).parameters
+            if resume and model.is_trained() and supports_resume:
                 model.fit(series, resume=True)
             else:
+                # models without a warm-start path (gaussian, seasonal
+                # profiles re-fit from scratch in one pass anyway)
+                # silently retrain — resume is an optimization hint,
+                # not a semantic change
                 model.fit(series)
             if self.storage is not None:
                 self.storage.save(model)

@@ -1126,10 +1126,15 @@ def _asof_inputs(spark, sf_dir):
     right = (
         orders.groupBy(
             F.col("o_custkey").alias("custkey"),
-            # o_orderdate loads as TIMESTAMP_NTZ; Spark 4's unix_micros
-            # needs TIMESTAMP (UTC session tz => matches DuckDB epoch_ns).
-            (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
-             * F.lit(1000)).alias("ts"),
+            # o_orderdate loads as TIMESTAMP_NTZ; the convert_timezone
+            # round-trip reads the wall clock AS UTC under ANY session
+            # timezone (a bare NTZ→TIMESTAMP cast shifts by the session
+            # offset), matching DuckDB epoch_ns without relying on a
+            # session-wide UTC pin.
+            F.expr(
+                "unix_micros(cast(convert_timezone('UTC', "
+                "current_timezone(), o_orderdate) as timestamp)) * 1000L"
+            ).alias("ts"),
         )
         .agg(
             F.max("o_totalprice").alias("last_price"),

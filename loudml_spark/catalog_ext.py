@@ -24,6 +24,15 @@ TFIDF_MAX_DOC = 100                # bound the per-doc term output
 TFIDF_TOP_TERMS = 5
 
 
+def _day_ts():
+    """Epoch-day (UTC) label from int64-ns `ts_ns` — the shared
+    negative-safe integer floor (operators/bucketize.py semantics)."""
+    step = 86400 * NS
+    return F.expr(
+        f"((`ts_ns` - pmod(`ts_ns`, {step}L)) div {step}L) * 86400"
+    ).cast("long").alias("day_ts")
+
+
 def _events_ts(spark, sf_dir):
     return load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -250,10 +259,7 @@ def q_distinct_users_daily(spark, sf_dir):
     For approximate-at-scale use approx_count_distinct; this query is
     the exact anchor."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.expr(
-        f"((`ts_ns` - pmod(`ts_ns`, {86400 * NS}L)) div {86400 * NS}L)"
-        " * 86400"
-    ).cast("long").alias("day_ts")
+    day = _day_ts()
     return (
         ev.select(day, "user_id", "event_type")
         .groupBy("day_ts")
@@ -313,10 +319,7 @@ def q_pivot_types_daily(spark, sf_dir):
     — no second job to discover pivot values, which at 100 TB would
     be a full extra scan).  Oracle: CASE-based conditional sums."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.expr(
-        f"((`ts_ns` - pmod(`ts_ns`, {86400 * NS}L)) div {86400 * NS}L)"
-        " * 86400"
-    ).cast("long").alias("day_ts")
+    day = _day_ts()
     return (
         ev.select(day, "event_type",
                   F.col("value").cast("decimal(18,2)").alias("v"))
@@ -453,14 +456,22 @@ j AS (
 )
 SELECT j.event_type AS event_type,
        ROUND(SUM(
-         (GREATEST(COALESCE(j.na, 0) / CAST(ta.t AS DOUBLE), 1e-6)
-          - GREATEST(COALESCE(j.ne, 0) / CAST(te.t AS DOUBLE), 1e-6))
-         * LN(GREATEST(COALESCE(j.na, 0) / CAST(ta.t AS DOUBLE), 1e-6)
-              / GREATEST(COALESCE(j.ne, 0) / CAST(te.t AS DOUBLE), 1e-6))
+         (CASE WHEN ta.t IS NULL THEN 1e-6
+               ELSE GREATEST(COALESCE(j.na, 0) / CAST(ta.t AS DOUBLE),
+                             1e-6) END
+          - CASE WHEN te.t IS NULL THEN 1e-6
+                 ELSE GREATEST(COALESCE(j.ne, 0) / CAST(te.t AS DOUBLE),
+                               1e-6) END)
+         * LN(CASE WHEN ta.t IS NULL THEN 1e-6
+                   ELSE GREATEST(COALESCE(j.na, 0) / CAST(ta.t AS DOUBLE),
+                                 1e-6) END
+              / CASE WHEN te.t IS NULL THEN 1e-6
+                     ELSE GREATEST(COALESCE(j.ne, 0) / CAST(te.t AS DOUBLE),
+                                   1e-6) END)
        ), 6) AS psi
 FROM j
-JOIN te ON j.event_type = te.event_type
-JOIN ta ON j.event_type = ta.event_type
+LEFT JOIN te ON j.event_type = te.event_type
+LEFT JOIN ta ON j.event_type = ta.event_type
 GROUP BY 1
 """
 

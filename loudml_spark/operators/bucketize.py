@@ -66,7 +66,17 @@ def _bucket_expr(df: DataFrame, ts_col: str, interval: int, ts_unit: str) -> Col
             f"((`{ts_col}` - pmod(`{ts_col}`, {step}L)) div {step}L)"
             f" * {interval}L"
         ).cast("long")
-    epoch = F.col(ts_col).cast("double")
+    if isinstance(dtype, T.TimestampNTZType):
+        # NTZ wall clocks are UTC by convention here; a bare
+        # NTZ→double cast is illegal and NTZ→TIMESTAMP would shift by
+        # the session timezone — round-trip through convert_timezone
+        # to read the wall clock AS UTC under any session tz.
+        epoch = F.expr(
+            f"cast(cast(convert_timezone('UTC', current_timezone(), "
+            f"`{ts_col}`) as timestamp) as double)"
+        )
+    else:
+        epoch = F.col(ts_col).cast("double")
     return (F.floor(epoch / F.lit(interval)) * F.lit(interval)).cast("long")
 
 
@@ -76,7 +86,19 @@ def _range_predicate(
     """Half-open [from, to) filter, phrased on the raw column type so
     Catalyst pushes it into the scan."""
     dtype = df.schema[ts_col].dataType
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
+    if isinstance(dtype, T.TimestampNTZType):
+        # UTC wall-clock literals cast to NTZ: tz-independent, and a
+        # plain string-literal comparison pushes into the scan
+        from datetime import datetime, timezone
+
+        def _ntz_lit(v: float):
+            s = datetime.fromtimestamp(float(v), tz=timezone.utc) \
+                .strftime("%Y-%m-%d %H:%M:%S.%f")
+            return F.lit(s).cast(dtype)
+
+        return (F.col(ts_col) >= _ntz_lit(from_ts)) & (
+            F.col(ts_col) < _ntz_lit(to_ts))
+    if isinstance(dtype, T.TimestampType):
         lo = F.timestamp_seconds(F.lit(float(from_ts)))
         hi = F.timestamp_seconds(F.lit(float(to_ts)))
         return (F.col(ts_col) >= lo) & (F.col(ts_col) < hi)
@@ -100,8 +122,24 @@ def _range_predicate(
             df.schema[raw].dataType, (T.TimestampType, T.TimestampNTZType)
         ):
             rdtype = df.schema[raw].dataType
-            lo = F.timestamp_seconds(F.lit(float(from_ts))).cast(rdtype)
-            hi = F.timestamp_seconds(F.lit(float(to_ts))).cast(rdtype)
+            if isinstance(rdtype, T.TimestampNTZType):
+                # NTZ wall clocks are UTC by the loader's contract:
+                # build the bounds as UTC STRING literals cast to NTZ
+                # (tz-independent) — timestamp_seconds(...).cast(NTZ)
+                # would render the bound in the SESSION timezone and
+                # shift the pruning range under non-UTC sessions.
+                from datetime import datetime, timezone
+
+                def _ntz(v: float):
+                    s = datetime.fromtimestamp(
+                        float(v), tz=timezone.utc
+                    ).strftime("%Y-%m-%d %H:%M:%S.%f")
+                    return F.lit(s).cast(rdtype)
+
+                lo, hi = _ntz(from_ts), _ntz(to_ts)
+            else:
+                lo = F.timestamp_seconds(F.lit(float(from_ts)))
+                hi = F.timestamp_seconds(F.lit(float(to_ts)))
             pred = pred & (F.col(raw) >= lo) & (F.col(raw) < hi)
         return pred
     return (F.col(ts_col) >= F.lit(float(from_ts))) & (

@@ -32,10 +32,14 @@ def psi(
     dataset-drift score (rule of thumb: <0.1 stable, >0.25 shifted).
 
     Bins present in one side only get probability ``eps`` (the
-    conventional smoothing), via a full-outer join on (by…, bin).
-    All-Column math after one small join — inputs are already
-    aggregated histograms, so cost is |groups|·|bins| regardless of
-    the corpora the histograms came from.
+    conventional smoothing), via a full-outer join on (by…, bin); a
+    GROUP present in one side only (a category born or vanished
+    between snapshots — maximal drift) keeps its rows, with the
+    absent side's every probability at ``eps``, so it surfaces with
+    a large PSI instead of silently disappearing.  All-Column math
+    after small joins — inputs are already aggregated histograms, so
+    cost is |groups|·|bins| regardless of the corpora the histograms
+    came from.
     """
     by = list(by)
     for side, df in (("expected", expected), ("actual", actual)):
@@ -50,15 +54,19 @@ def psi(
     a = actual.withColumnRenamed("n", "__na")
     joined = (
         e.join(a, [*by, "bin"], "full_outer")
-        .join(e_tot, by) if by else
+        .join(e_tot, by, "left") if by else
         e.join(a, ["bin"], "full_outer").crossJoin(F.broadcast(e_tot))
     )
-    joined = joined.join(a_tot, by) if by else \
+    joined = joined.join(a_tot, by, "left") if by else \
         joined.crossJoin(F.broadcast(a_tot))
-    pe = F.greatest(
-        F.coalesce(F.col("__ne"), F.lit(0)) / F.col("__te"), F.lit(eps))
-    pa = F.greatest(
-        F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta"), F.lit(eps))
+    pe = F.when(F.col("__te").isNull(), F.lit(eps)).otherwise(
+        F.greatest(
+            F.coalesce(F.col("__ne"), F.lit(0)) / F.col("__te"),
+            F.lit(eps)))
+    pa = F.when(F.col("__ta").isNull(), F.lit(eps)).otherwise(
+        F.greatest(
+            F.coalesce(F.col("__na"), F.lit(0)) / F.col("__ta"),
+            F.lit(eps)))
     term = (pa - pe) * F.log(pa / pe)
     return (
         joined.groupBy(*by)

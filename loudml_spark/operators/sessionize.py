@@ -93,7 +93,17 @@ def session_stats_native(
             raise errors.Invalid(f"missing column {col!r}")
     if gap_seconds is None or gap_seconds <= 0:
         raise errors.Invalid("gap_seconds must be a positive duration")
-    ts = F.col(ts_col).cast("timestamp")
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        # read the NTZ wall clock AS UTC under any session timezone
+        # (a bare NTZ→TIMESTAMP cast shifts by the session offset)
+        ts = F.expr(
+            f"cast(convert_timezone('UTC', current_timezone(), "
+            f"`{ts_col}`) as timestamp)"
+        )
+    else:
+        ts = F.col(ts_col).cast("timestamp")
     us = F.unix_micros(ts)
     aggs = [
         F.min(us).alias("session_start"),

@@ -57,7 +57,7 @@ def vocabulary(
         F.sum("tf_doc").alias("tf"), F.count("*").alias("df")
     )
     vocab = vocab.orderBy(F.desc("tf"), F.asc("token"))
-    return vocab.limit(top_k) if top_k else vocab
+    return vocab.limit(top_k) if top_k is not None else vocab
 
 
 def inverted_index(

@@ -139,6 +139,10 @@ class _Handler(BaseHTTPRequestHandler):
             "roles": ["master", "data"],
             "http": {"bound_address": [addr], "publish_address": addr},
         }
+        # ES-style routing: the first segment may be a METRIC selector
+        # (GET /_nodes/http), not only a node name
+        if rest and rest[0] == "http":
+            rest = ["_all", *rest]
         if rest and rest[0] not in ("node-0", "_all"):
             return self._json(404, {"error": f"no node: {rest[0]}"})
         if len(rest) >= 2 and rest[1] == "http":

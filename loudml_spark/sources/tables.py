@@ -37,10 +37,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # read-compat only: lets the int64-raw-nanos parquet layout load
+        # at all (PARQUET_TYPE_ILLEGAL otherwise); no-op for timestamp[us]
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # NTZ->TIMESTAMP casts below interpret wall-clock in the session
-        # timezone; pin UTC so ts_ns == DuckDB epoch_ns regardless of host.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":
@@ -52,11 +51,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # column — bucketize reads it to add a REDUNDANT range
         # predicate on ts itself, which (unlike a predicate on this
         # computed expression) pushes down to the parquet scan for
-        # row-group pruning.
+        # row-group pruning.  The convert_timezone round-trip makes the
+        # NTZ wall-clock read AS UTC under ANY session timezone (a bare
+        # NTZ→TIMESTAMP cast would shift by the session offset), so the
+        # loader no longer mutates spark.sql.session.timeZone — a hidden
+        # global side effect for embedding applications.
         return df.select(
             "*",
-            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
-            .alias("ts_ns", metadata={"derived_from": "ts"}),
+            F.expr(
+                "unix_micros(cast(convert_timezone('UTC', "
+                "current_timezone(), ts) as timestamp)) * 1000L"
+            ).alias("ts_ns", metadata={"derived_from": "ts"}),
         )
     return spark.read.parquet(path)
 

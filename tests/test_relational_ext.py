@@ -538,3 +538,19 @@ def test_hash_split_single_bucket_weights(spark):
     df = spark.range(100)
     out = hash_split(df, key=F.col("id"), weights={"all": 1.0})
     assert {r["split"] for r in out.collect()} == {"all"}
+
+
+def test_psi_surfaces_group_present_on_one_side_only(spark):
+    from loudml_spark.operators.histogram import histogram, psi
+
+    e = spark.createDataFrame([("a", float(v)) for v in (1, 2)],
+                              "k string, value double")
+    a = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0)], "k string, value double")
+    he = histogram(e, value_col="value", bin_width=10.0, by=["k"])
+    ha = histogram(a, value_col="value", bin_width=10.0, by=["k"])
+    got = {r["k"]: r["psi"] for r in psi(he, ha, by=["k"]).collect()}
+    # the brand-new category must SURFACE (maximal drift), not vanish
+    assert "b" in got
+    assert got["b"] > 1.0
+    assert got["a"] == pytest.approx(0.0, abs=1e-9)

@@ -155,6 +155,9 @@ def test_nodes_endpoint(srv):
     assert body["_nodes"] == {"total": 1, "successful": 1, "failed": 0}
     node = body["nodes"]["node-0"]
     assert node["http"]["publish_address"].split(":")[1].isdigit()
+    # ES-style metric selector as the first segment
+    code, body = _get(f"{srv}/_nodes/http")
+    assert code == 200 and "http" in body["nodes"]["node-0"]
     code, body = _get(f"{srv}/_nodes/node-0/http")
     assert code == 200
     assert set(body["nodes"]["node-0"]) == {"name", "http"}

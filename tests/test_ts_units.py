@@ -33,3 +33,33 @@ def test_ms_unit(spark):
     out = bucketize(df, ["avg(v)"], 0, 6, 3, ts_col="ts", ts_unit="ms")
     got = {r["bucket_ts"]: r["avg_v"] for r in out.collect()}
     assert got == {0: 1.5, 3: 3.0}
+
+
+def test_ts_ns_independent_of_session_timezone(spark):
+    """The events loader's derived ts_ns (and bucketize pushdown
+    bounds) must not shift when an embedding application runs a
+    non-UTC session timezone."""
+    from loudml_spark.operators.bucketize import bucketize
+    from loudml_spark.sources.tables import load_table
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc = load_table(spark, "/root/testdata/sf0.001", "events") \
+            .select("event_id", "ts_ns").orderBy("event_id").limit(5).collect()
+        utc_b = bucketize(
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            ["count(value)"], "2024-01-01", "2024-01-02", "6h",
+            ts_col="ts_ns", ts_unit="ns").collect()
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = load_table(spark, "/root/testdata/sf0.001", "events") \
+            .select("event_id", "ts_ns").orderBy("event_id").limit(5).collect()
+        ny_b = bucketize(
+            load_table(spark, "/root/testdata/sf0.001", "events"),
+            ["count(value)"], "2024-01-01", "2024-01-02", "6h",
+            ts_col="ts_ns", ts_unit="ns").collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert [r["ts_ns"] for r in utc] == [r["ts_ns"] for r in ny]
+    assert sorted((r["bucket_ts"], r["count_value"]) for r in utc_b) == \
+        sorted((r["bucket_ts"], r["count_value"]) for r in ny_b)
