@@ -408,6 +408,41 @@ GROUP BY 1
 """
 
 
+UNPIVOT_MAX_KEY = 200
+
+
+def q_unpivot_lineitem_measures(spark, sf_dir):
+    """Unpivot (melt): wide per-line measures → long (measure, value)
+    rows, the normalization step feeding generic per-metric pipelines.
+    Spark's native unpivot is an Expand (one pass, rows × n_measures,
+    no join); bounded here by order key for a stable row count.
+    Oracle: UNION ALL of per-measure projections (portable SQL)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < UNPIVOT_MAX_KEY)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+SQL_UNPIVOT_LINEITEM_MEASURES = f"""
+WITH src AS (
+  SELECT * FROM lineitem WHERE l_orderkey < {UNPIVOT_MAX_KEY}
+)
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity AS value FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src
+"""
+
+
 PSI_MID = 1704067200 + 15 * 86400   # 2024-01-16T00:00:00Z
 
 
@@ -756,6 +791,10 @@ EXT_QUERIES: dict[str, dict] = {
     "orders_no_late_lines_anti": {
         "fn": q_orders_no_late_lines_anti,
         "oracle": SQL_ORDERS_NO_LATE_LINES_ANTI,
+    },
+    "unpivot_lineitem_measures": {
+        "fn": q_unpivot_lineitem_measures,
+        "oracle": SQL_UNPIVOT_LINEITEM_MEASURES,
     },
     "vocab_top100": {
         "fn": q_vocab_top100,
