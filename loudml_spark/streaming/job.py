@@ -104,6 +104,32 @@ def stream_sessionize(
     )
 
 
+def stream_dedupe(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    *,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Idempotent ingestion: drop re-delivered events by ``keys``
+    across micro-batches (at-least-once sources → exactly-once
+    downstream).
+
+    Uses ``dropDuplicatesWithinWatermark``: the state store remembers
+    seen keys only until the watermark passes them, so state is
+    bounded by (throughput × watermark window) instead of growing
+    forever — plain ``dropDuplicates`` on a stream retains every key
+    EVER seen and OOMs a long-lived pipeline.  The watermark must be
+    at least the source's maximum re-delivery delay.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("need at least one dedup key column")
+    return stream_df.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 _DETECT_STATE_SCHEMA = (
     "episode_no long, episode_start long, episode_max double, "
     "last_anomaly_ts double, open boolean"

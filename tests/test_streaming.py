@@ -174,3 +174,35 @@ def test_stream_sessionize_merges_across_batches(spark, tmpdir):
         == 120 * 10**6
     assert by_start[1]["n_events"] == 1
     assert len(sessions["v"]) == 1
+
+
+def test_stream_dedupe_across_batches(spark, tmpdir):
+    from loudml_spark.streaming.job import stream_dedupe
+
+    src = f"{tmpdir}/dedup_src"
+    # duplicate event ids within AND across micro-batches
+    _write_batch(
+        spark, src,
+        [(1, BASE), (2, BASE + 5), (1, BASE)],
+        "event_id long, sec long",
+    )
+    _write_batch(
+        spark, src,
+        [(2, BASE + 5), (3, BASE + 10)],
+        "event_id long, sec long",
+    )
+    stream = (
+        spark.readStream.schema("event_id long, sec long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    )
+    out = stream_dedupe(stream, ["event_id"], watermark="1 hour")
+    q = (
+        out.writeStream.format("memory").queryName("dedup_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select event_id from dedup_test").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3]  # each event exactly once, even cross-batch
