@@ -28,6 +28,7 @@ from typing import Any, Mapping
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from loudml_spark import errors
 from loudml_spark.features import parse_features
 from loudml_spark.operators.bucketize import BUCKET_COL, bucketize
 
@@ -74,13 +75,23 @@ def _nan_to_none(v):
 
 
 def prediction_frame(scored: DataFrame, feature: str,
-                     model_name: str) -> DataFrame:
+                     model_name: str, *,
+                     ts_col: str | None = None) -> DataFrame:
     """Write-back schema for a prediction result
     (loudml/donut.py:293-319, bucket.py:232-253): bucket left edge,
     predicted under the feature name, observed under ``@<feature>``,
-    band as ``lower_/upper_<feature>``, score + is_anomaly tag."""
+    band as ``lower_/upper_<feature>``, score + is_anomaly tag.
+
+    The time column is ``bucket_ts`` unless the scored frame was
+    renamed to a model's ``ts_col`` (Engine.eval_model does) — detect
+    rather than hardcode, or write-back crashes AFTER scoring."""
+    ts_src = BUCKET_COL if BUCKET_COL in scored.columns else ts_col
+    if ts_src is None or ts_src not in scored.columns:
+        raise errors.Invalid(
+            f"scored frame has no time column ({BUCKET_COL!r} or "
+            f"{ts_col!r}); columns: {scored.columns}")
     cols = [
-        F.col(BUCKET_COL).alias("timestamp"),
+        F.col(ts_src).alias("timestamp"),
         F.col("predicted").alias(feature),
         F.col("lower").alias(f"lower_{feature}"),
         F.col("upper").alias(f"upper_{feature}"),
@@ -94,7 +105,17 @@ def prediction_frame(scored: DataFrame, feature: str,
 
 
 def format_series(rows, feature_names) -> dict:
-    """Struct-of-arrays output (loudml/donut.py:331-369)."""
+    """Struct-of-arrays output (loudml/donut.py:331-369).
+
+    Rows either carry per-feature columns (named after the features)
+    or the single shared ``observed``/``predicted`` pair of a scored
+    one-feature frame; in the shared-column shape more than one
+    feature name would silently alias the same data — reject it."""
+    if len(feature_names) > 1:
+        raise errors.Invalid(
+            "scored rows carry one observed/predicted column pair; "
+            f"{len(feature_names)} feature names would silently alias "
+            "the same data — format one feature per call")
     out = {
         "timestamps": [r["bucket_ts"] for r in rows],
         "observed": {},
@@ -555,7 +576,13 @@ class Engine:
                 )
             if output_bucket is not None:
                 self.write(output_bucket, prediction_frame(
-                    scored, model.feature_col, model_name))
+                    scored, model.feature_col, model_name,
+                    ts_col=model.ts_col))
+            if hooks or output_bucket is not None:
+                # all consumers done (hook collect + sink write);
+                # release the cached blocks — a periodic-eval loop
+                # otherwise pins every eval's partitions until LRU
+                scored.unpersist()
             return scored
 
         if bg:
@@ -585,6 +612,18 @@ class Engine:
         from loudml_spark.operators.bucketize import BUCKET_COL, bucketize
 
         model = self.get_model(model_name)
+        if key_cols and model.history_buckets() > 0:
+            # windowed estimators (Donut, window regression) score ONE
+            # series: their sliding windows and ts-joins have no key
+            # partitioning, so a multi-key frame would interleave
+            # keys' values into garbage scores with no error.  Keyed
+            # scoring for these lives in the fleet API
+            # (ml.donut_fleet.donut_fit_predict_many /
+            # ml.regression.fit_many).
+            raise errors.Invalid(
+                f"model {model_name!r} is a windowed single-series "
+                "estimator; per-key _top needs a profile model or the "
+                "fleet API")
         bucket = self.buckets.get(bucket_name)
         from loudml_spark.features import parse_features
 

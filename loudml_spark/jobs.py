@@ -54,14 +54,31 @@ class Job:
 
 
 class JobRegistry:
+    # bound the registry: a periodic-eval loop submits forever, and
+    # every retained Job pins its fn closure + result (often a scored
+    # DataFrame).  Keep the most recent finished jobs only — the
+    # reference reaps finished pool futures the same way.
+    MAX_FINISHED = 1000
+
     def __init__(self, spark=None):
         self.spark = spark
         self._jobs: dict[str, Job] = {}
         self._lock = threading.Lock()
 
+    def _reap_locked(self) -> None:
+        done_states = (DONE, FAILED, CANCELED)
+        finished = [j for j in self._jobs.values()
+                    if j.state in done_states]
+        excess = len(finished) - self.MAX_FINISHED
+        if excess > 0:
+            # dict preserves insertion order → oldest first
+            for j in finished[:excess]:
+                del self._jobs[j.id]
+
     def submit(self, name: str, fn: Callable[[], Any]) -> Job:
         job = Job(name, fn)
         with self._lock:
+            self._reap_locked()
             self._jobs[job.id] = job
 
         def run():

@@ -243,8 +243,10 @@ def donut_forecast_many(
         M = np.lib.stride_tricks.sliding_window_view(mask, k_span).copy()
         vae = NumpyVAE(k_span, k_latent, k_inter, kseed)
         vae.fit(X, M, epochs=epochs)
-        window = np.concatenate([scaled[-(k_span - 1):], [0.0]])
-        wmask = np.concatenate([mask[-(k_span - 1):], [0.0]])
+        # [-(span-1):] with span == 1 is [-0:] == the whole array
+        tail = slice(-(k_span - 1), None) if k_span > 1 else slice(0, 0)
+        window = np.concatenate([scaled[tail], [0.0]])
+        wmask = np.concatenate([mask[tail], [0.0]])
         rng = np.random.default_rng(kseed + 13)
         noise = percent_noise * float(bucket_interval) / 86400.0
         y, sig = vae.forecast_roll(window, wmask, horizon, rng,

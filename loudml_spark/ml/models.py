@@ -255,14 +255,24 @@ class SeasonalNaiveModel(BaseModel):
         self._require_trained()
         spark = series_df.sparkSession
         keys = self.state["slot_keys"]
-        prof = spark.createDataFrame(
-            [tuple(p[k] for k in keys) + (p["mean"], p["std"])
-             for p in self.state["profile"]],
-            ", ".join([f"{k} int" for k in keys])
-            + ", __mean double, __std double",
-        )
-        slotted = self._with_slots(series_df)
-        joined = slotted.join(F.broadcast(prof), on=keys, how="left")
+        if not keys:
+            # seasonality fully disabled → the profile is one global
+            # row; attach it as literals (a keyless join would build
+            # an invalid ', __mean double' DDL schema and crash at
+            # predict time, far from the misconfiguration)
+            p = self.state["profile"][0]
+            joined = series_df.withColumn(
+                "__mean", F.lit(p["mean"])
+            ).withColumn("__std", F.lit(p["std"]))
+        else:
+            prof = spark.createDataFrame(
+                [tuple(p[k] for k in keys) + (p["mean"], p["std"])
+                 for p in self.state["profile"]],
+                ", ".join([f"{k} int" for k in keys])
+                + ", __mean double, __std double",
+            )
+            slotted = self._with_slots(series_df)
+            joined = slotted.join(F.broadcast(prof), on=keys, how="left")
         mu = F.coalesce(F.col("__mean"), F.lit(self.state["global_mean"]))
         sigma = F.coalesce(F.col("__std"), F.lit(self.state["global_std"]))
         return (
@@ -466,7 +476,11 @@ class DonutModel(BaseModel):
         hist = np.array(
             [np.nan if v is None else float(v) for v in raw],
             dtype=float,
-        )[-(self.span - 1):]
+        )
+        # [-(span-1):] with span == 1 is [-0:] == the WHOLE array —
+        # slice explicitly so a span-1 model rolls from an empty tail
+        hist = hist[-(self.span - 1):] if self.span > 1 \
+            else hist[:0]
         window = np.concatenate([(hist - mean) / std, [0.0]])
         mask = np.concatenate(
             [(~np.isnan(hist)).astype(float), [0.0]])

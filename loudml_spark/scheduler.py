@@ -149,13 +149,16 @@ class ScheduledJob:
         self.fn = fn
         self.next_run_at: float | None = None
         self.runs: list[Job] = []
+        self.n_fired = 0  # lifetime count (runs list is bounded)
+
+    MAX_RUNS = 100  # keep only the most recent run handles
 
     def describe(self) -> dict:
         return {
             "name": self.name,
             "every": self.desc["every"],
             "next_run_at": self.next_run_at,
-            "n_runs": len(self.runs),
+            "n_runs": self.n_fired,
         }
 
 
@@ -219,6 +222,9 @@ class ScheduledJobRegistry:
                 job = self.jobs.submit(
                     sj.name, lambda d=sj.desc, f=sj.fn: f(d))
                 sj.runs.append(job)
+                sj.n_fired += 1
+                if len(sj.runs) > sj.MAX_RUNS:
+                    del sj.runs[:-sj.MAX_RUNS]
                 fired.append(job)
                 sj.next_run_at = sj.every.next_run(now)
         return fired

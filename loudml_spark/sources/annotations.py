@@ -50,10 +50,18 @@ class AnnotationStore:
         self._append((ann_id, time.time(), 0.0, 0.0, "", "loudml", "", True))
 
     def list_annotations(self, model: str | None = None) -> DataFrame:
+        from pyspark.errors import AnalysisException
+
         try:
             df = self.spark.read.schema(ANNOTATION_SCHEMA).parquet(self.path)
-        except Exception:
-            return self.spark.createDataFrame([], ANNOTATION_SCHEMA)
+        except AnalysisException as e:
+            # empty store (no file yet) is normal; any OTHER failure
+            # (permissions, corrupt footer, transient store error)
+            # must raise — an empty frame here silently drops the
+            # abnormal-window masks and trains anomalies in as normal
+            if "PATH_NOT_FOUND" in str(e):
+                return self.spark.createDataFrame([], ANNOTATION_SCHEMA)
+            raise
         w = Window.partitionBy("id").orderBy(F.col("seq").desc())
         live = (
             df.withColumn("__rn", F.row_number().over(w))

@@ -34,12 +34,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _has_nanos_ts(path: str) -> bool:
+    """True when the events parquet stores ts as TIMESTAMP(NANOS)
+    (Spark needs the legacy nanosAsLong flag to read it at all).
+    Footer peek via pyarrow — cheap, metadata-only."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return str(schema.field("ts").type) == "timestamp[ns]"
+    except Exception:
+        # directory datasets / exotic stores: fall back to setting the
+        # flag (the historical behavior) rather than failing the read
+        return True
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # read-compat only: lets the int64-raw-nanos parquet layout load
-        # at all (PARQUET_TYPE_ILLEGAL otherwise); no-op for timestamp[us]
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if _has_nanos_ts(path):
+            # read-compat for the int64-raw-nanos layout only
+            # (PARQUET_TYPE_ILLEGAL otherwise).  Set ONLY when that
+            # layout is actually present: the flag is session-global
+            # and changes how unrelated TIMESTAMP(NANOS) parquet reads
+            # behave for an embedding application.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType.simpleString()
         if ts_type == "bigint":

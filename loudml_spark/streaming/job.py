@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from loudml_spark import errors
 from loudml_spark.features import parse_features
 from loudml_spark.functions.metrics import get_metric_spec
 from loudml_spark.operators.bucketize import _match_all_cond
@@ -45,12 +46,20 @@ def stream_bucketize(
     aggregates, one shuffle per micro-batch; late data bounded by the
     watermark (the reference's ``offset``)."""
     features = parse_features(features)
-    interval = int(timeutil.parse_timedelta(bucket_interval))
+    raw_interval = timeutil.parse_timedelta(bucket_interval)
+    if raw_interval <= 0 or raw_interval != int(raw_interval):
+        # match batch bucketize's contract — silently truncating
+        # '90.5s' to 90 would make streaming buckets disagree with a
+        # batch run of the same spec
+        raise errors.Invalid(
+            "bucket_interval must be a positive whole number of "
+            f"seconds, got {bucket_interval!r}")
+    interval = int(raw_interval)
     aggs = []
     for feat in features:
         spec = get_metric_spec(feat.metric)
         if spec.post is not None:
-            raise ValueError(
+            raise errors.Invalid(
                 f"post-aggregation metric {feat.metric} is not available "
                 "in streaming mode (needs the bucket spine)"
             )
@@ -285,13 +294,40 @@ class StreamingEval:
         """The reference's ``save_output_data`` write-back for streams:
         each scored micro-batch lands in ``out_bucket`` with the
         prediction sink schema (``@<feature>`` / ``lower_`` /
-        ``upper_`` — loudml/bucket.py:232-253) via foreachBatch."""
+        ``upper_`` — loudml/bucket.py:232-253) via foreachBatch.
+
+        Update-mode re-emission (faithful to the reference's periodic
+        re-evaluation of the live bucket) means a bucket filled across
+        several triggers lands several times with refined values; each
+        row carries ``__seq`` (the micro-batch id) so readers keep the
+        newest — :func:`latest_predictions` does exactly that.  An
+        append-only sink read WITHOUT that filter double-counts
+        partially-filled buckets."""
         from loudml_spark.api import prediction_frame
 
         name = model_name or self.model.name
 
-        def sink(scored: DataFrame, _batch_id: int):
+        def sink(scored: DataFrame, batch_id: int):
             out_bucket.write(
-                prediction_frame(scored, self.model.feature_col, name))
+                prediction_frame(scored, self.model.feature_col, name)
+                .withColumn("__seq", F.lit(batch_id)))
 
         return self.start(stream_df, sink, available_now=available_now)
+
+
+def latest_predictions(df: DataFrame) -> DataFrame:
+    """Resolve a streaming prediction bucket to its final state: keep
+    each timestamp's newest write (max ``__seq`` per (model,
+    timestamp) — update-mode re-emissions of a bucket supersede the
+    earlier, partially-filled scores)."""
+    from pyspark.sql import Window
+
+    if "__seq" not in df.columns:
+        return df
+    w = Window.partitionBy("model", "timestamp").orderBy(
+        F.col("__seq").desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__seq")
+    )

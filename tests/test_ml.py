@@ -215,3 +215,50 @@ def test_donut_model_constructs_from_settings():
     m = make_model({"name": "d", "type": "donut", "span": 12,
                     "latent_dim": 3})
     assert m.TYPE == "donut" and m.span == 12 and not m.is_trained()
+
+
+def test_seasonal_naive_no_seasonality_predicts_global(spark):
+    # daytime AND weekday disabled → one global profile row; predict
+    # must attach it as literals, not crash on an empty-key join
+    rows = [(i * 3600, 7.0 + (i % 3)) for i in range(48)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    m = SeasonalNaiveModel(
+        "flat", bucket_interval=3600,
+        seasonality={"daytime": False, "weekday": False}).fit(df)
+    pred = m.predict(df).collect()
+    assert len(pred) == 48
+    mean = sum(v for _, v in rows) / len(rows)
+    assert pred[0]["predicted"] == pytest.approx(mean)
+
+
+def test_format_series_rejects_multi_feature(spark):
+    from loudml_spark import errors
+    from loudml_spark.api import format_series
+
+    with pytest.raises(errors.Invalid):
+        format_series([], ["f1", "f2"])
+
+
+def test_prediction_frame_accepts_renamed_ts_col(spark):
+    from loudml_spark.api import prediction_frame
+
+    scored = spark.createDataFrame(
+        [(0, 1.0, 2.0, 0.5, 3.5, 12.0)],
+        "timestamp long, observed double, predicted double, "
+        "lower double, upper double, score double",
+    )
+    out = prediction_frame(scored, "v", "m", ts_col="timestamp")
+    assert out.collect()[0]["timestamp"] == 0
+
+
+def test_latest_predictions_keeps_newest_seq(spark):
+    from loudml_spark.streaming.job import latest_predictions
+
+    df = spark.createDataFrame(
+        [("m", 0, 1.0, 0), ("m", 0, 2.0, 1), ("m", 3600, 5.0, 1)],
+        "model string, timestamp long, score double, __seq long",
+    )
+    out = {(r["model"], r["timestamp"]): r["score"]
+           for r in latest_predictions(df).collect()}
+    assert out[("m", 0)] == 2.0     # batch 1 supersedes batch 0
+    assert out[("m", 3600)] == 5.0
