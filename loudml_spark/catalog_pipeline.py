@@ -97,6 +97,54 @@ FROM base
 """
 
 
+def q_quality_gate_docs(spark, sf_dir):
+    """Curation keep/drop decision per document: ordered threshold
+    rules over the single-pass text statistics; `reason` names the
+    first failing rule (drop audit), `keep` the verdict.  One scan,
+    zero shuffles.  Oracle: the same CASE chain over the shared SQL
+    stat expressions."""
+    from loudml_spark.pipeline.text import quality_gate
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    out = quality_gate(docs)
+    return out.select("doc_id", "n_tokens", "keep", "reason")
+
+
+SQL_QUALITY_GATE_DOCS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         ({_SQL_STOP_HITS}) AS stop_hits
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens,
+         (n_chars_calc - (n_tokens - 1)) / n_tokens AS avg_word_len,
+         stop_hits / n_tokens AS stopword_ratio,
+         LEAST(1.0, n_tokens / 100.0) * 0.5
+           + (1.0 - stop_hits / n_tokens) * 0.3
+           + LEAST(1.0, ((n_chars_calc - (n_tokens - 1)) / n_tokens)
+                   / 8.0) * 0.2 AS quality
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       CASE WHEN n_tokens < 5 THEN 'too_short'
+            WHEN stopword_ratio > 0.6 THEN 'stopword_heavy'
+            WHEN avg_word_len < 2.0 THEN 'degenerate_words'
+            WHEN avg_word_len > 12.0 THEN 'unsegmented'
+            WHEN quality < 0.3 THEN 'low_quality'
+            END AS reason,
+       CASE WHEN n_tokens < 5 THEN FALSE
+            WHEN stopword_ratio > 0.6 THEN FALSE
+            WHEN avg_word_len < 2.0 THEN FALSE
+            WHEN avg_word_len > 12.0 THEN FALSE
+            WHEN quality < 0.3 THEN FALSE
+            ELSE TRUE END AS keep
+FROM s
+"""
+
+
 def q_langid_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     out = langid(docs)
@@ -765,4 +813,6 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_streaming_detect_1h, "oracle_fn": _sql_streaming_detect},
     "split_docs_80_10_10": {
         "fn": q_split_docs_80_10_10, "oracle": SQL_SPLIT_DOCS_80_10_10},
+    "quality_gate_docs": {
+        "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
 }

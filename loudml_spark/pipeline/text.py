@@ -102,6 +102,43 @@ def _marker_counts_udf():
     return F.pandas_udf(fn, f"struct<{fields}>")
 
 
+GATE_MIN_TOKENS = 5
+GATE_MAX_STOPWORD_RATIO = 0.6
+GATE_MIN_AVG_WORD_LEN = 2.0
+GATE_MAX_AVG_WORD_LEN = 12.0
+GATE_MIN_QUALITY = 0.3
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_tokens: int = GATE_MIN_TOKENS,
+    max_stopword_ratio: float = GATE_MAX_STOPWORD_RATIO,
+    min_avg_word_len: float = GATE_MIN_AVG_WORD_LEN,
+    max_avg_word_len: float = GATE_MAX_AVG_WORD_LEN,
+    min_quality: float = GATE_MIN_QUALITY,
+) -> DataFrame:
+    """The keep/drop decision of a curation pipeline: every document
+    gets ``keep`` (boolean) and ``reason`` (FIRST failing rule, null
+    when kept — ordered checks make the label deterministic).  Rides
+    the same single text_stats pass; at corpus scale this is one scan,
+    no shuffle, and the reason column doubles as the drop-audit the
+    pipeline operator reads back."""
+    s = text_stats(df, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, "too_short")
+        .when(F.col("stopword_ratio") > max_stopword_ratio,
+              "stopword_heavy")
+        .when(F.col("avg_word_len") < min_avg_word_len,
+              "degenerate_words")
+        .when(F.col("avg_word_len") > max_avg_word_len, "unsegmented")
+        .when(F.col("quality") < min_quality, "low_quality")
+    )
+    return s.withColumn("reason", reason).withColumn(
+        "keep", reason.isNull())
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach n_tokens / n_chars / avg_word_len / stopword_ratio /
     fingerprint / quality columns.

@@ -286,3 +286,22 @@ def test_dedup_clusters(spark):
         [(i, i + 1) for i in range(30)], "id_a long, id_b long")
     labs = {r["cluster_id"] for r in dedup_clusters(chain).collect()}
     assert labs == {0}
+
+
+def test_quality_gate_rules_and_reasons(spark):
+    from loudml_spark.pipeline.text import quality_gate
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "hi"),
+         (2, "the the the the the a a a a of of of and and"),
+         (3, "Pneumonoultramicroscopicsilicovolcanoconiosis " * 6)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["keep"], r["reason"])
+           for r in quality_gate(docs).collect()}
+    assert out[0] == (True, None)
+    assert out[1] == (False, "too_short")
+    assert out[2] == (False, "stopword_heavy")
+    assert out[3][0] is False and out[3][1] in (
+        "unsegmented", "low_quality")
