@@ -286,11 +286,17 @@ def q_rollup_grouping_sets(spark, sf_dir):
     with segment subtotals and a grand total in ONE pass — Spark's
     Expand operator replicates each row once per grouping set before
     a single aggregation (no per-level rescan).  NULL marks the
-    rolled-up level, same convention both engines."""
+    rolled-up level, same convention both engines.
+
+    No broadcast hint on `customer`: it is a fact-sized table that
+    grows with scale factor (150k x SF rows in TPC-H), and forcing
+    F.broadcast on it OOMs executors at 100x — the same policy as
+    tpch_q3/q5/q7 (catalog.py).  AQE picks broadcast at small SF and
+    switches to sort-merge when the dim outgrows the threshold."""
     ev = load_table(spark, sf_dir, "events").select("user_id", "value")
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment")
-    j = ev.join(F.broadcast(cust), "user_id").withColumn(
+    j = ev.join(cust, "user_id").withColumn(
         "value_dec", F.col("value").cast("decimal(18,2)"))
     return (
         j.rollup("c_mktsegment")
