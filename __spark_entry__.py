@@ -30,5 +30,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return catalog.queries()
 
 
-def oracle_sql() -> dict[str, str]:
-    return catalog.oracle_sql()
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """Data-derived oracles (IVF centroids) train from ``sf_dir``;
+    the driver compares at sf0.01 (the default).  Callers comparing
+    at another scale factor must pass the matching dir."""
+    return catalog.oracle_sql(sf_dir)

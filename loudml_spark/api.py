@@ -579,10 +579,17 @@ class Engine:
                     scored, model.feature_col, model_name,
                     ts_col=model.ts_col))
             if hooks or output_bucket is not None:
-                # all consumers done (hook collect + sink write);
-                # release the cached blocks — a periodic-eval loop
-                # otherwise pins every eval's partitions until LRU
+                # the RETURNED frame is a consumer too: hand the
+                # caller a lineage-truncated materialized copy (the
+                # frame is bounded by range/interval rows), THEN
+                # release the cache — the caller's later actions
+                # never recompute the widened-predict lineage, and a
+                # periodic-eval loop doesn't pin every eval's
+                # partitions until LRU (checkpoint blocks are freed
+                # by the ContextCleaner once the frame is unreferenced)
+                result = scored.localCheckpoint(eager=True)
                 scored.unpersist()
+                return result
             return scored
 
         if bg:

@@ -1297,12 +1297,16 @@ def queries():
     return {name: spec["fn"] for name, spec in QUERIES.items()}
 
 
-def oracle_sql():
+def oracle_sql(sf_dir=None):
+    """``sf_dir`` is threaded to data-derived oracles (IVF centroids
+    train from the same parquet the Spark side reads) — callers
+    comparing at a non-default scale factor MUST pass it, or the
+    centroids silently mismatch.  Defaults to the driver's sf0.01."""
     out = {}
     for name, spec in QUERIES.items():
         sql = spec.get("oracle")
         if sql is None and spec.get("oracle_fn"):
-            sql = spec["oracle_fn"]()
+            sql = spec["oracle_fn"](sf_dir)
         if sql:
             out[name] = sql
     return out

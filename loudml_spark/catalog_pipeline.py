@@ -585,8 +585,10 @@ def _sql_list_dot(v: str, lit: list[float]) -> str:
     )
 
 
-def _sql_ann_lsh_topk() -> str:
-    """DuckDB mirror of q_ann_lsh_topk with inlined plane literals."""
+def _sql_ann_lsh_topk(sf_dir=None) -> str:
+    """DuckDB mirror of q_ann_lsh_topk with inlined plane literals.
+    (``sf_dir`` unused — the planes are seed-derived, not
+    data-derived — but the oracle_fn contract threads it.)"""
     from loudml_spark.pipeline.similarity import hyperplanes
 
     planes = hyperplanes(dim=64, bits=6, seed=42)
@@ -613,13 +615,16 @@ FROM p QUALIFY rank <= 5
 """
 
 
-def _sql_ann_ivf_topk() -> str:
+def _sql_ann_ivf_topk(sf_dir=None) -> str:
     """DuckDB mirror of q_ann_ivf_topk.  Retrains the coarse
     quantizer from the same parquet via the shared numpy path (the
     portable sample key makes the sample — hence the centroids —
     bit-identical to Spark's), then inlines centroids as literals.
-    The sf dir must match the one the Spark side runs against
-    (the driver's correctness gate runs both at sf0.01)."""
+    ``sf_dir`` MUST match the dir the Spark side runs against (the
+    driver's correctness gate runs both at sf0.01, the default);
+    it is threaded through ``catalog.oracle_sql(sf_dir)`` rather
+    than an env-var side channel so any consumer comparing at a
+    different scale factor gets matching centroids."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -627,8 +632,9 @@ def _sql_ann_ivf_topk() -> str:
         train_ivf_centroids_from_arrays,
     )
 
-    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
-                            "/root/testdata/sf0.01")
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
@@ -740,7 +746,7 @@ def q_streaming_detect_1h(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def _sql_streaming_detect() -> str:
+def _sql_streaming_detect(sf_dir=None) -> str:
     from loudml_spark.catalog import _SQL_SCORED_SERIES
 
     return _SQL_SCORED_SERIES + """

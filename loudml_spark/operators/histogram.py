@@ -11,6 +11,7 @@ repo so edges are engine-exact for integer-scaled data.
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 from pyspark.sql import DataFrame
@@ -48,17 +49,29 @@ def psi(
                 raise errors.Invalid(
                     f"{side} side is missing column {col!r} "
                     "(pass histogram() outputs)")
-    e_tot = expected.groupBy(*by).agg(F.sum("n").alias("__te"))
-    a_tot = actual.groupBy(*by).agg(F.sum("n").alias("__ta"))
     e = expected.withColumnRenamed("n", "__ne")
     a = actual.withColumnRenamed("n", "__na")
-    joined = (
-        e.join(a, [*by, "bin"], "full_outer")
-        .join(e_tot, by, "left") if by else
-        e.join(a, ["bin"], "full_outer").crossJoin(F.broadcast(e_tot))
-    )
-    joined = joined.join(a_tot, by, "left") if by else \
-        joined.crossJoin(F.broadcast(a_tot))
+    if by:
+        e_tot = expected.groupBy(*by).agg(F.sum("n").alias("__te"))
+        a_tot = actual.groupBy(*by).agg(F.sum("n").alias("__ta"))
+        joined = (
+            e.join(a, [*by, "bin"], "full_outer")
+            .join(e_tot, by, "left")
+            .join(a_tot, by, "left")
+        )
+    else:
+        # unkeyed: attach the scalar totals as literals (the inputs
+        # are already-aggregated histograms, so the 1-row sums are
+        # trivial) — a crossJoin here would plan as a
+        # BroadcastNestedLoopJoin, tripping the repo's no-nested-loop
+        # plan gate; same approach tf_idf uses for its doc-count
+        te = expected.agg(F.sum("n")).first()[0]
+        ta = actual.agg(F.sum("n")).first()[0]
+        joined = (
+            e.join(a, ["bin"], "full_outer")
+            .withColumn("__te", F.lit(te).cast("double"))
+            .withColumn("__ta", F.lit(ta).cast("double"))
+        )
     pe = F.when(F.col("__te").isNull(), F.lit(eps)).otherwise(
         F.greatest(
             F.coalesce(F.col("__ne"), F.lit(0)) / F.col("__te"),
@@ -97,8 +110,14 @@ def histogram(
     if lo is not None:
         v = F.greatest(v, F.lit(float(lo)))
     if hi is not None:
-        # hi itself belongs to the last bin (half-open range)
-        v = F.least(v, F.lit(float(hi) - float(bin_width) / 2))
+        # clamp to the LEFT EDGE of the last bin (the bin containing
+        # values just below hi) — clamping to hi - width/2 misbins
+        # in-range values whenever hi is not a multiple of bin_width
+        w = float(bin_width)
+        last_bin = math.floor(math.nextafter(float(hi), -math.inf) / w) * w
+        if lo is not None:
+            last_bin = max(last_bin, float(lo))
+        v = F.least(v, F.lit(last_bin))
     bin_col = (F.floor(v / F.lit(float(bin_width)))
                * F.lit(float(bin_width)))
     return (

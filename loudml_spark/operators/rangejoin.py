@@ -61,13 +61,16 @@ def range_join(
     end_col: str = "end",
     by: Sequence[str] = (),
     bin_width,
+    suffix: str = "_right",
 ) -> DataFrame:
     """Inner join of ``points`` to every interval containing them:
     ``intervals.start <= points[on] < intervals.end`` (and equal
     ``by`` keys).  ``bin_width`` is in the units of the time columns.
 
     Returns all point columns plus the interval's columns (minus its
-    ``by`` duplicates).
+    ``by`` duplicates); interval columns whose names clash with a
+    point column get ``suffix`` (same convention as asof_join), so
+    the output never carries ambiguous duplicates.
     """
     by = list(by)
     for col in (on, *by):
@@ -79,6 +82,23 @@ def range_join(
                 f"intervals side is missing column {col!r}")
     if bin_width is None or bin_width <= 0:
         raise errors.Invalid("bin_width must be a positive duration")
+
+    # de-clash interval-side payload BEFORE the join: shared non-key
+    # names (e.g. both sides carrying `value`) would otherwise make
+    # downstream F.col(...) references ambiguous at analysis time
+    rename = {
+        c: c + suffix
+        for c in intervals.columns
+        if c not in by and c in points.columns
+    }
+    if rename:
+        intervals = intervals.withColumnsRenamed(rename)
+        start_col = rename.get(start_col, start_col)
+        end_col = rename.get(end_col, end_col)
+        if set(rename.values()) & set(points.columns):
+            raise errors.Invalid(
+                f"suffix {suffix!r} does not resolve the column "
+                f"clash: {sorted(set(rename.values()) & set(points.columns))}")
 
     p = points.withColumn("__bin", _bin_of(points, on, bin_width))
     # floor(end/bin) may add one trailing bin when `end` sits exactly

@@ -554,3 +554,72 @@ def test_psi_surfaces_group_present_on_one_side_only(spark):
     assert "b" in got
     assert got["b"] > 1.0
     assert got["a"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_histogram_hi_not_multiple_of_bin_width(spark):
+    # ADVICE r4: with bin_width=10, hi=14 the old clamp (hi - w/2 = 9)
+    # pushed the in-range value 12 (true bin 10) into bin 0
+    from loudml_spark.operators.histogram import histogram
+
+    df = spark.createDataFrame(
+        [(2.0,), (12.0,), (13.9,), (14.0,), (99.0,)], "value double")
+    out = {r["bin"]: r["n"] for r in histogram(
+        df, value_col="value", bin_width=10.0, lo=0.0, hi=14.0).collect()}
+    assert out == {0.0: 1, 10.0: 4}  # 12, 13.9 stay in bin 10; >=hi clamps
+
+
+def test_histogram_hi_exact_multiple_keeps_last_bin(spark):
+    from loudml_spark.operators.histogram import histogram
+
+    df = spark.createDataFrame(
+        [(5.0,), (19.0,), (20.0,), (25.0,)], "value double")
+    out = {r["bin"]: r["n"] for r in histogram(
+        df, value_col="value", bin_width=10.0, lo=0.0, hi=20.0).collect()}
+    # hi itself and beyond clamp into the last bin [10, 20)
+    assert out == {0.0: 1, 10.0: 3}
+
+
+def test_psi_unkeyed_no_nested_loop(spark):
+    # ADVICE r4: empty-`by` PSI used a crossJoin that planned as
+    # BroadcastNestedLoopJoin; totals are now attached as literals
+    from loudml_spark.operators.histogram import histogram, psi
+
+    base = spark.createDataFrame(
+        [(float(v),) for v in [1, 2, 3, 11, 12, 21]], "value double")
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in [21, 22, 23, 31, 32, 41]], "value double")
+    he = histogram(base, value_col="value", bin_width=10.0)
+    ha = histogram(shifted, value_col="value", bin_width=10.0)
+    out = psi(he, ha)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert out.collect()[0]["psi"] > 0.25
+    same = psi(he, he).collect()[0]["psi"]
+    assert same == pytest.approx(0.0, abs=1e-12)
+
+
+def test_range_join_suffixes_clashing_columns(spark):
+    # ADVICE r4: shared non-key columns made downstream references
+    # ambiguous; interval-side clashes now get a suffix like asof_join
+    pts = spark.createDataFrame(
+        [(1, 5, 1.0), (2, 25, 2.0)], "pid long, ts long, value double")
+    iv = spark.createDataFrame(
+        [(10, 0, 10, 9.0)], "wid long, start long, end long, value double")
+    out = range_join(pts, iv, on="ts", start_col="start", end_col="end",
+                     bin_width=10)
+    assert "value" in out.columns and "value_right" in out.columns
+    row = out.collect()[0]
+    assert (row["pid"], row["wid"]) == (1, 10)
+    assert row["value"] == 1.0 and row["value_right"] == 9.0
+
+
+def test_range_join_suffix_on_time_columns(spark):
+    # even the interval's start/end/ts columns may clash with a point
+    # column name — the rename must be threaded into the bin math
+    pts = spark.createDataFrame([(1, 5, 0)], "pid long, ts long, start long")
+    iv = spark.createDataFrame([(10, 2, 10)], "wid long, start long, end long")
+    out = range_join(pts, iv, on="ts", start_col="start", end_col="end",
+                     bin_width=5)
+    assert "start_right" in out.columns
+    assert [(r["pid"], r["wid"]) for r in out.collect()] == [(1, 10)]

@@ -20,9 +20,6 @@ import __spark_entry__ as entry  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
-# data-derived oracles (IVF centroids) must train from the SAME sf
-# the Spark side reads, or the comparison is apples-to-oranges
-os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 
 TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
@@ -63,7 +60,9 @@ def main():
             f"read_parquet('{SF_DIR}/{t}.parquet')"
         )
 
-    qs, oracles = entry.queries(), entry.oracle_sql()
+    # data-derived oracles (IVF centroids) must train from the SAME
+    # sf the Spark side reads — threaded explicitly, no env channel
+    qs, oracles = entry.queries(), entry.oracle_sql(SF_DIR)
     failed = []
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
