@@ -86,15 +86,18 @@ def main():
     # `queries` stays the per-query MIN (steady-state, the number
     # comparable across rounds); `queries_median` exposes the spread so
     # a contended pass is visible instead of silently inflating totals.
+    # Key order matters: the driver's artifact keeps the TAIL of this
+    # line, so the primary signal (`queries` mins) prints LAST and the
+    # medians — the redundant spread view — absorb any truncation.
     print(json.dumps({
         "metric": "catalog query wall-clock (noop sink)",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "queries_median": medians,
         "value_median": round(sum(medians.values()), 3),
         "reps": reps,
         "sf": sf_of(SF_DIR),
+        "queries_median": medians,
+        "queries": timings,
     }))
 
 

@@ -581,12 +581,45 @@ def simhash_pairs_blocked(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star contraction: every node connects its STRICTLY
+    LARGER neighbors to the minimum of its closed neighborhood.
+    Output edges are canonical ``u > v``."""
+    nbrs = edges.union(
+        edges.select(F.col("u").alias("v"), F.col("v").alias("u"))
+        .select("u", "v"))
+    mins = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        nbrs.filter(F.col("v") > F.col("u"))
+        .join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star contraction: every node connects its ≤-neighbors
+    (and itself) to the minimum among them.  Input/output edges are
+    canonical ``u > v``."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        edges.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame | None = None,
     *,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → one canonical
     doc per cluster — the decision step after pair generation: keep
@@ -600,84 +633,86 @@ def dedup_clusters(
     given, docs absent from every pair come back as singleton
     clusters of themselves.
 
-    Algorithm: min-label propagation with PATH HALVING — each round
-    (a) every node takes the min label among itself and its
-    neighbors (one hash shuffle on the edge key), then (b) labels
-    chase their own label's label (pointer doubling, one self-join).
-    Halving makes convergence O(log diameter) rounds instead of
-    O(diameter) — the Hash-to-Min / CC-MR family of MapReduce CC
-    algorithms — and near-dup graphs have tiny diameters anyway.
-    Each round localCheckpoints the label frame to truncate lineage
-    (on a real cluster, set a checkpoint dir and use checkpoint()
-    for fault tolerance instead).  Raises if not converged within
-    ``max_iter`` — a silent partial clustering would corrupt a dedup
-    pass downstream.
+    Algorithm: alternating LARGE-STAR / SMALL-STAR contractions (the
+    Kiveris et al. "Connected Components in MapReduce and Beyond"
+    two-phase algorithm, public).  Each phase is one groupBy-min plus
+    one equi-join on node id; the pair converges in O(log n) rounds
+    — vs the O(diameter)-ish rounds of min-label propagation this
+    replaced — and the fixpoint is exactly the star graph centered at
+    each component's minimum id.  Each round localCheckpoints the
+    edge frame to truncate lineage (on a real cluster, set a
+    checkpoint dir and use checkpoint() for fault tolerance), and the
+    convergence probe rides the SAME single action: count plus two
+    independent xxhash64 checksums of the edge set (collision odds
+    ~2^-128 — no extra exceptAll shuffle per round at scale).
+    Raises if not converged within ``max_iter`` — a silent partial
+    clustering would corrupt a dedup pass downstream.
+
+    ``stats``: optional dict; on return, ``stats["rounds"]`` holds
+    the number of large+small rounds executed.
     """
-    edges = pairs.select(F.col("id_a").alias("src"),
-                         F.col("id_b").alias("dst"))
     edges = (
-        edges.union(edges.select(F.col("dst").alias("src"),
-                                 F.col("src").alias("dst")))
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
         .distinct()
-        # materialize ONCE: edges join into every propagation round,
-        # and without this the whole upstream pair-generation pipeline
+        # materialize ONCE: edges feed every contraction round, and
+        # without this the whole upstream pair-generation pipeline
         # (LSH banding, signature UDFs…) re-executes per iteration —
         # measured 5× the query cost at sf0.1.
         .localCheckpoint()
     )
-    labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint()
+    # every node mentioned in a pair must come back labeled, even if
+    # contraction erases its edges (the component min itself)
+    nodes = (
+        edges.select("u").union(edges.select(F.col("v").alias("u")))
+        .distinct()
+        .select(F.col("u").alias(id_col))
+        # no checkpoint: lineage is one pass over the already-
+        # checkpointed edge frame
     )
+
+    def _probe(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*"),
+            # decimal accumulation: a long sum of xxhash64 values
+            # overflows under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(20,0)")),
+            F.sum(F.xxhash64(F.lit("s2"), "u", "v").cast("decimal(20,0)")),
+        ).first()
+        return tuple(row)
+
+    sig = _probe(edges)
     converged = False
+    rounds = 0
     for _ in range(max_iter):
-        nmin = (
-            edges.join(
-                labels.select(F.col("id").alias("dst"),
-                              F.col("label").alias("nlabel")),
-                "dst",
-            )
-            .groupBy("src").agg(F.min("nlabel").alias("nmin"))
-            .select(F.col("src").alias("id"), "nmin")
-        )
-        prop = (
-            labels.join(nmin, "id", "left")
-            .select(
-                "id",
-                F.least(F.col("label"),
-                        F.coalesce(F.col("nmin"), F.col("label")))
-                .alias("label"),
-            )
-        )
-        # path halving: label <- label(label)
-        halved = (
-            prop.alias("a")
-            .join(
-                prop.select(F.col("id").alias("label"),
-                            F.col("label").alias("ll")).alias("b"),
-                "label", "left",
-            )
-            .select(F.col("id"),
-                    F.coalesce(F.col("ll"), F.col("label")).alias("label"))
-            .localCheckpoint()
-        )
-        changed = (
-            halved.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
-        labels = halved
-        if changed == 0:
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        rounds += 1
+        new_sig = _probe(edges)
+        if new_sig == sig:
             converged = True
             break
+        sig = new_sig
+    if stats is not None:
+        stats["rounds"] = rounds
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds"
         )
-    out = labels.select(F.col("id").alias(id_col),
-                        F.col("label").alias("cluster_id"))
+    # fixpoint edges are stars: (node, component_min) for every
+    # non-min node; min-groupBy is belt-and-braces determinism
+    labels = edges.groupBy("u").agg(F.min("v").alias("cluster_id"))
+    out = (
+        nodes.join(labels.select(F.col("u").alias(id_col), "cluster_id"),
+                   id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_id"), F.col(id_col))
+            .alias("cluster_id"),
+        )
+    )
     if docs is not None:
         out = (
             docs.select(id_col)

@@ -281,11 +281,16 @@ def test_dedup_clusters(spark):
     # without docs: only pair participants
     out2 = {r["doc_id"] for r in dedup_clusters(pairs).collect()}
     assert out2 == {1, 2, 3, 5, 7, 9}
-    # long chain converges via path halving
+    # long chain: large-star/small-star contractions need O(log n)
+    # rounds — a 31-node path must close in far fewer rounds than its
+    # diameter (label propagation would need ~30)
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30)], "id_a long, id_b long")
-    labs = {r["cluster_id"] for r in dedup_clusters(chain).collect()}
+    stats = {}
+    labs = {r["cluster_id"]
+            for r in dedup_clusters(chain, stats=stats).collect()}
     assert labs == {0}
+    assert stats["rounds"] <= 8
 
 
 def test_quality_gate_rules_and_reasons(spark):
