@@ -763,25 +763,42 @@ FROM d
 """
 
 
+AR_FLEET_SPAN = 28
+
+
 def q_ar_fleet_predict_6h(spark, sf_dir):
     """Learned-model fleet: one AR(28) ridge model per event_type,
     trained in parallel (applyInPandas closed-form solve) and scored
-    with vectorized window dot-products.  Not SQL-expressible (matrix
-    solve) → rows-only driver check; quality is unit-gated instead
-    (tests/test_regression.py)."""
+    with vectorized window dot-products over a span of true history
+    (every output bucket has a full window — the history-extension
+    convention of the predict API).
+
+    Fully VALUE-ORACLED since round 5 (the IVF-centroid pattern,
+    similarity.py): the bucket series is rounded to 6 dp, making the
+    training input a decimal both engines reproduce bit-identically;
+    the oracle generator recomputes the same series via DuckDB,
+    retrains through the SHARED closed-form numpy fit
+    (regression._fit_arrays) and prediction mirror
+    (regression.ar_predict_values), and inlines the resulting
+    predicted/lower/upper as SQL literals — the final SQL recomputes
+    observed and the erf score from data, so the value-hash covers
+    the series computation, the per-key fit fan-out, the window
+    scoring and the score math."""
     from loudml_spark.ml.regression import fit_many, predict_many
     from loudml_spark.ml.scoring import score_col
 
+    span = AR_FLEET_SPAN
     series = bucketize(
         _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
         ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
-    ).withColumnRenamed("avg_value", "value")
+    ).withColumnRenamed("avg_value", "value") \
+        .withColumn("value", F.round("value", 6))
     train = series.filter(F.col("bucket_ts") < JAN22)
-    models = fit_many(train, ["event_type"], span=28)
+    models = fit_many(train, ["event_type"], span=span)
     scored = predict_many(
-        series.filter(F.col("bucket_ts") >= JAN22), models,
-        ["event_type"], span=28,
-    )
+        series.filter(F.col("bucket_ts") >= JAN22 - span * 21600),
+        models, ["event_type"], span=span,
+    ).filter(F.col("bucket_ts") >= JAN22)
     return scored.select(
         "event_type", "bucket_ts",
         F.col("value").alias("observed"),
@@ -797,11 +814,18 @@ def q_donut_predict_1h(spark, sf_dir):
     """Donut VAE (numpy, arXiv 1802.03903) trained on days 1-21 of the
     hourly series, scoring days 22-30 with the last window point
     masked (MCMC imputation + MC integration).  Deterministic under
-    fixed seeds but not SQL-expressible → rows-only check; quality is
-    unit-gated (tests/test_donut_model.py)."""
+    fixed seeds; quality is unit-gated (tests/test_donut_model.py).
+
+    VALUE-ORACLED since round 5: the series is rounded to 6 dp
+    (bit-identical decimal across engines) and the oracle replays
+    training/inference through the shared numpy cores
+    (models.donut_fit_values / donut_predict_values), inlining the
+    band as literals while the SQL recomputes observed and the erf
+    score from parquet (catalog_oracle_ml.py)."""
     from loudml_spark.ml.models import DonutModel
 
-    series = _hourly_series(spark, sf_dir)
+    series = _hourly_series(spark, sf_dir) \
+        .withColumn("value", F.round("value", 6))
     train = series.filter(F.col("bucket_ts") < JAN22)
     # include span-1 history so the first test bucket has a full window
     span = 24
@@ -825,14 +849,23 @@ def q_forecast_donut_48h(spark, sf_dir):
     """Donut VAE roll-forward forecast (donut.py:1333-1475): train on
     the full month, then forecast 48 hourly buckets past the end by
     iteratively MCMC-imputing the next bucket and rolling the window,
-    band from MC spread scaled to a 95% interval (norm ppf).  Learned
-    + iterative → rows-only; tracking gate in tests/test_donut_model.py
-    mirrors the reference's ±1.5 head/tail check
-    (tests/test_donut.py:408-424)."""
+    band from MC spread scaled to a 95% interval (norm ppf).
+    Tracking gate in tests/test_donut_model.py mirrors the
+    reference's ±1.5 head/tail check (tests/test_donut.py:408-424).
+
+    VALUE-ORACLED since round 5 via the shared-core replay
+    (catalog_oracle_ml.sql_forecast_donut_48h): the oracle retrains
+    on the DuckDB-recomputed 6 dp series with
+    models.donut_fit_values and rolls the forecast forward with
+    models.donut_forecast_values; like the fleet forecast, the
+    output has no observed column, so the SQL carries the band as
+    literals — the hash pins the Spark path to the single-process
+    replay."""
     from loudml_spark.api import forecast_model
     from loudml_spark.ml.models import DonutModel
 
-    series = _hourly_series(spark, sf_dir)
+    series = _hourly_series(spark, sf_dir) \
+        .withColumn("value", F.round("value", 6))
     model = DonutModel(
         "catalog_donut_fc", span=24, latent_dim=3, intermediate_dim=34,
         epochs=40, bucket_interval=3600,
@@ -853,14 +886,24 @@ def q_forecast_donut_fleet_6h(spark, sf_dir):
     (applyInPandas): one model per event_type trained on its own month
     of 6h buckets, each forecasting 8 buckets (2 days) past the end —
     the fleet generalization of the reference's single-model
-    `_forecast` (donut.py:1333-1475).  Rows-only (learned, iterative);
-    tracking + determinism gates in tests/test_donut_fleet.py."""
+    `_forecast` (donut.py:1333-1475).  Tracking + determinism gates
+    in tests/test_donut_fleet.py.
+
+    VALUE-ORACLED since round 5 via the shared-group-function replay
+    (catalog_oracle_ml.py): the oracle retrains each key's VAE with
+    donut_fleet.donut_forecast_group on the DuckDB-recomputed 6 dp
+    series and inlines the roll-forward band as literals over a
+    SQL-generated future spine.  Forecast output has no observed
+    column, so unlike the predict oracles nothing downstream of the
+    literals is recomputed from data — the hash still pins Spark's
+    distributed fleet orchestration to the single-process replay."""
     from loudml_spark.ml.donut_fleet import donut_forecast_many
 
     series = bucketize(
         _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
         ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
-    ).withColumnRenamed("avg_value", "value")
+    ).withColumnRenamed("avg_value", "value") \
+        .withColumn("value", F.round("value", 6))
     out = donut_forecast_many(
         series, ["event_type"], horizon=8, span=28, epochs=30,
         bucket_interval=21600, percent_interval=0.95,
@@ -876,15 +919,24 @@ def q_forecast_donut_fleet_6h(spark, sf_dir):
 def q_donut_fleet_6h(spark, sf_dir):
     """VAE fleet: one Donut model per event_type trained INSIDE
     executors (applyInPandas), scored with the shared erf column math.
-    Deterministic per key (seeds derived from the key); rows-only
-    (VAE training is not SQL-expressible)."""
+    Deterministic per key (seeds derived from the key).
+
+    VALUE-ORACLED since round 5: the series is rounded to 6 dp (a
+    decimal both engines reproduce bit-identically), and the oracle
+    generator replays the SAME per-key group function
+    (donut_fleet.donut_fit_predict_group — module-level precisely so
+    the oracle can import it) on the DuckDB-recomputed series,
+    inlining predicted/lower/upper as literals while the SQL
+    recomputes observed and the erf score from data
+    (catalog_oracle_ml.py)."""
     from loudml_spark.ml.donut_fleet import donut_fit_predict_many
     from loudml_spark.ml.scoring import score_col
 
     series = bucketize(
         _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
         ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
-    ).withColumnRenamed("avg_value", "value")
+    ).withColumnRenamed("avg_value", "value") \
+        .withColumn("value", F.round("value", 6))
     out = donut_fit_predict_many(
         series, ["event_type"], span=28, epochs=30, train_before=JAN22,
     )
@@ -1218,6 +1270,10 @@ FROM j
 
 # ---------------------------------------------------------------- registry
 
+# oracle generators for the learned-model queries (lazy: they import
+# this module back inside their functions, never at import time)
+from loudml_spark import catalog_oracle_ml as _oracle_ml  # noqa: E402
+
 QUERIES: dict[str, dict] = {
     "ts_avg_1h": {"fn": q_ts_avg_1h, "oracle": SQL_TS_AVG_1H},
     "ts_multi_metric_6h": {
@@ -1273,12 +1329,21 @@ QUERIES: dict[str, dict] = {
     "asof_enrich_tolerance_7d": {
         "fn": q_asof_enrich_tolerance_7d,
         "oracle": SQL_ASOF_ENRICH_TOLERANCE_7D},
-    "ar_fleet_predict_6h": {"fn": q_ar_fleet_predict_6h, "oracle": None},
-    "donut_predict_1h": {"fn": q_donut_predict_1h, "oracle": None},
-    "forecast_donut_48h": {"fn": q_forecast_donut_48h, "oracle": None},
+    "ar_fleet_predict_6h": {
+        "fn": q_ar_fleet_predict_6h,
+        "oracle_fn": _oracle_ml.sql_ar_fleet_predict_6h},
+    "donut_predict_1h": {
+        "fn": q_donut_predict_1h,
+        "oracle_fn": _oracle_ml.sql_donut_predict_1h},
+    "forecast_donut_48h": {
+        "fn": q_forecast_donut_48h,
+        "oracle_fn": _oracle_ml.sql_forecast_donut_48h},
     "forecast_donut_fleet_6h": {
-        "fn": q_forecast_donut_fleet_6h, "oracle": None},
-    "donut_fleet_6h": {"fn": q_donut_fleet_6h, "oracle": None},
+        "fn": q_forecast_donut_fleet_6h,
+        "oracle_fn": _oracle_ml.sql_forecast_donut_fleet_6h},
+    "donut_fleet_6h": {
+        "fn": q_donut_fleet_6h,
+        "oracle_fn": _oracle_ml.sql_donut_fleet_6h},
 }
 
 # training-data pipeline operators (dedup / similarity / text)

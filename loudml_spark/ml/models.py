@@ -292,6 +292,116 @@ class SeasonalNaiveModel(BaseModel):
         ).drop(self.feature_col)
 
 
+def _donut_windows(vals, mean: float, std: float, span: int):
+    """z-scored sliding windows + missing mask (shared by fit,
+    predict, and the DuckDB oracle replay)."""
+    import numpy as np
+
+    scaled = (vals - mean) / std
+    mask = (~np.isnan(scaled)).astype(float)
+    scaled = np.nan_to_num(scaled, nan=0.0)
+    X = np.lib.stride_tricks.sliding_window_view(scaled, span).copy()
+    M = np.lib.stride_tricks.sliding_window_view(mask, span).copy()
+    return X, M
+
+
+def donut_fit_values(
+    vals,
+    *,
+    span: int,
+    latent_dim: int,
+    intermediate_dim: int,
+    epochs: int,
+    batch_size: int,
+    seed: int,
+) -> dict:
+    """Pure-numpy Donut training on a value array → state dict.
+    Module-level so the oracle generator (catalog_oracle_ml.py) can
+    replay the EXACT training the model runs — same float ops, same
+    seeds, bit-identical weights."""
+    import numpy as np
+
+    from loudml_spark.ml.donut_np import NumpyVAE
+
+    mean = float(np.nanmean(vals))
+    std = float(np.nanstd(vals))
+    if std == 0 or np.isnan(std):
+        std = 1.0  # donut.py:650
+    X, M = _donut_windows(vals, mean, std, span)
+    vae = NumpyVAE(span, latent_dim, intermediate_dim, seed)
+    history = vae.fit(X, M, epochs=epochs, batch_size=batch_size)
+    tail = vals[-(span - 1):] if span > 1 else vals[:0]
+    return {
+        "vae": vae.state_dict(), "mean": mean, "std": std,
+        "loss": history[-1],
+        "tail": [None if np.isnan(v) else float(v) for v in tail],
+    }
+
+
+def donut_predict_values(state: dict, vals, *, span: int, seed: int):
+    """Pure-numpy Donut inference: (pred, sig) aligned to
+    ``vals[span-1:]`` — the numpy core of DonutModel.transform,
+    shared with the oracle replay."""
+    import numpy as np
+
+    from loudml_spark.ml.donut_np import NumpyVAE
+
+    mean, std = state["mean"], state["std"]
+    X, M = _donut_windows(vals, mean, std, span)
+    # the bucket being predicted is treated as missing
+    # (donut.py:1260-1265)
+    Mq = M.copy()
+    Mq[:, -1] = 0.0
+    vae = NumpyVAE.from_state(state["vae"])
+    rng = np.random.default_rng(seed + 7)
+    mu, sigma = vae.reconstruct(X, Mq, rng)
+    return mu[:, -1] * std + mean, sigma[:, -1] * std
+
+
+def donut_forecast_values(
+    state: dict,
+    steps: int,
+    *,
+    span: int,
+    seed: int,
+    percent_interval: float = 0.68,
+    percent_noise: float = 0.0,
+    bucket_interval: int = 3600,
+    history=None,
+):
+    """Pure-numpy roll-forward forecast: (pred, half_band) arrays of
+    length ``steps`` — the numpy core of DonutModel.forecast, shared
+    with the oracle replay."""
+    import numpy as np
+
+    from loudml_spark.ml.donut_np import NumpyVAE
+    from loudml_spark.ml.scoring import band_sigma_for
+
+    mean, std = state["mean"], state["std"]
+    raw = history if history is not None else state.get("tail")
+    if raw is None or len(raw) < span - 1:
+        raise errors.Invalid(
+            f"forecast needs the last {span - 1} observed "
+            "values (train first or pass history=)")
+    hist = np.array(
+        [np.nan if v is None else float(v) for v in raw],
+        dtype=float,
+    )
+    # [-(span-1):] with span == 1 is [-0:] == the WHOLE array —
+    # slice explicitly so a span-1 model rolls from an empty tail
+    hist = hist[-(span - 1):] if span > 1 else hist[:0]
+    window = np.concatenate([(hist - mean) / std, [0.0]])
+    mask = np.concatenate(
+        [(~np.isnan(hist)).astype(float), [0.0]])
+    window = np.nan_to_num(window, nan=0.0)
+    vae = NumpyVAE.from_state(state["vae"])
+    rng = np.random.default_rng(seed + 13)
+    noise = percent_noise * float(bucket_interval) / 86400.0
+    y, sig = vae.forecast_roll(window, mask, steps, rng, noise=noise)
+    p = band_sigma_for(percent_interval)
+    return y * std + mean, p * sig * std
+
+
 class DonutModel(BaseModel):
     """Donut VAE (arXiv 1802.03903) on the pure-numpy estimator
     (ml/donut_np.py) — same train/predict contract as the reference's
@@ -386,27 +496,31 @@ class DonutModel(BaseModel):
                 self.intermediate_dim = best["intermediate_dim"]
 
         _, vals = self._series(series_df)
-        mean = float(np.nanmean(vals))
-        std = float(np.nanstd(vals))
-        if std == 0 or np.isnan(std):
-            std = 1.0  # donut.py:650
-        X, M = self._windows(vals, mean, std)
         if warm:
+            mean = float(np.nanmean(vals))
+            std = float(np.nanstd(vals))
+            if std == 0 or np.isnan(std):
+                std = 1.0  # donut.py:650
+            X, M = self._windows(vals, mean, std)
             vae = NumpyVAE.from_state(self.state["vae"])
+            history = vae.fit(X, M, epochs=self.epochs,
+                              batch_size=self.batch_size)
+            # keep the raw training tail (span-1 values) so forecast
+            # can seed its first window without re-reading the source
+            # (donut.py:1361-1365 widens the scan instead)
+            tail = vals[-(self.span - 1):] if self.span > 1 else vals[:0]
+            self.state = {
+                "vae": vae.state_dict(), "mean": mean, "std": std,
+                "loss": history[-1],
+                "tail": [None if np.isnan(v) else float(v) for v in tail],
+            }
         else:
-            vae = NumpyVAE(self.span, self.latent_dim,
-                           self.intermediate_dim, self.seed)
-        history = vae.fit(X, M, epochs=self.epochs,
-                          batch_size=self.batch_size)
-        # keep the raw training tail (span-1 values) so forecast can
-        # seed its first window without re-reading the source
-        # (donut.py:1361-1365 widens the scan instead)
-        tail = vals[-(self.span - 1):] if self.span > 1 else vals[:0]
-        self.state = {
-            "vae": vae.state_dict(), "mean": mean, "std": std,
-            "loss": history[-1],
-            "tail": [None if np.isnan(v) else float(v) for v in tail],
-        }
+            self.state = donut_fit_values(
+                vals, span=self.span, latent_dim=self.latent_dim,
+                intermediate_dim=self.intermediate_dim,
+                epochs=self.epochs, batch_size=self.batch_size,
+                seed=self.seed,
+            )
         return self
 
     def transform(self, series_df):
@@ -416,17 +530,8 @@ class DonutModel(BaseModel):
 
         self._require_trained()
         ts, vals = self._series(series_df)
-        mean, std = self.state["mean"], self.state["std"]
-        X, M = self._windows(vals, mean, std)
-        # the bucket being predicted is treated as missing
-        # (donut.py:1260-1265)
-        Mq = M.copy()
-        Mq[:, -1] = 0.0
-        vae = NumpyVAE.from_state(self.state["vae"])
-        rng = np.random.default_rng(self.seed + 7)
-        mu, sigma = vae.reconstruct(X, Mq, rng)
-        pred = mu[:, -1] * std + mean
-        sig = sigma[:, -1] * std
+        pred, sig = donut_predict_values(
+            self.state, vals, span=self.span, seed=self.seed)
         spark = series_df.sparkSession
         out_ts = ts[self.span - 1:]
         pred_df = spark.createDataFrame(
@@ -467,31 +572,12 @@ class DonutModel(BaseModel):
         if steps <= 0:
             raise errors.Invalid(
                 f"empty forecast range: [{from_ts}, {to_ts})")
-        mean, std = self.state["mean"], self.state["std"]
-        raw = history if history is not None else self.state.get("tail")
-        if raw is None or len(raw) < self.span - 1:
-            raise errors.Invalid(
-                f"forecast needs the last {self.span - 1} observed "
-                "values (train first or pass history=)")
-        hist = np.array(
-            [np.nan if v is None else float(v) for v in raw],
-            dtype=float,
+        pred, half = donut_forecast_values(
+            self.state, steps, span=self.span, seed=self.seed,
+            percent_interval=percent_interval,
+            percent_noise=percent_noise,
+            bucket_interval=self.bucket_interval, history=history,
         )
-        # [-(span-1):] with span == 1 is [-0:] == the WHOLE array —
-        # slice explicitly so a span-1 model rolls from an empty tail
-        hist = hist[-(self.span - 1):] if self.span > 1 \
-            else hist[:0]
-        window = np.concatenate([(hist - mean) / std, [0.0]])
-        mask = np.concatenate(
-            [(~np.isnan(hist)).astype(float), [0.0]])
-        window = np.nan_to_num(window, nan=0.0)
-        vae = NumpyVAE.from_state(self.state["vae"])
-        rng = np.random.default_rng(self.seed + 13)
-        noise = percent_noise * float(self.bucket_interval) / 86400.0
-        y, sig = vae.forecast_roll(window, mask, steps, rng, noise=noise)
-        p = band_sigma_for(percent_interval)
-        pred = y * std + mean
-        half = p * sig * std
         rows = [
             (int(from_ts + j * self.bucket_interval), float(pred[j]),
              float(pred[j] - half[j]), float(pred[j] + half[j]))

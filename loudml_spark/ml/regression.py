@@ -237,6 +237,31 @@ def auto_span(
     return results[0][0]
 
 
+def ar_predict_values(
+    values: np.ndarray, w, mu: float, sd: float, span: int
+) -> np.ndarray:
+    """Pure-numpy mirror of :func:`predict_many`'s per-row scoring —
+    forward-fill, assemble the ``span`` strictly-previous values
+    (nulls before the first observation are absent, like
+    ``collect_list``), dot with the weights.  Float op order matches
+    the Spark path exactly, so an external oracle recomputing
+    predictions from the same series reproduces them bit-for-bit
+    (tests/test_regression.py pins the equivalence)."""
+    wt = np.asarray(w, dtype=float)
+    filled = pd.Series(values).ffill().to_numpy(dtype=float)
+    out = np.full(len(filled), np.nan)
+    for i in range(len(filled)):
+        win = [x for x in filled[max(0, i - span):i] if not np.isnan(x)]
+        if len(win) == len(wt) - 1:
+            xs = (np.asarray(win, dtype=float) - mu) / sd
+            # np.sum (pairwise, BLAS-free), NOT `@`: BLAS ddot picks
+            # env-dependent kernels (driver vs Spark-worker process
+            # configs differ by ~1 ulp) — pairwise summation is
+            # bit-stable across processes
+            out[i] = (np.sum(xs * wt[:-1]) + wt[-1]) * sd + mu
+    return out
+
+
 def fit_many(
     series_df: DataFrame,
     key_cols: list[str],
@@ -302,7 +327,9 @@ def predict_many(
             wv, wt = win.iloc[i], weights.iloc[i]
             if wv is not None and wt is not None and len(wv) == len(wt) - 1:
                 xs = (np.asarray(wv, dtype=float) - mean.iloc[i]) / std.iloc[i]
-                out[i] = (xs @ np.asarray(wt)[:-1] + wt[-1]) \
+                # np.sum not `@`: bit-stable across driver/worker
+                # process configs (see ar_predict_values)
+                out[i] = (np.sum(xs * np.asarray(wt)[:-1]) + wt[-1]) \
                     * std.iloc[i] + mean.iloc[i]
         return pd.Series(out)
 

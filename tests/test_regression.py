@@ -149,3 +149,41 @@ def test_auto_span_gate(spark):
     df = spark.createDataFrame(rows, "bucket_ts long, value double")
     best = auto_span(df, candidates=(5, 10, 12, 20, 24, 50, 100))
     assert 10 <= best <= 20, best
+
+
+def test_ar_predict_values_mirrors_predict_many(spark):
+    """The numpy mirror (used by the DuckDB oracle generator) must be
+    BIT-identical to the distributed predict_many path — same window
+    assembly (ffill, null-dropping collect_list), same float op
+    order.  Includes nulls to exercise the fill/window edge cases."""
+    from loudml_spark.ml.regression import (
+        _fit_arrays,
+        ar_predict_values,
+        fit_many,
+        predict_many,
+    )
+
+    rng = np.random.default_rng(11)
+    span = 6
+    vals = [
+        None if i in (3, 17, 40) else
+        10.0 + 3.0 * math.sin(2 * math.pi * i / 8) + float(rng.normal(0, .2))
+        for i in range(60)
+    ]
+    rows = [("k", BASE + i * 3600, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    models = fit_many(df, ["k"], span=span)
+    got = {
+        r["bucket_ts"]: r["predicted"]
+        for r in predict_many(df, models, ["k"], span=span).collect()
+    }
+    arr = np.array([np.nan if v is None else v for v in vals])
+    w, mu, sd, _ = _fit_arrays(arr, span, 1.0)
+    mirror = ar_predict_values(arr, w, mu, sd, span)
+    for i in range(60):
+        ts = BASE + i * 3600
+        a, b = got[ts], mirror[i]
+        if a is None or (isinstance(a, float) and math.isnan(a)):
+            assert math.isnan(b), i
+        else:
+            assert a == b, (i, a, b)  # bit-exact, not approx
