@@ -281,6 +281,84 @@ GROUP BY 1
 """
 
 
+def q_approx_distinct_users_daily(spark, sf_dir):
+    """Sketch anchor: HyperLogLog distinct counts with a verified
+    error bound.  At 100 TB a user reaches for
+    ``approx_count_distinct`` (bounded-memory mergeable sketch, pure
+    map-side partials) before exact COUNT(DISTINCT) (which shuffles
+    every distinct pair); this anchor runs BOTH and emits a boolean
+    proving the sketch landed within 5% of truth.  Spark's HLL++ and
+    DuckDB's HLL produce different raw estimates, so the estimates
+    themselves cannot hash-match — the exact count and the bound
+    verdict can, and do.  See SCALE.md "exact vs sketch" policy."""
+    ev = load_table(spark, sf_dir, "events")
+    day = _day_ts()
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    return (
+        ev.select(day, "user_id")
+        .groupBy("day_ts")
+        .agg(
+            exact.alias("n_users"),
+            (F.abs(approx - exact) <= 0.05 * exact).alias("approx_ok"),
+        )
+    )
+
+
+SQL_APPROX_DISTINCT_USERS_DAILY = f"""
+SELECT (epoch_ns(ts) // {86400 * NS}) * 86400 AS day_ts,
+       COUNT(DISTINCT user_id) AS n_users,
+       ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+         <= 0.05 * COUNT(DISTINCT user_id) AS approx_ok
+FROM events
+GROUP BY 1
+"""
+
+
+def q_approx_percentiles_1d(spark, sf_dir):
+    """Sketch anchor: approximate per-day value percentiles with a
+    verified error bound.  ``percentile_approx`` (Greenwald-Khanna /
+    KLL-style, bounded memory, mergeable) is the 100 TB path; exact
+    ``percentile`` sorts every group.  Engines' sketches differ, so
+    the query emits the EXACT p50/p95 plus a boolean asserting both
+    approximations landed within 10% of exact — the verdict, not the
+    engine-specific estimate, is what hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    day = _day_ts()
+    p50e = F.expr("percentile(value, 0.5)")
+    p95e = F.expr("percentile(value, 0.95)")
+    p50a = F.expr("percentile_approx(value, 0.5, 10000)")
+    p95a = F.expr("percentile_approx(value, 0.95, 10000)")
+    ok = (
+        (F.abs(p50a - p50e) <= 0.10 * F.greatest(F.abs(p50e), F.lit(1.0)))
+        & (F.abs(p95a - p95e) <= 0.10 * F.greatest(F.abs(p95e), F.lit(1.0)))
+    )
+    return (
+        ev.select(day, "value")
+        .groupBy("day_ts")
+        .agg(
+            F.round(p50e, 6).alias("p50"),
+            F.round(p95e, 6).alias("p95"),
+            ok.alias("approx_ok"),
+        )
+    )
+
+
+SQL_APPROX_PERCENTILES_1D = f"""
+SELECT (epoch_ns(ts) // {86400 * NS}) * 86400 AS day_ts,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       (ABS(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
+          <= 0.10 * GREATEST(ABS(quantile_cont(value, 0.5)), 1.0))
+       AND
+       (ABS(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
+          <= 0.10 * GREATEST(ABS(quantile_cont(value, 0.95)), 1.0))
+         AS approx_ok
+FROM events
+GROUP BY 1
+"""
+
+
 def q_rollup_grouping_sets(spark, sf_dir):
     """SQL ROLLUP (grouping sets): per-(segment, event_type) sums
     with segment subtotals and a grand total in ONE pass — Spark's
@@ -781,6 +859,14 @@ EXT_QUERIES: dict[str, dict] = {
     "distinct_users_daily": {
         "fn": q_distinct_users_daily,
         "oracle": SQL_DISTINCT_USERS_DAILY,
+    },
+    "approx_distinct_users_daily": {
+        "fn": q_approx_distinct_users_daily,
+        "oracle": SQL_APPROX_DISTINCT_USERS_DAILY,
+    },
+    "approx_percentiles_1d": {
+        "fn": q_approx_percentiles_1d,
+        "oracle": SQL_APPROX_PERCENTILES_1D,
     },
     "rollup_grouping_sets": {
         "fn": q_rollup_grouping_sets,
