@@ -97,6 +97,48 @@ FROM base
 """
 
 
+def q_text_stats_regex_docs(spark, sf_dir):
+    """text_stats with the REGEX tokenizer (lowercased alnum runs):
+    punctuation- and whitespace-run-robust statistics, the mode a
+    real (non-synthetic) corpus needs.  Same single-pass plan as
+    text_stats_docs; oracle runs the identical regexp_extract_all in
+    DuckDB."""
+    from loudml_spark.pipeline.text import text_stats
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    out = text_stats(docs, tokenizer="regex")
+    return out.select(
+        "doc_id", "n_tokens", "fingerprint",
+        "avg_word_len", "stopword_ratio", "quality",
+    )
+
+
+_SQL_RE_TOKS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+SQL_TEXT_STATS_REGEX_DOCS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_SQL_RE_TOKS}) AS BIGINT) AS n_tokens,
+         CAST(COALESCE(list_sum(
+           list_transform({_SQL_RE_TOKS}, x -> length(x))), 0)
+           AS BIGINT) AS token_chars,
+         CAST(len(list_filter({_SQL_RE_TOKS},
+           x -> list_contains({_SQL_STOPLIST}, x))) AS BIGINT) AS stop_hits,
+         {_SQL_FP} AS fingerprint
+  FROM documents
+)
+SELECT doc_id, n_tokens, fingerprint,
+       token_chars / NULLIF(n_tokens, 0) AS avg_word_len,
+       stop_hits / NULLIF(n_tokens, 0) AS stopword_ratio,
+       LEAST(1.0, n_tokens / 100.0) * 0.5
+         + (1.0 - stop_hits / NULLIF(n_tokens, 0)) * 0.3
+         + LEAST(1.0, (token_chars / NULLIF(n_tokens, 0)) / 8.0) * 0.2
+         AS quality
+FROM base
+"""
+
+
 def q_quality_gate_docs(spark, sf_dir):
     """Curation keep/drop decision per document: ordered threshold
     rules over the single-pass text statistics; `reason` names the
@@ -785,6 +827,9 @@ FROM d
 PIPELINE_QUERIES: dict[str, dict] = {
     "text_stats_docs": {
         "fn": q_text_stats_docs, "oracle": SQL_TEXT_STATS_DOCS},
+    "text_stats_regex_docs": {
+        "fn": q_text_stats_regex_docs,
+        "oracle": SQL_TEXT_STATS_REGEX_DOCS},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

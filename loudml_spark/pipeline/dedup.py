@@ -30,7 +30,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from loudml_spark.pipeline.text import HASH_MOD, rolling_hash_col, words_col
+from loudml_spark.pipeline.text import (
+    HASH_MOD,
+    TOKEN_RE,
+    rolling_hash_col,
+    words_col,
+)
 
 # fixed MinHash permutation parameters (odd multipliers, arbitrary
 # offsets — stated in-code so the SQL oracle can mirror them)
@@ -88,10 +93,21 @@ def exact_dedup(
     )
 
 
-def _shingle_hash_set(text: str, n: int) -> set[int]:
+def _tokenize(text: str, tokenizer: str) -> list[str]:
+    """Python-side mirror of text.words_col / text.regex_words_col."""
+    if tokenizer == "regex":
+        import re
+
+        return re.findall(TOKEN_RE, text.lower())
+    return text.split(" ")
+
+
+def _shingle_hash_set(
+    text: str, n: int, tokenizer: str = "whitespace"
+) -> set[int]:
     """Distinct n-gram rolling hashes — same arithmetic as
     pipeline.text.rolling_hash_col / the SQL oracle (exact int math)."""
-    words = text.split(" ")
+    words = _tokenize(text, tokenizer)
     if n == 1:
         shingles = words
     else:
@@ -107,7 +123,7 @@ def _shingle_hash_set(text: str, n: int) -> set[int]:
     return out
 
 
-def _batch_shingle_hashes(texts, n: int):
+def _batch_shingle_hashes(texts, n: int, tokenizer: str = "whitespace"):
     """Vectorized batch version of :func:`_shingle_hash_set`: all
     shingles of the whole Arrow batch go into one right-aligned
     char-code matrix hashed by column-wise Horner steps (int64, mod
@@ -117,7 +133,7 @@ def _batch_shingle_hashes(texts, n: int):
 
     all_shingles: list[list[str]] = []
     for t in texts:
-        words = t.split(" ")
+        words = _tokenize(t, tokenizer)
         if n == 1:
             sh = words
         else:
@@ -158,7 +174,7 @@ def _batch_shingle_hashes(texts, n: int):
     return out
 
 
-def _shingle_hashes_udf(n: int):
+def _shingle_hashes_udf(n: int, tokenizer: str = "whitespace"):
     """array<long> of distinct shingle hashes, Arrow-vectorized.
 
     Measured: the pure-Column HOF formulation (aggregate over
@@ -169,13 +185,14 @@ def _shingle_hashes_udf(n: int):
 
     def fn(texts: pd.Series) -> pd.Series:
         return pd.Series(
-            [hs.tolist() for hs in _batch_shingle_hashes(texts, n)]
+            [hs.tolist()
+             for hs in _batch_shingle_hashes(texts, n, tokenizer)]
         )
 
     return F.pandas_udf(fn, "array<long>")
 
 
-def _signature_udf(n: int):
+def _signature_udf(n: int, tokenizer: str = "whitespace"):
     """array<long>[N_HASHES] minhash signature, Arrow-vectorized."""
 
     def fn(texts: pd.Series) -> pd.Series:
@@ -184,7 +201,7 @@ def _signature_udf(n: int):
         A = np.array(MINHASH_A, dtype=np.int64)[:, None]
         B = np.array(MINHASH_B, dtype=np.int64)[:, None]
         out = []
-        for hs in _batch_shingle_hashes(texts, n):
+        for hs in _batch_shingle_hashes(texts, n, tokenizer):
             if hs.size == 0:
                 out.append([HASH_MOD] * N_HASHES)
             else:
@@ -196,7 +213,7 @@ def _signature_udf(n: int):
     return F.pandas_udf(fn, "array<long>")
 
 
-def _shingle_sig_udf(n: int):
+def _shingle_sig_udf(n: int, tokenizer: str = "whitespace"):
     """One pass over the text producing BOTH the shingle-hash set and
     the minhash signature as struct<sh, sig> — the shingle set is the
     dominant map cost, so computing it once (not once per dependent
@@ -208,7 +225,7 @@ def _shingle_sig_udf(n: int):
         A = np.array(MINHASH_A, dtype=np.int64)[:, None]
         B = np.array(MINHASH_B, dtype=np.int64)[:, None]
         shs, sigs = [], []
-        for hs in _batch_shingle_hashes(texts, n):
+        for hs in _batch_shingle_hashes(texts, n, tokenizer):
             shs.append(hs.tolist())
             if hs.size == 0:
                 sigs.append([HASH_MOD] * N_HASHES)
@@ -223,13 +240,15 @@ def _shingle_sig_udf(n: int):
 
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    n: int = 3,
+    n: int = 3, tokenizer: str = "whitespace",
 ) -> DataFrame:
     """(id, sig array<long>[N_HASHES]) — min over shingle hashes of
-    (a_k·h + b_k) mod p.  Arrow-vectorized map, no shuffle."""
+    (a_k·h + b_k) mod p.  Arrow-vectorized map, no shuffle.
+    ``tokenizer="regex"`` shingles over lowercased alnum runs so
+    near-dup detection survives punctuation variation."""
     return df.select(
         F.col(id_col),
-        _signature_udf(n)(F.col(text_col)).alias("sig"),
+        _signature_udf(n, tokenizer)(F.col(text_col)).alias("sig"),
     )
 
 
@@ -241,6 +260,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     bands: int = 4,
     threshold: float = 0.5,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
     """Candidate pairs via LSH banding, verified with exact Jaccard.
 
@@ -255,7 +275,7 @@ def minhash_lsh_pairs(
     # twice — 2× the dominant map cost)
     sig = df.select(
         F.col(id_col).alias("id"),
-        _shingle_sig_udf(n)(F.col(text_col)).alias("ss"),
+        _shingle_sig_udf(n, tokenizer)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
     # band key: combine r signature values into one int64
     banded = sig.select(

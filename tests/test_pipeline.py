@@ -310,3 +310,72 @@ def test_quality_gate_rules_and_reasons(spark):
     assert out[2] == (False, "stopword_heavy")
     assert out[3][0] is False and out[3][1] in (
         "unsegmented", "low_quality")
+
+
+def test_regex_tokenizer_stats_on_punctuated_text(spark):
+    from loudml_spark.pipeline.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "The cat, the DOG!!  and   the bird."),
+         (2, "???!!! ...")],  # no alnum runs at all
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_stats(
+        df, tokenizer="regex").collect()}
+    # regex mode: 7 lowercased alnum tokens; 'the' counted 3x despite
+    # case and trailing punctuation (whitespace mode would see
+    # "cat,"/"DOG!!" as opaque tokens and miss every stopword)
+    r = out[1]
+    assert r["n_tokens"] == 7
+    assert r["stopword_ratio"] == pytest.approx(4 / 7)  # the,the,the,and
+    assert r["avg_word_len"] == pytest.approx(
+        (3 + 3 + 3 + 3 + 3 + 3 + 4) / 7)
+    # zero-token doc: null ratios, not a divide-by-zero crash
+    r2 = out[2]
+    assert r2["n_tokens"] == 0
+    assert r2["avg_word_len"] is None and r2["stopword_ratio"] is None
+    with pytest.raises(ValueError):
+        text_stats(df, tokenizer="bpe")
+
+
+def test_regex_tokenizer_whitespace_mode_unchanged(spark):
+    # the token_chars refactor must keep whitespace-mode values
+    # bit-identical to the historical (chars-(tokens-1))/tokens form
+    from loudml_spark.pipeline.text import text_stats
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a  b")],  # incl. double-space edge
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text_stats(df).collect()}
+    assert out[1]["avg_word_len"] == (11 - 2) / 3
+    assert out[2]["avg_word_len"] == (4 - 2) / 3
+
+
+def test_minhash_regex_tokenizer_punctuation_invariant(spark):
+    from loudml_spark.pipeline.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again today"),
+         (2, "The quick, brown FOX jumps over the lazy dog again today!"),
+         (3, "completely different text about spark query engines here")],
+        "doc_id long, text string",
+    )
+    # whitespace mode: punctuation/case make docs 1,2 look different
+    ws = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(
+        df, n=1, threshold=0.8).collect()}
+    assert (1, 2) not in ws
+    # regex mode: identical token streams → jaccard 1.0 pair
+    rx = {(r["id_a"], r["id_b"]): r["jaccard"] for r in minhash_lsh_pairs(
+        df, n=1, threshold=0.8, tokenizer="regex").collect()}
+    assert rx.get((1, 2)) == 1.0
+
+
+def test_langid_regex_tokenizer(spark):
+    from loudml_spark.pipeline.text import langid
+
+    df = spark.createDataFrame(
+        [(1, "The DOG, and THE cat."), (2, "le chat et la mer, les vagues")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_guess"] for r in langid(
+        df, tokenizer="regex").collect()}
+    assert out[1] == "en" and out[2] == "fr"
