@@ -139,6 +139,70 @@ FROM base
 """
 
 
+def q_repetition_stats_docs(spark, sf_dir):
+    """Gopher-style repetition/boilerplate fractions (duplicate
+    lines, top-bigram share, bullet/ellipsis lines, symbol ratio) —
+    the curation rules applied after the basic quality gate.  One
+    Arrow pass, no shuffle; the oracle recomputes the same integer
+    counts with DuckDB list lambdas and divides identically."""
+    from loudml_spark.pipeline.text import repetition_stats
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    out = repetition_stats(docs)
+    return out.select(
+        "doc_id", "n_lines", "dup_line_frac", "dup_line_char_frac",
+        "top_bigram_frac", "bullet_line_frac", "ellipsis_line_frac",
+        "symbol_word_ratio",
+    )
+
+
+_SQL_LINES = "string_split(text, chr(10))"
+_SQL_DUP_LINES = (
+    "list_filter(lines, x -> len(list_filter(lines, y -> y = x)) > 1)"
+)
+
+SQL_REPETITION_STATS_DOCS = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_LINES} AS lines, {_SQL_WORDS} AS words,
+         CAST(length(text) - length(replace(text, '#', ''))
+              AS BIGINT) AS n_hash_chars
+  FROM documents
+), b2 AS (
+  SELECT doc_id, n_hash_chars,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len({_SQL_DUP_LINES}) AS BIGINT) AS n_dup_lines,
+         CAST(COALESCE(list_sum(list_transform({_SQL_DUP_LINES},
+              x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+         CAST(COALESCE(list_sum(list_transform(lines,
+              x -> length(x))), 0) AS BIGINT) AS line_chars,
+         CAST(len(words) - 1 AS BIGINT) AS n_bigrams,
+         list_transform(range(len(words) - 1),
+              i -> words[i + 1] || ' ' || words[i + 2]) AS bigrams,
+         CAST(len(list_filter(lines, x -> starts_with(x, '- ')
+              OR starts_with(x, '* ') OR starts_with(x, '• ')))
+              AS BIGINT) AS n_bullet_lines,
+         CAST(len(list_filter(lines, x -> ends_with(x, '...')))
+              AS BIGINT) AS n_ellipsis_lines,
+         CAST(len(words) AS BIGINT) AS n_words
+  FROM base
+), b3 AS (
+  SELECT *,
+         CAST(COALESCE(list_max(list_transform(bigrams,
+              x -> len(list_filter(bigrams, y -> y = x)))), 0)
+              AS BIGINT) AS top_bigram
+  FROM b2
+)
+SELECT doc_id, n_lines,
+       n_dup_lines / NULLIF(n_lines, 0) AS dup_line_frac,
+       dup_line_chars / NULLIF(line_chars, 0) AS dup_line_char_frac,
+       top_bigram / NULLIF(n_bigrams, 0) AS top_bigram_frac,
+       n_bullet_lines / NULLIF(n_lines, 0) AS bullet_line_frac,
+       n_ellipsis_lines / NULLIF(n_lines, 0) AS ellipsis_line_frac,
+       n_hash_chars / n_words AS symbol_word_ratio
+FROM b3
+"""
+
+
 def q_quality_gate_docs(spark, sf_dir):
     """Curation keep/drop decision per document: ordered threshold
     rules over the single-pass text statistics; `reason` names the
@@ -830,6 +894,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "text_stats_regex_docs": {
         "fn": q_text_stats_regex_docs,
         "oracle": SQL_TEXT_STATS_REGEX_DOCS},
+    "repetition_stats_docs": {
+        "fn": q_repetition_stats_docs,
+        "oracle": SQL_REPETITION_STATS_DOCS},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

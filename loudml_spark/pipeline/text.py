@@ -210,6 +210,99 @@ def text_stats(
     )
 
 
+def _repetition_counts_udf():
+    """Arrow-vectorized integer counts for Gopher-style repetition /
+    boilerplate rules (Rae et al. 2021 §A1.1, public): duplicate
+    lines, characters inside duplicate lines, most-repeated word
+    bigram, bullet-style and ellipsis-ending lines, symbol
+    characters.  Counter-based O(n) per doc; the DuckDB oracle
+    recomputes the same integers with list lambdas (O(n²) there —
+    fine at oracle scale).  Returns COUNTS only: both engines do the
+    divisions themselves so the fractions are bit-identical."""
+    fields = (
+        "n_lines long, n_dup_lines long, dup_line_chars long, "
+        "line_chars long, n_bigrams long, top_bigram long, "
+        "n_bullet_lines long, n_ellipsis_lines long, n_hash_chars long"
+    )
+
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        from collections import Counter
+
+        rows = []
+        for t in texts:
+            lines = t.split("\n")
+            lc = Counter(lines)
+            dup_lines = sum(c for c in lc.values() if c > 1)
+            dup_chars = sum(len(x) * c for x, c in lc.items() if c > 1)
+            words = t.split(" ")
+            bigrams = [
+                words[i] + " " + words[i + 1]
+                for i in range(len(words) - 1)
+            ]
+            bc = Counter(bigrams)
+            rows.append((
+                len(lines),
+                dup_lines,
+                dup_chars,
+                sum(len(x) for x in lines),
+                len(bigrams),
+                max(bc.values()) if bc else 0,
+                sum(1 for x in lines
+                    if x.startswith(("- ", "* ", "• "))),
+                sum(1 for x in lines if x.endswith("...")),
+                t.count("#"),
+            ))
+        return pd.DataFrame(rows, columns=[
+            "n_lines", "n_dup_lines", "dup_line_chars", "line_chars",
+            "n_bigrams", "top_bigram", "n_bullet_lines",
+            "n_ellipsis_lines", "n_hash_chars",
+        ])
+
+    return F.pandas_udf(fn, f"struct<{fields}>")
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/boilerplate fractions per document —
+    the quality rules a pre-training curation pass applies after the
+    basic length/stopword gate:
+
+    * ``dup_line_frac`` / ``dup_line_char_frac`` — copy-pasted or
+      templated lines (boilerplate);
+    * ``top_bigram_frac`` — most-repeated word bigram's share of all
+      bigrams (degenerate repetition);
+    * ``bullet_line_frac`` / ``ellipsis_line_frac`` — listings and
+      truncated scrapes;
+    * ``symbol_word_ratio`` — '#' characters per word (markup).
+
+    One Arrow pass, no shuffle, no join — at 100 TB this maps through
+    the scan like text_stats.  All fractions are integer-count
+    divisions, bit-portable across engines."""
+    text = F.col(text_col)
+    df = df.withColumn("__rc", _repetition_counts_udf()(text))
+    c = lambda f: F.col(f"__rc.{f}")  # noqa: E731
+    nl, nb = c("n_lines"), c("n_bigrams")
+    out = (
+        df.withColumn("n_lines", nl)
+        .withColumn("dup_line_frac",
+                    F.when(nl > 0, c("n_dup_lines") / nl))
+        .withColumn(
+            "dup_line_char_frac",
+            F.when(c("line_chars") > 0,
+                   c("dup_line_chars") / c("line_chars")))
+        .withColumn("top_bigram_frac",
+                    F.when(nb > 0, c("top_bigram") / nb))
+        .withColumn("bullet_line_frac",
+                    F.when(nl > 0, c("n_bullet_lines") / nl))
+        .withColumn("ellipsis_line_frac",
+                    F.when(nl > 0, c("n_ellipsis_lines") / nl))
+        .withColumn(
+            "symbol_word_ratio",
+            c("n_hash_chars") / F.size(words_col(text)))
+        .drop("__rc")
+    )
+    return out
+
+
 def langid(
     df: DataFrame, text_col: str = "text", out_col: str = "lang_guess",
     *, tokenizer: str = "whitespace",

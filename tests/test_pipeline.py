@@ -379,3 +379,28 @@ def test_langid_regex_tokenizer(spark):
     out = {r["doc_id"]: r["lang_guess"] for r in langid(
         df, tokenizer="regex").collect()}
     assert out[1] == "en" and out[2] == "fr"
+
+
+def test_repetition_stats_gopher_rules(spark):
+    from loudml_spark.pipeline.text import repetition_stats
+
+    boiler = "menu\nhome\nmenu\nabout us\nmenu"          # 3x dup line
+    degen = "buy now buy now buy now buy now buy now"    # 1 bigram loop
+    listy = "- one\n- two\n* three\nplain\nmore..."      # bullets+ellipsis
+    clean = "a perfectly ordinary sentence with variety"
+    df = spark.createDataFrame(
+        [(1, boiler), (2, degen), (3, listy), (4, clean),
+         (5, "## # heading # ##")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert out[1]["n_lines"] == 5
+    assert out[1]["dup_line_frac"] == 3 / 5
+    assert out[1]["dup_line_char_frac"] == pytest.approx(
+        12 / len(boiler.replace("\n", "")))
+    # "buy now" x5 of 9 bigrams dominates
+    assert out[2]["top_bigram_frac"] == pytest.approx(5 / 9)
+    assert out[3]["bullet_line_frac"] == 3 / 5
+    assert out[3]["ellipsis_line_frac"] == 1 / 5
+    assert out[4]["dup_line_frac"] == 0.0
+    assert out[4]["top_bigram_frac"] == pytest.approx(1 / 5)
+    assert out[5]["symbol_word_ratio"] == 6 / 5  # 6 '#' over 5 words
