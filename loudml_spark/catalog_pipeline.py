@@ -492,6 +492,61 @@ SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.8
 """
 
 
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: flag corpus documents (doc_id ≥ 20)
+    sharing ≥ 8 distinct word 3-grams with any "benchmark" document
+    (doc_id < 20 plays the eval set).  Broadcast the small bench
+    n-gram side, equi-join on the n-gram hash, map-side-combined
+    overlap counts — the corpus text itself never shuffles.  Oracle:
+    list_intersect over the same 3-gram hash lists + QUALIFY rank."""
+    from loudml_spark.pipeline.dedup import benchmark_overlap
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20").select(
+        F.col("doc_id").alias("bench_id"), "text")
+    out = benchmark_overlap(corpus, bench, n=3, min_overlap=8)
+    return out.select(
+        "doc_id", "matched_bench", "n_overlap", "contaminated")
+
+
+_SQL_3GRAM_HASHES = (
+    "list_distinct(list_transform("
+    "range(greatest(len(words) - 2, 0)), "
+    "i -> " + _sql_rh(
+        "(words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3])"
+    ) + "))"
+)
+
+SQL_DECONTAMINATE_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+),
+s AS (
+  SELECT doc_id, {_SQL_3GRAM_HASHES} AS sh FROM w
+),
+hits AS (
+  SELECT c.doc_id, b.doc_id AS matched_bench,
+         CAST(len(list_intersect(c.sh, b.sh)) AS BIGINT) AS n_overlap
+  FROM s c JOIN s b ON c.doc_id >= 20 AND b.doc_id < 20
+  WHERE len(list_intersect(c.sh, b.sh)) >= 8
+),
+best AS (
+  SELECT doc_id, matched_bench, n_overlap
+  FROM hits
+  QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY n_overlap DESC, matched_bench ASC
+  ) = 1
+)
+SELECT d.doc_id,
+       best.matched_bench,
+       COALESCE(best.n_overlap, 0) AS n_overlap,
+       best.matched_bench IS NOT NULL AS contaminated
+FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+WHERE d.doc_id >= 20
+"""
+
+
 def q_dedup_clusters_docs(spark, sf_dir):
     """LSH pairs → connected components → canonical doc per cluster
     (the keep/drop decision of a dedup pass).  Spark: log-round
@@ -897,6 +952,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "repetition_stats_docs": {
         "fn": q_repetition_stats_docs,
         "oracle": SQL_REPETITION_STATS_DOCS},
+    "decontaminate_docs": {
+        "fn": q_decontaminate_docs,
+        "oracle": SQL_DECONTAMINATE_DOCS},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

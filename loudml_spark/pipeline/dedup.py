@@ -363,6 +363,71 @@ def ngram_jaccard_pairs(
     )
 
 
+def benchmark_overlap(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 3,
+    min_overlap: int = 8,
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """Decontamination: flag training documents that share ≥
+    ``min_overlap`` distinct word n-grams with ANY benchmark/eval
+    document — the test-set-leakage scrub every pre-training corpus
+    needs before release.
+
+    Scale shape: the benchmark side is SMALL by definition (eval sets
+    are thousands of docs, the corpus is billions) — its exploded
+    n-gram hashes broadcast, the corpus streams through one
+    Arrow-vectorized shingle pass and an equi-join on the hash, and
+    per-(doc, bench) overlap counts reduce map-side.  No shuffle of
+    the corpus text itself, no nested-loop join.
+
+    Output: one row per input document — ``contaminated`` boolean,
+    ``matched_bench`` (the benchmark doc with the LARGEST overlap,
+    ties to the smallest id; null when clean), ``n_overlap``
+    (0 when clean).  Deterministic.
+    """
+    from pyspark.sql import Window
+
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    sh = _shingle_hashes_udf(n, tokenizer)
+    doc_sh = df.select(
+        F.col(id_col), F.explode(sh(F.col(text_col))).alias("__h"))
+    bench_sh = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.explode(sh(F.col(text_col))).alias("__h"),
+    )
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "__h")
+        .groupBy(id_col, "__bid")
+        .agg(F.count("*").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("n_overlap"), F.asc("__bid"))
+    best = (
+        hits.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col("__bid").alias("matched_bench"),
+                "n_overlap")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.col("matched_bench"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.col("matched_bench").isNotNull().alias("contaminated"),
+        )
+    )
+
+
 def ngram_jaccard_pairs_indexed(
     df: DataFrame,
     text_col: str = "text",

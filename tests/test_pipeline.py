@@ -404,3 +404,31 @@ def test_repetition_stats_gopher_rules(spark):
     assert out[4]["dup_line_frac"] == 0.0
     assert out[4]["top_bigram_frac"] == pytest.approx(1 / 5)
     assert out[5]["symbol_word_ratio"] == 6 / 5  # 6 '#' over 5 words
+
+
+def test_benchmark_overlap_decontamination(spark):
+    from loudml_spark.pipeline.dedup import benchmark_overlap
+
+    corpus = spark.createDataFrame([
+        (10, "the quick brown fox jumps over the lazy dog today"),
+        (11, "a completely unrelated document about spark engines"),
+        (12, "the quick brown fox jumps over the lazy cat today"),
+    ], "doc_id long, text string")
+    bench = spark.createDataFrame([
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "some eval question about arithmetic and geometry"),
+    ], "bench_id long, text string")
+    out = {r["doc_id"]: r for r in benchmark_overlap(
+        corpus, bench, n=3, min_overlap=5).collect()}
+    assert out[10]["contaminated"] and out[10]["matched_bench"] == 1
+    assert out[10]["n_overlap"] == 8  # all 8 trigrams shared
+    assert not out[11]["contaminated"]
+    assert out[11]["matched_bench"] is None and out[11]["n_overlap"] == 0
+    # doc 12 shares 6 of 8 trigrams (two differ at the tail)
+    assert out[12]["contaminated"] and out[12]["n_overlap"] == 6
+    # plan: broadcast equi-join on the hash, never a nested loop
+    plan = benchmark_overlap(corpus, bench, n=3, min_overlap=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        benchmark_overlap(corpus, bench, min_overlap=0)
