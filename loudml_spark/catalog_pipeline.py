@@ -342,6 +342,85 @@ FROM b
 """
 
 
+def q_stratified_sample_docs(spark, sf_dir):
+    """Per-stratum deterministic sampling (corpus mixing): keep 100%
+    of 'en' docs, 50% of 'fr', 20% of everything else, decided by
+    content-hash threshold — stable under re-runs/repartitions/
+    engines.  Zero shuffles (Column arithmetic in the scan
+    projection).  Oracle: the same CASE thresholds over the same
+    rolling-hash fingerprint."""
+    from loudml_spark.pipeline.sampling import (
+        split_bucket,
+        stratified_sample,
+    )
+    from loudml_spark.pipeline.text import rolling_hash_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", rolling_hash_col(F.col("text")).alias("fp")
+    )
+    out = stratified_sample(
+        docs, key=F.col("fp"), strat_col="lang",
+        rates={"en": 1.0, "fr": 0.5}, default_rate=0.2,
+    )
+    return out.select(
+        "doc_id", "lang",
+        split_bucket(F.col("fp")).alias("fp_bucket"),
+        "keep",
+    )
+
+
+SQL_STRATIFIED_SAMPLE_DOCS = f"""
+WITH f AS (SELECT doc_id, lang, {_SQL_FP} AS fp FROM documents),
+b AS (SELECT doc_id, lang, fp % 10000 AS fp_bucket FROM f)
+SELECT doc_id, lang, fp_bucket,
+       fp_bucket < (CASE lang WHEN 'en' THEN 10000
+                              WHEN 'fr' THEN 5000
+                              ELSE 2000 END) AS keep
+FROM b
+"""
+
+
+def q_pack_shards_docs(spark, sf_dir):
+    """Token-budget shard packing (corpus → training shards): walking
+    docs per language in doc_id order, each doc lands in shard
+    floor(tokens_before / budget) with its in-shard offset.  One
+    shuffle on the language key (the window partition); an
+    UNpartitioned running sum would be a single-task window — the
+    `by` stratum is what makes packing scale.  Oracle: the same
+    running-sum window in SQL."""
+    from loudml_spark.pipeline.sampling import pack_shards
+    from loudml_spark.pipeline.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = pack_shards(docs, token_col="n_tokens", budget=2048, by="lang")
+    return out.select(
+        "doc_id", "lang", "n_tokens", "shard", "shard_offset")
+
+
+SQL_PACK_SHARDS_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS before
+  FROM t
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(before // 2048 AS BIGINT) AS shard,
+       before - (before // 2048) * 2048 AS shard_offset
+FROM c
+"""
+
+
 def _rebalance(spark, df):
     """The test documents parquet is one tiny file → one input split;
     per-row hash compute would run on a single core.  Rebalancing a
@@ -955,6 +1034,12 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "decontaminate_docs": {
         "fn": q_decontaminate_docs,
         "oracle": SQL_DECONTAMINATE_DOCS},
+    "stratified_sample_docs": {
+        "fn": q_stratified_sample_docs,
+        "oracle": SQL_STRATIFIED_SAMPLE_DOCS},
+    "pack_shards_docs": {
+        "fn": q_pack_shards_docs,
+        "oracle": SQL_PACK_SHARDS_DOCS},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

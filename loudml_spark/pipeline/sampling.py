@@ -81,3 +81,77 @@ def deterministic_sample(
         raise errors.Invalid("fraction must be in (0, 1]")
     return df.filter(split_bucket(key) < F.lit(int(round(
         fraction * SPLIT_MOD))))
+
+
+def stratified_sample(
+    df: DataFrame,
+    *,
+    key: Column,
+    strat_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the corpus-mixing step of
+    a training-data pipeline ("keep 30% of commoncrawl-like docs,
+    100% of books-like docs"): each stratum (e.g. language, source)
+    gets its own keep rate, applied by content-hash threshold so the
+    decision is stable under re-runs, repartitions, and engines.
+
+    Adds ``keep_col`` (boolean) rather than filtering, so the same
+    frame serves both the sample and its audit; filter on it to
+    materialize.  Pure Column arithmetic — zero shuffles, a 100 TB
+    mix is a map stage."""
+    for name, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise errors.Invalid(f"rate for {name!r} must be in [0, 1]")
+    if not (0.0 <= default_rate <= 1.0):
+        raise errors.Invalid("default_rate must be in [0, 1]")
+    bucket = split_bucket(key)
+    thresh = F.lit(int(round(default_rate * SPLIT_MOD)))
+    for name, r in rates.items():
+        thresh = F.when(
+            F.col(strat_col) == F.lit(name),
+            F.lit(int(round(r * SPLIT_MOD)))).otherwise(thresh)
+    return df.withColumn(keep_col, bucket < thresh)
+
+
+def pack_shards(
+    df: DataFrame,
+    *,
+    token_col: str,
+    budget: int,
+    by: str | None = None,
+    order_col: str = "doc_id",
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Assign documents to token-budget shards — the corpus→training-
+    shard assembly step: walking documents in ``order_col`` order,
+    document d lands in shard ``floor(tokens_before_d / budget)``, so
+    every shard holds ~``budget`` tokens (the straddling document is
+    charged to the shard it starts in — the standard contiguous
+    packing rule; no shard-boundary document splitting here).
+
+    ``by`` partitions the packing (per language/source): REQUIRED at
+    scale — an unpartitioned running sum is a single-partition window
+    (all rows through one task).  With ``by=None`` the packing is
+    global and only fit for bounded frames; callers at corpus scale
+    pack within strata and concatenate shard lists after.
+
+    Adds ``shard_col`` (long) and ``shard_offset`` (tokens before
+    this doc within its shard).  Deterministic.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise errors.Invalid("budget must be positive")
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    shard = F.floor(before / F.lit(int(budget)))
+    return (
+        df.withColumn(shard_col, shard)
+        .withColumn("shard_offset",
+                    before - shard * F.lit(int(budget)))
+    )

@@ -432,3 +432,51 @@ def test_benchmark_overlap_decontamination(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     with pytest.raises(ValueError):
         benchmark_overlap(corpus, bench, min_overlap=0)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from loudml_spark.pipeline.sampling import stratified_sample
+    from loudml_spark import errors
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = stratified_sample(
+        df, key=F.col("doc_id") * 2654435761,
+        strat_col="lang", rates={"en": 1.0}, default_rate=0.25)
+    kept = out.filter("keep").groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in kept}
+    assert by["en"] == 1000                      # rate 1.0 keeps all
+    assert 150 <= by.get("de", 0) <= 350         # ~25% of 1000
+    # determinism: identical second run
+    again = stratified_sample(
+        df, key=F.col("doc_id") * 2654435761,
+        strat_col="lang", rates={"en": 1.0}, default_rate=0.25)
+    assert sorted(r["doc_id"] for r in out.filter("keep").collect()) == \
+        sorted(r["doc_id"] for r in again.filter("keep").collect())
+    with pytest.raises(errors.Invalid):
+        stratified_sample(df, key=F.col("doc_id"), strat_col="lang",
+                          rates={"en": 1.5})
+
+
+def test_pack_shards_budget_and_offsets(spark):
+    from loudml_spark.pipeline.sampling import pack_shards
+    from loudml_spark import errors
+
+    rows = [(i, "en", 300) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = sorted(
+        pack_shards(df, token_col="n", budget=1000, by="lang").collect(),
+        key=lambda r: r["doc_id"])
+    # 300-token docs, 1000 budget: docs 0-3 → shard 0 (before=0..900),
+    # docs 4-6 → shard 1, docs 7-9 → shard 2
+    assert [r["shard"] for r in out] == [0, 0, 0, 0, 1, 1, 1, 2, 2, 2]
+    assert out[0]["shard_offset"] == 0
+    assert out[4]["shard_offset"] == 200   # 1200 - 1000
+    # per-stratum isolation: another lang restarts its shards at 0
+    df2 = df.union(spark.createDataFrame(
+        [(100, "de", 999)], "doc_id long, lang string, n long"))
+    out2 = {r["doc_id"]: r["shard"] for r in pack_shards(
+        df2, token_col="n", budget=1000, by="lang").collect()}
+    assert out2[100] == 0
+    with pytest.raises(errors.Invalid):
+        pack_shards(df, token_col="n", budget=0)
