@@ -920,6 +920,45 @@ FROM p QUALIFY rank <= 5
 # ----------------------------------------------------- multimodal / streaming
 
 
+def q_embedding_centroids(spark, sf_dir):
+    """Per-group embedding centroids (cluster labeling / corpus
+    profile vectors): posexplode → map-side-combined per-(group, dim)
+    averages → dim-sorted array re-assembly.  The shuffle carries
+    |groups|·|dims| aggregates however large the corpus; a
+    collect_list-of-vectors formulation would shuffle every vector.
+    Elements round to 6 dp on both sides (summation-order ulps).
+    Groups are vec_id % 8 (synthetic labels — the operator is the
+    point)."""
+    from loudml_spark.pipeline.embeddings import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 8).alias("grp"), "embedding")
+    out = group_centroids(emb, group_col="grp")
+    return out.select(
+        "grp", "n_vectors",
+        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+    )
+
+
+SQL_EMBEDDING_CENTROIDS = """
+WITH e AS (
+  SELECT vec_id % 8 AS grp, embedding FROM embeddings
+),
+d AS (
+  SELECT grp, t.i AS dim, embedding[t.i + 1] AS v
+  FROM e, UNNEST(range(len(embedding))) AS t(i)
+),
+p AS (
+  SELECT grp, dim, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS a,
+         COUNT(*) AS n
+  FROM d GROUP BY 1, 2
+)
+SELECT grp, CAST(MAX(n) AS BIGINT) AS n_vectors,
+       list(a ORDER BY dim) AS centroid
+FROM p GROUP BY grp
+"""
+
+
 def q_multimodal_features(spark, sf_dir):
     from loudml_spark.pipeline.multimodal import (
         extract_features,
@@ -1040,6 +1079,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "pack_shards_docs": {
         "fn": q_pack_shards_docs,
         "oracle": SQL_PACK_SHARDS_DOCS},
+    "embedding_centroids": {
+        "fn": q_embedding_centroids,
+        "oracle": SQL_EMBEDDING_CENTROIDS},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

@@ -480,3 +480,34 @@ def test_pack_shards_budget_and_offsets(spark):
     assert out2[100] == 0
     with pytest.raises(errors.Invalid):
         pack_shards(df, token_col="n", budget=0)
+
+
+def test_embedding_normalize_and_centroids(spark):
+    from loudml_spark.pipeline.embeddings import (
+        group_centroids,
+        normalize,
+        vec_norm,
+    )
+    from loudml_spark import errors
+
+    df = spark.createDataFrame(
+        [(0, [3.0, 4.0]), (1, [1.0, 1.0]), (2, [0.0, 0.0]),
+         (3, [5.0, 12.0])],
+        "vec_id long, embedding array<float>")
+    norms = {r["vec_id"]: r["n"] for r in df.select(
+        "vec_id", vec_norm(F.col("embedding")).alias("n")).collect()}
+    assert norms[0] == pytest.approx(5.0)
+    assert norms[2] == 0.0
+    unit = df.select("vec_id", normalize(F.col("embedding")).alias("u"))
+    got = {r["vec_id"]: r["u"] for r in unit.collect()}
+    assert got[0] == pytest.approx([0.6, 0.8])
+    assert got[2] == [0.0, 0.0]  # zero vector survives (eps clamp)
+    # centroids: group by parity → groups {0,2} and {1,3}
+    cents = {r["grp"]: (r["n_vectors"], r["centroid"])
+             for r in group_centroids(
+                 df.withColumn("grp", F.col("vec_id") % 2),
+                 group_col="grp").collect()}
+    assert cents[0] == (2, pytest.approx([1.5, 2.0]))
+    assert cents[1] == (2, pytest.approx([3.0, 6.5]))
+    with pytest.raises(errors.Invalid):
+        group_centroids(df, group_col="nope")
