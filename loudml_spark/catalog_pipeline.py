@@ -920,6 +920,34 @@ FROM p QUALIFY rank <= 5
 # ----------------------------------------------------- multimodal / streaming
 
 
+def q_chunk_docs_32_24(spark, sf_dir):
+    """Overlapping token-window chunking (32-token chunks every 24 —
+    the pre-embedding step of a retrieval pipeline).  Map-only: split
+    → start sequence → slice → posexplode, all inside the scan stage.
+    Bounded to doc_id < 100 so the oracle diff stays small; the
+    operator itself is corpus-size-free.  Oracle: the same slicing
+    via a lateral UNNEST(range(0, n, stride))."""
+    from loudml_spark.pipeline.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    return chunk_documents(docs, size=32, stride=24)
+
+
+SQL_CHUNK_DOCS_32_24 = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+  WHERE doc_id < 100
+)
+SELECT doc_id,
+       CAST(t.s // 24 AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(words, t.s + 1, t.s + 32)) AS BIGINT)
+         AS n_tokens,
+       array_to_string(list_slice(words, t.s + 1, t.s + 32), ' ')
+         AS chunk_text
+FROM w, UNNEST(range(0, len(words), 24)) AS t(s)
+"""
+
+
 def q_embedding_centroids(spark, sf_dir):
     """Per-group embedding centroids (cluster labeling / corpus
     profile vectors): posexplode → map-side-combined per-(group, dim)
@@ -1082,6 +1110,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "embedding_centroids": {
         "fn": q_embedding_centroids,
         "oracle": SQL_EMBEDDING_CENTROIDS},
+    "chunk_docs_32_24": {
+        "fn": q_chunk_docs_32_24,
+        "oracle": SQL_CHUNK_DOCS_32_24},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

@@ -210,6 +210,42 @@ def text_stats(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    size: int,
+    stride: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into ``size``-token chunks every ``stride``
+    tokens (overlap = size − stride) — the chunking step before
+    embedding/indexing in a retrieval pipeline.
+
+    Pure Column math: split → start-index sequence → slice →
+    posexplode.  Map-only (the explode pipelines inside the scan
+    stage; no shuffle, no Python), so a 100 TB corpus chunks in one
+    pass.  Output: (id_col, chunk_id, n_tokens, chunk_text); the
+    final partial chunk is kept.  Deterministic."""
+    if size <= 0:
+        raise ValueError("size must be positive")
+    stride = size if stride is None else stride
+    if not (0 < stride <= size):
+        raise ValueError("stride must be in (0, size]")
+    w = words_col(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.size(w) - 1, F.lit(stride))
+    chunks = F.transform(starts, lambda s: F.slice(w, s + 1, size))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks)
+                  .alias("chunk_id", "__cw"))
+        .select(
+            id_col, "chunk_id",
+            F.size("__cw").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "__cw").alias("chunk_text"),
+        )
+    )
+
+
 def _repetition_counts_udf():
     """Arrow-vectorized integer counts for Gopher-style repetition /
     boilerplate rules (Rae et al. 2021 §A1.1, public): duplicate

@@ -511,3 +511,29 @@ def test_embedding_normalize_and_centroids(spark):
     assert cents[1] == (2, pytest.approx([3.0, 6.5]))
     with pytest.raises(errors.Invalid):
         group_centroids(df, group_col="nope")
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from loudml_spark.pipeline.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = sorted(chunk_documents(df, size=4, stride=3).collect(),
+                 key=lambda r: r["chunk_id"])
+    # starts 0,3,6,9 → chunks of 4,4,4,1 tokens with 1-token overlap
+    assert [r["n_tokens"] for r in out] == [4, 4, 4, 1]
+    assert out[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert out[1]["chunk_text"] == "w3 w4 w5 w6"
+    assert out[3]["chunk_text"] == "w9"
+    # coverage: every word appears in at least one chunk
+    seen = set(" ".join(r["chunk_text"] for r in out).split(" "))
+    assert seen == {f"w{i}" for i in range(10)}
+    # non-overlapping default; single-word doc → one chunk
+    one = chunk_documents(
+        spark.createDataFrame([(2, "solo")], "doc_id long, text string"),
+        size=4).collect()
+    assert len(one) == 1 and one[0]["chunk_text"] == "solo"
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, size=0)
