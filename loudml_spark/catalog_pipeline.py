@@ -920,6 +920,70 @@ FROM p QUALIFY rank <= 5
 # ----------------------------------------------------- multimodal / streaming
 
 
+def q_redact_pii_docs(spark, sf_dir):
+    """PII scrub: emails / IPv4 / phone numbers → placeholders, with
+    per-kind audit counts.  The synthetic corpus contains no PII, so
+    BOTH engines first append a deterministic doc_id-derived
+    email+IP+phone suffix to every document — the redaction and its
+    counts are then exercised for real and the value-hash covers the
+    actual regex semantics, not a vacuous no-match pass.  Map-only
+    JVM regex; fingerprints of the redacted text prove replacement
+    byte-parity across engines."""
+    from loudml_spark.pipeline.text import redact_pii, rolling_hash_col
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or +1555"), (F.col("doc_id") + 1000000).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(seeded)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        rolling_hash_col(F.col("redacted"), prefix=4096)
+        .alias("redacted_fp"),
+    )
+
+
+_SQL_PII_SEED = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) "
+    "|| '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) "
+    "|| '.7 or +1555' || CAST(doc_id + 1000000 AS VARCHAR)"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+\\d{7,15}\\b"
+
+SQL_REDACT_PII_DOCS = f"""
+WITH seeded AS (
+  SELECT doc_id, {_SQL_PII_SEED} AS text
+  FROM documents WHERE doc_id < 200
+),
+red AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+           AS n_email,
+         CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+           AS n_ipv4,
+         CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+           AS n_phone,
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '[EMAIL]', 'g'),
+           '{_PII_IP}', '[IP]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+  FROM seeded
+)
+SELECT doc_id, n_email, n_ipv4, n_phone,
+       {_sql_rh("redacted[1:4096]")} AS redacted_fp
+FROM red
+"""
+
+
 def q_chunk_docs_32_24(spark, sf_dir):
     """Overlapping token-window chunking (32-token chunks every 24 —
     the pre-embedding step of a retrieval pipeline).  Map-only: split
@@ -1113,6 +1177,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "chunk_docs_32_24": {
         "fn": q_chunk_docs_32_24,
         "oracle": SQL_CHUNK_DOCS_32_24},
+    "redact_pii_docs": {
+        "fn": q_redact_pii_docs,
+        "oracle": SQL_REDACT_PII_DOCS},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

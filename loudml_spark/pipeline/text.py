@@ -246,6 +246,42 @@ def chunk_documents(
     )
 
 
+# PII patterns — deliberately simple, engine-portable (Java regex and
+# RE2 agree on this subset: character classes, bounded repeats, \\d,
+# word boundaries).  Order matters: emails first (their dots would
+# otherwise confuse nothing here, but fixed order keeps output
+# deterministic), then IPv4, then international phone numbers.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{7,15}\b", "[PHONE]"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", *, out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails / IPv4 addresses / international phone numbers —
+    the privacy pass a training corpus runs before release.  Adds
+    ``n_<kind>`` match counts and ``out_col`` with every match
+    replaced by its placeholder.  Pure Column regex (JVM-side,
+    map-only); counts come from the PRE-redaction text so they
+    audit what was removed."""
+    text = F.col(text_col)
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+            .cast("long"),
+        )
+    red = text
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return out.withColumn(out_col, red)
+
+
 def _repetition_counts_udf():
     """Arrow-vectorized integer counts for Gopher-style repetition /
     boilerplate rules (Rae et al. 2021 §A1.1, public): duplicate

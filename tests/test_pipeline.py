@@ -537,3 +537,25 @@ def test_chunk_documents_overlap_and_tail(spark):
         chunk_documents(df, size=4, stride=5)
     with pytest.raises(ValueError):
         chunk_documents(df, size=0)
+
+
+def test_redact_pii_semantics(spark):
+    from loudml_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame([
+        (1, "mail a.b+c@sub.example.org or b@x.io, ip 192.168.0.1, "
+            "call +4915112345678"),
+        (2, "no pii here, just 1.5 and version 2.0.1 text"),
+        (3, "edge 999.999.999.999 still matches the simple ipv4 shape"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_email"], r1["n_ipv4"], r1["n_phone"]) == (2, 1, 1)
+    assert "[EMAIL]" in r1["redacted"] and "[IP]" in r1["redacted"]
+    assert "[PHONE]" in r1["redacted"]
+    assert "@" not in r1["redacted"]
+    r2 = out[2]
+    assert (r2["n_email"], r2["n_ipv4"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["redacted"] == r2["text"]  # untouched
+    # the documented simplification: shape-based ipv4, no octet range
+    assert out[3]["n_ipv4"] == 1
