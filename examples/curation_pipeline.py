@@ -1,8 +1,10 @@
 """End-to-end training-data curation over the documents table:
 
     fingerprint → exact dedup → near-dup LSH pairs → connected
-    components → keep canonicals → quality filter → deterministic
-    train/val/test split → corpus stats on the training slice.
+    components → keep canonicals → quality + repetition gates →
+    PII redaction → benchmark decontamination → stratified corpus
+    mix → deterministic train/val/test split → token-budget shard
+    packing → corpus stats on the training slice.
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001)
@@ -36,9 +38,12 @@ def main(sf_dir: str) -> None:
     from loudml_spark.pipeline.dedup import (
         dedup_clusters, minhash_lsh_pairs,
     )
-    from loudml_spark.pipeline.sampling import hash_split
+    from loudml_spark.pipeline.dedup import benchmark_overlap
+    from loudml_spark.pipeline.sampling import (
+        hash_split, pack_shards, stratified_sample,
+    )
     from loudml_spark.pipeline.text import (
-        rolling_hash_col, token_count_col,
+        redact_pii, repetition_stats, rolling_hash_col, token_count_col,
     )
     from loudml_spark.sources.tables import load_table
 
@@ -60,27 +65,67 @@ def main(sf_dir: str) -> None:
     canon = exact.join(keep, "doc_id")
     n2 = canon.count()
 
-    # 3. quality gate: drop ultra-short docs
+    # 3. quality + repetition gates: drop ultra-short and
+    #    boilerplate-heavy docs (Gopher-style rules)
     quality = canon.withColumn(
         "n_tokens", token_count_col(F.col("text"))
     ).filter(F.col("n_tokens") >= 3)
+    rep = repetition_stats(quality)
+    quality = rep.filter(
+        (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= 0.3)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= 0.5)
+    ).select(*quality.columns)
     n3 = quality.count()
 
-    # 4. deterministic content-hash split (stable across reruns)
+    # 4. PII scrub (map-only regex; counts audit what was removed)
+    red = redact_pii(quality)
+    n_pii = red.agg(F.sum(
+        F.col("n_email") + F.col("n_ipv4") + F.col("n_phone")
+    )).first()[0]
+    quality = red.drop("text").withColumnRenamed("redacted", "text") \
+        .drop("n_email", "n_ipv4", "n_phone")
+
+    # 5. benchmark decontamination: hold the first 10 docs out as a
+    #    stand-in eval set, drop training docs overlapping them
+    bench = quality.filter("doc_id < 10").select(
+        F.col("doc_id").alias("bench_id"), "text")
+    flags = benchmark_overlap(
+        quality.filter("doc_id >= 10"), bench, n=3, min_overlap=8)
+    clean = quality.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
+    n4 = clean.count()
+
+    # 6. stratified corpus mix (keep all EN, half of everything else)
+    mixed = stratified_sample(
+        clean, key=F.col("fp"), strat_col="lang",
+        rates={"en": 1.0}, default_rate=0.5,
+    ).filter("keep").drop("keep")
+    n5 = mixed.count()
+
+    # 7. deterministic content-hash split (stable across reruns)
     split = hash_split(
-        quality, key=F.col("fp"),
+        mixed, key=F.col("fp"),
         weights={"train": 0.9, "val": 0.05, "test": 0.05},
     )
     counts = {r["split"]: r["n"] for r in split.groupBy("split")
               .agg(F.count("*").alias("n")).collect()}
 
-    # 5. vocabulary of the training slice
+    # 8. pack the training slice into ~2048-token shards per language
+    shards = pack_shards(
+        split.filter(F.col("split") == "train"),
+        token_col="n_tokens", budget=2048, by="lang",
+    )
+    n_shards = shards.agg(
+        F.countDistinct("lang", "shard")).first()[0]
+
+    # 9. vocabulary of the training slice
     train_vocab = vocabulary(
         split.filter(F.col("split") == "train"), top_k=10)
 
     print(f"docs: {n0} → exact-dedup {n1} → near-dup {n2} "
-          f"→ quality {n3}")
-    print(f"splits: {counts}")
+          f"→ quality {n3} → decontaminated {n4} → mixed {n5}")
+    print(f"pii matches scrubbed: {n_pii}")
+    print(f"splits: {counts}   train shards: {n_shards}")
     print("top training tokens:")
     for r in train_vocab.collect():
         print(f"  {r['token']:>12}  tf={r['tf']}  df={r['df']}")
