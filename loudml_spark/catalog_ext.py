@@ -359,6 +359,53 @@ GROUP BY 1
 """
 
 
+def q_token_divergence_en_rest(spark, sf_dir):
+    """Token-distribution drift between corpus slices: per-token
+    Jensen-Shannon contributions between the 'en' documents and the
+    rest — the text analogue of the numeric PSI query.  Both sides
+    reduce map-side to |vocab| counts; only vocab-sized aggregates
+    join.  Top 50 movers by (rounded) contribution; p/q stay exact
+    rationals, only the libm ln rounds (9 dp)."""
+    from loudml_spark.pipeline.corpus import token_divergence
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = token_divergence(
+        docs.filter("lang = 'en'"), docs.filter("lang != 'en'"))
+    return (
+        out.orderBy(F.desc("js_contrib"), F.asc("token"))
+        .limit(50)
+    )
+
+
+SQL_TOKEN_DIVERGENCE_EN_REST = """
+WITH ta AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents WHERE lang = 'en'
+),
+tb AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents WHERE lang != 'en'
+),
+ca AS (SELECT token, COUNT(*) AS c FROM ta GROUP BY 1),
+cb AS (SELECT token, COUNT(*) AS c FROM tb GROUP BY 1),
+pa AS (SELECT token, c / (SELECT SUM(c) FROM ca) AS p FROM ca),
+pb AS (SELECT token, c / (SELECT SUM(c) FROM cb) AS q FROM cb),
+j AS (
+  SELECT COALESCE(pa.token, pb.token) AS token,
+         COALESCE(p, 0.0) AS p, COALESCE(q, 0.0) AS q
+  FROM pa FULL OUTER JOIN pb ON pa.token = pb.token
+)
+SELECT token, p, q,
+       ROUND(0.5 * (
+         (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0)) ELSE 0 END)
+         + (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2.0)) ELSE 0 END)
+       ), 9) AS js_contrib
+FROM j
+ORDER BY js_contrib DESC, token ASC
+LIMIT 50
+"""
+
+
 def q_rollup_grouping_sets(spark, sf_dir):
     """SQL ROLLUP (grouping sets): per-(segment, event_type) sums
     with segment subtotals and a grand total in ONE pass — Spark's
@@ -867,6 +914,10 @@ EXT_QUERIES: dict[str, dict] = {
     "approx_percentiles_1d": {
         "fn": q_approx_percentiles_1d,
         "oracle": SQL_APPROX_PERCENTILES_1D,
+    },
+    "token_divergence_en_rest": {
+        "fn": q_token_divergence_en_rest,
+        "oracle": SQL_TOKEN_DIVERGENCE_EN_REST,
     },
     "rollup_grouping_sets": {
         "fn": q_rollup_grouping_sets,

@@ -27,15 +27,74 @@ TOKEN_RE = "[a-z]+"
 
 
 def tokens(
-    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
+    n: int = 1,
 ) -> DataFrame:
-    """Explode documents into (id, token) rows."""
+    """Explode documents into (id, token) rows; ``n > 1`` emits word
+    n-grams (space-joined) instead of unigrams — same map-only shape,
+    the array slicing pipelines inside the scan stage."""
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    if n > 1:
+        toks = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     return df.select(
         F.col(id_col),
-        F.explode(
-            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
-        ).alias("token"),
+        F.explode(toks).alias("token"),
     )
+
+
+def token_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 1,
+) -> DataFrame:
+    """Per-token Jensen-Shannon divergence contributions between two
+    corpus slices — the TEXT analogue of the numeric PSI drift score:
+    which tokens' frequencies moved between snapshots/sources, and by
+    how much.
+
+    Returns (token, p, q, js_contrib): p/q are the token's relative
+    frequencies in each side (exact rationals), ``js_contrib`` =
+    ½(p·ln(p/m) + q·ln(q/m)) with m = (p+q)/2, zero-sided terms
+    contribute 0 — JS needs no epsilon smoothing and Σ js_contrib ∈
+    [0, ln 2].  Scale: both sides reduce map-side to |vocab| counts;
+    the only joins move vocab-sized aggregates.  ``js_contrib``
+    rounds to 9 dp (ln is libm — the last ulp is not engine-portable;
+    p and q are exact and stay unrounded)."""
+    def dist(df, name):
+        t = tokens(df, text_col=text_col, id_col=id_col, n=n)
+        c = t.groupBy("token").agg(F.count("*").alias("__c"))
+        total = c.agg(F.sum("__c")).first()[0] or 1
+        return c.select(
+            "token", (F.col("__c") / F.lit(float(total))).alias(name))
+
+    a = dist(df_a, "p")
+    b = dist(df_b, "q")
+    j = (
+        a.join(b, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term_p = F.when(F.col("p") > 0,
+                    F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+    term_q = F.when(F.col("q") > 0,
+                    F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    return j.withColumn(
+        "js_contrib",
+        F.round(F.lit(0.5) * (term_p + term_q), 9))
 
 
 def vocabulary(

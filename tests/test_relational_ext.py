@@ -623,3 +623,38 @@ def test_range_join_suffix_on_time_columns(spark):
                      bin_width=5)
     assert "start_right" in out.columns
     assert [(r["pid"], r["wid"]) for r in out.collect()] == [(1, 10)]
+
+
+def test_token_divergence_js_properties(spark):
+    from loudml_spark.pipeline.corpus import token_divergence
+    import math
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "alpha beta")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(3, "alpha beta gamma alpha"), (4, "alpha beta")],
+        "doc_id long, text string")
+    same = token_divergence(a, b).agg(F.sum("js_contrib")).first()[0]
+    assert same == pytest.approx(0.0, abs=1e-9)  # identical dists
+    c = spark.createDataFrame(
+        [(5, "delta delta epsilon")], "doc_id long, text string")
+    rows = {r["token"]: r for r in token_divergence(a, c).collect()}
+    total = sum(r["js_contrib"] for r in rows.values())
+    assert 0.0 < total <= math.log(2.0) + 1e-9  # JS bound
+    # disjoint vocabularies → maximal JS (= ln 2)
+    assert total == pytest.approx(math.log(2.0), abs=1e-6)
+    assert rows["alpha"]["q"] == 0.0 and rows["delta"]["p"] == 0.0
+
+
+def test_tokens_ngrams(spark):
+    from loudml_spark.pipeline.corpus import tokens
+
+    df = spark.createDataFrame(
+        [(1, "One two, three"), (2, "solo")], "doc_id long, text string")
+    bi = sorted(r["token"] for r in tokens(df, n=2).collect())
+    assert bi == ["one two", "two three"]  # lowered, punct-robust
+    # doc shorter than n yields nothing, not an error
+    tri = [r["token"] for r in tokens(
+        df.filter("doc_id = 2"), n=3).collect()]
+    assert tri == []
