@@ -67,3 +67,113 @@ def day_col(ts_col: str, *, ts_scale: int = 10**9):
     return F.expr(
         f"(`{ts_col}` - pmod(`{ts_col}`, {step}L)) div {step}L"
     ).cast("long")
+
+
+def compact_partitions(
+    spark,
+    path: str,
+    *,
+    partition_by: Sequence[str],
+    max_records_per_file: int,
+    partitions: dict | None = None,
+    sort_by: Sequence[str] = (),
+    format: str = "parquet",
+) -> int:
+    """Small-file compaction — the maintenance job every streaming or
+    micro-batch ingest needs: each micro-batch lands a few small
+    files per partition, and a month later a scan of one day opens
+    thousands of them.  Rewrites the targeted partitions into few
+    bounded-size files (optionally ``sort_by``-clustered inside each
+    file, so min/max rowgroup pruning works on those columns).
+
+    ``partitions``: {col: value} filter selecting WHICH partitions to
+    compact (None = whole table — only for bounded tables; a 100 TB
+    maintenance job compacts yesterday's partitions, not the
+    decade).  Partition pruning makes the read touch only those
+    directories.  Returns the number of rows rewritten.
+
+    Staged safely: the rewrite lands in ``<path>__compact_tmp`` and
+    replaces the target directory only after a successful write —
+    a crash mid-compact leaves the original data intact.  (On a real
+    deployment prefer table formats with transactional rewrite; this
+    is the plain-parquet fallback.)
+    """
+    import shutil
+
+    partition_by = list(partition_by)
+    if not partition_by:
+        raise errors.Invalid("need at least one partition column")
+    df = spark.read.format(format).load(path)
+    target = df
+    if partitions:
+        for col, val in partitions.items():
+            if col not in partition_by:
+                raise errors.Invalid(
+                    f"{col!r} is not a partition column")
+            target = target.filter(F.col(col) == F.lit(val))
+    if sort_by:
+        target = target.repartition(
+            *[F.col(c) for c in partition_by]
+        ).sortWithinPartitions(*[F.col(c) for c in sort_by])
+    n = target.count()
+    tmp = path.rstrip("/") + "__compact_tmp"
+    write_partitioned(
+        target, tmp, partition_by=partition_by,
+        max_records_per_file=max_records_per_file,
+        mode="overwrite", format=format,
+    )
+    # swap in the compacted partitions
+    import os
+
+    if partitions:
+        # replace only the targeted partition directories
+        def subdir(base):
+            parts = [f"{c}={partitions[c]}" for c in partition_by
+                     if c in partitions]
+            return os.path.join(base, *parts)
+
+        dst, src = subdir(path), subdir(tmp)
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        keep = os.path.join(os.path.dirname(path.rstrip("/")),
+                            ".__compact_old")
+        shutil.rmtree(keep, ignore_errors=True)
+        shutil.move(path, keep)
+        shutil.move(tmp, path)
+        shutil.rmtree(keep, ignore_errors=True)
+    return n
+
+
+def upsert_partitions(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: Sequence[str],
+    max_records_per_file: int,
+    format: str = "parquet",
+) -> None:
+    """Idempotent partition-level upsert: REPLACE exactly the
+    partitions present in ``df`` (dynamic partition overwrite),
+    leaving every other partition untouched — the batch analogue of
+    streaming.job.idempotent_parquet_sink, and the correct shape for
+    late-arriving re-deliveries of a day's data: re-running the same
+    day's load rewrites that day byte-for-byte instead of appending
+    duplicates."""
+    partition_by = list(partition_by)
+    if not partition_by:
+        raise errors.Invalid("need at least one partition column")
+    for col in partition_by:
+        if col not in df.columns:
+            raise errors.Invalid(f"missing partition column {col!r}")
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.format(format)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(*partition_by)
+        .save(path)
+    )

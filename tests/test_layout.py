@@ -68,3 +68,67 @@ def test_day_col_exact_for_ns(spark):
         "ts long")
     got = [r[0] for r in df.select(day_col("ts")).collect()]
     assert got == [19723, 19723, 19724]
+
+
+def test_compact_partitions_reduces_files_preserves_rows(spark, tmp_path):
+    from loudml_spark.sources.layout import compact_partitions
+
+    path = str(tmp_path / "tbl")
+    # simulate many micro-batch appends → lots of tiny files
+    for batch in range(6):
+        df = spark.createDataFrame(
+            [(d, batch * 10 + i, float(i)) for d in (1, 2)
+             for i in range(5)],
+            "day long, event_id long, value double")
+        write_partitioned(df, path, partition_by=["day"],
+                          max_records_per_file=2, mode="append")
+    import glob
+    before = len(glob.glob(f"{path}/day=1/*.parquet"))
+    assert before >= 6  # one-plus file per batch
+    pre = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n = compact_partitions(
+        spark, path, partition_by=["day"],
+        max_records_per_file=1000, partitions={"day": 1},
+        sort_by=["event_id"])
+    assert n == 30
+    after = len(glob.glob(f"{path}/day=1/*.parquet"))
+    assert after < before and after <= 2
+    # other partitions untouched, data identical overall
+    assert len(glob.glob(f"{path}/day=2/*.parquet")) == before
+    post = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert post == pre
+
+    # whole-table compaction path
+    n2 = compact_partitions(
+        spark, path, partition_by=["day"], max_records_per_file=1000)
+    assert n2 == 60
+    assert sorted(tuple(r) for r in
+                  spark.read.parquet(path).collect()) == pre
+
+
+def test_upsert_partitions_idempotent_replay(spark, tmp_path):
+    from loudml_spark.sources.layout import upsert_partitions
+
+    path = str(tmp_path / "up")
+    day1 = spark.createDataFrame(
+        [(1, 1, 1.0), (1, 2, 2.0)], "day long, event_id long, v double")
+    day2 = spark.createDataFrame(
+        [(2, 3, 3.0)], "day long, event_id long, v double")
+    upsert_partitions(day1, path, partition_by=["day"],
+                      max_records_per_file=100)
+    upsert_partitions(day2, path, partition_by=["day"],
+                      max_records_per_file=100)
+    assert spark.read.parquet(path).count() == 3
+    # replay day1 (same data) → no duplicates
+    upsert_partitions(day1, path, partition_by=["day"],
+                      max_records_per_file=100)
+    assert spark.read.parquet(path).count() == 3
+    # revised day1 REPLACES the partition, day2 untouched
+    day1b = spark.createDataFrame(
+        [(1, 9, 9.0)], "day long, event_id long, v double")
+    upsert_partitions(day1b, path, partition_by=["day"],
+                      max_records_per_file=100)
+    got = sorted((r["day"], r["event_id"]) for r in
+                 spark.read.parquet(path).collect())
+    assert got == [(1, 9), (2, 3)]
