@@ -86,3 +86,92 @@ def test_bucketize_spine_and_count_invariants(
 @pytest.fixture(scope="module")
 def shared_spark(spark):
     return spark
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)),
+        min_size=0, max_size=60,
+    ),
+)
+def test_dedup_clusters_matches_union_find(spark, edges):
+    """Star-contraction connected components ≡ a pure-Python
+    union-find on arbitrary random graphs (self-loops, duplicates,
+    multi-component, chains — whatever hypothesis throws)."""
+    from loudml_spark.pipeline.dedup import dedup_clusters
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # reference: union-find with min-label components
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {x: find(x) for x in parent}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dedup_clusters(pairs).collect()}
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    budget=st.integers(100, 1000),
+)
+def test_pack_shards_invariants(spark, sizes, budget):
+    """Every doc lands in exactly one shard; shard index equals
+    floor(tokens-before / budget); offsets stay inside [0, budget)."""
+    from loudml_spark.pipeline.sampling import pack_shards
+
+    rows = [(i, "x", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = sorted(
+        pack_shards(df, token_col="n", budget=budget, by="lang").collect(),
+        key=lambda r: r["doc_id"])
+    assert len(out) == len(sizes)
+    before = 0
+    for r, n in zip(out, sizes):
+        assert r["shard"] == before // budget
+        assert r["shard_offset"] == before - (before // budget) * budget
+        assert 0 <= r["shard_offset"] < budget
+        before += n
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    n_words=st.integers(1, 60),
+    size=st.integers(1, 20),
+    stride_frac=st.integers(1, 20),
+)
+def test_chunk_documents_full_coverage(spark, n_words, size, stride_frac):
+    """Chunks cover every token at least once; chunk count equals
+    ceil(n/stride) capped to start positions; all chunks within
+    size."""
+    from loudml_spark.pipeline.text import chunk_documents
+
+    stride = max(1, min(size, stride_frac))
+    text = " ".join(f"t{i}" for i in range(n_words))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = chunk_documents(df, size=size, stride=stride).collect()
+    n_starts = (n_words - 1) // stride + 1
+    assert len(out) == n_starts
+    seen = set()
+    for r in out:
+        toks = r["chunk_text"].split(" ")
+        assert 1 <= len(toks) <= size
+        assert r["n_tokens"] == len(toks)
+        seen.update(toks)
+    assert seen == {f"t{i}" for i in range(n_words)}
