@@ -106,6 +106,53 @@ def extract_features(
     return media_df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_images(
+    media_df: DataFrame, width: int, height: int, *,
+    use_fake_decoder: bool = False, max_fake_bytes: int = 4096,
+) -> DataFrame:
+    """Resize image media to ``width`` × ``height``: one output row
+    per image (media_id, width, height, resized binary).  The real
+    path needs PIL and raises a named NotImplementedError; the fake
+    decoder emits a deterministic byte transform of bounded size
+    (content cycled/truncated to min(width·height, max_fake_bytes))
+    so schema, batching and partition behavior are fully exercised.
+    Non-image rows are filtered out (pushdown-friendly equality on
+    the metadata column — the binary column stays pruned until the
+    map)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+    schema = "media_id long, width int, height int, resized binary"
+    target = min(int(width) * int(height), int(max_fake_bytes))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "image resize needs PIL which is not installed; "
+                    "pass use_fake_decoder=True for the deterministic "
+                    "byte-level fake"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                content = bytes(r["content"] or b"")
+                if content:
+                    reps = -(-target // len(content))
+                    resized = (content * reps)[:target]
+                else:
+                    resized = b"\x00" * target
+                rows.append({
+                    "media_id": r["media_id"],
+                    "width": int(width),
+                    "height": int(height),
+                    "resized": resized,
+                })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "resized"])
+
+    images = media_df.filter(F.col("media_type") == "image")
+    return images.mapInPandas(batches, schema=schema)
+
+
 def frame_sample(
     media_df: DataFrame, every_ms: int = 1000, *, use_fake_decoder: bool = False
 ) -> DataFrame:

@@ -49,3 +49,31 @@ def test_frame_sample(media):
     f0 = [r for r in frames if r["media_id"] == 5][0]
     assert isinstance(f0["frame"], (bytes, bytearray))
     assert f0["ts_ms"] == f0["frame_idx"] * 100
+
+
+def test_resize_images_fake(media):
+    from loudml_spark.pipeline.multimodal import resize_images
+
+    out = resize_images(media, 8, 4, use_fake_decoder=True).collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(r["resized"]) == 32  # width*height under the cap
+    # only image-typed media rows pass through
+    src_images = media.filter("media_type = 'image'").count()
+    assert len(out) == src_images
+    # deterministic across runs
+    again = resize_images(media, 8, 4, use_fake_decoder=True).collect()
+    assert sorted(r["media_id"] for r in out) == \
+        sorted(r["media_id"] for r in again)
+
+
+def test_resize_images_real_decode_is_explicit(media):
+    import pytest
+    from loudml_spark.pipeline.multimodal import resize_images
+
+    with pytest.raises(Exception) as e:
+        resize_images(media, 8, 4).collect()
+    assert "PIL" in str(e.value)
+    with pytest.raises(ValueError):
+        resize_images(media, 0, 4, use_fake_decoder=True)
