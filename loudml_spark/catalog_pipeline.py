@@ -984,6 +984,85 @@ FROM red
 """
 
 
+def q_char_entropy_docs(spark, sf_dir):
+    """Character-entropy gibberish detector per document (nats) —
+    natural text ~2.8-3.2, base64 blobs higher, repeated junk → 0.
+    One Arrow pass; the oracle recomputes the same -Σ p·ln p over
+    character counts with list lambdas (round 9: entropy sums libm
+    ln terms whose last ulp is not engine-portable)."""
+    from loudml_spark.pipeline.text import char_entropy
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return char_entropy(docs).select("doc_id", "entropy")
+
+
+SQL_CHAR_ENTROPY_DOCS = """
+WITH c AS (
+  SELECT doc_id, string_split(text, '') AS ch,
+         CAST(length(text) AS DOUBLE) AS n
+  FROM documents
+)
+SELECT doc_id,
+       ROUND(COALESCE(-list_sum(list_transform(
+         list_distinct(ch),
+         x -> (len(list_filter(ch, y -> y = x)) / n)
+              * ln(len(list_filter(ch, y -> y = x)) / n))), 0.0), 9)
+         AS entropy
+FROM c
+"""
+
+
+def q_url_stats_docs(spark, sf_dir):
+    """Web-crawl curation: URL extraction + domain blocklist flag.
+    The synthetic corpus has no URLs, so BOTH engines append a
+    deterministic doc_id-derived URL suffix (every third doc cites a
+    blocklisted domain) — the regex extraction, domain lowering and
+    blocklist matching are then exercised for real.  The blocklist
+    ships as a Column literal, never a join."""
+    from loudml_spark.pipeline.text import url_stats
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://Site"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.lit(" and http://blocked.bad/x")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = url_stats(seeded, blocklist=["blocked.bad"])
+    return out.select("doc_id", "n_urls", "domains", "blocked")
+
+
+_SQL_URL_SEED = (
+    "text || ' see https://Site' || CAST(doc_id % 7 AS VARCHAR) "
+    "|| '.example.com/p/' || CAST(doc_id AS VARCHAR) "
+    "|| (CASE WHEN doc_id % 3 = 0 THEN ' and http://blocked.bad/x' "
+    "ELSE '' END)"
+)
+
+SQL_URL_STATS_DOCS = f"""
+WITH seeded AS (
+  SELECT doc_id, {_SQL_URL_SEED} AS text
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS BIGINT) AS n_urls,
+       list_sort(list_distinct(list_transform(
+         regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1),
+         x -> lower(x)))) AS domains,
+       len(list_filter(
+         list_distinct(list_transform(
+           regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1),
+           x -> lower(x))),
+         d -> d = 'blocked.bad')) > 0 AS blocked
+FROM seeded
+"""
+
+
 def q_chunk_docs_32_24(spark, sf_dir):
     """Overlapping token-window chunking (32-token chunks every 24 —
     the pre-embedding step of a retrieval pipeline).  Map-only: split
@@ -1180,6 +1259,12 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "redact_pii_docs": {
         "fn": q_redact_pii_docs,
         "oracle": SQL_REDACT_PII_DOCS},
+    "char_entropy_docs": {
+        "fn": q_char_entropy_docs,
+        "oracle": SQL_CHAR_ENTROPY_DOCS},
+    "url_stats_docs": {
+        "fn": q_url_stats_docs,
+        "oracle": SQL_URL_STATS_DOCS},
     "langid_docs": {"fn": q_langid_docs, "oracle": SQL_LANGID_DOCS},
     "exact_dedup_fp": {"fn": q_exact_dedup_fp, "oracle": SQL_EXACT_DEDUP_FP},
     "minhash_signatures_docs": {

@@ -15,6 +15,8 @@ computation is expressible in ANSI SQL (DuckDB oracle parity).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -373,6 +375,76 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .drop("__rc")
     )
     return out
+
+
+def char_entropy(
+    df: DataFrame, text_col: str = "text", *, out_col: str = "entropy"
+) -> DataFrame:
+    """Shannon entropy of the character distribution per document
+    (nats) — the cheap gibberish/compression-artifact detector:
+    natural language sits ~2.8–3.2 nats, base64 blobs and key-mash
+    higher, repeated-character junk near 0.
+
+    One Arrow pass per batch (Counter over bytes of each doc);
+    emitted value rounds to 9 dp — entropy is a sum of libm ln terms
+    whose last ulp is not engine-portable, everything below it is."""
+    import math
+
+    def fn(texts: pd.Series) -> pd.Series:
+        from collections import Counter
+
+        out = []
+        for t in texts:
+            n = len(t)
+            if n == 0:
+                out.append(0.0)
+                continue
+            h = 0.0
+            for c in Counter(t).values():
+                p = c / n
+                h -= p * math.log(p)
+            out.append(round(h, 9))
+        return pd.Series(out)
+
+    return df.withColumn(
+        out_col, F.pandas_udf(fn, "double")(F.col(text_col)))
+
+
+URL_RE = r"https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"
+DOMAIN_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def url_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    blocklist: Sequence[str] = (),
+) -> DataFrame:
+    """Web-crawl curation: extract URLs per document, count them, and
+    flag documents citing blocklisted domains (exact domain match on
+    the lowercased host).  The blocklist ships as a Column literal
+    (it is a config artifact, thousands of entries at most — never a
+    join).  Adds ``n_urls``, ``domains`` (lowercased, sorted,
+    distinct) and ``blocked`` (boolean).  Map-only JVM regex."""
+    text = F.col(text_col)
+    domains = F.array_sort(F.array_distinct(F.transform(
+        F.regexp_extract_all(text, F.lit(DOMAIN_RE), 1),
+        F.lower,
+    )))
+    out = (
+        df.withColumn(
+            "n_urls",
+            F.size(F.regexp_extract_all(text, F.lit(URL_RE), 0))
+            .cast("long"))
+        .withColumn("domains", domains)
+    )
+    if blocklist:
+        bl = F.array(*[F.lit(d.lower()) for d in blocklist])
+        blocked = F.exists(
+            F.col("domains"), lambda d: F.array_contains(bl, d))
+    else:
+        blocked = F.lit(False)
+    return out.withColumn("blocked", blocked)
 
 
 def langid(

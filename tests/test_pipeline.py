@@ -559,3 +559,42 @@ def test_redact_pii_semantics(spark):
     assert r2["redacted"] == r2["text"]  # untouched
     # the documented simplification: shape-based ipv4, no octet range
     assert out[3]["n_ipv4"] == 1
+
+
+def test_char_entropy_ranges(spark):
+    import math
+
+    from loudml_spark.pipeline.text import char_entropy
+
+    df = spark.createDataFrame([
+        (1, "aaaaaaaaaa"),                      # zero entropy
+        (2, "abcdefghij"),                      # uniform: ln(10)
+        (3, "the quick brown fox jumps over"),  # natural text
+        (4, ""),                                # empty → 0
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r["entropy"] for r in char_entropy(df).collect()}
+    assert out[1] == 0.0
+    assert out[2] == pytest.approx(math.log(10), abs=1e-9)
+    assert 2.0 < out[3] < 4.0
+    assert out[4] == 0.0
+
+
+def test_url_stats_blocklist(spark):
+    from loudml_spark.pipeline.text import url_stats
+
+    df = spark.createDataFrame([
+        (1, "links: https://A.Example.com/x and http://ok.org plus "
+            "https://a.example.com/y"),
+        (2, "no links at all"),
+        (3, "see http://Spam.bad/page?q=1"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in url_stats(
+        df, blocklist=["spam.bad"]).collect()}
+    r1 = out[1]
+    assert r1["n_urls"] == 3
+    assert r1["domains"] == ["a.example.com", "ok.org"]  # lowered+distinct
+    assert not r1["blocked"]
+    assert out[2]["n_urls"] == 0 and out[2]["domains"] == []
+    assert out[3]["blocked"]  # case-insensitive domain match
+    # no blocklist → never blocked
+    assert all(not r["blocked"] for r in url_stats(df).collect())
