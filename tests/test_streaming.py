@@ -215,7 +215,7 @@ def test_idempotent_parquet_sink_replay_no_duplicates(spark, tmpdir):
     engine would: batch 0, batch 1, then batch 1 AGAIN (replay)."""
     from loudml_spark.streaming.job import idempotent_parquet_sink
 
-    out = str(tmpdir.join("sink_out"))
+    out = f"{tmpdir}/sink_out"
     sink = idempotent_parquet_sink(out, ["event_type"])
     b0 = spark.createDataFrame(
         [(1000, "click", 1.0), (1000, "view", 2.0)],
@@ -252,9 +252,9 @@ def test_idempotent_sink_end_to_end_stream(spark, tmpdir):
 
     from loudml_spark.streaming.job import idempotent_parquet_sink
 
-    src = str(tmpdir.join("e2e_src"))
-    out = str(tmpdir.join("e2e_out"))
-    ckpt = str(tmpdir.join("e2e_ckpt"))
+    src = f"{tmpdir}/e2e_src"
+    out = f"{tmpdir}/e2e_out"
+    ckpt = f"{tmpdir}/e2e_ckpt"
     base = 1704067200
     rows = [
         ((base + h * 3600 + m * 600) * 10**6, "click", float(h))
