@@ -31,9 +31,43 @@ from loudml_spark import errors
 from loudml_spark.ml.models import BAND_SIGMA, BaseModel
 
 
+def _solve_spd(A: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Deterministic SPD solve — manual Cholesky + substitution built
+    on elementwise ops and ``np.sum`` (pairwise, BLAS-free).
+
+    ``np.linalg.solve`` / ``@`` dispatch to BLAS/LAPACK kernels whose
+    summation order depends on process environment (threading,
+    allocation alignment), drifting ~1 ulp between the driver and
+    Spark's Python workers.  The AR oracle replays the fit in the
+    driver and compares bit-for-bit against executor-fit predictions
+    (catalog_oracle_ml.sql_ar_fleet_predict_6h), so the fit must be a
+    pure function of its float64 inputs.  A is (span+1)² — tiny; the
+    O(n³) Python-loop Cholesky is microseconds."""
+    n = A.shape[0]
+    L = np.zeros_like(A)
+    for j in range(n):
+        d = A[j, j] - np.sum(L[j, :j] * L[j, :j])
+        L[j, j] = np.sqrt(d)
+        if j + 1 < n:
+            L[j + 1:, j] = (
+                A[j + 1:, j] - np.sum(L[j + 1:, :j] * L[j, :j], axis=1)
+            ) / L[j, j]
+    y = np.zeros(n)
+    for i in range(n):
+        y[i] = (b[i] - np.sum(L[i, :i] * y[:i])) / L[i, i]
+    x = np.zeros(n)
+    for i in range(n - 1, -1, -1):
+        x[i] = (y[i] - np.sum(L[i + 1:, i] * x[i + 1:])) / L[i, i]
+    return x
+
+
 def _fit_arrays(values: np.ndarray, span: int, ridge: float):
     """Closed-form ridge fit on a 1-D series; returns (weights[span+1]
-    with bias last, sigma).  NaNs are forward/back-filled first."""
+    with bias last, sigma).  NaNs are forward/back-filled first.
+
+    Every reduction is einsum(optimize=False)/np.sum — single-threaded
+    deterministic C loops, never BLAS — so the same inputs produce the
+    same bits in any process (see _solve_spd)."""
     v = pd.Series(values).ffill().bfill().to_numpy(dtype=float)
     n = len(v) - span
     if n < 2:
@@ -47,9 +81,10 @@ def _fit_arrays(values: np.ndarray, span: int, ridge: float):
         sd = 1.0  # donut.py:650 convention
     Xs, ys = (X - mu) / sd, (y - mu) / sd
     Xb = np.hstack([Xs, np.ones((n, 1))])
-    A = Xb.T @ Xb + ridge * np.eye(span + 1)
-    w = np.linalg.solve(A, Xb.T @ ys)
-    resid = ys - Xb @ w
+    A = np.einsum("ij,ik->jk", Xb, Xb, optimize=False) \
+        + ridge * np.eye(span + 1)
+    w = _solve_spd(A, np.einsum("ij,i->j", Xb, ys, optimize=False))
+    resid = ys - np.einsum("ij,j->i", Xb, w, optimize=False)
     sigma = float(np.std(resid) * sd)
     if sigma == 0:
         sigma = 1.0
@@ -59,7 +94,8 @@ def _fit_arrays(values: np.ndarray, span: int, ridge: float):
 def _predict_window(window: np.ndarray, w: np.ndarray, mu: float,
                     sd: float) -> float:
     xs = (np.asarray(window, dtype=float) - mu) / sd
-    return float((xs @ w[:-1] + w[-1]) * sd + mu)
+    # np.sum not `@`: bit-stable across processes (see _solve_spd)
+    return float((np.sum(xs * w[:-1]) + w[-1]) * sd + mu)
 
 
 class WindowRegressionModel(BaseModel):
@@ -225,7 +261,11 @@ def auto_span(
             v[k - span:-1], span)
         y = v[k:]
         xs = (X - mu) / sd
-        pred = (xs @ w[:-1] + w[-1]) * sd + mu
+        # einsum not `@`: auto_span runs per-key in executors AND in
+        # the oracle replay — a BLAS ulp flipping a near-tie would
+        # pick different spans in the two processes
+        pred = (np.einsum("ij,j->i", xs, w[:-1], optimize=False)
+                + w[-1]) * sd + mu
         mse = float(np.mean((pred - y) ** 2))
         # AIC-style penalized score: larger windows must earn their
         # extra parameters, not just average more noise
