@@ -866,7 +866,252 @@ QUALIFY rank <= {TFIDF_TOP_TERMS}
 """
 
 
+# -------------------------------------------------------- tsmath ops
+
+
+CUSUM_K = 52.0      # drift reference level (events value mean ≈ 49.6)
+CUSUM_H = 30.0      # alarm threshold on the accumulated drift
+
+
+def q_ts_rate_counter_1h(spark, sf_dir):
+    """PromQL-style counter increase/rate per event_type per hour,
+    reset-aware (operators/tsmath.py counter_increase): deltas of
+    consecutive samples per key, a negative delta credits the
+    post-reset value.  ONE shuffle — the lag window partitions on
+    event_type and the (event_type, bucket) aggregation reuses that
+    clustering.  Ties broken by event_id so lag order is
+    engine-independent.  Deltas route through DECIMAL: the bucket
+    sum is exact in both engines."""
+    from loudml_spark.operators.tsmath import counter_increase
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts_ns", "event_type", "value")
+    out = counter_increase(
+        ev, ts_col="ts_ns", value_col="value", interval=3600,
+        by=["event_type"], order_col="event_id", ts_scale=NS,
+    )
+    return out.select(
+        "event_type", "bucket_ts", "increase",
+        F.round("rate", 6).alias("rate"),
+    )
+
+
+SQL_TS_RATE_COUNTER_1H = f"""
+WITH d AS (
+  SELECT event_type,
+         (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         CAST(value AS DECIMAL(18,2)) AS v,
+         CAST(value AS DECIMAL(18,2))
+           - LAG(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY event_type ORDER BY epoch_ns(ts), event_id
+             ) AS delta
+  FROM events
+)
+SELECT event_type, bucket_ts,
+       CAST(SUM(CASE WHEN delta < 0 THEN v ELSE delta END)
+            AS DOUBLE) AS increase,
+       ROUND(CAST(SUM(CASE WHEN delta < 0 THEN v ELSE delta END)
+                  AS DOUBLE) / 3600.0, 6) AS rate
+FROM d
+GROUP BY 1, 2
+"""
+
+
+def q_ts_interp_linear_1h(spark, sf_dir):
+    """Gap repair by time-weighted linear interpolation — the third
+    fill mode next to `default: <float>` and `default: "previous"`
+    (reference fill layer loudml/donut.py:597-610).  Same sparse
+    signup series as ts_fill_previous_1h; interior gaps get the
+    line between bracketing observations, edge gaps stay null.
+    Two window passes over the bucketized (bounded) series."""
+    from loudml_spark.catalog import _ev_bucketize
+    from loudml_spark.features import Feature
+    from loudml_spark.operators.tsmath import interpolate_linear
+
+    feat = Feature(
+        metric="mean_exact", field="value", name="avg_value",
+        match_all=[{"tag": "event_type", "value": "signup"}],
+    )
+    out = _ev_bucketize(spark, sf_dir, [feat], 3600)
+    out = interpolate_linear(out, value_col="avg_value")
+    return out.select(
+        "bucket_ts", F.round("avg_value", 6).alias("avg_value"))
+
+
+def _sql_ts_interp_linear_1h() -> str:
+    from loudml_spark.catalog import _spine_sql
+
+    return _spine_sql(3600) + """
+, agg AS (
+  SELECT s.bucket_ts AS bucket_ts,
+         CAST(SUM(CASE WHEN p.event_type = 'signup'
+                       THEN CAST(p.value AS DECIMAL(18,2)) END) AS DOUBLE)
+         / COUNT(CASE WHEN p.event_type = 'signup' THEN p.value END) AS a
+  FROM spine s LEFT JOIN pts p USING (bucket_ts)
+  GROUP BY s.bucket_ts
+),
+w AS (
+  SELECT bucket_ts, a,
+         LAST_VALUE(a IGNORE NULLS) OVER wb AS pv,
+         LAST_VALUE(CASE WHEN a IS NOT NULL THEN bucket_ts END
+                    IGNORE NULLS) OVER wb AS pt,
+         FIRST_VALUE(a IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN a IS NOT NULL THEN bucket_ts END
+                     IGNORE NULLS) OVER wf AS nt
+  FROM agg
+  WINDOW wb AS (ORDER BY bucket_ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (ORDER BY bucket_ts
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT bucket_ts,
+       ROUND(CASE WHEN a IS NOT NULL THEN a
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (CAST(bucket_ts - pt AS DOUBLE)
+                                         / CAST(nt - pt AS DOUBLE))
+             END, 6) AS avg_value
+FROM w
+"""
+
+
+def q_ts_cusum_1d(spark, sf_dir):
+    """One-sided CUSUM drift statistic on the daily mean per
+    event_type — sequential changepoint detection via the prefix
+    closed form (operators/tsmath.py cusum: cumulative sum +
+    cumulative min, no recursion).  Daily means are DECIMAL-exact so
+    the windowed double cumsum adds identical values in identical
+    order in both engines."""
+    from loudml_spark.operators.tsmath import cusum
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select("event_type", _day_ts().alias("bucket_ts"),
+                  F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("event_type", "bucket_ts")
+        .agg((F.sum("v").cast("double") / F.count("v")).alias("avg_value"))
+    )
+    out = cusum(daily, value_col="avg_value", k=CUSUM_K,
+                by=["event_type"], h=CUSUM_H)
+    # avg_value unrounded (DECIMAL-exact, bit-identical both sides);
+    # cusum rounded: DuckDB's segment-tree windowed SUM associates
+    # additions differently than Spark's running accumulation
+    return out.select(
+        "event_type", "bucket_ts", "avg_value",
+        F.round("cusum", 6).alias("cusum"),
+        "is_change",
+    )
+
+
+SQL_TS_CUSUM_1D = f"""
+WITH daily AS (
+  SELECT event_type,
+         ((epoch_ns(ts) - (epoch_ns(ts) % {86400 * NS}))
+          // {86400 * NS}) * 86400 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(value) AS avg_value
+  FROM events
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket_ts, avg_value,
+         SUM(avg_value - {CUSUM_K}) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM daily
+),
+s AS (
+  SELECT event_type, bucket_ts, avg_value,
+         cs - LEAST(MIN(cs) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+           AS raw_cusum
+  FROM c
+)
+SELECT event_type, bucket_ts,
+       avg_value,
+       ROUND(raw_cusum, 6) AS cusum,
+       raw_cusum > {CUSUM_H} AS is_change
+FROM s
+"""
+
+
+def q_ts_mad_scores_6h(spark, sf_dir):
+    """MAD-based robust outlier score per (event_type, 6h bucket) —
+    the heavy-tail-safe alternative to anomaly_scores' mean/σ z-score
+    (operators/tsmath.py mad_scores).  Exact interpolated medians on
+    the bounded per-key bucket series; per-key scalars broadcast
+    back.  Spark percentile(·,0.5) ≡ DuckDB QUANTILE_CONT — the
+    parity ts_percentiles_1d already pins."""
+    from loudml_spark.operators.tsmath import mad_scores
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 21600 * NS
+    series = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"((`ts_ns` - pmod(`ts_ns`, {step}L)) div {step}L) * 21600"
+            ).cast("long").alias("bucket_ts"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg((F.sum("v").cast("double") / F.count("v")).alias("avg_value"))
+    )
+    out = mad_scores(series, value_col="avg_value", by=["event_type"])
+    # avg_value stays UNROUNDED: the DECIMAL-exact mean is already
+    # bit-identical in both engines, and ROUND itself can disagree on
+    # identical doubles at a half-way boundary (seen at sf0.1)
+    return out.select(
+        "event_type", "bucket_ts", "avg_value",
+        F.round("robust_score", 6).alias("robust_score"),
+    )
+
+
+SQL_TS_MAD_SCORES_6H = f"""
+WITH series AS (
+  SELECT event_type,
+         (epoch_ns(ts) // {21600 * NS}) * 21600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(value) AS avg_value
+  FROM events
+  GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, QUANTILE_CONT(avg_value, 0.5) AS m
+  FROM series GROUP BY 1
+),
+mad AS (
+  SELECT s.event_type, m.m,
+         QUANTILE_CONT(ABS(s.avg_value - m.m), 0.5) AS d
+  FROM series s JOIN med m USING (event_type)
+  GROUP BY 1, 2
+)
+SELECT s.event_type, s.bucket_ts,
+       s.avg_value AS avg_value,
+       ROUND(CASE WHEN mad.d <> 0
+                  THEN 0.6745 * (s.avg_value - mad.m) / mad.d END, 6)
+         AS robust_score
+FROM series s JOIN mad USING (event_type)
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "ts_rate_counter_1h": {
+        "fn": q_ts_rate_counter_1h,
+        "oracle": SQL_TS_RATE_COUNTER_1H,
+    },
+    "ts_interp_linear_1h": {
+        "fn": q_ts_interp_linear_1h,
+        "oracle_fn": lambda sf_dir=None: _sql_ts_interp_linear_1h(),
+    },
+    "ts_cusum_1d": {
+        "fn": q_ts_cusum_1d,
+        "oracle": SQL_TS_CUSUM_1D,
+    },
+    "ts_mad_scores_6h": {
+        "fn": q_ts_mad_scores_6h,
+        "oracle": SQL_TS_MAD_SCORES_6H,
+    },
     "sessionize_users_30m": {
         "fn": q_sessionize_users_30m,
         "oracle": SQL_SESSIONIZE_USERS_30M,

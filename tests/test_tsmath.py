@@ -1,0 +1,127 @@
+"""Unit gates for operators/tsmath.py: counter rate, linear
+interpolation, CUSUM closed form, MAD robust scores."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark.operators.tsmath import (
+    counter_increase,
+    cusum,
+    interpolate_linear,
+    mad_scores,
+)
+
+BASE = 1704067200
+
+
+def test_counter_increase_resets_and_rate(spark):
+    # one key: counter 0→5→12, restart at 3, →10; second key monotonic
+    rows = [
+        ("a", BASE + 0, 0.0), ("a", BASE + 10, 5.0), ("a", BASE + 20, 12.0),
+        ("a", BASE + 70, 3.0), ("a", BASE + 80, 10.0),
+        ("b", BASE + 5, 100.0), ("b", BASE + 65, 160.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long, v double")
+    out = counter_increase(
+        df, ts_col="ts", value_col="v", interval=60, by=["k"],
+    ).orderBy("k", "bucket_ts").collect()
+    got = {(r["k"], r["bucket_ts"]): (r["increase"], r["rate"]) for r in out}
+    # bucket 1 for a: deltas 5, 7 (first sample contributes nothing)
+    assert got[("a", BASE)] == (12.0, 12.0 / 60)
+    # bucket 2 for a: reset credits post-reset value 3, then delta 7
+    assert got[("a", BASE + 60)] == (10.0, 10.0 / 60)
+    # b: first sample alone in bucket 1 -> NULL increase (no pairs)
+    assert got[("b", BASE)][0] is None
+    assert got[("b", BASE + 60)] == (60.0, 1.0)
+
+
+def test_counter_increase_tie_break_deterministic(spark):
+    # two samples share a timestamp; order_col decides lag order
+    rows = [("a", BASE, 1, 10.0), ("a", BASE, 2, 11.0),
+            ("a", BASE + 1, 3, 13.0)]
+    df = spark.createDataFrame(rows, "k string, ts long, id long, v double")
+    out = counter_increase(
+        df, ts_col="ts", value_col="v", interval=60, by=["k"],
+        order_col="id",
+    ).collect()
+    assert out[0]["increase"] == 3.0  # (11-10) + (13-11)
+
+
+def test_interpolate_linear_fills_interior_gaps(spark):
+    rows = [(BASE + i * 10, v) for i, v in enumerate(
+        [None, 1.0, None, None, 4.0, None])]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    out = [r["value"] for r in
+           interpolate_linear(df, value_col="value")
+           .orderBy("bucket_ts").collect()]
+    # leading/trailing gaps stay null; interior is time-weighted
+    assert out[0] is None and out[5] is None
+    assert out[1:5] == [1.0, 2.0, 3.0, 4.0]
+
+
+def test_interpolate_linear_keyed_uneven_spacing(spark):
+    rows = [("k", BASE, 10.0), ("k", BASE + 30, None),
+            ("k", BASE + 40, 14.0), ("x", BASE, 5.0)]
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    out = {(r["k"], r["bucket_ts"]): r["value"]
+           for r in interpolate_linear(
+               df, value_col="value", by=["k"]).collect()}
+    # 30/40 of the way from 10 to 14
+    assert out[("k", BASE + 30)] == pytest.approx(13.0)
+    assert out[("x", BASE)] == 5.0
+
+
+def test_cusum_matches_recursion(spark):
+    rng = np.random.default_rng(7)
+    vals = list(50.0 + rng.normal(0, 5, 40)) + list(
+        60.0 + rng.normal(0, 5, 20))
+    rows = [(BASE + i * 60, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    k, h = 52.0, 30.0
+    out = cusum(df, value_col="value", k=k, h=h).orderBy(
+        "bucket_ts").collect()
+    s = 0.0
+    changed = False
+    for i, r in enumerate(out):
+        s = max(0.0, s + (vals[i] - k))
+        assert r["cusum"] == pytest.approx(s, abs=1e-9), i
+        changed = changed or r["is_change"]
+    assert changed  # the level shift must trip the threshold
+
+
+def test_cusum_keyed_and_null_rows(spark):
+    rows = [("a", BASE, 10.0), ("a", BASE + 60, None),
+            ("a", BASE + 120, 30.0), ("b", BASE, 1.0)]
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    out = {(r["k"], r["bucket_ts"]): r["cusum"]
+           for r in cusum(df, value_col="value", k=5.0, by=["k"]).collect()}
+    assert out[("a", BASE)] == 5.0          # max(0, 10-5)
+    assert out[("a", BASE + 60)] == 5.0     # null: drift unchanged
+    assert out[("a", BASE + 120)] == 30.0   # 5 + 25
+    assert out[("b", BASE)] == 0.0          # max(0, 1-5) clamps
+
+
+def test_mad_scores_match_numpy(spark):
+    vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in vals], "k string, value double")
+    out = sorted(
+        r["robust_score"]
+        for r in mad_scores(df, value_col="value", by=["k"]).collect()
+    )
+    med = np.median(vals)
+    mad = np.median(np.abs(np.array(vals) - med))
+    want = sorted(0.6745 * (np.array(vals) - med) / mad)
+    assert out == pytest.approx(list(want))
+
+
+def test_mad_scores_unkeyed_literals_and_constant_null(spark):
+    df = spark.createDataFrame([(float(v),) for v in (5, 6, 7)], "value double")
+    plan = mad_scores(df, value_col="value")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    const = spark.createDataFrame([(2.0,), (2.0,)], "value double")
+    got = mad_scores(const, value_col="value").collect()
+    assert all(r["robust_score"] is None for r in got)
