@@ -1035,18 +1035,12 @@ FROM s
 """
 
 
-def q_ts_mad_scores_6h(spark, sf_dir):
-    """MAD-based robust outlier score per (event_type, 6h bucket) —
-    the heavy-tail-safe alternative to anomaly_scores' mean/σ z-score
-    (operators/tsmath.py mad_scores).  Exact interpolated medians on
-    the bounded per-key bucket series; per-key scalars broadcast
-    back.  Spark percentile(·,0.5) ≡ DuckDB QUANTILE_CONT — the
-    parity ts_percentiles_1d already pins."""
-    from loudml_spark.operators.tsmath import mad_scores
-
+def _series_6h(spark, sf_dir):
+    """Per-event_type 6h DECIMAL-exact mean series — shared input of
+    the mad/ewma queries and bit-identical to _SQL_SERIES_6H_CTE."""
     ev = load_table(spark, sf_dir, "events")
     step = 21600 * NS
-    series = (
+    return (
         ev.select(
             "event_type",
             F.expr(
@@ -1057,7 +1051,31 @@ def q_ts_mad_scores_6h(spark, sf_dir):
         .groupBy("event_type", "bucket_ts")
         .agg((F.sum("v").cast("double") / F.count("v")).alias("avg_value"))
     )
-    out = mad_scores(series, value_col="avg_value", by=["event_type"])
+
+
+_SQL_SERIES_6H_CTE = f"""
+WITH series AS (
+  SELECT event_type,
+         (epoch_ns(ts) // {21600 * NS}) * 21600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(value) AS avg_value
+  FROM events
+  GROUP BY 1, 2
+)"""
+
+
+def q_ts_mad_scores_6h(spark, sf_dir):
+    """MAD-based robust outlier score per (event_type, 6h bucket) —
+    the heavy-tail-safe alternative to anomaly_scores' mean/σ z-score
+    (operators/tsmath.py mad_scores).  Exact interpolated medians on
+    the bounded per-key bucket series via whole-partition window
+    aggregates.  Spark percentile(·,0.5) ≡ DuckDB QUANTILE_CONT — the
+    parity ts_percentiles_1d already pins."""
+    from loudml_spark.operators.tsmath import mad_scores
+
+    out = mad_scores(
+        _series_6h(spark, sf_dir), value_col="avg_value",
+        by=["event_type"])
     # avg_value stays UNROUNDED: the DECIMAL-exact mean is already
     # bit-identical in both engines, and ROUND itself can disagree on
     # identical doubles at a half-way boundary (seen at sf0.1)
@@ -1067,15 +1085,7 @@ def q_ts_mad_scores_6h(spark, sf_dir):
     )
 
 
-SQL_TS_MAD_SCORES_6H = f"""
-WITH series AS (
-  SELECT event_type,
-         (epoch_ns(ts) // {21600 * NS}) * 21600 AS bucket_ts,
-         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
-           / COUNT(value) AS avg_value
-  FROM events
-  GROUP BY 1, 2
-),
+SQL_TS_MAD_SCORES_6H = _SQL_SERIES_6H_CTE + """,
 med AS (
   SELECT event_type, QUANTILE_CONT(avg_value, 0.5) AS m
   FROM series GROUP BY 1
@@ -1095,7 +1105,100 @@ FROM series s JOIN mad USING (event_type)
 """
 
 
+EWMA_HALFLIFE = 4.0
+EWMA_N_LAGS = 16
+
+
+def q_ts_ewma_6h(spark, sf_dir):
+    """Truncated EWMA smoothing of the keyed 6h series (halflife 4
+    buckets, 16 lags — trailing weight (1/2)^4 ≈ 6% of total, the
+    standard monitoring smoother next to ts_moving_avg's flat
+    window).  16 lag() terms over ONE shared window spec = a single
+    window pass after the aggregation shuffle; identical float
+    literals and left-assoc op order on both engines
+    (operators/tsmath.py ewma_trunc / ewma_trunc_sql)."""
+    from loudml_spark.operators.tsmath import ewma_trunc
+
+    out = ewma_trunc(
+        _series_6h(spark, sf_dir), value_col="avg_value",
+        halflife=EWMA_HALFLIFE, n_lags=EWMA_N_LAGS, by=["event_type"],
+    )
+    return out.select(
+        "event_type", "bucket_ts", "avg_value",
+        F.round("ewma", 6).alias("ewma"),
+    )
+
+
+def _sql_ts_ewma_6h() -> str:
+    from loudml_spark.operators.tsmath import ewma_trunc_sql
+
+    expr = ewma_trunc_sql(
+        "avg_value", EWMA_N_LAGS, halflife=EWMA_HALFLIFE)
+    return _SQL_SERIES_6H_CTE + f"""
+SELECT event_type, bucket_ts, avg_value,
+       ROUND({expr}, 6) AS ewma
+FROM series
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+"""
+
+
+PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+def q_profile_events(spark, sf_dir):
+    """Single-pass per-column intake profile of the events table —
+    null counts, exact cardinality + HLL bound verdict, numeric
+    range/mean (DECIMAL-exact), string length range — every stat an
+    agg expression in ONE groupBy().agg() (operators/profile.py).
+    The engine-specific HLL estimate is reduced to the portable
+    approx_ok verdict, same policy as approx_distinct_users_daily."""
+    from loudml_spark.operators.profile import profile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props")
+    return profile(ev, list(PROFILE_COLS), distinct="both")
+
+
+def _sql_profile_col(c: str, numeric: bool) -> str:
+    num_fields = (
+        f"CAST(MIN(CAST({c} AS DOUBLE)) AS DOUBLE) AS min_value, "
+        f"CAST(MAX(CAST({c} AS DOUBLE)) AS DOUBLE) AS max_value, "
+        f"CASE WHEN COUNT({c}) > 0 THEN "
+        f"CAST(SUM(CAST({c} AS DECIMAL(38,6))) AS DOUBLE) / COUNT({c}) "
+        f"END AS mean_value, "
+        "CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len"
+        if numeric else
+        "CAST(NULL AS DOUBLE) AS min_value, "
+        "CAST(NULL AS DOUBLE) AS max_value, "
+        "CAST(NULL AS DOUBLE) AS mean_value, "
+        f"CAST(MIN(LENGTH({c})) AS BIGINT) AS min_len, "
+        f"CAST(MAX(LENGTH({c})) AS BIGINT) AS max_len"
+    )
+    return (
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_nulls, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, "
+        f"ABS(approx_count_distinct({c}) - COUNT(DISTINCT {c})) "
+        f"<= 0.05 * COUNT(DISTINCT {c}) AS approx_ok, "
+        + num_fields + " FROM events"
+    )
+
+
+SQL_PROFILE_EVENTS = "\nUNION ALL\n".join(
+    _sql_profile_col(c, c not in ("event_type", "props"))
+    for c in PROFILE_COLS
+)
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "ts_ewma_6h": {
+        "fn": q_ts_ewma_6h,
+        "oracle_fn": lambda sf_dir=None: _sql_ts_ewma_6h(),
+    },
+    "profile_events": {
+        "fn": q_profile_events,
+        "oracle": SQL_PROFILE_EVENTS,
+    },
     "ts_rate_counter_1h": {
         "fn": q_ts_rate_counter_1h,
         "oracle": SQL_TS_RATE_COUNTER_1H,

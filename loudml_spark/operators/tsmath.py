@@ -172,6 +172,97 @@ def cusum(
     return out
 
 
+def ewma_weights(n_lags: int, *, alpha: float | None = None,
+                 halflife: float | None = None) -> list[float]:
+    """Normalizable truncated-EWMA weights (1-α)^j, j = 0..n_lags-1.
+    Exactly one of ``alpha`` / ``halflife`` must be given; halflife h
+    means the weight halves every h buckets (α = 1 − 2^(−1/h)).
+    Shared by the Spark expression and the SQL oracle so both embed
+    the SAME float literals."""
+    if (alpha is None) == (halflife is None):
+        raise errors.Invalid("pass exactly one of alpha / halflife")
+    if alpha is None:
+        if halflife <= 0:
+            raise errors.Invalid("halflife must be positive")
+        alpha = 1.0 - 2.0 ** (-1.0 / float(halflife))
+    if not 0 < alpha <= 1:
+        raise errors.Invalid("alpha must be in (0, 1]")
+    return [(1.0 - alpha) ** j for j in range(n_lags)]
+
+
+def ewma_trunc(
+    df: DataFrame,
+    *,
+    value_col: str,
+    n_lags: int = 16,
+    alpha: float | None = None,
+    halflife: float | None = None,
+    ts_col: str = "bucket_ts",
+    by: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Truncated exponentially-weighted moving average per key:
+    ``Σ_j w_j·x_{t-j} / Σ_j w_j`` over the last ``n_lags`` buckets,
+    with missing lags (nulls, or before the series start) dropped
+    from BOTH sums — the renormalization that makes the truncation
+    and ragged edges exact instead of biased low.
+
+    The textbook EWMA recursion y_t = αx_t + (1-α)y_{t-1} is not
+    SQL-window-expressible and its closed form overflows ((1-α)^-t);
+    truncating at n_lags where (1-α)^n_lags is negligible gives a
+    FINITE weighted sum — n_lags lag() terms over one shared window
+    spec, which Spark evaluates in a single window pass (pure JVM
+    column math, codegen).  One shuffle on ``by``."""
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    ws = ewma_weights(n_lags, alpha=alpha, halflife=halflife)
+    w = (Window.partitionBy(*by).orderBy(ts_col) if by
+         else Window.orderBy(ts_col))
+    v = F.col(value_col)
+    num = None
+    den = None
+    for j, wt in enumerate(ws):
+        x = v if j == 0 else F.lag(v, j).over(w)
+        t_num = F.coalesce(x * F.lit(wt), F.lit(0.0))
+        t_den = F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+        # left-assoc accumulation, same order as the generated SQL
+        num = t_num if num is None else num + t_num
+        den = t_den if den is None else den + t_den
+    out = F.when(den > 0, num / den)
+    return df.withColumn(out_col, out)
+
+
+def ewma_trunc_sql(
+    value_col: str,
+    n_lags: int,
+    *,
+    alpha: float | None = None,
+    halflife: float | None = None,
+    partition_by: str = "",
+    order_by: str = "bucket_ts",
+) -> str:
+    """The ANSI-SQL mirror of :func:`ewma_trunc`'s expression —
+    identical float literals (shared ewma_weights), identical
+    left-associated op order, so both engines produce the same bits.
+    Returns an expression string over window ``w``; the caller
+    supplies ``WINDOW w AS (...)`` matching partition/order."""
+    ws = ewma_weights(n_lags, alpha=alpha, halflife=halflife)
+    nums, dens = [], []
+    for j, wt in enumerate(ws):
+        x = value_col if j == 0 else f"LAG({value_col}, {j}) OVER w"
+        # every literal CAST to DOUBLE: bare decimal literals make
+        # engines like DuckDB type the CASE chain DECIMAL and sum it
+        # EXACTLY — a different accumulation than Spark's doubles
+        w_lit = f"CAST({wt!r} AS DOUBLE)"
+        nums.append(f"COALESCE({x} * {w_lit}, CAST(0.0 AS DOUBLE))")
+        dens.append(f"CASE WHEN {x} IS NOT NULL THEN {w_lit} "
+                    f"ELSE CAST(0.0 AS DOUBLE) END")
+    num = " + ".join(nums)
+    den = " + ".join(dens)
+    return (f"CASE WHEN ({den}) > 0 "
+            f"THEN ({num}) / ({den}) END")
+
+
 def mad_scores(
     df: DataFrame,
     *,

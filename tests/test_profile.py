@@ -1,0 +1,53 @@
+"""Unit gates for operators/profile.py — single-pass column profile."""
+
+import pytest
+
+from loudml_spark import errors
+from loudml_spark.operators.profile import profile
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (1, "aa", 10.0), (2, "bbb", 20.0), (3, None, None), (2, "aa", 30.0),
+    ]
+    return spark.createDataFrame(rows, "k long, s string, v double")
+
+
+def test_profile_stats(df):
+    out = {r["col_name"]: r for r in profile(df, distinct="exact").collect()}
+    assert set(out) == {"k", "s", "v"}
+    k = out["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (4, 0, 3)
+    assert (k["min_value"], k["max_value"]) == (1.0, 3.0)
+    assert k["mean_value"] == pytest.approx(2.0)
+    assert k["min_len"] is None
+    s = out["s"]
+    assert (s["n_nulls"], s["n_distinct"]) == (1, 2)
+    assert (s["min_len"], s["max_len"]) == (2, 3)
+    assert s["mean_value"] is None
+    v = out["v"]
+    assert (v["n_nulls"], v["mean_value"]) == (1, pytest.approx(20.0))
+
+
+def test_profile_both_emits_bound_verdict(df):
+    out = profile(df, ["k"], distinct="both").collect()[0]
+    assert out["approx_ok"] is True  # HLL exact at this cardinality
+
+
+def test_profile_approx_mode_and_errors(df, spark):
+    out = profile(df, ["s"], distinct="approx").collect()[0]
+    assert out["n_distinct"] == 2
+    with pytest.raises(errors.Invalid):
+        profile(df, ["nope"])
+    with pytest.raises(errors.Invalid):
+        profile(df, distinct="bogus")
+    ts = spark.createDataFrame([(True,)], "b boolean")
+    with pytest.raises(errors.Invalid):
+        profile(ts, ["b"])
+
+
+def test_profile_single_aggregation_pass(df):
+    # one agg + driver-side unpivot: no join, no repeated scan subtrees
+    plan = profile(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan

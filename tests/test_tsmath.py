@@ -125,3 +125,58 @@ def test_mad_scores_unkeyed_literals_and_constant_null(spark):
     const = spark.createDataFrame([(2.0,), (2.0,)], "value double")
     got = mad_scores(const, value_col="value").collect()
     assert all(r["robust_score"] is None for r in got)
+
+
+def test_ewma_trunc_matches_manual(spark):
+    from loudml_spark.operators.tsmath import ewma_trunc, ewma_weights
+
+    vals = [10.0, 12.0, None, 11.0, 15.0]
+    rows = [("k", BASE + i * 60, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    out = [r["e"] for r in ewma_trunc(
+        df, value_col="value", halflife=2.0, n_lags=4, by=["k"],
+        out_col="e",
+    ).orderBy("bucket_ts").collect()]
+    ws = ewma_weights(4, halflife=2.0)
+    for i in range(len(vals)):
+        num = den = 0.0
+        for j, w in enumerate(ws):
+            if i - j >= 0 and vals[i - j] is not None:
+                num += w * vals[i - j]
+                den += w
+        assert out[i] == pytest.approx(num / den), i
+
+
+def test_ewma_weights_validation():
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import ewma_weights
+
+    assert ewma_weights(3, alpha=0.5) == [1.0, 0.5, 0.25]
+    with pytest.raises(errors.Invalid):
+        ewma_weights(3)
+    with pytest.raises(errors.Invalid):
+        ewma_weights(3, alpha=0.5, halflife=2.0)
+    with pytest.raises(errors.Invalid):
+        ewma_weights(3, halflife=-1)
+
+
+def test_ewma_sql_mirror_is_bit_identical(spark):
+    import duckdb
+
+    from loudml_spark.operators.tsmath import ewma_trunc, ewma_trunc_sql
+
+    rng = np.random.default_rng(3)
+    vals = [None if i % 7 == 3 else float(v)
+            for i, v in enumerate(50 + rng.normal(0, 10, 40))]
+    rows = [(BASE + i * 60, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    got = {r["bucket_ts"]: r["ewma"] for r in ewma_trunc(
+        df, value_col="value", alpha=0.3, n_lags=8).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (bucket_ts BIGINT, value DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    expr = ewma_trunc_sql("value", 8, alpha=0.3)
+    want = dict(con.execute(
+        f"SELECT bucket_ts, {expr} FROM t WINDOW w AS (ORDER BY bucket_ts)"
+    ).fetchall())
+    assert got == want  # identical literals + op order -> identical bits
