@@ -1190,7 +1190,54 @@ SQL_PROFILE_EVENTS = "\nUNION ALL\n".join(
 )
 
 
+def q_scd2_user_tiers(spark, sf_dir):
+    """SCD2 dimension history from the event change log: per user,
+    versioned validity ranges of the value tier (high/low), with
+    consecutive no-change updates collapsed
+    (operators/scd2.py scd2_from_changelog — one shuffle on user_id,
+    three window expressions, no joins).  Pairs with asof_join for
+    as-of-correct training enrichment."""
+    from loudml_spark.operators.scd2 import scd2_from_changelog
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts_ns").alias("ts"),
+        F.when(F.col("value") >= 50, "high").otherwise("low").alias("tier"),
+    )
+    return scd2_from_changelog(
+        ev, key_cols=["user_id"], attr_cols=["tier"], ts_col="ts",
+        order_col="event_id",
+    )
+
+
+SQL_SCD2_USER_TIERS = """
+WITH log AS (
+  SELECT user_id, event_id, epoch_ns(ts) AS ts,
+         CASE WHEN value >= 50 THEN 'high' ELSE 'low' END AS tier
+  FROM events
+),
+flag AS (
+  SELECT *,
+         (ROW_NUMBER() OVER w = 1)
+           OR (tier IS DISTINCT FROM LAG(tier) OVER w) AS is_new
+  FROM log
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+starts AS (SELECT user_id, event_id, ts, tier FROM flag WHERE is_new)
+SELECT user_id, tier,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS version
+FROM starts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "scd2_user_tiers": {
+        "fn": q_scd2_user_tiers,
+        "oracle": SQL_SCD2_USER_TIERS,
+    },
     "ts_ewma_6h": {
         "fn": q_ts_ewma_6h,
         "oracle_fn": lambda sf_dir=None: _sql_ts_ewma_6h(),
