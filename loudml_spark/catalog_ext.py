@@ -1233,7 +1233,68 @@ WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+DECOMP_PERIOD = 24  # daily cycle over hourly buckets
+
+
+def q_ts_decompose_24x1h(spark, sf_dir):
+    """Additive seasonal decomposition of the hourly series (daily
+    period): value = trend + seasonal + resid
+    (operators/tsmath.py decompose_additive).  Trend is an EXACT
+    centered MA over DECIMAL partials (ts_moving_avg's trick,
+    widened to ±12); seasonal/resid carry the 6 dp avg-rounding
+    convention.  Bounded single-partition windows over the 720-row
+    series — the documented unkeyed case."""
+    from loudml_spark.operators.rollup import rollup_partials
+    from loudml_spark.operators.tsmath import decompose_additive
+
+    ev = _events_ts(spark, sf_dir)
+    base = rollup_partials(
+        ev, value_col="value", interval=3600, ts_col="ts", ts_scale=NS)
+    return decompose_additive(
+        base, period=DECOMP_PERIOD, interval=3600,
+    ).select("bucket_ts", "value", "trend", "seasonal", "resid")
+
+
+SQL_TS_DECOMPOSE_24X1H = f"""
+WITH b AS (
+  SELECT (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM events
+  GROUP BY 1
+),
+t AS (
+  SELECT bucket_ts,
+         CAST(sum_dec AS DOUBLE) / n AS value,
+         CASE WHEN COUNT(*) OVER wt = 25
+              THEN CAST(SUM(sum_dec) OVER wt AS DOUBLE) / SUM(n) OVER wt
+         END AS trend
+  FROM b
+  WINDOW wt AS (ORDER BY bucket_ts
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+p AS (
+  SELECT bucket_ts, value, trend,
+         (bucket_ts // 3600) % {DECOMP_PERIOD} AS phase,
+         value - trend AS detr
+  FROM t
+),
+s AS (
+  SELECT bucket_ts, value, trend,
+         ROUND(AVG(detr) OVER (PARTITION BY phase), 6) AS seasonal
+  FROM p
+)
+SELECT bucket_ts, value, trend, seasonal,
+       ROUND(value - trend - seasonal, 6) AS resid
+FROM s
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "ts_decompose_24x1h": {
+        "fn": q_ts_decompose_24x1h,
+        "oracle": SQL_TS_DECOMPOSE_24X1H,
+    },
     "scd2_user_tiers": {
         "fn": q_scd2_user_tiers,
         "oracle": SQL_SCD2_USER_TIERS,

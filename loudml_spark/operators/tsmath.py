@@ -263,6 +263,75 @@ def ewma_trunc_sql(
             f"THEN ({num}) / ({den}) END")
 
 
+def decompose_additive(
+    df: DataFrame,
+    *,
+    period: int,
+    interval: int,
+    sum_col: str = "sum_dec",
+    n_col: str = "n",
+    ts_col: str = "bucket_ts",
+    by: Sequence[str] = (),
+    round_dp: int | None = 6,
+) -> DataFrame:
+    """Classic additive seasonal decomposition of a bucketized series:
+    ``value = trend + seasonal + resid``.
+
+    * ``trend`` — centered moving average over ±period//2 buckets,
+      null where the window is incomplete (series edges).  Computed
+      from DECIMAL partials (``sum_col``/``n_col``, the
+      rollup_partials contract) so it is EXACT — windowed double
+      averages would drift between engines.
+    * ``seasonal`` — per-phase mean of the detrended series, phase =
+      (bucket index) mod period.  A float mean with engine-specific
+      summation order, so it is rounded (``round_dp``) — the same
+      convention every avg oracle uses.
+    * ``resid`` — value − trend − seasonal (rounded like seasonal).
+
+    Two window passes: the trend window orders by time within ``by``;
+    the phase means re-partition on (by…, phase).  Both frames are
+    post-aggregation series (≤ range/interval rows per key).  The
+    unkeyed form is a bounded single partition — the documented
+    catalog case.  Seasonal components are NOT re-centered to sum
+    zero (the raw phase means keep the oracle algebra exact).
+    """
+    _need(df, ts_col, sum_col, n_col, *by)
+    by = list(by)
+    h = period // 2
+    span = 2 * h + 1
+    wt = (
+        (Window.partitionBy(*by) if by else Window.partitionBy())
+        .orderBy(ts_col).rowsBetween(-h, h)
+    )
+    value = F.col(sum_col).cast("double") / F.col(n_col)
+    trend = F.when(
+        F.count(F.lit(1)).over(wt) == span,
+        F.sum(sum_col).over(wt).cast("double") / F.sum(n_col).over(wt),
+    )
+    phase = F.pmod(
+        F.expr(f"`{ts_col}` div {interval}L"), F.lit(period)
+    ).cast("int")
+    base = (
+        df.select(*by, ts_col, sum_col, n_col)
+        .withColumn("value", value)
+        .withColumn("trend", trend)
+        .drop(sum_col, n_col)
+        .withColumn("__phase", phase)
+        .withColumn("__detr", F.col("value") - F.col("trend"))
+    )
+    wp = Window.partitionBy(*by, "__phase")
+    seasonal = F.avg("__detr").over(wp)
+    resid = F.col("value") - F.col("trend") - F.col("seasonal")
+    if round_dp is not None:
+        seasonal = F.round(seasonal, round_dp)
+        out = base.withColumn("seasonal", seasonal).withColumn(
+            "resid", F.round(resid, round_dp))
+    else:
+        out = base.withColumn("seasonal", seasonal).withColumn(
+            "resid", resid)
+    return out.drop("__phase", "__detr")
+
+
 def mad_scores(
     df: DataFrame,
     *,

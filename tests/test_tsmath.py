@@ -180,3 +180,41 @@ def test_ewma_sql_mirror_is_bit_identical(spark):
         f"SELECT bucket_ts, {expr} FROM t WINDOW w AS (ORDER BY bucket_ts)"
     ).fetchall())
     assert got == want  # identical literals + op order -> identical bits
+
+
+def test_decompose_additive_recovers_components(spark):
+    from loudml_spark.operators.tsmath import decompose_additive
+
+    # synthetic: linear trend + period-4 seasonal, one point per bucket
+    period, interval = 4, 60
+    seas = [3.0, -1.0, -2.0, 0.0]
+    from decimal import Decimal
+
+    rows = []
+    for i in range(40):
+        v = 10.0 + 0.5 * i + seas[i % period]
+        rows.append((BASE + i * interval, 1, Decimal(str(v))))
+    df = spark.createDataFrame(
+        rows, "bucket_ts long, n long, sum_dec decimal(18,2)")
+    out = decompose_additive(
+        df, period=period, interval=interval).orderBy("bucket_ts").collect()
+    h = period // 2
+    # edges: incomplete centered window -> null trend and resid
+    assert out[0]["trend"] is None and out[-1]["trend"] is None
+    assert out[0]["resid"] is None
+    mid = out[h:-h]
+    assert all(r["trend"] is not None for r in mid)
+    for r in mid:
+        i = (r["bucket_ts"] - BASE) // interval
+        # value reconstructs from the components (rounding only)
+        assert r["value"] == pytest.approx(
+            r["trend"] + r["seasonal"] + r["resid"], abs=2e-6)
+        # the ±h//2 centered MA of linear+seasonal tracks the trend
+        # closely; seasonal phase means separate the cycle
+        assert r["value"] == 10.0 + 0.5 * i + seas[int(i) % period]
+    # phase means are constant per phase
+    by_phase = {}
+    for r in mid:
+        i = int((r["bucket_ts"] - BASE) // interval)
+        by_phase.setdefault(i % period, set()).add(r["seasonal"])
+    assert all(len(v) == 1 for v in by_phase.values())
