@@ -1290,7 +1290,49 @@ FROM s
 """
 
 
+def q_decile_bins_by_type(spark, sf_dir):
+    """Equal-frequency decile binning of event values per event_type
+    (operators/tsmath.py quantile_bins, exact NTILE mode with
+    event_id tie-break), rolled up to per-bin summaries.  One
+    shuffle: NTILE's per-key sort partitioning also satisfies the
+    (event_type, bin) aggregation."""
+    from loudml_spark.operators.tsmath import quantile_bins
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+    binned = quantile_bins(
+        ev, value_col="value", n_bins=10, by=["event_type"],
+        order_col="event_id",
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+SQL_DECILE_BINS_BY_TYPE = """
+WITH b AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS bin
+  FROM events
+)
+SELECT event_type, bin, COUNT(*) AS n,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM b
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "decile_bins_by_type": {
+        "fn": q_decile_bins_by_type,
+        "oracle": SQL_DECILE_BINS_BY_TYPE,
+    },
     "ts_decompose_24x1h": {
         "fn": q_ts_decompose_24x1h,
         "oracle": SQL_TS_DECOMPOSE_24X1H,

@@ -263,6 +263,59 @@ def ewma_trunc_sql(
             f"THEN ({num}) / ({den}) END")
 
 
+def quantile_bins(
+    df: DataFrame,
+    *,
+    value_col: str,
+    n_bins: int,
+    by: Sequence[str] = (),
+    order_col: str | None = None,
+    out_col: str = "bin",
+    approx: bool = False,
+) -> DataFrame:
+    """Equal-frequency binning (feature discretizer): assign each row
+    a 1..n_bins quantile bucket of ``value_col`` per ``by`` key.
+
+    Exact mode is NTILE — row-count-balanced bins, deterministic
+    under value ties via ``order_col`` (always pass one when values
+    repeat: without it tie order is engine/partitioning-dependent).
+    Per-key NTILE sorts each key's partition — right when keys bound
+    the partition size; the unkeyed form is a single global sort
+    (bounded frames only).
+
+    ``approx=True`` is the 100 TB path: percentile_approx cut points
+    (one aggregation, collected — n_bins-1 doubles) applied as a
+    broadcast-free literal comparison chain; bins are then
+    approximately equal-frequency and ties land in one bin."""
+    _need(df, value_col, *by)
+    if n_bins < 2:
+        raise errors.Invalid("n_bins must be >= 2")
+    by = list(by)
+    if not approx:
+        order = [value_col] + ([order_col] if order_col else [])
+        w = (Window.partitionBy(*by).orderBy(*order) if by
+             else Window.orderBy(*order))
+        return df.withColumn(out_col, F.ntile(n_bins).over(w))
+    qs = [i / n_bins for i in range(1, n_bins)]
+    if by:
+        cuts = df.groupBy(*by).agg(F.expr(
+            f"approx_percentile({value_col}, array({','.join(map(str, qs))}))"
+        ).alias("__cuts"))
+        j = df.join(F.broadcast(cuts), on=by)
+    else:
+        row = df.agg(F.expr(
+            f"approx_percentile({value_col}, array({','.join(map(str, qs))}))"
+        ).alias("__cuts")).collect()[0][0]
+        j = df.withColumn(
+            "__cuts", F.array(*[F.lit(float(c)) for c in row]))
+    # bin = 1 + number of cut points the value exceeds
+    bin_expr = F.lit(1) + F.aggregate(
+        F.col("__cuts"), F.lit(0),
+        lambda acc, c: acc + F.when(F.col(value_col) > c, 1).otherwise(0),
+    )
+    return j.withColumn(out_col, bin_expr).drop("__cuts")
+
+
 def decompose_additive(
     df: DataFrame,
     *,

@@ -218,3 +218,27 @@ def test_decompose_additive_recovers_components(spark):
         i = int((r["bucket_ts"] - BASE) // interval)
         by_phase.setdefault(i % period, set()).add(r["seasonal"])
     assert all(len(v) == 1 for v in by_phase.values())
+
+
+def test_quantile_bins_exact_and_approx(spark):
+    from loudml_spark.operators.tsmath import quantile_bins
+
+    rows = [("k", i, float(v)) for i, v in enumerate(
+        [5, 1, 9, 3, 7, 2, 8, 4, 6, 10])]
+    df = spark.createDataFrame(rows, "k string, id long, v double")
+    out = {r["v"]: r["bin"] for r in quantile_bins(
+        df, value_col="v", n_bins=5, by=["k"], order_col="id").collect()}
+    # 10 rows into 5 bins: 2 per bin by sorted value
+    assert out[1.0] == 1 and out[2.0] == 1
+    assert out[9.0] == 5 and out[10.0] == 5
+    ap = quantile_bins(
+        df, value_col="v", n_bins=5, by=["k"], approx=True).collect()
+    bins = {r["v"]: r["bin"] for r in ap}
+    assert min(bins.values()) == 1 and max(bins.values()) == 5
+    # monotone: larger value never gets a smaller bin
+    vs = sorted(bins)
+    assert all(bins[a] <= bins[b] for a, b in zip(vs, vs[1:]))
+    # unkeyed approx path (literal cut points, no join)
+    un = quantile_bins(df, value_col="v", n_bins=2, approx=True)
+    plan = un._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
