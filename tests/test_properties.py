@@ -175,3 +175,56 @@ def test_chunk_documents_full_coverage(spark, n_words, size, stride_frac):
         assert r["n_tokens"] == len(toks)
         seen.update(toks)
     assert seen == {f"t{i}" for i in range(n_words)}
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(-100, 100, allow_nan=False), min_size=1, max_size=200),
+    k=st.floats(-10, 10, allow_nan=False),
+)
+def test_cusum_closed_form_equals_recursion(vals, k):
+    """The prefix identity behind operators/tsmath.cusum:
+    S_t = C_t - min(0, min_{i<=t} C_i) reproduces the textbook
+    recursion S_t = max(0, S_{t-1} + x_t - k) (up to float
+    reassociation — the two evaluate sums in different orders)."""
+    c = 0.0
+    runmin = 0.0
+    s_rec = 0.0
+    for x in vals:
+        s_rec = max(0.0, s_rec + (x - k))
+        c += x - k
+        runmin = min(runmin, c)
+        s_closed = c - min(runmin, 0.0)
+        assert math.isclose(s_closed, s_rec, rel_tol=1e-9, abs_tol=1e-7)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.one_of(st.none(), st.floats(-50, 50, allow_nan=False)),
+        min_size=2, max_size=30),
+)
+def test_interpolate_linear_bounded_by_neighbors(spark, vals):
+    """Interpolated values lie within [min, max] of the bracketing
+    observations; observed values pass through untouched; edge gaps
+    stay null (operators/tsmath.interpolate_linear)."""
+    from loudml_spark.operators.tsmath import interpolate_linear
+
+    rows = [(1704067200 + i * 60, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    out = [r["value"] for r in interpolate_linear(
+        df, value_col="value").orderBy("bucket_ts").collect()]
+    obs = [i for i, v in enumerate(vals) if v is not None]
+    for i, v in enumerate(vals):
+        if v is not None:
+            assert out[i] == v
+            continue
+        prev = max((j for j in obs if j < i), default=None)
+        nxt = min((j for j in obs if j > i), default=None)
+        if prev is None or nxt is None:
+            assert out[i] is None, i
+        else:
+            lo = min(vals[prev], vals[nxt])
+            hi = max(vals[prev], vals[nxt])
+            assert lo - 1e-9 <= out[i] <= hi + 1e-9, i
