@@ -177,3 +177,73 @@ def upsert_partitions(
         .partitionBy(*partition_by)
         .save(path)
     )
+
+
+def zorder_value(
+    cols_with_range: Sequence[tuple],
+    *,
+    bits: int = 8,
+):
+    """Z-order (Morton) key Column: quantize each ``(col, lo, hi)``
+    dimension to ``bits`` bits by linear range position, then
+    interleave the bits.  Rows close in z are close in EVERY
+    dimension, so after a range-partition + sort-within-partitions
+    write, parquet min/max stats are tight on ALL z-ordered columns
+    at once — a single-column sort gives pruning on that column only.
+    Pure integer Column arithmetic (shifts/masks), no UDF."""
+    cols = list(cols_with_range)
+    if not 1 <= len(cols) <= 4:
+        raise errors.Invalid("zorder over 1-4 columns")
+    if not 1 <= bits <= 15:
+        raise errors.Invalid("bits must be in 1..15")
+    top = (1 << bits) - 1
+    qs = []
+    for c, lo, hi in cols:
+        lo, hi = float(lo), float(hi)
+        if not hi > lo:
+            raise errors.Invalid(f"empty range for {c!r}")
+        pos = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+        q = F.floor(
+            F.least(F.greatest(pos, F.lit(0.0)), F.lit(1.0)) * top
+        ).cast("long")
+        qs.append(q)
+    z = F.lit(0).cast("long")
+    n = len(qs)
+    for b in range(bits):
+        for i, q in enumerate(qs):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * n + i))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: Sequence[tuple],
+    bits: int = 8,
+    n_files: int,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` clustered by the z-order of ``zorder_by``
+    ``(col, lo, hi)`` dimensions: range-partition on the z key into
+    ``n_files`` tasks (Spark samples the key — scale-safe), sort
+    within each, and land bounded files whose min/max footer stats
+    are selective on every z dimension.  The multi-dimensional
+    analogue of the single-axis ``write_partitioned`` pruning;
+    measured in tests/test_layout.py by reading the parquet footers
+    back."""
+    z = zorder_value(zorder_by, bits=bits)
+    w = (
+        df.withColumn("__z", z)
+        .repartitionByRange(int(n_files), F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.format(format)
+        .mode(mode)
+    )
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", int(max_records_per_file))
+    w.save(path)
