@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -270,6 +271,83 @@ def stateful_detect_stream(
         yield out
 
     return scored.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )
+
+
+def stream_counter_increase(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming reset-aware counter increases whose deltas survive
+    micro-batch boundaries: per-key state is ONLY the last observed
+    (ts, value) sample, so the first sample of batch N diffs against
+    the last sample of batch N-1 instead of restarting the counter
+    (the batch-mode semantics of operators/tsmath.counter_increase).
+
+    Emits one row per input sample: (key, ts, value, increase) with
+    increase = delta, or the sample value after a reset (delta < 0),
+    or null for the key's very first sample ever.  Compose with
+    stream_bucketize/windowed aggregation downstream for per-bucket
+    rates — keeping state at one sample per key (not per-bucket
+    partials) bounds the state store by key cardinality alone.
+
+    Samples are processed in ts order WITHIN each batch; cross-batch
+    ordering assumes per-key in-order arrival (true of counter
+    scrapes; guard upstream with a watermark + dropDuplicates for
+    replayed sources)."""
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField(ts_col, T.LongType()),
+        T.StructField(value_col, T.DoubleType()),
+        T.StructField("increase", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_ts", T.LongType()),
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("seen", T.BooleanType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            last_ts, last_value, seen = state.get
+        else:
+            last_ts, last_value, seen = 0, 0.0, False
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            vals = pdf[value_col].to_numpy(dtype=float)
+            inc = np.full(len(vals), np.nan)
+            prev = last_value if seen else None
+            for i, v in enumerate(vals):
+                if prev is not None:
+                    d = v - prev
+                    inc[i] = v if d < 0 else d
+                prev = v
+            if len(vals):
+                last_ts = int(pdf[ts_col].iloc[-1])
+                last_value = float(vals[-1])
+                seen = True
+            frames.append(pd.DataFrame({
+                ts_col: pdf[ts_col].to_numpy(),
+                value_col: vals,
+                "increase": inc,
+            }))
+        state.update((last_ts, last_value, seen))
+        out = pd.concat(frames) if frames else pd.DataFrame(
+            columns=[ts_col, value_col, "increase"])
+        out.insert(0, key_col, key[0])
+        yield out
+
+    return df.groupBy(key_col).applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType=state_schema,

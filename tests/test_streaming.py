@@ -299,3 +299,40 @@ def test_idempotent_sink_end_to_end_stream(spark, tmpdir):
     for r in got:
         assert 1 <= r["n"] <= 3
         assert r["avg_value"] == float(int(r["avg_value"]))
+
+
+def test_stream_counter_increase_across_batches(spark, tmpdir):
+    from loudml_spark.streaming.job import stream_counter_increase
+
+    src = f"{tmpdir}/ctr"
+    schema = "event_type string, ts long, value double"
+    # batch 1: counter climbs 0 -> 10
+    _write_batch(spark, src, [
+        ("a", BASE, 0.0), ("a", BASE + 10, 4.0), ("a", BASE + 20, 10.0),
+    ], schema)
+    # batch 2: continues from 10 (delta 2, NOT a fresh series), then
+    # the counter restarts (3 < 12 -> credit the post-reset value)
+    _write_batch(spark, src, [
+        ("a", BASE + 30, 12.0), ("a", BASE + 40, 3.0),
+        ("b", BASE + 40, 100.0),
+    ], schema)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    out = stream_counter_increase(stream, key_col="event_type")
+    q = (
+        out.writeStream.format("memory").queryName("ctr_test")
+        .outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+
+    rows = {(r["event_type"], r["ts"]): r["increase"]
+            for r in spark.sql("select * from ctr_test").collect()}
+    assert rows[("a", BASE)] is None        # first sample ever
+    assert rows[("a", BASE + 10)] == 4.0
+    assert rows[("a", BASE + 20)] == 6.0
+    assert rows[("a", BASE + 30)] == 2.0    # state crossed the boundary
+    assert rows[("a", BASE + 40)] == 3.0    # reset credits new value
+    assert rows[("b", BASE + 40)] is None   # new key's first sample
