@@ -47,7 +47,16 @@ def test_profile_approx_mode_and_errors(df, spark):
         profile(ts, ["b"])
 
 
-def test_profile_single_aggregation_pass(df):
-    # one agg + driver-side unpivot: no join, no repeated scan subtrees
+def test_profile_plan_shape(df):
+    # exact/both: the long stats frame broadcast-equi-joins the narrow
+    # exact-distinct frame — never a nested-loop/constant-key join,
+    # and never the multi-distinct Expand (HLL buffer per expanded
+    # dedup group — the measured 7x pathology)
     plan = profile(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    # approx mode: single aggregation, no join at all
+    aplan = profile(df, distinct="approx")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Join" not in aplan and "Expand" not in aplan
