@@ -1136,6 +1136,56 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tpch_q10_returned_items(spark, sf_dir):
+    """Q10-style: top-20 customers by revenue lost to returned items
+    in one quarter.  Fact-sized customer/orders/lineitem join plain
+    (AQE picks broadcast at small SF, shuffle join at 100× — the
+    no-forced-broadcast policy of q3/q5/q7); the 25-row nation dim
+    broadcasts.  DECIMAL-exact revenue; top-20 is
+    TakeOrderedAndProject (per-task heaps), with (revenue DESC,
+    c_custkey) a deterministic total order."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-10-01 00:00:00' AND "
+               "o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)")
+           - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_events_by_segment(spark, sf_dir):
     """Stream-table enrichment: events joined to the customer table
     and rolled up by market segment.  customer scales with SF (a fact
@@ -1321,6 +1371,9 @@ QUERIES: dict[str, dict] = {
     "tpch_q7_volume_shipping": {
         "fn": q_tpch_q7_volume_shipping,
         "oracle": SQL_TPCH_Q7_VOLUME_SHIPPING},
+    "tpch_q10_returned_items": {
+        "fn": q_tpch_q10_returned_items,
+        "oracle": SQL_TPCH_Q10_RETURNED_ITEMS},
     "events_by_segment": {
         "fn": q_events_by_segment, "oracle": SQL_EVENTS_BY_SEGMENT},
     "asof_enrich_events_orders": {
