@@ -813,6 +813,104 @@ def q_ann_ivf_topk(spark, sf_dir):
     return ivf_cosine_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """ANN via product quantization: corpus compresses to m=8
+    sub-space codes (8 bytes vs 256 — at 100 TB the codes fit where
+    the floats cannot), queries rank by ADC lookup-table sums over
+    ONE scan of the code table (no join operator).  Codebooks train
+    on the portable id-hash sample through shared deterministic
+    numpy, so the oracle retrains bit-identical codebooks and
+    recomputes encoding + ADC + ranking entirely in SQL."""
+    from loudml_spark.pipeline.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return pq_adc_topk(queries, emb, k=5, m=8, n_codes=16)
+
+
+def _sql_pq_subdot(v: str, j: str, cv: str, dsub: int) -> str:
+    """Sequential-fold dot of subvector j of ``v`` against a code
+    vector column — Spark's numpy path dots THEN normalizes, and the
+    fold keeps the sign decisions aligned."""
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range({dsub}), "
+        f"i -> {v}[{j} * {dsub} + i + 1]::DOUBLE * {cv}[i + 1]::DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _sql_ann_pq_topk(sf_dir=None) -> str:
+    """DuckDB mirror of q_ann_pq_topk: retrain the PQ codebooks from
+    the same parquet via the shared numpy path, inline them as
+    (j, c, cv, half) literals, then recompute corpus encoding
+    (argmax of dot/norm − ½‖c‖², ties → lowest code), per-query
+    LUTs and ADC sums in SQL."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from loudml_spark.pipeline.similarity import (
+        train_pq_codebooks_from_arrays,
+    )
+
+    if sf_dir is None:
+        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                "/root/testdata/sf0.01")
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    CB = train_pq_codebooks_from_arrays(ids, X, m=8, n_codes=16, seed=42)
+    m, n_codes, dsub = CB.shape
+    halves = 0.5 * np.einsum("mcd,mcd->mc", CB, CB)
+    values = ", ".join(
+        f"({j}, {c}, ["
+        + ", ".join(repr(float(x)) for x in CB[j, c])
+        + f"], {halves[j, c]!r})"
+        for j in range(m) for c in range(n_codes)
+    )
+    subdot_e = _sql_pq_subdot("e.embedding", "CB.j", "CB.cv", dsub)
+    subdot_q = _sql_pq_subdot("q.embedding", "CB.j", "CB.cv", dsub)
+    full_dot = _SQL_DOT.format(a="embedding", b="embedding")
+    return f"""
+WITH CB(j, c, cv, half) AS (VALUES {values}),
+nrm AS (
+  SELECT vec_id, GREATEST(sqrt({full_dot}), 1e-12) AS norm
+  FROM embeddings
+),
+sc AS (
+  SELECT e.vec_id, CB.j, CB.c,
+         {subdot_e} / n.norm - CB.half AS score
+  FROM embeddings e JOIN nrm n USING (vec_id) CROSS JOIN CB
+),
+codes AS (
+  SELECT vec_id, j, c AS code
+  FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id, j ORDER BY score DESC, c ASC) AS rn
+        FROM sc)
+  WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, CB.j, CB.c,
+         {subdot_q} / n.norm AS sim
+  FROM embeddings q JOIN nrm n USING (vec_id) CROSS JOIN CB
+  WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS neighbor_id,
+         ROUND(SUM(l.sim), 6) AS adc
+  FROM codes cd JOIN lut l ON l.j = cd.j AND l.c = cd.code
+  WHERE l.query_id != cd.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM adc QUALIFY rank <= 5
+"""
+
+
 def _sql_list_dot(v: str, lit: list[float]) -> str:
     """Sequential-fold dot of a vector column against a literal list —
     the exact fold order of Spark's F.aggregate(zip_with(...)), so
@@ -1293,6 +1391,7 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_ann_cosine_topk, "oracle": SQL_ANN_COSINE_TOPK},
     "ann_lsh_topk": {"fn": q_ann_lsh_topk, "oracle_fn": _sql_ann_lsh_topk},
     "ann_ivf_topk": {"fn": q_ann_ivf_topk, "oracle_fn": _sql_ann_ivf_topk},
+    "ann_pq_topk": {"fn": q_ann_pq_topk, "oracle_fn": _sql_ann_pq_topk},
     "multimodal_features": {
         "fn": q_multimodal_features, "oracle": SQL_MULTIMODAL_FEATURES},
     "streaming_detect_1h": {

@@ -281,3 +281,186 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# ------------------------------------------------------------------ PQ
+
+
+def kmeans_euclidean_np(
+    X: np.ndarray, n_centroids: int, *, iters: int = 10, seed: int = 42
+) -> np.ndarray:
+    """Euclidean Lloyd k-means on an in-memory sample (numpy,
+    deterministic given X row order and seed) — the sub-quantizer
+    trainer for PQ.  Assignment uses the dot − ½‖c‖² form so the
+    SQL oracle can reproduce the argmax with the same arithmetic."""
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)),
+                     replace=False)].copy()
+    for _ in range(iters):
+        scores = X @ C.T - 0.5 * np.einsum("ij,ij->i", C, C)
+        assign = np.argmax(scores, axis=1)
+        for j in range(len(C)):
+            pts = X[assign == j]
+            if len(pts):
+                C[j] = pts.mean(axis=0)
+    return C
+
+
+def train_pq_codebooks_from_arrays(
+    ids: np.ndarray,
+    X: np.ndarray,
+    *,
+    m: int = 8,
+    n_codes: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Product-quantization codebooks (m, n_codes, dim/m) trained on
+    the portable id-hash sample of L2-NORMALIZED vectors — shared by
+    the Spark path and the DuckDB oracle generator, so both hold
+    bit-identical codebooks (the train_ivf_centroids pattern)."""
+    key = ((ids.astype(np.int64) + seed) * 1299721 + 15485863) \
+        % 1000000007
+    order = np.lexsort((ids, key))[:sample]
+    S = X[order].astype(np.float64)
+    S = S / np.maximum(
+        np.sqrt(np.einsum("ij,ij->i", S, S))[:, None], 1e-12)
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        kmeans_euclidean_np(
+            S[:, j * dsub:(j + 1) * dsub], n_codes, iters=iters,
+            seed=seed + j)
+        for j in range(m)
+    ])
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Driver-side PQ training on the bounded portable sample."""
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.expr(sample_order_key_expr(id_col, seed)),
+                 F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    # the portable order is already applied; re-applying the key sort
+    # inside from_arrays is a no-op permutation of the same rows
+    return train_pq_codebooks_from_arrays(
+        ids, X, m=m, n_codes=n_codes, sample=sample, iters=iters,
+        seed=seed)
+
+
+def _pq_encode_udf(CB: np.ndarray):
+    """codes[m] per vector: per subspace argmax of
+    dot(x̂_j, c) − ½‖c‖² (ties → lowest code, matching the oracle's
+    ROW_NUMBER ... ORDER BY score DESC, c ASC)."""
+    m, n_codes, dsub = CB.shape
+    halves = 0.5 * np.einsum("mcd,mcd->mc", CB, CB)
+
+    def fn(vecs: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.maximum(
+            np.sqrt(np.einsum("ij,ij->i", X, X)), 1e-12)
+        out = np.empty((len(X), m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            # dot first, normalize after — the oracle's op order
+            scores = (sub @ CB[j].T) / norms[:, None] - halves[j]
+            out[:, j] = np.argmax(scores, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return F.pandas_udf(fn, "array<int>")
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Product-quantization ANN: corpus vectors compress to m
+    sub-space codes (m bytes vs 4·dim — the memory/IO path past IVF:
+    a 100 TB float corpus becomes ~3 TB of codes that stay resident),
+    queries score candidates by Asymmetric Distance Computation — a
+    per-query lookup table of sub-dot-products, summed by code index.
+    One corpus scan over CODES with the bounded query LUTs shipped in
+    the mapInPandas closure (cosine_topk's no-join shape); ranking is
+    deterministic (rounded ADC DESC, id ASC).  Approximate by
+    construction — recall gates live in the unit tests, exactness in
+    the shared-replay oracle."""
+    CB = train_pq_codebooks(
+        corpus, vec_col=vec_col, id_col=id_col, m=m, n_codes=n_codes,
+        seed=seed)
+    dsub = CB.shape[2]
+    enc = _pq_encode_udf(CB)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        enc(F.col(vec_col)).alias("codes"),
+    )
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    out_schema = "query_id long, neighbor_id long, adc double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rank int")
+    qids = [r[0] for r in q_rows]
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.maximum(np.sqrt(np.einsum("ij,ij->i", Q, Q)), 1e-12)
+    # LUT[q, j, c] = dot(q_sub_j, CB[j,c]) / ||q|| — dot before
+    # normalize, same op order as the SQL oracle
+    LUT = np.stack([
+        (Q[:, j * dsub:(j + 1) * dsub] @ CB[j].T) / qn[:, None]
+        for j in range(CB.shape[0])
+    ], axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            C = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            n_rows = len(ids)
+            # adc[row, q] = sum_j LUT[q, j, C[row, j]]
+            adc = np.zeros((n_rows, len(qids)))
+            for j in range(C.shape[1]):
+                adc += LUT[:, j, C[:, j]].T
+            for qi, qid in enumerate(qids):
+                mask = ids != qid
+                yield pd.DataFrame({
+                    "query_id": np.full(int(mask.sum()), qid,
+                                        dtype=np.int64),
+                    "neighbor_id": ids[mask],
+                    "adc": adc[mask, qi],
+                })
+
+    scored = codes.mapInPandas(score, out_schema).withColumn(
+        "adc", F.round("adc", round_to))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc", "rank")
+    )

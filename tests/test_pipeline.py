@@ -598,3 +598,46 @@ def test_url_stats_blocklist(spark):
     assert out[3]["blocked"]  # case-insensitive domain match
     # no blocklist → never blocked
     assert all(not r["blocked"] for r in url_stats(df).collect())
+
+
+def test_pq_topk_recall_and_determinism(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    centers = rng.normal(size=(4, 16)) * 5
+    rows = []
+    for i in range(240):
+        v = centers[i % 4] + rng.normal(size=16) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = corpus.filter("vec_id < 6")
+
+    from loudml_spark.pipeline.similarity import (
+        cosine_topk,
+        pq_adc_topk,
+        train_pq_codebooks,
+        train_pq_codebooks_from_arrays,
+    )
+
+    approx = pq_adc_topk(queries, corpus, k=5, m=4, n_codes=8).collect()
+    # every query answered with a full top-k
+    per_q = {}
+    for r in approx:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert all(len(v) == 5 for v in per_q.values())
+    # PQ resolves BETWEEN clusters, not within (points of one tight
+    # cluster share codes — ADC ties break by id): the ANN property
+    # to gate is that neighbors come from the query's own cluster
+    same_cluster = sum(
+        1 for r in approx if r["neighbor_id"] % 4 == r["query_id"] % 4)
+    assert same_cluster / len(approx) >= 0.9
+    _ = cosine_topk  # exact ranking asserted in the cosine tests
+    # codebooks are deterministic and identical via both trainers —
+    # feed from_arrays the same float32-widened values the Spark
+    # array<float> column holds (the oracle reads the same parquet,
+    # so both sides see float32-rounded inputs)
+    cb1 = train_pq_codebooks(corpus, m=4, n_codes=8)
+    ids = np.arange(240, dtype=np.int64)
+    X = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
+    cb2 = train_pq_codebooks_from_arrays(ids, X, m=4, n_codes=8)
+    assert np.array_equal(cb1, cb2)
