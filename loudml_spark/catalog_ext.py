@@ -1328,7 +1328,99 @@ GROUP BY 1, 2
 """
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def q_funnel_view_click_purchase(spark, sf_dir):
+    """Ordered-sequence funnel over the event stream: users who
+    viewed, then later clicked, then later purchased
+    (operators/funnel.py).  One shuffle on user_id + one window pass
+    — the running-max flag chain, not the textbook k self-joins
+    (which shuffle the fact table k times)."""
+    from loudml_spark.operators.funnel import funnel
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_ns").alias("ts"), "event_type")
+    return funnel(ev, steps=list(FUNNEL_STEPS))
+
+
+SQL_FUNNEL_VIEW_CLICK_PURCHASE = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+),
+d0 AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_type = 'view' THEN ts END AS c0
+  FROM e
+),
+d1 AS (
+  SELECT *, CASE WHEN event_type = 'click'
+                  AND MIN(c0) OVER wp < ts THEN ts END AS c1
+  FROM d0
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+d2 AS (
+  SELECT *, CASE WHEN event_type = 'purchase'
+                  AND MIN(c1) OVER wp < ts THEN ts END AS c2
+  FROM d1
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+u AS (
+  SELECT user_id,
+         MAX(c0 IS NOT NULL) AS r0,
+         MAX(c1 IS NOT NULL) AS r1,
+         MAX(c2 IS NOT NULL) AS r2
+  FROM d2 GROUP BY user_id
+)
+SELECT 1 AS step_index, 'view' AS step,
+       CAST(SUM(CAST(r0 AS BIGINT)) AS BIGINT) AS n_users FROM u
+UNION ALL
+SELECT 2, 'click', CAST(SUM(CAST(r1 AS BIGINT)) AS BIGINT) FROM u
+UNION ALL
+SELECT 3, 'purchase', CAST(SUM(CAST(r2 AS BIGINT)) AS BIGINT) FROM u
+"""
+
+
+def q_cohort_retention_daily(spark, sf_dir):
+    """Daily cohort retention triangle: users bucketed by first-seen
+    day; per (cohort, day offset) the count still active
+    (operators/funnel.py cohort_retention).  Two aggregations over
+    the same user-keyed shuffle + a bounded (cohort, offset)
+    rollup."""
+    from loudml_spark.operators.funnel import cohort_retention
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_ns").alias("ts"))
+    return cohort_retention(
+        ev, user_col="user_id", ts_col="ts", interval=86400,
+        ts_scale=NS)
+
+
+SQL_COHORT_RETENTION_DAILY = f"""
+WITH a AS (
+  SELECT DISTINCT user_id AS u,
+         (epoch_ns(ts) // {86400 * NS}) * 86400 AS b
+  FROM events
+),
+f AS (SELECT u, MIN(b) AS cohort_ts FROM a GROUP BY u)
+SELECT f.cohort_ts, (a.b - f.cohort_ts) // 86400 AS offset,
+       COUNT(*) AS n_active
+FROM a JOIN f USING (u)
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "funnel_view_click_purchase": {
+        "fn": q_funnel_view_click_purchase,
+        "oracle": SQL_FUNNEL_VIEW_CLICK_PURCHASE,
+    },
+    "cohort_retention_daily": {
+        "fn": q_cohort_retention_daily,
+        "oracle": SQL_COHORT_RETENTION_DAILY,
+    },
     "decile_bins_by_type": {
         "fn": q_decile_bins_by_type,
         "oracle": SQL_DECILE_BINS_BY_TYPE,

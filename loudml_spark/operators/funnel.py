@@ -1,0 +1,139 @@
+"""Event-sequence analytics: ordered funnels and cohort retention.
+
+The product-analytics companions to sessionization — "of the users
+who did A, how many later did B, then C?" and "of the users first
+seen in week W, how many came back k weeks later?".  Neither exists
+in the reference (its queries are per-metric aggregations,
+/root/reference/loudml/bucket.py get_times_data); both are standard
+requirements for the event tables this engine ingests.
+
+Scale design:
+
+* ``funnel`` — ONE shuffle on the user key and ONE window pass: the
+  ordered-steps constraint ("B counts only after an earlier A")
+  compiles to a chain of running-max flags over each user's
+  timeline, not to per-step self-joins (the textbook k-join funnel
+  shuffles the fact table k times; the flag chain shuffles it
+  once).  The per-user reduction reuses the same partitioning.
+* ``cohort_retention`` — two aggregations over the same user-keyed
+  shuffle (first-seen bucket, then distinct activity buckets),
+  joined user-to-user (equi, same partitioning), then a bounded
+  (cohort, offset) rollup.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+
+
+def funnel(
+    df: DataFrame,
+    *,
+    steps: Sequence[str],
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Ordered-sequence funnel: a user reaches step k when they have
+    an event of ``steps[k]`` STRICTLY AFTER an event chain matching
+    ``steps[:k]`` in order.  Ties (same timestamp) do not advance the
+    chain — "later" means a greater ``ts_col``.
+
+    Output: one row per step — (step_index 1-based, step,
+    n_users) — with n_users non-increasing down the funnel.
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise errors.Invalid("a funnel needs at least 2 steps")
+    for c in (step_col, ts_col, user_col):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    w = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    # t_k = earliest time the k-step chain is complete, built as a
+    # running min over "this event is steps[k] and the (k-1)-chain
+    # completed strictly before it"
+    cur = df.select(user_col, ts_col, step_col)
+    prev_done = None
+    reach_cols = []
+    for k, s in enumerate(steps):
+        if k == 0:
+            ok = F.col(step_col) == s
+        else:
+            # earliest completion time of the previous chain among
+            # STRICTLY EARLIER rows (rowsBetween(..., -1)); ties on
+            # ts still count as earlier rows, so require < ts too
+            prior = F.min(prev_done).over(w)
+            ok = (F.col(step_col) == s) & prior.isNotNull() \
+                & (prior < F.col(ts_col))
+        done = F.when(ok, F.col(ts_col))
+        colname = f"__done_{k}"
+        cur = cur.withColumn(colname, done)
+        prev_done = F.col(colname)
+        reach_cols.append(colname)
+    per_user = cur.groupBy(user_col).agg(*[
+        F.max(F.col(c).isNotNull()).alias(f"__r{k}")
+        for k, c in enumerate(reach_cols)
+    ])
+    counts = per_user.agg(*[
+        F.sum(F.col(f"__r{k}").cast("long")).alias(f"__n{k}")
+        for k in range(len(steps))
+    ])
+    rows = [
+        F.struct(
+            F.lit(k + 1).alias("step_index"),
+            F.lit(s).alias("step"),
+            F.col(f"__n{k}").alias("n_users"),
+        )
+        for k, s in enumerate(steps)
+    ]
+    return (
+        counts.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    interval: int = 86400,
+    ts_scale: int = 1,
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention triangle: users grouped by their first-seen
+    bucket (cohort); for each later bucket offset, how many of the
+    cohort were active.  Output: (cohort_ts, offset, n_active) with
+    offset 0 = the cohort bucket itself (n_active = cohort size).
+    """
+    for c in (user_col, ts_col):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    if interval <= 0:
+        raise errors.Invalid("interval must be positive")
+    step = interval * ts_scale
+    bucket = F.expr(
+        f"(`{ts_col}` - pmod(`{ts_col}`, {step}L)) div {ts_scale}L"
+    ).cast("long")
+    activity = (
+        df.select(F.col(user_col).alias("u"), bucket.alias("b"))
+        .distinct()
+    )
+    first = activity.groupBy("u").agg(F.min("b").alias("cohort_ts"))
+    joined = activity.join(first, "u")
+    out = (
+        joined.withColumn(
+            "offset",
+            F.expr(f"(b - cohort_ts) div {int(interval)}L").cast("long"))
+        .groupBy("cohort_ts", "offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    if max_offset is not None:
+        out = out.filter(F.col("offset") <= max_offset)
+    return out

@@ -1,0 +1,82 @@
+"""Unit gates for operators/funnel.py — ordered funnels, cohorts."""
+
+import pytest
+
+from loudml_spark import errors
+from loudml_spark.operators.funnel import cohort_retention, funnel
+
+BASE = 1704067200
+
+
+def _counts(rows):
+    return {r["step"]: r["n_users"] for r in rows}
+
+
+def test_funnel_strict_order(spark):
+    rows = [
+        # u1 completes A -> B -> C in order
+        ("u1", BASE, "A"), ("u1", BASE + 10, "B"), ("u1", BASE + 20, "C"),
+        # u2 does B before A: reaches A only
+        ("u2", BASE, "B"), ("u2", BASE + 10, "A"),
+        # u3 does A then C (no B): reaches A only
+        ("u3", BASE, "A"), ("u3", BASE + 10, "C"),
+        # u4 never does A
+        ("u4", BASE, "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    out = _counts(funnel(df, steps=["A", "B", "C"]).collect())
+    assert out == {"A": 3, "B": 1, "C": 1}
+
+
+def test_funnel_ties_do_not_advance(spark):
+    rows = [("u", BASE, "A"), ("u", BASE, "B"),       # same instant
+            ("v", BASE, "A"), ("v", BASE + 1, "B")]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    out = _counts(funnel(df, steps=["A", "B"]).collect())
+    assert out == {"A": 2, "B": 1}  # only v's strictly-later B counts
+
+
+def test_funnel_late_restart_still_completes(spark):
+    # A B(before A) A B — the second B follows the FIRST A
+    rows = [("u", BASE, "B"), ("u", BASE + 5, "A"), ("u", BASE + 9, "B")]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    out = _counts(funnel(df, steps=["A", "B"]).collect())
+    assert out == {"A": 1, "B": 1}
+
+
+def test_funnel_validation(spark):
+    df = spark.createDataFrame(
+        [("u", BASE, "A")], "user_id string, ts long, event_type string")
+    with pytest.raises(errors.Invalid):
+        funnel(df, steps=["A"])
+    with pytest.raises(errors.Invalid):
+        funnel(df, steps=["A", "B"], ts_col="nope")
+
+
+def test_cohort_retention_offsets(spark):
+    day = 86400
+    rows = [
+        ("a", BASE), ("a", BASE + day), ("a", BASE + 3 * day),
+        ("b", BASE + day), ("b", BASE + 2 * day),
+        ("c", BASE),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long")
+    out = {(r["cohort_ts"], r["offset"]): r["n_active"]
+           for r in cohort_retention(
+               df, user_col="user_id", ts_col="ts", interval=day).collect()}
+    assert out[(BASE, 0)] == 2            # a, c
+    assert out[(BASE, 1)] == 1            # a
+    assert out[(BASE, 3)] == 1            # a
+    assert out[(BASE + day, 0)] == 1      # b
+    assert out[(BASE + day, 1)] == 1      # b
+    assert (BASE, 2) not in out
+
+
+def test_cohort_retention_max_offset(spark):
+    day = 86400
+    df = spark.createDataFrame(
+        [("a", BASE), ("a", BASE + 5 * day)], "user_id string, ts long")
+    out = cohort_retention(
+        df, user_col="user_id", ts_col="ts", interval=day,
+        max_offset=2).collect()
+    assert {r["offset"] for r in out} == {0}
