@@ -1412,7 +1412,123 @@ GROUP BY 1, 2
 """
 
 
+def q_twa_value_by_type(spark, sf_dir):
+    """Time-weighted (trapezoidal) mean of value per event_type over
+    the RAW irregular samples — the TSDB ``time_weight('Linear')``
+    surface (operators/irregular.py).  One shuffle; event_id breaks
+    timestamp ties so the bridging value of each segment is
+    engine-independent."""
+    from loudml_spark.operators.irregular import time_weighted_avg
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("ts_ns").alias("ts"), "value")
+    out = time_weighted_avg(
+        ev, ts_col="ts", value_col="value", by=["event_type"],
+        order_col="event_id")
+    return out.select(
+        "event_type", F.round("twa", 6).alias("twa"),
+        "t_first", "t_last", "n_samples")
+
+
+SQL_TWA_VALUE_BY_TYPE = """
+WITH e AS (
+  SELECT event_type, event_id, epoch_ns(ts) AS t, value FROM events
+),
+seg AS (
+  SELECT event_type, t,
+         CASE WHEN LAG(t) OVER w IS NOT NULL THEN
+           (LAG(value) OVER w + value) / 2.0
+             * CAST(t - LAG(t) OVER w AS DOUBLE)
+         END AS s
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id)
+)
+SELECT event_type,
+       ROUND(SUM(s) / CAST(MAX(t) - MIN(t) AS DOUBLE), 6) AS twa,
+       MIN(t) AS t_first, MAX(t) AS t_last,
+       COUNT(*) AS n_samples
+FROM seg
+GROUP BY event_type
+"""
+
+
+GAP_THRESHOLD_NS = 1800 * NS
+
+
+def q_gap_report_30m(spark, sf_dir):
+    """Heartbeat monitoring: per event_type, the silent intervals
+    longer than 30 minutes between consecutive samples — the inverse
+    of sessionize (operators/irregular.py gap_report).  One shuffle;
+    dense scales may legitimately report zero gaps (sf0.1 does)."""
+    from loudml_spark.operators.irregular import gap_report
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts_ns").alias("ts"))
+    return gap_report(
+        ev, ts_col="ts", threshold=GAP_THRESHOLD_NS, by=["event_type"])
+
+
+SQL_GAP_REPORT_30M = f"""
+WITH g AS (
+  SELECT event_type,
+         LAG(epoch_ns(ts)) OVER (
+           PARTITION BY event_type ORDER BY epoch_ns(ts)
+         ) AS gap_start,
+         epoch_ns(ts) AS gap_end
+  FROM events
+)
+SELECT event_type, gap_start, gap_end,
+       gap_end - gap_start AS gap
+FROM g
+WHERE gap_end - gap_start > {GAP_THRESHOLD_NS}
+"""
+
+
+TRAIL_RANGE_NS = 7200 * NS
+
+
+def q_trailing_counts_2h(spark, sf_dir):
+    """Per-event trailing 2 h count + exact sum over a true RANGE
+    frame (operators/irregular.py trailing_count_range) — the
+    sliding burst-detection primitive a rows-frame cannot express on
+    irregular data; simultaneous events see identical windows, so
+    the result is tie-order-independent by construction.  Integer
+    counts and DECIMAL sums: no rounding anywhere."""
+    from loudml_spark.operators.irregular import trailing_count_range
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts_ns").alias("ts"), "value")
+    out = trailing_count_range(
+        ev, ts_col="ts", range_width=TRAIL_RANGE_NS,
+        by=["event_type"], value_col="value")
+    return out.select(
+        "event_id", "event_type", "trailing_n", "trailing_sum")
+
+
+SQL_TRAILING_COUNTS_2H = f"""
+SELECT event_id, event_type,
+       COUNT(*) OVER w AS trailing_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS trailing_sum
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts)
+             RANGE BETWEEN {TRAIL_RANGE_NS} PRECEDING AND CURRENT ROW)
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "twa_value_by_type": {
+        "fn": q_twa_value_by_type,
+        "oracle": SQL_TWA_VALUE_BY_TYPE,
+    },
+    "gap_report_30m": {
+        "fn": q_gap_report_30m,
+        "oracle": SQL_GAP_REPORT_30M,
+    },
+    "trailing_counts_2h": {
+        "fn": q_trailing_counts_2h,
+        "oracle": SQL_TRAILING_COUNTS_2H,
+    },
     "funnel_view_click_purchase": {
         "fn": q_funnel_view_click_purchase,
         "oracle": SQL_FUNNEL_VIEW_CLICK_PURCHASE,
