@@ -1516,7 +1516,127 @@ WINDOW w AS (PARTITION BY event_type ORDER BY epoch_ns(ts)
 """
 
 
+def q_rolling_p95_6x1h(spark, sf_dir):
+    """Rolling percentile monitoring: per event_type, the exact
+    p95/p50 of the trailing six HOURLY MEANS (the percentile-over-
+    preaggregates shape dashboards use — raw-value rolling
+    percentiles belong to the sketch path, SCALE.md).  The six frame
+    values are DECIMAL-exact doubles and percentile is sort-based,
+    so both engines produce identical bits — no rounding anywhere.
+    One shuffle; the per-key window reuses the agg partitioning."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 3600 * NS
+    series = (
+        ev.select(
+            "event_type",
+            F.expr(
+                f"((`ts_ns` - pmod(`ts_ns`, {step}L)) div {step}L) * 3600"
+            ).cast("long").alias("bucket_ts"),
+            F.col("value").cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("event_type", "bucket_ts")
+        .agg((F.sum("v").cast("double") / F.count("v")).alias("avg_value"))
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket_ts") \
+        .rowsBetween(-5, 0)
+    return series.select(
+        "event_type", "bucket_ts", "avg_value",
+        F.expr("percentile(avg_value, 0.95)").over(w).alias("p95_6h"),
+        F.expr("percentile(avg_value, 0.5)").over(w).alias("p50_6h"),
+    )
+
+
+SQL_ROLLING_P95_6X1H = f"""
+WITH series AS (
+  SELECT event_type,
+         (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(value) AS avg_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket_ts, avg_value,
+       QUANTILE_CONT(avg_value, 0.95) OVER w AS p95_6h,
+       QUANTILE_CONT(avg_value, 0.5) OVER w AS p50_6h
+FROM series
+WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
+SLO_BUDGET = 0.25          # error-fraction objective
+SLO_SHORT_BURN = 1.2       # short-window burn multiple that pages
+SLO_LONG_BURN = 1.05       # long-window burn multiple that pages
+
+
+def q_slo_burn_rate_1h_6h(spark, sf_dir):
+    """Multiwindow SLO burn-rate alerting (the SRE-workbook pattern):
+    error fraction over a short (1 h) and long (6 h) trailing window,
+    each divided by the error budget; a page fires only when BOTH
+    burn rates exceed their thresholds — fast detection without
+    one-bucket flappiness.  Integer window sums and one division per
+    ratio: bit-identical across engines, no rounding.  One shuffle
+    (bucket rollup), two frames over one ordered window."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 3600 * NS
+    per_bucket = (
+        ev.select(
+            F.expr(
+                f"((`ts_ns` - pmod(`ts_ns`, {step}L)) div {step}L) * 3600"
+            ).cast("long").alias("bucket_ts"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("bucket_ts")
+        .agg(F.sum("is_err").alias("n_err"),
+             F.count(F.lit(1)).alias("n_all"))
+    )
+    w6 = Window.orderBy("bucket_ts").rowsBetween(-5, 0)
+    short_rate = F.col("n_err") / F.col("n_all")
+    long_rate = F.sum("n_err").over(w6) / F.sum("n_all").over(w6)
+    short_burn = short_rate / F.lit(SLO_BUDGET)
+    long_burn = long_rate / F.lit(SLO_BUDGET)
+    return per_bucket.select(
+        "bucket_ts", "n_err", "n_all",
+        short_burn.alias("short_burn"),
+        long_burn.alias("long_burn"),
+        ((short_burn > SLO_SHORT_BURN)
+         & (long_burn > SLO_LONG_BURN)).alias("page"),
+    )
+
+
+SQL_SLO_BURN_RATE_1H_6H = f"""
+WITH b AS (
+  SELECT (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+         COUNT(*) AS n_all
+  FROM events
+  GROUP BY 1
+)
+SELECT bucket_ts, n_err, n_all,
+       (CAST(n_err AS DOUBLE) / n_all) / {SLO_BUDGET} AS short_burn,
+       (CAST(SUM(n_err) OVER w6 AS DOUBLE) / SUM(n_all) OVER w6)
+         / {SLO_BUDGET} AS long_burn,
+       ((CAST(n_err AS DOUBLE) / n_all) / {SLO_BUDGET} > {SLO_SHORT_BURN}
+        AND (CAST(SUM(n_err) OVER w6 AS DOUBLE) / SUM(n_all) OVER w6)
+              / {SLO_BUDGET} > {SLO_LONG_BURN}) AS page
+FROM b
+WINDOW w6 AS (ORDER BY bucket_ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "rolling_p95_6x1h": {
+        "fn": q_rolling_p95_6x1h,
+        "oracle": SQL_ROLLING_P95_6X1H,
+    },
+    "slo_burn_rate_1h_6h": {
+        "fn": q_slo_burn_rate_1h_6h,
+        "oracle": SQL_SLO_BURN_RATE_1H_6H,
+    },
     "twa_value_by_type": {
         "fn": q_twa_value_by_type,
         "oracle": SQL_TWA_VALUE_BY_TYPE,
