@@ -1628,7 +1628,71 @@ WINDOW w6 AS (ORDER BY bucket_ts ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
 """
 
 
+STL_OUTLIER_Z = 3.5
+
+
+def q_stl_anomaly_24x1h(spark, sf_dir):
+    """Seasonal-aware robust anomaly detection (S-H-ESD-lite): remove
+    trend + daily seasonality with decompose_additive, then score
+    the residual with MAD robust z-scores — a spike at 3am scores
+    against 3am-adjusted expectations, where the plain z-score of
+    anomaly_scores_1h would blur the cycle.  Pure composition of two
+    catalog operators; |score| > 3.5 flags outliers (the standard
+    MAD cut).  Bounded single-partition windows over the 720-row
+    series."""
+    from loudml_spark.operators.rollup import rollup_partials
+    from loudml_spark.operators.tsmath import decompose_additive, mad_scores
+
+    ev = _events_ts(spark, sf_dir)
+    base = rollup_partials(
+        ev, value_col="value", interval=3600, ts_col="ts", ts_scale=NS)
+    dec = decompose_additive(base, period=24, interval=3600)
+    scored = mad_scores(
+        dec.filter(F.col("resid").isNotNull()),
+        value_col="resid")
+    return scored.select(
+        "bucket_ts", "value", "resid",
+        F.round("robust_score", 6).alias("robust_score"),
+        (F.abs(F.col("robust_score")) > STL_OUTLIER_Z).alias("is_outlier"),
+    )
+
+
+SQL_STL_ANOMALY_24X1H = SQL_TS_DECOMPOSE_24X1H.replace(
+    "SELECT bucket_ts, value, trend, seasonal,\n"
+    "       ROUND(value - trend - seasonal, 6) AS resid\nFROM s",
+    """SELECT * FROM (
+  WITH r AS (
+    SELECT bucket_ts, value,
+           ROUND(value - trend - seasonal, 6) AS resid
+    FROM s
+    WHERE trend IS NOT NULL
+  ),
+  med AS (SELECT QUANTILE_CONT(resid, 0.5) AS m FROM r),
+  mad AS (
+    SELECT m.m, QUANTILE_CONT(ABS(r.resid - m.m), 0.5) AS d
+    FROM r, med m GROUP BY m.m
+  )
+  SELECT r.bucket_ts, r.value, r.resid,
+         ROUND(CASE WHEN mad.d <> 0
+                    THEN 0.6745 * (r.resid - mad.m) / mad.d END, 6)
+           AS robust_score,
+         ABS(CASE WHEN mad.d <> 0
+                  THEN 0.6745 * (r.resid - mad.m) / mad.d END)
+           > """ + str(STL_OUTLIER_Z) + """ AS is_outlier
+  FROM r, mad
+)""")
+
+# the .replace() splice depends on the decompose oracle's exact tail;
+# a silent no-op would surface as a column mismatch at check time,
+# but fail fast here instead
+assert "QUANTILE_CONT" in SQL_STL_ANOMALY_24X1H
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "stl_anomaly_24x1h": {
+        "fn": q_stl_anomaly_24x1h,
+        "oracle": SQL_STL_ANOMALY_24X1H,
+    },
     "rolling_p95_6x1h": {
         "fn": q_rolling_p95_6x1h,
         "oracle": SQL_ROLLING_P95_6X1H,
