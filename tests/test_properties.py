@@ -228,3 +228,73 @@ def test_interpolate_linear_bounded_by_neighbors(spark, vals):
             lo = min(vals[prev], vals[nxt])
             hi = max(vals[prev], vals[nxt])
             assert lo - 1e-9 <= out[i] <= hi + 1e-9, i
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2),             # user
+                  st.integers(0, 50),            # ts
+                  st.sampled_from(["A", "B", "C", "X"])),
+        min_size=1, max_size=40),
+)
+def test_funnel_matches_bruteforce(spark, events):
+    """operators/funnel.funnel against a per-user brute-force chain
+    walk (strictly-increasing timestamps through A→B→C)."""
+    from loudml_spark.operators.funnel import funnel
+
+    rows = [(f"u{u}", t, s) for u, t, s in events]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts long, event_type string")
+    got = {r["step"]: r["n_users"]
+           for r in funnel(df, steps=["A", "B", "C"]).collect()}
+
+    per_user = {}
+    for u, t, s in events:
+        per_user.setdefault(u, []).append((t, s))
+    want = {"A": 0, "B": 0, "C": 0}
+    for evs in per_user.values():
+        evs.sort()
+        # earliest completion time of each chain prefix
+        best = [None, None, None]
+        for t, s in evs:
+            for k, step in enumerate(["A", "B", "C"]):
+                if s == step and (k == 0 or
+                                  (best[k - 1] is not None
+                                   and best[k - 1] < t)):
+                    if best[k] is None or t < best[k]:
+                        best[k] = t
+        for k, step in enumerate(["A", "B", "C"]):
+            if best[k] is not None:
+                want[step] += 1
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    samples=st.lists(
+        st.tuples(st.integers(0, 10_000),
+                  st.floats(-100, 100, allow_nan=False)),
+        min_size=2, max_size=30, unique_by=lambda p: p[0]),
+)
+def test_twa_bounded_and_even_spacing_is_mean(spark, samples):
+    from loudml_spark.operators.irregular import time_weighted_avg
+
+    rows = [("k", i, int(t), float(v))
+            for i, (t, v) in enumerate(samples)]
+    df = spark.createDataFrame(rows, "k string, id long, ts long, v double")
+    out = time_weighted_avg(
+        df, ts_col="ts", value_col="v", by=["k"], order_col="id",
+    ).collect()[0]
+    vals = [v for _, v in samples]
+    assert min(vals) - 1e-9 <= out["twa"] <= max(vals) + 1e-9
+    # evenly spaced samples: TWA == trapezoid mean == plain mean of
+    # interior points + half-weight endpoints
+    even = [("k", i, i * 10, float(v)) for i, (_, v) in enumerate(samples)]
+    df2 = spark.createDataFrame(even, "k string, id long, ts long, v double")
+    out2 = time_weighted_avg(
+        df2, ts_col="ts", value_col="v", by=["k"], order_col="id",
+    ).collect()[0]
+    n = len(vals)
+    want = (vals[0] / 2 + sum(vals[1:-1]) + vals[-1] / 2) / (n - 1)
+    assert out2["twa"] == pytest.approx(want)
