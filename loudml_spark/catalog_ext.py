@@ -1383,6 +1383,70 @@ SELECT 3, 'purchase', CAST(SUM(CAST(r2 AS BIGINT)) AS BIGINT) FROM u
 """
 
 
+def q_funnel_latency_view_click_purchase(spark, sf_dir):
+    """Conversion-latency distribution per funnel transition: exact
+    p50/p90 and mean of the time from a user's earliest chain
+    completion of step k-1 to their earliest completion of step k
+    (operators/funnel.py funnel_latency).  Single aggregation over
+    the same one-shuffle flag chain as the funnel counts.  Latencies
+    are exact integer ns differences; percentiles are sort-based on
+    identical values in both engines, so only the float mean needs
+    rounding."""
+    from loudml_spark.operators.funnel import funnel_latency
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts_ns").alias("ts"), "event_type")
+    out = funnel_latency(ev, steps=list(FUNNEL_STEPS))
+    return out.select(
+        "step_index", "step", "n_converted",
+        "p50_latency", "p90_latency",
+        F.round("mean_latency", 4).alias("mean_latency"),
+    )
+
+
+SQL_FUNNEL_LATENCY_VIEW_CLICK_PURCHASE = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+),
+d0 AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN event_type = 'view' THEN ts END AS c0
+  FROM e
+),
+d1 AS (
+  SELECT *, CASE WHEN event_type = 'click'
+                  AND MIN(c0) OVER wp < ts THEN ts END AS c1
+  FROM d0
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+d2 AS (
+  SELECT *, CASE WHEN event_type = 'purchase'
+                  AND MIN(c1) OVER wp < ts THEN ts END AS c2
+  FROM d1
+  WINDOW wp AS (PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+u AS (
+  SELECT user_id, MIN(c0) AS t0, MIN(c1) AS t1, MIN(c2) AS t2
+  FROM d2 GROUP BY user_id
+)
+SELECT 2 AS step_index, 'click' AS step,
+       COUNT(t1 - t0) AS n_converted,
+       QUANTILE_CONT(t1 - t0, 0.5) AS p50_latency,
+       QUANTILE_CONT(t1 - t0, 0.9) AS p90_latency,
+       ROUND(AVG(CAST(t1 - t0 AS DOUBLE)), 4) AS mean_latency
+FROM u
+UNION ALL
+SELECT 3, 'purchase',
+       COUNT(t2 - t1),
+       QUANTILE_CONT(t2 - t1, 0.5),
+       QUANTILE_CONT(t2 - t1, 0.9),
+       ROUND(AVG(CAST(t2 - t1 AS DOUBLE)), 4)
+FROM u
+"""
+
+
 def q_cohort_retention_daily(spark, sf_dir):
     """Daily cohort retention triangle: users bucketed by first-seen
     day; per (cohort, day offset) the count still active
@@ -1716,6 +1780,10 @@ EXT_QUERIES: dict[str, dict] = {
     "funnel_view_click_purchase": {
         "fn": q_funnel_view_click_purchase,
         "oracle": SQL_FUNNEL_VIEW_CLICK_PURCHASE,
+    },
+    "funnel_latency_vcp": {
+        "fn": q_funnel_latency_view_click_purchase,
+        "oracle": SQL_FUNNEL_LATENCY_VIEW_CLICK_PURCHASE,
     },
     "cohort_retention_daily": {
         "fn": q_cohort_retention_daily,

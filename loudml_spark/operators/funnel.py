@@ -98,6 +98,81 @@ def funnel(
     )
 
 
+def funnel_latency(
+    df: DataFrame,
+    *,
+    steps: Sequence[str],
+    step_col: str = "event_type",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    percentiles: Sequence[float] = (0.5, 0.9),
+) -> DataFrame:
+    """Conversion-latency distribution per funnel transition: for
+    every user who completed step k, the time from their EARLIEST
+    (k-1)-chain completion to their earliest k-chain completion,
+    aggregated to exact percentiles + mean per transition.
+
+    Output: (step_index of the destination step ≥ 2, step,
+    n_converted, p<P> … , mean_latency).  Latencies are in
+    ``ts_col`` units.  Same single-shuffle flag-chain plan as
+    :func:`funnel` — the chain-completion times are already the
+    running state it computes."""
+    steps = list(steps)
+    if len(steps) < 2:
+        raise errors.Invalid("a funnel needs at least 2 steps")
+    for c in (step_col, ts_col, user_col):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    w = Window.partitionBy(user_col).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    cur = df.select(user_col, ts_col, step_col)
+    prev_done = None
+    done_cols = []
+    for k, s in enumerate(steps):
+        if k == 0:
+            ok = F.col(step_col) == s
+        else:
+            prior = F.min(prev_done).over(w)
+            ok = (F.col(step_col) == s) & prior.isNotNull() \
+                & (prior < F.col(ts_col))
+        colname = f"__done_{k}"
+        cur = cur.withColumn(colname, F.when(ok, F.col(ts_col)))
+        prev_done = F.col(colname)
+        done_cols.append(colname)
+    per_user = cur.groupBy(user_col).agg(*[
+        F.min(c).alias(f"__t{k}") for k, c in enumerate(done_cols)
+    ])
+    # ONE aggregation computes every transition's stats (a per-branch
+    # union would re-execute the whole flag-chain subtree per step),
+    # then the 1-row result explodes to one row per transition
+    aggs = []
+    for k in range(1, len(steps)):
+        lat = (F.col(f"__t{k}") - F.col(f"__t{k - 1}")).cast("double")
+        aggs.append(F.count(lat).alias(f"__n{k}"))
+        for p in percentiles:
+            aggs.append(F.expr(
+                f"percentile(__t{k} - __t{k - 1}, {p!r})"
+            ).alias(f"__p{int(p * 100)}_{k}"))
+        aggs.append(F.avg(lat).alias(f"__m{k}"))
+    wide = per_user.agg(*aggs)
+    rows = []
+    for k in range(1, len(steps)):
+        fields = [
+            F.lit(k + 1).alias("step_index"),
+            F.lit(steps[k]).alias("step"),
+            F.col(f"__n{k}").alias("n_converted"),
+        ]
+        for p in percentiles:
+            fields.append(F.col(f"__p{int(p * 100)}_{k}")
+                          .alias(f"p{int(p * 100)}_latency"))
+        fields.append(F.col(f"__m{k}").alias("mean_latency"))
+        rows.append(F.struct(*fields))
+    return (
+        wide.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     *,

@@ -42,10 +42,17 @@ def stream_bucketize(
     ts_col: str = "ts",
     watermark: str = "0 seconds",
     group_by: Sequence[str] = (),
+    slide=None,
 ) -> DataFrame:
     """Streaming bucketized aggregation: tumbling window + conditional
     aggregates, one shuffle per micro-batch; late data bounded by the
-    watermark (the reference's ``offset``)."""
+    watermark (the reference's ``offset``).
+
+    ``slide`` (optional, seconds or timedelta string, must divide the
+    interval) switches to SLIDING windows — each event lands in
+    interval/slide overlapping buckets (trailing smoothing with
+    streaming semantics); state grows by the same factor, still
+    bounded by watermark × overlap."""
     features = parse_features(features)
     raw_interval = timeutil.parse_timedelta(bucket_interval)
     if raw_interval <= 0 or raw_interval != int(raw_interval):
@@ -69,7 +76,16 @@ def stream_bucketize(
         if cond is not None:
             value = F.when(cond, value)
         aggs.append(spec.agg(value).alias(feat.name))
-    win = F.window(F.col(ts_col), f"{interval} seconds")
+    if slide is not None:
+        s = timeutil.parse_timedelta(slide)
+        if s <= 0 or s != int(s) or interval % int(s):
+            raise errors.Invalid(
+                f"slide must be a positive whole divisor of the "
+                f"interval, got {slide!r} vs {interval}s")
+        win = F.window(F.col(ts_col), f"{interval} seconds",
+                       f"{int(s)} seconds")
+    else:
+        win = F.window(F.col(ts_col), f"{interval} seconds")
     out = (
         stream_df.withWatermark(ts_col, watermark)
         .groupBy(*group_by, win.alias("win"))

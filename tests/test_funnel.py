@@ -80,3 +80,23 @@ def test_cohort_retention_max_offset(spark):
         df, user_col="user_id", ts_col="ts", interval=day,
         max_offset=2).collect()
     assert {r["offset"] for r in out} == {0}
+
+
+def test_funnel_latency_transitions(spark):
+    from loudml_spark.operators.funnel import funnel_latency
+
+    rows = [
+        ("u1", BASE, "A"), ("u1", BASE + 10, "B"), ("u1", BASE + 30, "C"),
+        ("u2", BASE, "A"), ("u2", BASE + 50, "B"),
+        ("u3", BASE, "B"),  # never converts
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_type string")
+    out = {r["step"]: r for r in funnel_latency(
+        df, steps=["A", "B", "C"], percentiles=(0.5,)).collect()}
+    b = out["B"]
+    assert b["n_converted"] == 2
+    assert b["p50_latency"] == pytest.approx(30.0)   # median of 10, 50
+    assert b["mean_latency"] == pytest.approx(30.0)
+    c = out["C"]
+    assert c["n_converted"] == 1
+    assert c["p50_latency"] == pytest.approx(20.0)

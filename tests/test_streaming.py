@@ -336,3 +336,32 @@ def test_stream_counter_increase_across_batches(spark, tmpdir):
     assert rows[("a", BASE + 30)] == 2.0    # state crossed the boundary
     assert rows[("a", BASE + 40)] == 3.0    # reset credits new value
     assert rows[("b", BASE + 40)] is None   # new key's first sample
+
+
+def test_stream_bucketize_sliding_windows(spark, tmpdir):
+    src = f"{tmpdir}/slide_src"
+    rows = [(BASE + i * 10, 1.0) for i in range(12)]  # 2 minutes of data
+    _write_batch(spark, src, rows, "sec long, value double")
+    stream = (
+        spark.readStream.schema("sec long, value double").parquet(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    )
+    out = stream_bucketize(
+        stream, ["count(value)"], 60, slide=30, watermark="30 seconds")
+    q = (
+        out.writeStream.format("memory").queryName("slide_test")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {r["bucket_ts"]: r["count_value"]
+           for r in spark.sql("select * from slide_test").collect()}
+    # 60s windows sliding by 30s: full interior windows hold 6 events,
+    # half-overlap edges hold 3
+    assert got[BASE] == 6
+    assert got[BASE + 30] == 6
+    assert got[BASE + 60] == 6
+    assert got[BASE - 30] == 3     # leading half-window
+    assert got[BASE + 90] == 3     # trailing half-window
+    from loudml_spark import errors as err
+    with pytest.raises(err.Invalid):
+        stream_bucketize(stream, ["count(value)"], 60, slide=45)
