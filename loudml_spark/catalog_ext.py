@@ -1752,7 +1752,127 @@ SQL_STL_ANOMALY_24X1H = SQL_TS_DECOMPOSE_24X1H.replace(
 assert "QUANTILE_CONT" in SQL_STL_ANOMALY_24X1H
 
 
+def q_rolling_active_users_24h(spark, sf_dir):
+    """Rolling 24 h distinct active users at hourly steps (rolling
+    DAU): per-bucket DISTINCT user sets (one shuffle, map-side
+    combined), then the trailing-24-bucket union of the SETS —
+    distinct aggregates aren't allowed in Spark windows, but
+    flatten + array_distinct over collect_list of the per-bucket
+    sets is the decomposable-set formulation (and at 100 TB the sets
+    become HLL partials merged over the same frame, SCALE.md).
+    Exact integer output, no rounding."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 3600 * NS
+    per_bucket = (
+        ev.select(
+            F.expr(
+                f"((`ts_ns` - pmod(`ts_ns`, {step}L)) div {step}L) * 3600"
+            ).cast("long").alias("bucket_ts"),
+            "user_id",
+        )
+        .groupBy("bucket_ts")
+        .agg(F.collect_set("user_id").alias("users"))
+    )
+    w24 = Window.orderBy("bucket_ts").rowsBetween(-23, 0)
+    return per_bucket.select(
+        "bucket_ts",
+        F.size("users").alias("hourly_users"),
+        F.size(F.array_distinct(F.flatten(
+            F.collect_list("users").over(w24)))).alias("rolling_24h_users"),
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS_24H = f"""
+WITH a AS (
+  SELECT DISTINCT (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         user_id
+  FROM events
+),
+b AS (SELECT DISTINCT bucket_ts FROM a)
+SELECT b.bucket_ts,
+       (SELECT COUNT(*) FROM a
+        WHERE a.bucket_ts = b.bucket_ts) AS hourly_users,
+       (SELECT COUNT(DISTINCT a.user_id) FROM a
+        WHERE a.bucket_ts BETWEEN b.bucket_ts - 82800 AND b.bucket_ts)
+         AS rolling_24h_users
+FROM b
+"""
+
+
+LTTB_N_OUT = 100
+
+
+def q_lttb_hourly_100(spark, sf_dir):
+    """LTTB visual downsampling of the hourly series to 100 points
+    (operators/downsample.py): keeps the extremes a coarser mean
+    would erase.  Keyed applyInPandas over the bounded bucketized
+    series; the oracle replays the SHARED numpy selection on the
+    DuckDB-recomputed series and re-fetches the values from parquet
+    — only the selection is inlined."""
+    from loudml_spark.operators.downsample import lttb
+    from loudml_spark.operators.rollup import rollup_partials
+
+    ev = _events_ts(spark, sf_dir)
+    base = rollup_partials(
+        ev, value_col="value", interval=3600, ts_col="ts", ts_scale=NS)
+    series = base.select(
+        "bucket_ts",
+        (F.col("sum_dec").cast("double") / F.col("n")).alias("value"),
+    )
+    return lttb(series, ts_col="bucket_ts", value_col="value",
+                n_out=LTTB_N_OUT)
+
+
+_SQL_HOURLY_SERIES = f"""
+WITH series AS (
+  SELECT (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(value) AS value
+  FROM events
+  GROUP BY 1
+)"""
+
+
+def _sql_lttb_hourly_100(sf_dir=None) -> str:
+    import os
+
+    import duckdb
+    import numpy as np
+
+    from loudml_spark.operators.downsample import lttb_values
+
+    sf_dir = sf_dir or "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('"
+        + os.path.join(sf_dir, "events.parquet") + "')")
+    rows = con.execute(
+        _SQL_HOURLY_SERIES
+        + "\nSELECT bucket_ts, value FROM series ORDER BY bucket_ts"
+    ).fetchall()
+    con.close()
+    ts = np.array([r[0] for r in rows], dtype=np.int64)
+    vals = np.array([r[1] for r in rows], dtype=np.float64)
+    idx = lttb_values(ts, vals, LTTB_N_OUT)
+    keep = ", ".join(f"({int(t)})" for t in ts[idx])
+    return _SQL_HOURLY_SERIES + f""",
+keep(ts) AS (VALUES {keep})
+SELECT s.bucket_ts, s.value
+FROM series s JOIN keep k ON s.bucket_ts = k.ts
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "lttb_hourly_100": {
+        "fn": q_lttb_hourly_100,
+        "oracle_fn": _sql_lttb_hourly_100,
+    },
+    "rolling_active_users_24h": {
+        "fn": q_rolling_active_users_24h,
+        "oracle": SQL_ROLLING_ACTIVE_USERS_24H,
+    },
     "stl_anomaly_24x1h": {
         "fn": q_stl_anomaly_24x1h,
         "oracle": SQL_STL_ANOMALY_24X1H,
