@@ -641,6 +641,66 @@ def q_dedup_clusters_docs(spark, sf_dir):
     return dedup_clusters(pairs, docs)
 
 
+def q_dedup_survivors_docs(spark, sf_dir):
+    """Survivorship policy on top of near-dup clustering: per cluster
+    keep the LONGEST document (tie → lowest doc_id) instead of the
+    arbitrary min-id canonical — the decision a curation pass
+    actually ships (the cluster's best exemplar, not its smallest
+    key).  Composition: dedup_clusters ∘ LSH pairs + one window
+    rank over the bounded per-cluster members."""
+    from pyspark.sql import Window
+
+    from loudml_spark.pipeline.dedup import dedup_clusters
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    clusters = dedup_clusters(pairs, docs)
+    sized = clusters.join(
+        docs.select("doc_id", F.length("text").alias("text_len")),
+        "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("text_len").desc(), F.col("doc_id").asc())
+    return (
+        sized.withColumn("__rk", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("__rk") == 1, F.col("doc_id")))
+            .alias("survivor_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("text_len").alias("max_len"),
+        )
+    )
+
+
+SQL_DEDUP_SURVIVORS_DOCS = SQL_DEDUP_CLUSTERS_DOCS.replace(
+    """SELECT d.doc_id,
+       COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(comp.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+FROM (SELECT doc_id FROM documents WHERE doc_id < 1000) d
+LEFT JOIN comp ON comp.doc_id = d.doc_id""",
+    """SELECT cluster_id,
+       MIN(doc_id) FILTER (rk = 1) AS survivor_doc_id,
+       COUNT(*) AS n_members,
+       MAX(text_len) AS max_len
+FROM (
+  SELECT m.*, ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY text_len DESC, doc_id ASC) AS rk
+  FROM (
+    SELECT d.doc_id,
+           COALESCE(comp.cluster_id, d.doc_id) AS cluster_id,
+           LENGTH(d.text) AS text_len
+    FROM (SELECT doc_id, text FROM documents WHERE doc_id < 1000) d
+    LEFT JOIN comp ON comp.doc_id = d.doc_id
+  ) m
+)
+GROUP BY cluster_id""")
+
+assert "survivor_doc_id" in SQL_DEDUP_SURVIVORS_DOCS  # splice guard
+
+
 def q_simhash_docs(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     return simhash(docs).withColumnRenamed("id", "doc_id")
@@ -1376,6 +1436,8 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "oracle": SQL_NGRAM_JACCARD_PAIRS_DOCS},
     "dedup_clusters_docs": {
         "fn": q_dedup_clusters_docs, "oracle": SQL_DEDUP_CLUSTERS_DOCS},
+    "dedup_survivors_docs": {
+        "fn": q_dedup_survivors_docs, "oracle": SQL_DEDUP_SURVIVORS_DOCS},
     "simhash_docs": {"fn": q_simhash_docs, "oracle": SQL_SIMHASH_DOCS},
     "simhash_pairs_docs": {
         "fn": q_simhash_pairs_docs, "oracle": SQL_SIMHASH_PAIRS_DOCS},
