@@ -320,9 +320,13 @@ def q_approx_percentiles_1d(spark, sf_dir):
     verified error bound.  ``percentile_approx`` (Greenwald-Khanna /
     KLL-style, bounded memory, mergeable) is the 100 TB path; exact
     ``percentile`` sorts every group.  Engines' sketches differ, so
-    the query emits the EXACT p50/p95 plus a boolean asserting both
-    approximations landed within 10% of exact — the verdict, not the
-    engine-specific estimate, is what hash-matches."""
+    the query emits the EXACT p50/p95 plus a boolean verdict — and
+    the bound is a RANK window (approx p50 within the exact p45–p55
+    band, p95 within p90–max), because rank accuracy is what these
+    sketches actually guarantee: a VALUE-relative bound fails
+    legitimately on small heavy-tailed groups where one sample step
+    near the tail exceeds 10% (seen at sf0.001), and which days
+    fail differs per engine, breaking the hash."""
     ev = load_table(spark, sf_dir, "events")
     day = _day_ts()
     p50e = F.expr("percentile(value, 0.5)")
@@ -330,8 +334,10 @@ def q_approx_percentiles_1d(spark, sf_dir):
     p50a = F.expr("percentile_approx(value, 0.5, 10000)")
     p95a = F.expr("percentile_approx(value, 0.95, 10000)")
     ok = (
-        (F.abs(p50a - p50e) <= 0.10 * F.greatest(F.abs(p50e), F.lit(1.0)))
-        & (F.abs(p95a - p95e) <= 0.10 * F.greatest(F.abs(p95e), F.lit(1.0)))
+        (p50a >= F.expr("percentile(value, 0.45)"))
+        & (p50a <= F.expr("percentile(value, 0.55)"))
+        & (p95a >= F.expr("percentile(value, 0.90)"))
+        & (p95a <= F.max("value"))
     )
     return (
         ev.select(day, "value")
@@ -348,12 +354,10 @@ SQL_APPROX_PERCENTILES_1D = f"""
 SELECT (epoch_ns(ts) // {86400 * NS}) * 86400 AS day_ts,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.95), 6) AS p95,
-       (ABS(approx_quantile(value, 0.5) - quantile_cont(value, 0.5))
-          <= 0.10 * GREATEST(ABS(quantile_cont(value, 0.5)), 1.0))
-       AND
-       (ABS(approx_quantile(value, 0.95) - quantile_cont(value, 0.95))
-          <= 0.10 * GREATEST(ABS(quantile_cont(value, 0.95)), 1.0))
-         AS approx_ok
+       (approx_quantile(value, 0.5) >= quantile_cont(value, 0.45)
+        AND approx_quantile(value, 0.5) <= quantile_cont(value, 0.55)
+        AND approx_quantile(value, 0.95) >= quantile_cont(value, 0.90)
+        AND approx_quantile(value, 0.95) <= MAX(value)) AS approx_ok
 FROM events
 GROUP BY 1
 """
@@ -1760,6 +1764,9 @@ def q_rolling_active_users_24h(spark, sf_dir):
     flatten + array_distinct over collect_list of the per-bucket
     sets is the decomposable-set formulation (and at 100 TB the sets
     become HLL partials merged over the same frame, SCALE.md).
+    The frame is a time RANGE on bucket_ts, not 23 PRECEDING ROWS —
+    sparse data skips empty buckets, and a rows-frame would then
+    silently span more than 24 h (bit exactly this at sf0.001).
     Exact integer output, no rounding."""
     from pyspark.sql import Window
 
@@ -1775,7 +1782,7 @@ def q_rolling_active_users_24h(spark, sf_dir):
         .groupBy("bucket_ts")
         .agg(F.collect_set("user_id").alias("users"))
     )
-    w24 = Window.orderBy("bucket_ts").rowsBetween(-23, 0)
+    w24 = Window.orderBy("bucket_ts").rangeBetween(-82800, 0)
     return per_bucket.select(
         "bucket_ts",
         F.size("users").alias("hourly_users"),
