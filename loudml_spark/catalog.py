@@ -493,6 +493,21 @@ def release_caches() -> None:
             pass  # session already stopped
 
 
+def _exact_series(spark, sf_dir, interval, group_by=()):
+    """DECIMAL-exact mean series for MODEL INPUT: identical bits in
+    both engines with NO rounding.  A rounded double avg is only
+    almost portable — engine/merge-order ulps can straddle the 6 dp
+    boundary, and a single flipped training value amplifies through
+    the fit into many flipped predictions (seen as sf0.1
+    predicted-column flips before round 5 switched the ML series to
+    mean_exact)."""
+    feat = Feature(metric="mean_exact", field="value", name="value")
+    return bucketize(
+        _events(spark, sf_dir), [feat], JAN1, JAN31, interval,
+        ts_col="ts_ns", ts_unit="ns", group_by=list(group_by),
+    )
+
+
 def _hourly_series(spark, sf_dir):
     """Hourly avg(value) over the full month — model input series.
 
@@ -774,8 +789,8 @@ def q_ar_fleet_predict_6h(spark, sf_dir):
     convention of the predict API).
 
     Fully VALUE-ORACLED since round 5 (the IVF-centroid pattern,
-    similarity.py): the bucket series is rounded to 6 dp, making the
-    training input a decimal both engines reproduce bit-identically;
+    similarity.py): the bucket series is the DECIMAL-exact mean — identical
+    bits in both engines with no rounding;
     the oracle generator recomputes the same series via DuckDB,
     retrains through the SHARED closed-form numpy fit
     (regression._fit_arrays) and prediction mirror
@@ -788,11 +803,7 @@ def q_ar_fleet_predict_6h(spark, sf_dir):
     from loudml_spark.ml.scoring import score_col
 
     span = AR_FLEET_SPAN
-    series = bucketize(
-        _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
-        ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
-    ).withColumnRenamed("avg_value", "value") \
-        .withColumn("value", F.round("value", 6))
+    series = _exact_series(spark, sf_dir, 21600, group_by=["event_type"])
     train = series.filter(F.col("bucket_ts") < JAN22)
     models = fit_many(train, ["event_type"], span=span)
     scored = predict_many(
@@ -816,16 +827,15 @@ def q_donut_predict_1h(spark, sf_dir):
     masked (MCMC imputation + MC integration).  Deterministic under
     fixed seeds; quality is unit-gated (tests/test_donut_model.py).
 
-    VALUE-ORACLED since round 5: the series is rounded to 6 dp
-    (bit-identical decimal across engines) and the oracle replays
+    VALUE-ORACLED since round 5: the series is the DECIMAL-exact mean
+    (bit-identical across engines, no rounding) and the oracle replays
     training/inference through the shared numpy cores
     (models.donut_fit_values / donut_predict_values), inlining the
     band as literals while the SQL recomputes observed and the erf
     score from parquet (catalog_oracle_ml.py)."""
     from loudml_spark.ml.models import DonutModel
 
-    series = _hourly_series(spark, sf_dir) \
-        .withColumn("value", F.round("value", 6))
+    series = _exact_series(spark, sf_dir, 3600)
     train = series.filter(F.col("bucket_ts") < JAN22)
     # include span-1 history so the first test bucket has a full window
     span = 24
@@ -839,7 +849,7 @@ def q_donut_predict_1h(spark, sf_dir):
     scored = model.predict(test).filter(F.col("bucket_ts") >= JAN22)
     return scored.select(
         "bucket_ts",
-        F.round("observed", 6).alias("observed"),
+        "observed",
         F.round("predicted", 4).alias("predicted"),
         F.round("score", 4).alias("score"),
     )
@@ -855,7 +865,7 @@ def q_forecast_donut_48h(spark, sf_dir):
 
     VALUE-ORACLED since round 5 via the shared-core replay
     (catalog_oracle_ml.sql_forecast_donut_48h): the oracle retrains
-    on the DuckDB-recomputed 6 dp series with
+    on the DuckDB-recomputed exact-mean series with
     models.donut_fit_values and rolls the forecast forward with
     models.donut_forecast_values; like the fleet forecast, the
     output has no observed column, so the SQL carries the band as
@@ -864,8 +874,7 @@ def q_forecast_donut_48h(spark, sf_dir):
     from loudml_spark.api import forecast_model
     from loudml_spark.ml.models import DonutModel
 
-    series = _hourly_series(spark, sf_dir) \
-        .withColumn("value", F.round("value", 6))
+    series = _exact_series(spark, sf_dir, 3600)
     model = DonutModel(
         "catalog_donut_fc", span=24, latent_dim=3, intermediate_dim=34,
         epochs=40, bucket_interval=3600,
@@ -891,19 +900,15 @@ def q_forecast_donut_fleet_6h(spark, sf_dir):
 
     VALUE-ORACLED since round 5 via the shared-group-function replay
     (catalog_oracle_ml.py): the oracle retrains each key's VAE with
-    donut_fleet.donut_forecast_group on the DuckDB-recomputed 6 dp
-    series and inlines the roll-forward band as literals over a
+    donut_fleet.donut_forecast_group on the DuckDB-recomputed
+    exact-mean series and inlines the roll-forward band as literals over a
     SQL-generated future spine.  Forecast output has no observed
     column, so unlike the predict oracles nothing downstream of the
     literals is recomputed from data — the hash still pins Spark's
     distributed fleet orchestration to the single-process replay."""
     from loudml_spark.ml.donut_fleet import donut_forecast_many
 
-    series = bucketize(
-        _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
-        ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
-    ).withColumnRenamed("avg_value", "value") \
-        .withColumn("value", F.round("value", 6))
+    series = _exact_series(spark, sf_dir, 21600, group_by=["event_type"])
     out = donut_forecast_many(
         series, ["event_type"], horizon=8, span=28, epochs=30,
         bucket_interval=21600, percent_interval=0.95,
@@ -921,8 +926,8 @@ def q_donut_fleet_6h(spark, sf_dir):
     executors (applyInPandas), scored with the shared erf column math.
     Deterministic per key (seeds derived from the key).
 
-    VALUE-ORACLED since round 5: the series is rounded to 6 dp (a
-    decimal both engines reproduce bit-identically), and the oracle
+    VALUE-ORACLED since round 5: the series is the DECIMAL-exact mean (identical
+    bits in both engines, no rounding), and the oracle
     generator replays the SAME per-key group function
     (donut_fleet.donut_fit_predict_group — module-level precisely so
     the oracle can import it) on the DuckDB-recomputed series,
@@ -932,17 +937,13 @@ def q_donut_fleet_6h(spark, sf_dir):
     from loudml_spark.ml.donut_fleet import donut_fit_predict_many
     from loudml_spark.ml.scoring import score_col
 
-    series = bucketize(
-        _events(spark, sf_dir), ["avg(value)"], JAN1, JAN31, 21600,
-        ts_col="ts_ns", ts_unit="ns", group_by=["event_type"],
-    ).withColumnRenamed("avg_value", "value") \
-        .withColumn("value", F.round("value", 6))
+    series = _exact_series(spark, sf_dir, 21600, group_by=["event_type"])
     out = donut_fit_predict_many(
         series, ["event_type"], span=28, epochs=30, train_before=JAN22,
     )
     return out.select(
         "event_type", "bucket_ts",
-        F.round("observed", 6).alias("observed"),
+        "observed",
         F.round("predicted", 4).alias("predicted"),
         F.round(score_col(
             F.col("observed"), F.col("predicted"),

@@ -8,10 +8,13 @@ and let the SQL recompute everything downstream of it from data.
 
 Determinism contract (why the value-hash is meaningful):
 
-1. The bucket series both engines feed the estimator is rounded to
-   6 dp — a DECIMAL both engines reproduce bit-identically (the same
-   ROUND(AVG(...), 6) convention every green ts_* oracle relies on),
-   so float summation-order ulps in AVG cannot reach training.
+1. The bucket series both engines feed the estimator is the
+   DECIMAL-EXACT mean (SUM(DECIMAL)/COUNT, one IEEE division) — the
+   same bits in both engines with NO rounding.  Round 5 learned the
+   hard way that ROUND(AVG(double), 6) is only ALMOST portable:
+   merge-order ulps occasionally straddle the 6 dp boundary, and one
+   flipped training value amplifies through the fit into many
+   flipped predictions.
 2. Training/prediction run through the SAME numpy functions the
    Spark executors call (`regression._fit_arrays`,
    `donut_fleet.donut_fit_predict_group`, ...): identical float64
@@ -33,8 +36,8 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.01"
 
 def _keyed_series_6h_cte(jan1: int, jan31: int, ns: int) -> str:
     """Per-event_type 6h bucket series with empty-bucket spine and
-    6 dp rounding — the SQL mirror of the catalog's keyed bucketize.
-    Opens a WITH block the caller extends."""
+    DECIMAL-exact means — the SQL mirror of the catalog's keyed
+    mean_exact bucketize.  Opens a WITH block the caller extends."""
     return f"""
 WITH pts AS (
   SELECT event_type,
@@ -48,7 +51,9 @@ spine AS (
   FROM keys k, range({jan1}, {jan31}, 21600) r
 ),
 series AS (
-  SELECT s.event_type, s.bucket_ts, ROUND(AVG(p.value), 6) AS value
+  SELECT s.event_type, s.bucket_ts,
+         CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(p.value) AS value
   FROM spine s LEFT JOIN pts p
     ON p.event_type = s.event_type AND p.bucket_ts = s.bucket_ts
   GROUP BY 1, 2
@@ -123,13 +128,15 @@ def _series_by_key(sf_dir: str, jan1: int, jan31: int, ns: int):
 
 
 def _hourly_series_cte() -> str:
-    """Unkeyed hourly series with spine + 6 dp rounding — SQL mirror
-    of catalog._hourly_series + round."""
+    """Unkeyed hourly series with spine + DECIMAL-exact means — SQL
+    mirror of catalog._exact_series at 3600 s."""
     from loudml_spark.catalog import _spine_sql
 
     return _spine_sql(3600) + """
 , series AS (
-  SELECT s.bucket_ts AS bucket_ts, ROUND(AVG(p.value), 6) AS value
+  SELECT s.bucket_ts AS bucket_ts,
+         CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE)
+           / COUNT(p.value) AS value
   FROM spine s LEFT JOIN pts p USING (bucket_ts)
   GROUP BY s.bucket_ts
 )"""
@@ -195,7 +202,7 @@ j AS (
          p.predicted, p.lower, p.upper
   FROM series t JOIN pred p ON t.bucket_ts = p.bucket_ts
 ),{_score_ctes()}
-SELECT bucket_ts, ROUND(observed, 6) AS observed,
+SELECT bucket_ts, observed,
        ROUND(predicted, 4) AS predicted, score
 FROM scored
 """
@@ -270,7 +277,7 @@ j AS (
   FROM series t JOIN pred p
     ON t.event_type = p.event_type AND t.bucket_ts = p.bucket_ts
 ),{_score_ctes("event_type")}
-SELECT event_type, bucket_ts, ROUND(observed, 6) AS observed,
+SELECT event_type, bucket_ts, observed,
        ROUND(predicted, 4) AS predicted, score
 FROM scored
 """
@@ -337,16 +344,23 @@ def sql_ar_fleet_predict_6h(sf_dir: str | None = None) -> str:
                 continue
             lo = p - BAND_SIGMA * sigma
             hi = p + BAND_SIGMA * sigma
+            # undefined windows (sparse series): Spark's pandas UDF
+            # surfaces NaN as NULL (Arrow NaN->null), so the OUTPUT
+            # column is NULL — but the score math keeps the NaN band,
+            # because both engines then clamp to 100 the same way
+            # (Spark least() skips nulls; DuckDB orders NaN last)
+            p_out = "CAST(NULL AS DOUBLE)" if p != p else _dlit(p)
             lits.append(
-                f"('{et}', {int(t)}, {_dlit(p)}, {_dlit(lo)}, {_dlit(hi)})"
+                f"('{et}', {int(t)}, {p_out}, "
+                f"{_dlit(p)}, {_dlit(lo)}, {_dlit(hi)})"
             )
     values = ",\n  ".join(lits)
     return _keyed_series_6h_cte(JAN1, JAN31, NS) + f""",
-pred(event_type, bucket_ts, predicted, lower, upper) AS (VALUES
+pred(event_type, bucket_ts, pred_out, predicted, lower, upper) AS (VALUES
   {values}),
 j AS (
   SELECT t.event_type, t.bucket_ts, t.value AS observed,
-         p.predicted, p.lower, p.upper
+         p.pred_out AS predicted, p.lower, p.upper
   FROM series t JOIN pred p
     ON t.event_type = p.event_type AND t.bucket_ts = p.bucket_ts
 ),{_score_ctes("event_type")}
