@@ -1871,7 +1871,83 @@ FROM series s JOIN keep k ON s.bucket_ts = k.ts
 """
 
 
+CMS_DEPTH, CMS_WIDTH = 4, 256
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch anchor: estimate the top-20 tokens'
+    frequencies from a depth×width=4×256 counter sketch and emit the
+    exact counts beside them (pipeline/corpus.py cms_counters /
+    cms_estimate).  The third sketch family next to HLL and the
+    quantile sketches — sub-linear state, mergeable, and NEVER an
+    undercount (asserted per row).  Fully deterministic integer
+    arithmetic, so unlike the HLL/quantile anchors the ESTIMATES
+    themselves hash-match across engines, not just a bound verdict."""
+    from loudml_spark.pipeline.corpus import (
+        cms_counters,
+        cms_estimate,
+        vocabulary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    counters = cms_counters(docs, depth=CMS_DEPTH, width=CMS_WIDTH)
+    top = vocabulary(docs, top_k=20).select("token", "tf")
+    est = cms_estimate(counters, top, depth=CMS_DEPTH, width=CMS_WIDTH)
+    return est.select(
+        "token", "tf", "cms_estimate",
+        (F.col("cms_estimate") >= F.col("tf")).alias("no_undercount"),
+    )
+
+
+def _sql_cms_heavy_hitters(sf_dir=None) -> str:
+    from loudml_spark.catalog_pipeline import _sql_rh
+    from loudml_spark.pipeline.corpus import CMS_A, CMS_B
+
+    a = "[" + ", ".join(str(x) for x in CMS_A) + "]"
+    b = "[" + ", ".join(str(x) for x in CMS_B) + "]"
+    mod = 1_000_000_007
+    rh = _sql_rh("token")
+    return f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+h AS (SELECT token, {rh} AS h FROM tok),
+p AS (
+  SELECT CAST(d.range AS INTEGER) AS d,
+         ((h * ({a})[CAST(d.range AS INTEGER) + 1]
+           + ({b})[CAST(d.range AS INTEGER) + 1]) % {mod})
+           % {CMS_WIDTH} AS bucket
+  FROM h, range({CMS_DEPTH}) d
+),
+counters AS (SELECT d, bucket, COUNT(*) AS n FROM p GROUP BY 1, 2),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY token
+  ORDER BY tf DESC, token ASC
+  LIMIT 20
+),
+vb AS (
+  SELECT v.token, v.tf, CAST(d.range AS INTEGER) AS d,
+         (({rh.replace('token', 'v.token')}
+            * ({a})[CAST(d.range AS INTEGER) + 1]
+           + ({b})[CAST(d.range AS INTEGER) + 1]) % {mod})
+           % {CMS_WIDTH} AS bucket
+  FROM vocab v, range({CMS_DEPTH}) d
+)
+SELECT vb.token, vb.tf,
+       MIN(c.n) AS cms_estimate,
+       MIN(c.n) >= vb.tf AS no_undercount
+FROM vb JOIN counters c USING (d, bucket)
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "cms_heavy_hitters": {
+        "fn": q_cms_heavy_hitters,
+        "oracle_fn": lambda sf_dir=None: _sql_cms_heavy_hitters(),
+    },
     "lttb_hourly_100": {
         "fn": q_lttb_hourly_100,
         "oracle_fn": _sql_lttb_hourly_100,

@@ -188,3 +188,91 @@ def tf_idf(
         "df",
         ((F.col("tf") / F.col("doc_len")) * idf).alias("tfidf"),
     )
+
+
+# ------------------------------------------------------------- CMS
+
+# per-depth affine constants for the count-min hash family — shared
+# verbatim by the SQL oracle (portable integer arithmetic)
+CMS_A = (1299721, 1299827, 1299833, 1299841)
+CMS_B = (15485863, 15485867, 15485917, 15485927)
+
+
+def _word_hash_col(col):
+    """The corpus rolling hash (dedup.py parity-proven vs _sql_rh)."""
+    from loudml_spark.pipeline.dedup import HASH_MOD
+
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % F.lit(HASH_MOD),
+    )
+
+
+def _cms_bucket(h, d: int, width: int):
+    from loudml_spark.pipeline.dedup import HASH_MOD
+
+    return ((h * F.lit(CMS_A[d]) + F.lit(CMS_B[d])) % F.lit(HASH_MOD)) \
+        % F.lit(width)
+
+
+def cms_counters(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch of corpus token frequencies: ``depth``
+    independent hashed histograms of ``width`` buckets.  State is
+    depth × width counters REGARDLESS of vocabulary size — the
+    sub-linear third sketch next to HLL (distinct) and the quantile
+    sketches, and like them map-side combinable and mergeable (two
+    sketches add cell-wise).  Deterministic integer arithmetic, so
+    an external engine rebuilds the identical sketch."""
+    if depth < 1 or depth > len(CMS_A):
+        raise ValueError(f"depth must be 1..{len(CMS_A)}")
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    h = _word_hash_col(F.col("token"))
+    pairs = t.select(h.alias("__h")).select(
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col("__h"), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ])).alias("p")
+    ).select("p.*")
+    return pairs.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    *,
+    token_col: str = "token",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch: per candidate token the min over the
+    depth counters — never an undercount (every row counts the true
+    occurrences plus collisions).  The bounded counter table
+    broadcasts; candidates keep their other columns."""
+    h = _word_hash_col(F.col(token_col))
+    cb = candidates.withColumn("__h", h).select(
+        "*",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col("__h"), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ])).alias("p"),
+    ).select(*candidates.columns, "p.d", "p.bucket")
+    # LEFT join + 0 for untouched buckets: a token the corpus never
+    # produced must estimate as min(..., 0) = 0, not vanish because
+    # its counter rows were never materialized
+    joined = cb.join(F.broadcast(counters), ["d", "bucket"], "left")
+    return joined.groupBy(*candidates.columns).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))

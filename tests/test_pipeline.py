@@ -641,3 +641,26 @@ def test_pq_topk_recall_and_determinism(spark):
     X = np.array([r[1] for r in rows], dtype=np.float32).astype(np.float64)
     cb2 = train_pq_codebooks_from_arrays(ids, X, m=4, n_codes=8)
     assert np.array_equal(cb1, cb2)
+
+
+def test_cms_never_undercounts_and_is_tight_for_heavy_tokens(spark):
+    from loudml_spark.pipeline.corpus import cms_counters, cms_estimate
+
+    rows = [(i, " ".join(["heavy"] * 5 + ["rare" + chr(97 + i % 26) * 2]))
+            for i in range(50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counters = cms_counters(docs, depth=4, width=64)
+    cands = spark.createDataFrame(
+        [("heavy", 250), ("rarehh", 2), ("neverseen", 0)],
+        "token string, tf long")
+    got = {r["token"]: r["cms_estimate"]
+           for r in cms_estimate(counters, cands, depth=4,
+                                 width=64).collect()}
+    assert got["heavy"] >= 250        # never an undercount
+    assert got["rarehh"] >= 2
+    assert got["neverseen"] >= 0      # unseen tokens answer, not vanish
+    # total mass bounds the overcount: est - true <= all collisions
+    n_total = 50 * 6
+    assert got["heavy"] <= 250 + n_total
+    # the sketch is bounded state: depth x width rows max
+    assert counters.count() <= 4 * 64
