@@ -39,3 +39,12 @@ def test_entry_runs_and_is_stable(spark):
         "bucket_ts", "avg_value", "count_value", "min_value",
         "max_value", "spread_value",
     ]
+
+
+def test_every_query_is_oracle_paired():
+    """Round 5 reached 100% oracle pairing — pin it.  A new query
+    without an oracle silently downgrades the driver's correctness
+    row to rows-only; add the oracle (or an oracle_fn replay) with
+    the query, not later."""
+    qs, os_ = entry.queries(), entry.oracle_sql()
+    assert set(qs) == set(os_), sorted(set(qs) - set(os_))
