@@ -372,6 +372,77 @@ def stream_counter_increase(
     )
 
 
+def stream_heartbeat_alerts(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    gap_seconds: int = 60,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Missing-heartbeat detection: emit one alert row per key whose
+    stream has been SILENT for more than ``gap_seconds`` of event
+    time — the streaming counterpart of operators/irregular.py
+    gap_report, built on EVENT-TIME STATE TIMEOUTS: each key's state
+    holds only its last-seen timestamp and re-arms a timeout at
+    ``last_seen + gap``; when the watermark passes it with no new
+    data, Spark invokes the function with ``state.hasTimedOut`` and
+    the alert fires WITHOUT any event from that key — a plain
+    aggregation can never notice the absence of data.
+
+    Output (append): (key, last_seen timestamp, due_ts timestamp =
+    last_seen + gap).  State per key is one timestamp; a timed-out
+    key's state is removed, so a permanently dead key alerts once
+    (its next event re-creates the state).  ``ts_col`` must be a
+    timestamp column; the watermark bounds both late data and how
+    promptly timeouts fire."""
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("last_seen", T.TimestampType()),
+        T.StructField("due_ts", T.TimestampType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("last_seen_ms", T.LongType()),
+    ])
+    gap_ms = int(gap_seconds) * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        import datetime as dt
+
+        if state.hasTimedOut:
+            (last_ms,) = state.get
+            state.remove()
+            yield pd.DataFrame({
+                key_col: [key[0]],
+                "last_seen": [dt.datetime.utcfromtimestamp(last_ms / 1e3)],
+                "due_ts": [dt.datetime.utcfromtimestamp(
+                    (last_ms + gap_ms) / 1e3)],
+            })
+            return
+        last_ms = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                batch_max = pdf[ts_col].max()
+                ms = int(batch_max.value // 1_000_000)
+                last_ms = max(last_ms, ms)
+        if last_ms:
+            state.update((last_ms,))
+            state.setTimeoutTimestamp(last_ms + gap_ms)
+        yield pd.DataFrame(columns=[key_col, "last_seen", "due_ts"])
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 class StreamingEval:
     """The reference's ``_start`` periodic evaluation as one streaming
     query: bucketize → score against a trained model → stateful

@@ -365,3 +365,42 @@ def test_stream_bucketize_sliding_windows(spark, tmpdir):
     from loudml_spark import errors as err
     with pytest.raises(err.Invalid):
         stream_bucketize(stream, ["count(value)"], 60, slide=45)
+
+
+def test_stream_heartbeat_alerts_on_silence(spark, tmpdir):
+    from loudml_spark.streaming.job import stream_heartbeat_alerts
+
+    src = f"{tmpdir}/hb"
+    schema = "event_type string, sec long"
+    # batch 1: both keys alive
+    _write_batch(spark, src, [("a", BASE), ("a", BASE + 10),
+                              ("b", BASE + 10)], schema)
+    # batch 2: only b keeps beating — the watermark advances past
+    # a's (last_seen + gap) with no a events, so the TIMEOUT path
+    # must produce a's alert (no input row from a exists)
+    _write_batch(spark, src, [("b", BASE + 300)], schema)
+    # batch 3: advances the watermark again so batch 2's timeout fires
+    _write_batch(spark, src, [("b", BASE + 600)], schema)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+    )
+    out = stream_heartbeat_alerts(
+        stream, key_col="event_type", ts_col="ts", gap_seconds=60)
+    q = (
+        out.writeStream.format("memory").queryName("hb_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from hb_test").collect()
+    alerts = {r["event_type"]: r for r in rows}
+    assert "a" in alerts
+    a = alerts["a"]
+    assert int(a["last_seen"].timestamp()) == BASE + 10
+    assert int(a["due_ts"].timestamp()) == BASE + 70
+    # b kept beating within every watermark advance -> no alert
+    # (its final silence is after the last batch; nothing advances
+    # the watermark past it inside this run)
+    assert "b" not in alerts
