@@ -788,12 +788,17 @@ def q_inverted_index_docs(spark, sf_dir):
     """Posting lists over `documents` (min_df=2): token → sorted
     doc-id array + document frequency.  Two map-side-combined
     shuffles; output row count is |vocab|, posting length bounded by
-    |docs| — see pipeline/corpus.py.  Oracle: DuckDB list aggregation
-    over the same tokenization."""
+    |docs| — see pipeline/corpus.py.  The catalog wrapper posexplodes
+    the posting array to scalar (token, df, k, doc_id) rows so every
+    output column canonicalizes in a pandas frame (driver compare).
+    Oracle: DuckDB list aggregation over the same tokenization,
+    unnested with ordinals."""
     from loudml_spark.pipeline.corpus import inverted_index
 
     docs = load_table(spark, sf_dir, "documents")
-    return inverted_index(docs, min_df=2)
+    idx = inverted_index(docs, min_df=2)
+    return idx.select(
+        "token", "df", F.posexplode("postings").alias("k", "doc_id"))
 
 
 SQL_INVERTED_INDEX_DOCS = """
@@ -801,12 +806,21 @@ WITH tok AS (
   SELECT DISTINCT doc_id,
          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
   FROM documents
+),
+idx AS (
+  SELECT token, COUNT(*) AS df,
+         list_sort(list(doc_id)) AS postings
+  FROM tok
+  GROUP BY token
+  HAVING COUNT(*) >= 2
 )
-SELECT token, COUNT(*) AS df,
-       list_sort(list(doc_id)) AS postings
-FROM tok
-GROUP BY token
-HAVING COUNT(*) >= 2
+SELECT token, df, CAST(u.k AS INTEGER) AS k, u.v AS doc_id
+FROM (
+  SELECT token, df,
+         unnest(list_transform(range(len(postings)),
+                i -> {'k': i, 'v': postings[i + 1]})) AS u
+  FROM idx
+) t
 """
 
 
@@ -845,7 +859,8 @@ per_doc AS (
   FROM tok GROUP BY doc_id, token
 ),
 lens AS (
-  SELECT doc_id, SUM(tf) AS doc_len FROM per_doc GROUP BY doc_id
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+  FROM per_doc GROUP BY doc_id
 ),
 dfreq AS (
   SELECT token, COUNT(*) AS df FROM per_doc GROUP BY token
@@ -1679,7 +1694,8 @@ def q_slo_burn_rate_1h_6h(spark, sf_dir):
 SQL_SLO_BURN_RATE_1H_6H = f"""
 WITH b AS (
   SELECT (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
-         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_err,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err,
          COUNT(*) AS n_all
   FROM events
   GROUP BY 1

@@ -416,7 +416,7 @@ c AS (
 )
 SELECT doc_id, lang, n_tokens,
        CAST(before // 2048 AS BIGINT) AS shard,
-       before - (before // 2048) * 2048 AS shard_offset
+       CAST(before - (before // 2048) * 2048 AS BIGINT) AS shard_offset
 FROM c
 """
 
@@ -1200,7 +1200,12 @@ def q_url_stats_docs(spark, sf_dir):
         ).alias("text"),
     )
     out = url_stats(seeded, blocklist=["blocked.bad"])
-    return out.select("doc_id", "n_urls", "domains", "blocked")
+    # domains is already sorted-distinct; joined to a scalar CSV so
+    # every output column canonicalizes (array cells are unsortable
+    # in a pandas frame — the driver's compare would error).
+    return out.select(
+        "doc_id", "n_urls",
+        F.concat_ws(",", "domains").alias("domains_csv"), "blocked")
 
 
 _SQL_URL_SEED = (
@@ -1218,9 +1223,9 @@ WITH seeded AS (
 SELECT doc_id,
        CAST(len(regexp_extract_all(text,
          'https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?')) AS BIGINT) AS n_urls,
-       list_sort(list_distinct(list_transform(
+       array_to_string(list_sort(list_distinct(list_transform(
          regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1),
-         x -> lower(x)))) AS domains,
+         x -> lower(x)))), ',') AS domains_csv,
        len(list_filter(
          list_distinct(list_transform(
            regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1),
@@ -1272,9 +1277,14 @@ def q_embedding_centroids(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         (F.col("vec_id") % 8).alias("grp"), "embedding")
     out = group_centroids(emb, group_col="grp")
+    # Scalarized output (one row per (grp, dim)): array cells break
+    # the driver's pandas canonicalizer, same posexplode pattern as
+    # q_minhash_signatures_docs.
     return out.select(
         "grp", "n_vectors",
-        F.transform("centroid", lambda x: F.round(x, 6)).alias("centroid"),
+        F.posexplode(
+            F.transform("centroid", lambda x: F.round(x, 6))
+        ).alias("dim", "value"),
     )
 
 
@@ -1291,9 +1301,9 @@ p AS (
          COUNT(*) AS n
   FROM d GROUP BY 1, 2
 )
-SELECT grp, CAST(MAX(n) AS BIGINT) AS n_vectors,
-       list(a ORDER BY dim) AS centroid
-FROM p GROUP BY grp
+SELECT grp, CAST(n AS BIGINT) AS n_vectors,
+       CAST(dim AS INTEGER) AS dim, a AS value
+FROM p
 """
 
 
