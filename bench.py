@@ -87,17 +87,20 @@ def main():
     # comparable across rounds); `queries_median` exposes the spread so
     # a contended pass is visible instead of silently inflating totals.
     # Key order matters: the driver's artifact keeps the TAIL of this
-    # line, so the primary signal (`queries` mins) prints LAST and the
-    # medians — the redundant spread view — absorb any truncation.
+    # line (~2000 chars), so the compact summary scalars (total /
+    # median / reps / sf — the headline numbers) print LAST, preceded
+    # by the per-query mins; the medians — the redundant spread view —
+    # print first and absorb any truncation.  (r5 lost its summary
+    # header to exactly this truncation.)
     print(json.dumps({
         "metric": "catalog query wall-clock (noop sink)",
+        "queries_median": medians,
+        "queries": timings,
         "value": total,
         "unit": "sec",
         "value_median": round(sum(medians.values()), 3),
         "reps": reps,
         "sf": sf_of(SF_DIR),
-        "queries_median": medians,
-        "queries": timings,
     }))
 
 

@@ -1013,10 +1013,11 @@ FROM agg QUALIFY rank <= 10
 def q_tpch_q5_local_supplier(spark, sf_dir):
     """Q5-style: 6-way join (lineitem↔orders↔customer↔supplier↔nation↔
     region) with the local-supplier condition, decimal-exact revenue
-    per nation.  True dims (supplier/nation/region) broadcast;
-    fact-sized orders/customer join plain — AQE decides (broadcast at
-    small SF, shuffle join at scale; a forced hint would OOM at
-    100×)."""
+    per nation.  Only the FIXED-size dims (nation 25 rows / region 5
+    rows) are broadcast; supplier is 10k×SF — it scales with the data
+    like orders/customer, so all three join unhinted and AQE decides
+    (broadcast at small SF, shuffle join at scale; a forced hint on
+    an SF-scaling table OOMs executors at 100×)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
@@ -1031,7 +1032,7 @@ def q_tpch_q5_local_supplier(spark, sf_dir):
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(supp),
+        .join(supp,
               (li.l_suppkey == supp.s_suppkey)
               & (cust.c_nationkey == supp.s_nationkey))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -1068,11 +1069,12 @@ GROUP BY n_name
 
 def q_tpch_q7_volume_shipping(spark, sf_dir):
     """Q7-style: bidirectional nation-pair trade volume by ship year.
-    True dims (supplier, nation ×2 aliased) broadcast; fact-sized
-    orders/customer join plain so AQE picks the strategy (broadcast
-    at small SF, shuffled-hash/sort-merge at scale — a forced hint on
-    a fact table OOMs executors at 100×).  The pair condition is a
-    disjunction over both directions; one shuffle for the
+    Only the fixed-size nation dims (25 rows, ×2 aliased) broadcast;
+    supplier is 10k×SF and orders/customer fact-sized, so all three
+    join unhinted and AQE picks the strategy (broadcast at small SF,
+    shuffled-hash/sort-merge at scale — a forced hint on an
+    SF-scaling table OOMs executors at 100×).  The pair condition is
+    a disjunction over both directions; one shuffle for the
     (supp_nation, cust_nation, year) rollup."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
@@ -1096,7 +1098,7 @@ def q_tpch_q7_volume_shipping(spark, sf_dir):
            & (F.col("cust_nation") == "NATION_1"))
     )
     joined = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))

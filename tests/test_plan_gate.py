@@ -39,3 +39,32 @@ def test_catalog_plan_has_no_nested_loop_join(spark, name):
             "rewrite the predicate as an equi-join (bin/bucket/block) "
             "and re-check the exact condition after"
         )
+
+
+def test_no_forced_broadcast_of_sf_scaling_tables():
+    """Source-level gate: `F.broadcast(x)` must never be applied to a
+    frame bound to an SF-scaling table (customer/supplier/orders/
+    lineitem/part/events/documents/embeddings grow with the data —
+    forcing them broadcast OOMs executors at 100×; only the
+    fixed-cardinality dims nation/region, trained-model frames and
+    bounded query/profile sides may be hinted).  Grep-style on the
+    package source: catches the hint at review time without running a
+    plan, matching the variable names the catalog binds those loaders
+    to."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "loudml_spark"
+    scaling = {
+        "customer", "cust", "supplier", "supp", "orders", "lineitem",
+        "li", "part", "events", "documents", "docs", "embeddings",
+        "emb",
+    }
+    pat = re.compile(r"F\.broadcast\(\s*([A-Za-z_][A-Za-z0-9_]*)")
+    offenders = []
+    for path in sorted(pkg.rglob("*.py")):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            for m in pat.finditer(line):
+                if m.group(1) in scaling:
+                    offenders.append(f"{path.name}:{i} {line.strip()}")
+    assert not offenders, offenders
