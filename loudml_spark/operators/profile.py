@@ -157,13 +157,17 @@ def profile(
         out = long.withColumn("n_distinct", F.col("__nda"))
     else:
         exact = _exact_distincts(df, cols, schema)
+        # an all-null column has no rows left after the null filter,
+        # so the left join misses: coalesce to 0 (COUNT(DISTINCT)
+        # semantics, matching the SQL oracle) instead of NULL
         out = long.join(F.broadcast(exact), on="col_name", how="left") \
-            .withColumn("n_distinct", F.col("__nd_exact"))
+            .withColumn(
+                "n_distinct", F.coalesce(F.col("__nd_exact"), F.lit(0)))
         if distinct == "both":
             out = out.withColumn(
                 "approx_ok",
-                F.abs(F.col("__nda") - F.col("__nd_exact"))
-                <= rel_err * F.col("__nd_exact"))
+                F.abs(F.col("__nda") - F.col("n_distinct"))
+                <= rel_err * F.col("n_distinct"))
         out = out.drop("__nd_exact")
     order = ["col_name", "n_rows", "n_nulls", "n_distinct"]
     if distinct == "both":

@@ -306,6 +306,11 @@ def quantile_bins(
         row = df.agg(F.expr(
             f"approx_percentile({value_col}, array({','.join(map(str, qs))}))"
         ).alias("__cuts")).collect()[0][0]
+        if row is None:
+            # empty input / all-null values: approx_percentile is
+            # NULL — no cut points exist, everything is bin 1 (the
+            # same bin a null value lands in when cuts do exist)
+            return df.withColumn(out_col, F.lit(1))
         j = df.withColumn(
             "__cuts", F.array(*[F.lit(float(c)) for c in row]))
     # bin = 1 + number of cut points the value exceeds

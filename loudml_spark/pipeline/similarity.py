@@ -380,8 +380,14 @@ def _pq_encode_udf(CB: np.ndarray):
         out = np.empty((len(X), m), dtype=np.int32)
         for j in range(m):
             sub = X[:, j * dsub:(j + 1) * dsub]
-            # dot first, normalize after — the oracle's op order
-            scores = (sub @ CB[j].T) / norms[:, None] - halves[j]
+            # dot first, normalize after — the oracle's op order.
+            # einsum(optimize=False) accumulates the contraction
+            # sequentially over d, matching the oracle's left-to-right
+            # fold; a BLAS matmul's blocked summation can differ in
+            # the last ulp and flip the argmax on near-tied centroids
+            # (the same cross-process-BLAS class regression.py pins).
+            dots = np.einsum("nd,cd->nc", sub, CB[j], optimize=False)
+            scores = dots / norms[:, None] - halves[j]
             out[:, j] = np.argmax(scores, axis=1)
         return pd.Series([row.tolist() for row in out])
 

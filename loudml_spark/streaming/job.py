@@ -316,7 +316,10 @@ def stream_counter_increase(
     rates — keeping state at one sample per key (not per-bucket
     partials) bounds the state store by key cardinality alone.
 
-    Samples are processed in ts order WITHIN each batch; cross-batch
+    Samples are processed in ts order WITHIN each batch (the key's
+    Arrow chunks are concatenated before the sort — chunks arrive in
+    shuffle order, so sorting each independently would leave a batch
+    spanning multiple chunks globally unordered); cross-batch
     ordering assumes per-key in-order arrival (true of counter
     scrapes; guard upstream with a watermark + dropDuplicates for
     replayed sources)."""
@@ -337,29 +340,30 @@ def stream_counter_increase(
             last_ts, last_value, seen = state.get
         else:
             last_ts, last_value, seen = 0, 0.0, False
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            vals = pdf[value_col].to_numpy(dtype=float)
-            inc = np.full(len(vals), np.nan)
-            prev = last_value if seen else None
-            for i, v in enumerate(vals):
-                if prev is not None:
-                    d = v - prev
-                    inc[i] = v if d < 0 else d
-                prev = v
-            if len(vals):
-                last_ts = int(pdf[ts_col].iloc[-1])
-                last_value = float(vals[-1])
-                seen = True
-            frames.append(pd.DataFrame({
-                ts_col: pdf[ts_col].to_numpy(),
-                value_col: vals,
-                "increase": inc,
-            }))
-        state.update((last_ts, last_value, seen))
-        out = pd.concat(frames) if frames else pd.DataFrame(
-            columns=[ts_col, value_col, "increase"])
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((last_ts, last_value, seen))
+            out = pd.DataFrame(columns=[ts_col, value_col, "increase"])
+            out.insert(0, key_col, key[0])
+            yield out
+            return
+        # one global sort over the key's whole batch — chunk-local
+        # sorts are not a batch order (chunks arrive in shuffle order)
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        vals = pdf[value_col].to_numpy(dtype=float)
+        prev = np.empty(len(vals))
+        prev[0] = last_value if seen else np.nan
+        prev[1:] = vals[:-1]
+        d = vals - prev
+        # delta, except a reset (d < 0) credits the post-reset value;
+        # NaN (no prior sample ever) propagates through d untouched
+        inc = np.where(d < 0, vals, d)
+        state.update((int(pdf[ts_col].iloc[-1]), float(vals[-1]), True))
+        out = pd.DataFrame({
+            ts_col: pdf[ts_col].to_numpy(),
+            value_col: vals,
+            "increase": inc,
+        })
         out.insert(0, key_col, key[0])
         yield out
 
@@ -395,11 +399,20 @@ def stream_heartbeat_alerts(
     key's state is removed, so a permanently dead key alerts once
     (its next event re-creates the state).  ``ts_col`` must be a
     timestamp column; the watermark bounds both late data and how
-    promptly timeouts fire."""
+    promptly timeouts fire.
+
+    Timezone-robust by construction: applyInPandasWithState hands
+    Python tz-NAIVE session-local timestamps (and re-interprets naive
+    outputs the same way), so reading/writing timestamps in the state
+    function is only correct under a UTC session.  Instead the event
+    time crosses the Python boundary as epoch MILLISECONDS both ways
+    — a JVM-side ``__ts_ms`` long column in, long ``*_ms`` columns
+    out, re-typed with ``timestamp_millis`` after the stateful op —
+    so no session-timezone assumption exists anywhere."""
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
-        T.StructField("last_seen", T.TimestampType()),
-        T.StructField("due_ts", T.TimestampType()),
+        T.StructField("last_seen_ms", T.LongType()),
+        T.StructField("due_ms", T.LongType()),
     ])
     state_schema = T.StructType([
         T.StructField("last_seen_ms", T.LongType()),
@@ -407,31 +420,29 @@ def stream_heartbeat_alerts(
     gap_ms = int(gap_seconds) * 1000
 
     def fn(key, pdfs, state: GroupState):
-        import datetime as dt
-
         if state.hasTimedOut:
             (last_ms,) = state.get
             state.remove()
             yield pd.DataFrame({
                 key_col: [key[0]],
-                "last_seen": [dt.datetime.utcfromtimestamp(last_ms / 1e3)],
-                "due_ts": [dt.datetime.utcfromtimestamp(
-                    (last_ms + gap_ms) / 1e3)],
+                "last_seen_ms": [last_ms],
+                "due_ms": [last_ms + gap_ms],
             })
             return
         last_ms = state.get[0] if state.exists else 0
         for pdf in pdfs:
             if len(pdf):
-                batch_max = pdf[ts_col].max()
-                ms = int(batch_max.value // 1_000_000)
-                last_ms = max(last_ms, ms)
+                last_ms = max(last_ms, int(pdf["__ts_ms"].max()))
         if last_ms:
             state.update((last_ms,))
             state.setTimeoutTimestamp(last_ms + gap_ms)
-        yield pd.DataFrame(columns=[key_col, "last_seen", "due_ts"])
+        yield pd.DataFrame(columns=[key_col, "last_seen_ms", "due_ms"])
 
-    return (
+    alerts = (
         df.withWatermark(ts_col, watermark)
+        .withColumn(
+            "__ts_ms",
+            (F.col(ts_col).cast("double") * 1000).cast("long"))
         .groupBy(key_col)
         .applyInPandasWithState(
             fn,
@@ -440,6 +451,11 @@ def stream_heartbeat_alerts(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+    return alerts.select(
+        key_col,
+        F.timestamp_millis("last_seen_ms").alias("last_seen"),
+        F.timestamp_millis("due_ms").alias("due_ts"),
     )
 
 

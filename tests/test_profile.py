@@ -60,3 +60,19 @@ def test_profile_plan_shape(df):
     aplan = profile(df, distinct="approx")._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Join" not in aplan and "Expand" not in aplan
+
+
+def test_profile_all_null_column_exact_distincts(spark):
+    """An all-null column must report n_distinct = 0 (COUNT(DISTINCT)
+    semantics, matching the SQL oracle) with a non-null approx_ok
+    verdict — not the NULLs a missed left join produces."""
+    from loudml_spark.operators.profile import profile
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None)], "a long, b string")
+    rows = {r["col_name"]: r
+            for r in profile(df, ["a", "b"], distinct="both").collect()}
+    assert rows["b"]["n_distinct"] == 0
+    assert rows["b"]["n_nulls"] == 2
+    assert rows["b"]["approx_ok"] is True
+    assert rows["a"]["n_distinct"] == 2

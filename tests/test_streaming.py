@@ -404,3 +404,73 @@ def test_stream_heartbeat_alerts_on_silence(spark, tmpdir):
     # (its final silence is after the last batch; nothing advances
     # the watermark past it inside this run)
     assert "b" not in alerts
+
+
+def test_stream_heartbeat_alerts_non_utc_session(spark, tmpdir):
+    """The alert timestamps must be wall-clock-correct whatever
+    spark.sql.session.timeZone is: event time crosses the Python
+    state function as epoch ms both ways, so a non-UTC session must
+    produce byte-identical epochs (the naive-datetime formulation
+    shifted last_seen/due_ts by the session offset)."""
+    from loudml_spark.streaming.job import stream_heartbeat_alerts
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        src = f"{tmpdir}/hb_tz"
+        schema = "event_type string, sec long"
+        _write_batch(spark, src, [("a", BASE), ("b", BASE + 10)], schema)
+        _write_batch(spark, src, [("b", BASE + 300)], schema)
+        _write_batch(spark, src, [("b", BASE + 600)], schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        )
+        out = stream_heartbeat_alerts(
+            stream, key_col="event_type", ts_col="ts", gap_seconds=60)
+        q = (
+            out.writeStream.format("memory").queryName("hb_tz_test")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        alerts = {r["event_type"]: r
+                  for r in spark.sql("select * from hb_tz_test").collect()}
+        assert "a" in alerts
+        assert int(alerts["a"]["last_seen"].timestamp()) == BASE
+        assert int(alerts["a"]["due_ts"].timestamp()) == BASE + 60
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_stream_counter_increase_multi_chunk_batch(spark, tmpdir):
+    """A key whose batch spans several Arrow chunks must still be
+    processed in GLOBAL ts order: with maxRecordsPerBatch=2 a
+    ts-descending input file arrives as multiple unordered chunks,
+    and chunk-local sorting would report spurious resets."""
+    from loudml_spark.streaming.job import stream_counter_increase
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src = f"{tmpdir}/ctr_chunks"
+        schema = "event_type string, ts long, value double"
+        # one file, 8 monotonically-increasing samples written in
+        # REVERSE ts order -> several descending 2-row chunks
+        rows = [("a", BASE + 10 * i, float(10 * i)) for i in range(7, -1, -1)]
+        _write_batch(spark, src, rows, schema)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = stream_counter_increase(stream, key_col="event_type")
+        q = (
+            out.writeStream.format("memory").queryName("ctr_chunk_test")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        got = {r["ts"]: r["increase"]
+               for r in spark.sql("select * from ctr_chunk_test").collect()}
+        assert got[BASE] is None
+        for i in range(1, 8):
+            assert got[BASE + 10 * i] == 10.0, (i, got)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev)

@@ -242,3 +242,19 @@ def test_quantile_bins_exact_and_approx(spark):
     un = quantile_bins(df, value_col="v", n_bins=2, approx=True)
     plan = un._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_quantile_bins_approx_empty_and_all_null(spark):
+    """approx mode must not crash when approx_percentile returns NULL
+    (empty input or an all-null value column): no cut points exist,
+    every row lands in bin 1 — the bin a null value gets when cuts do
+    exist."""
+    from loudml_spark.operators.tsmath import quantile_bins
+
+    empty = spark.createDataFrame([], "v double")
+    assert quantile_bins(
+        empty, value_col="v", n_bins=4, approx=True).count() == 0
+
+    nulls = spark.createDataFrame([(None,), (None,)], "v double")
+    out = quantile_bins(nulls, value_col="v", n_bins=4, approx=True)
+    assert [r["bin"] for r in out.collect()] == [1, 1]
