@@ -491,6 +491,8 @@ def release_caches() -> None:
             df.unpersist()
         except Exception:
             pass  # session already stopped
+    from loudml_spark.pipeline.dedup import release_persisted
+    release_persisted()
 
 
 def _exact_series(spark, sf_dir, interval, group_by=()):

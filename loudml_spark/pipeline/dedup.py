@@ -29,6 +29,7 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from loudml_spark.pipeline.text import (
     HASH_MOD,
@@ -53,6 +54,22 @@ def _shingle_index_col(w: Column, n: int) -> Column:
     return F.when(
         F.size(w) >= n, F.sequence(F.lit(0), F.size(w) - n)
     ).otherwise(F.array().cast("array<int>"))
+
+
+_PERSISTED: list = []
+
+
+def release_persisted() -> None:
+    """Unpersist frames cached by dedup operators (the LSH shingle/
+    signature frame).  Wired into catalog.release_caches so bench /
+    test teardown drops them; long-lived callers invoking
+    minhash_lsh_pairs repeatedly should call this between batches."""
+    while _PERSISTED:
+        df = _PERSISTED.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
@@ -268,6 +285,15 @@ def minhash_lsh_pairs(
     equi-join key: candidates = docs sharing any band — shuffle on
     (band, key), never a cross join.  Output: (id_a, id_b, jaccard)
     with jaccard ≥ threshold, id_a < id_b.
+
+    Shuffle discipline (the 100 TB-dominant cost): the band self-join
+    shuffles ONLY (id, band, key) — 3 scalars — and dedups candidate
+    id pairs before anything wide moves; the shingle-hash sets join
+    back by id afterwards, so each set crosses the wire at most once
+    per side instead of ×bands replicated through the band shuffle.
+    The (id, sh, sig) frame is persisted (memory-and-disk) because
+    three plan branches consume it and the Arrow shingle pass is the
+    dominant map cost — recomputing it per branch would triple it.
     """
     r = N_HASHES // bands
     # ONE Arrow pass computes the shingle set and its signature
@@ -277,9 +303,19 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         _shingle_sig_udf(n, tokenizer)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
-    # band key: combine r signature values into one int64
-    banded = sig.select(
-        "id", "sh",
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    _PERSISTED.append(sig)
+    # Eager materialization: three plan branches consume `sig`, and a
+    # lazy persist lets Spark schedule those stages concurrently —
+    # each races to compute-and-cache the same partitions, paying the
+    # dominant Arrow shingle pass up to 3× (measured 13 s → 35-77 s
+    # cold at sf0.1).  One blocking count runs the pass exactly once
+    # into the cache before any consumer stage launches.
+    sig.count()
+    # band key: combine r signature values into one int64; only the
+    # id rides along — the set stays out of the band shuffle
+    keys = sig.select(
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -291,13 +327,11 @@ def minhash_lsh_pairs(
             )
             for b in range(bands)
         ])).alias("bk"),
-    ).select("id", "sh", "bk.band", "bk.key")
+    ).select("id", "bk.band", "bk.key")
 
-    left = banded.alias("a")
-    right = banded.alias("b")
-    cand = (
-        left.join(
-            right,
+    cand_ids = (
+        keys.alias("a").join(
+            keys.alias("b"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
@@ -305,10 +339,16 @@ def minhash_lsh_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = sig.select("id", "sh")
+    cand = (
+        cand_ids
+        .join(sets.select(F.col("id").alias("id_a"),
+                          F.col("sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
