@@ -43,15 +43,34 @@ def read_bucket(
     ts_col: str = "ts",
     ts_unit: str = "s",
     now: float | None = None,
+    max_series: int | None = 2000,
 ) -> dict:
     """The `_read` endpoint: bucketized features over one source,
-    reshaped to the reference's response format."""
+    reshaped to the reference's response format.
+
+    ``max_series`` is the reference's per-bucket
+    ``max_series_per_request`` result guard (loudml/bucket.py:41-44,
+    87-89, default 2000): a request whose date-histogram produces
+    more series than the cap raises ``errors.Invalid`` instead of
+    collecting an unbounded result to the driver.  Enforced with a
+    ``limit(cap + 1)`` so the engine never materializes more than
+    one row past the cap.  ``None`` disables the guard."""
     feats = parse_features(features)
     out = bucketize(
         df, feats, from_date, to_date, bucket_interval,
         ts_col=ts_col, ts_unit=ts_unit, now=now,
     )
-    rows = out.orderBy(BUCKET_COL).collect()
+    ordered = out.orderBy(BUCKET_COL)
+    if max_series is not None:
+        if max_series < 1:
+            raise errors.Invalid("max_series_per_request must be >= 1")
+        rows = ordered.limit(max_series + 1).collect()
+        if len(rows) > max_series:
+            raise errors.Invalid(
+                f"result exceeds max_series_per_request ({max_series}); "
+                "narrow the range or raise the bucket's limit")
+    else:
+        rows = ordered.collect()
     return {
         "timestamps": [r[BUCKET_COL] for r in rows],
         "observed": {
@@ -392,8 +411,11 @@ class Engine:
 
     def read(self, bucket_name: str, from_date, to_date, bucket_interval,
              features, **kw) -> dict:
-        """POST /buckets/<n>/_read (server.py:1168-1217)."""
+        """POST /buckets/<n>/_read (server.py:1168-1217); the bucket's
+        max_series_per_request caps the result unless the caller
+        overrides it."""
         bucket = self.buckets.get(bucket_name)
+        kw.setdefault("max_series", bucket.max_series_per_request)
         return read_bucket(
             bucket.read(self.spark), from_date, to_date, bucket_interval,
             features, **kw,

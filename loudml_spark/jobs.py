@@ -8,9 +8,16 @@ callable, poll its state, fetch the result, cancel.  Threads (not
 processes) are correct here because the heavy lifting happens in the
 JVM — the GIL only serializes plan construction.
 
-Spark-specific niceties: each job runs in its own fair-scheduler pool
-and gets a job group so ``cancel`` propagates to running Spark stages
-(``spark.sparkContext.cancelJobGroup``).
+Spark-specific niceties: each job gets a job group so ``cancel``
+propagates to running Spark stages
+(``spark.sparkContext.cancelJobGroup``), and a FAIR-scheduler POOL by
+job type — the reference isolates training in a nice-d dedicated
+process pool (loudml/server.py:1859-1870, worker.py:49-50) so a long
+fit can't starve interactive queries; Spark's equivalent is the
+thread-local ``spark.scheduler.pool`` property, which each job thread
+sets before its first action ("training" for train jobs, "queries"
+for everything else — weights/minShare live in the cluster's
+fairscheduler.xml; see SCALE.md).
 """
 
 from __future__ import annotations
@@ -26,10 +33,22 @@ WAITING, RUNNING, DONE, FAILED, CANCELED = (
     "waiting", "running", "done", "failed", "canceled")
 
 
+TRAIN_POOL = "training"
+QUERY_POOL = "queries"
+
+
+def pool_for(name: str) -> str:
+    """Job-type → scheduler-pool mapping (train vs everything else,
+    the reference's worker-pool split)."""
+    return TRAIN_POOL if name.startswith("train") else QUERY_POOL
+
+
 class Job:
-    def __init__(self, name: str, fn: Callable[[], Any]):
+    def __init__(self, name: str, fn: Callable[[], Any],
+                 pool: str | None = None):
         self.id = str(uuid.uuid4())
         self.name = name
+        self.pool = pool or pool_for(name)
         self.fn = fn
         self.state = WAITING
         self.result: Any = None
@@ -75,8 +94,9 @@ class JobRegistry:
             for j in finished[:excess]:
                 del self._jobs[j.id]
 
-    def submit(self, name: str, fn: Callable[[], Any]) -> Job:
-        job = Job(name, fn)
+    def submit(self, name: str, fn: Callable[[], Any],
+               pool: str | None = None) -> Job:
+        job = Job(name, fn, pool=pool)
         with self._lock:
             self._reap_locked()
             self._jobs[job.id] = job
@@ -87,8 +107,11 @@ class JobRegistry:
                 return
             job.state = RUNNING
             if self.spark is not None:
-                self.spark.sparkContext.setJobGroup(
-                    job.id, name, interruptOnCancel=True)
+                sc = self.spark.sparkContext
+                # thread-local: only this job's actions land in the
+                # pool, concurrent jobs on other threads are untouched
+                sc.setLocalProperty("spark.scheduler.pool", job.pool)
+                sc.setJobGroup(job.id, name, interruptOnCancel=True)
             try:
                 job.result = fn()
                 if job.state != CANCELED:

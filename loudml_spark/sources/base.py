@@ -28,6 +28,14 @@ class Bucket(ABC):
     def __init__(self, name: str, **settings):
         self.name = name
         self.settings = settings
+        # reference: Optional('max_series_per_request', default=2000)
+        # with Range(min=1) (loudml/bucket.py:41-44) — a per-bucket
+        # cap on how many series one read request may return
+        msr = settings.get("max_series_per_request", 2000)
+        if not isinstance(msr, int) or isinstance(msr, bool) or msr < 1:
+            raise errors.Invalid(
+                "max_series_per_request must be an int >= 1")
+        self.max_series_per_request = msr
 
     @abstractmethod
     def read(self, spark: SparkSession) -> DataFrame:

@@ -95,3 +95,37 @@ def test_json_and_orc_buckets_roundtrip(spark, tmp_path):
         assert back.count() == 2
         assert {r["k"] for r in back.collect()} == {"a", "b"}
         b.drop()
+
+
+def test_max_series_per_request_guard(spark, simple_df, tmp_path):
+    """The reference's per-bucket result cap (loudml/bucket.py:41-44,
+    87-89, default 2000): a read whose date histogram exceeds the cap
+    raises Invalid; at or under the cap it succeeds; the setting
+    validates to int >= 1 at bucket creation."""
+    from loudml_spark import errors
+
+    # direct API: the 1..9 range at interval 3 yields 3 series
+    with pytest.raises(errors.Invalid, match="max_series_per_request"):
+        read_bucket(simple_df, 1, 9, 3, "avg(foo)",
+                    ts_col="timestamp", max_series=2)
+    ok = read_bucket(simple_df, 1, 9, 3, "avg(foo)",
+                     ts_col="timestamp", max_series=3)
+    assert ok["observed"]["avg_foo"] == [2.5, None, 4.0]
+
+    # engine path: the bucket's configured cap applies
+    path = str(tmp_path / "capped")
+    simple_df.write.parquet(path)
+    eng = Engine(spark)
+    eng.add_bucket({"name": "capped", "type": "parquet", "path": path,
+                    "max_series_per_request": 2})
+    with pytest.raises(errors.Invalid, match="max_series_per_request"):
+        eng.read("capped", 1, 9, 3, "avg(foo)", ts_col="timestamp")
+    # caller override wins (and the default 2000 never triggers here)
+    res = eng.read("capped", 1, 9, 3, "avg(foo)", ts_col="timestamp",
+                   max_series=None)
+    assert res["observed"]["avg_foo"] == [2.5, None, 4.0]
+
+    # config validation matches the reference's Range(min=1)
+    with pytest.raises(errors.Invalid):
+        eng.add_bucket({"name": "bad", "type": "parquet", "path": path,
+                        "max_series_per_request": 0})

@@ -165,3 +165,20 @@ def test_hourly_at_rejects_trailing_colon():
 
     with _pt.raises(errors.Invalid):
         Every(1, "hours", "5:")
+
+
+def test_job_scheduler_pool_by_type(spark):
+    """Training jobs run in the 'training' FAIR pool, everything else
+    in 'queries' (the reference's nice-d training worker-pool split,
+    loudml/server.py:1859-1870) — the thread-local property must be
+    visible to the job's own Spark actions."""
+    reg = JobRegistry(spark)
+
+    def read_pool():
+        return spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+
+    assert reg.submit("train[m1]", read_pool).wait(30) == "training"
+    assert reg.submit("eval[m1]", read_pool).wait(30) == "queries"
+    # explicit override wins
+    assert reg.submit("eval[m1]", read_pool,
+                      pool="training").wait(30) == "training"
