@@ -130,14 +130,28 @@ class NumpyVAE:
     # ---------------------------------------------------------- training
 
     def fit(self, X, M, *, epochs: int = 100, batch_size: int = 64,
-            lr: float = 1e-3, missing_rate: float = MISSING_RATE):
+            lr: float = 1e-3, missing_rate: float = MISSING_RATE,
+            opt: dict | None = None):
         """Adam on M-ELBO.  X: N×W (z-scored, missing already 0),
-        M: observed mask.  Deterministic under the instance seed."""
-        rng = np.random.default_rng(self.seed + 1)
-        m_state = {k: np.zeros_like(v) for k, v in self.params.items()}
-        v_state = {k: np.zeros_like(v) for k, v in self.params.items()}
+        M: observed mask.  Deterministic under the instance seed.
+
+        ``opt`` resumes training: pass the (mutated-in-place) dict a
+        previous call populated and the Adam moments, bias-correction
+        step and batch-shuffle RNG continue instead of restarting —
+        training e₁ then e₂ epochs equals training e₁+e₂ straight
+        (successive-halving rungs rely on this)."""
+        if opt is None:
+            opt = {}
+        if "rng" not in opt:
+            opt["rng"] = np.random.default_rng(self.seed + 1)
+            opt["m"] = {k: np.zeros_like(v)
+                        for k, v in self.params.items()}
+            opt["v"] = {k: np.zeros_like(v)
+                        for k, v in self.params.items()}
+            opt["t"] = 0
+        rng = opt["rng"]
+        m_state, v_state, t = opt["m"], opt["v"], opt["t"]
         b1, b2, eps_adam = 0.9, 0.999, 1e-8
-        t = 0
         n = X.shape[0]
         history = []
         for _ in range(epochs):
@@ -161,6 +175,7 @@ class NumpyVAE:
                     vhat = v_state[k] / (1 - b2 ** t)
                     self.params[k] -= lr * mhat / (np.sqrt(vhat) + eps_adam)
             history.append(ep_loss / n)
+        opt["t"] = t
         return history
 
     # --------------------------------------------------------- inference
@@ -258,6 +273,47 @@ class NumpyVAE:
         return vae
 
 
+class _Candidate:
+    """One (span, latent, hidden) config with its own VAE + window
+    matrices, trainable incrementally (successive-halving rungs add
+    epochs to survivors instead of retraining from scratch)."""
+
+    def __init__(self, span, ld, id_, scaled, mask, cut, seed):
+        self.span, self.ld, self.id_ = span, ld, id_
+        self.Xt = np.lib.stride_tricks.sliding_window_view(
+            scaled[:cut], span).copy()
+        self.Mt = np.lib.stride_tricks.sliding_window_view(
+            mask[:cut], span).copy()
+        lo = cut - span + 1
+        self.Xv = np.lib.stride_tricks.sliding_window_view(
+            scaled[lo:], span).copy()
+        self.Mv = np.lib.stride_tricks.sliding_window_view(
+            mask[lo:], span).copy()
+        self.vae = NumpyVAE(span, ld, id_, seed)
+        self.seed = seed
+        self.epochs_spent = 0
+        self._opt: dict = {}
+
+    def train(self, extra_epochs: int) -> None:
+        # optimizer state persists across rungs, so chunked training
+        # follows the identical trajectory as one continuous run
+        if extra_epochs > 0:
+            self.vae.fit(self.Xt, self.Mt, epochs=extra_epochs,
+                         opt=self._opt)
+            self.epochs_spent += extra_epochs
+
+    def val_loss(self) -> float:
+        """Chronological-validation masked-last-point reconstruction
+        MSE — the quantity ``predict`` minimizes."""
+        Mq = self.Mv.copy()
+        Mq[:, -1] = 0.0
+        mu, _ = self.vae.reconstruct(
+            self.Xv, Mq, np.random.default_rng(self.seed + 7))
+        obs = self.Mv[:, -1] > 0
+        err = (mu[:, -1] - self.Xv[:, -1])[obs]
+        return float(np.mean(err * err)) if err.size else float("inf")
+
+
 def search_hyperparams_np(
     vals: "np.ndarray",
     *,
@@ -268,6 +324,7 @@ def search_hyperparams_np(
     train_size: float = 0.67,
     epochs: int = 15,
     seed: int = 42,
+    strategy: str = "sha",
 ) -> dict:
     """Pure-numpy joint hyper-search core (reference donut.py:813-855
     space under a max_evals budget, made deterministic).  Driver-side
@@ -275,10 +332,28 @@ def search_hyperparams_np(
     executor-side callers run it per key inside applyInPandas — the
     search itself has no Spark dependency.
 
-    Scores each sampled (span, latent, hidden) candidate by
-    chronological-validation masked-last-point reconstruction MSE.
-    Returns {"span", "latent_dim", "intermediate_dim", "loss",
-    "n_evals"}; raises ValueError if no candidate fits the series.
+    Two strategies under the SAME total-epoch budget
+    (``max_evals × epochs``, the reference's hyperopt ``max_evals``
+    semantics, donut.py:691-693):
+
+    * ``"sha"`` (default) — deterministic successive halving (the
+      ADAPTIVE search standing in for the reference's TPE): 2× as
+      many seeded candidates start at a quarter of the epochs, the
+      top half by validation loss survives each rung and trains ON
+      (true continuation — Adam state persists, so chunked training
+      follows the identical trajectory as one straight run), the
+      final rung reaches the full epoch count.  Rung cost
+      2m·e/4 + m·e/4 + (m/2)·e/2 = m·e exactly matches the
+      flat-sample budget while exploring 2× the configurations.
+    * ``"grid"`` — the seeded uniform grid sample (each candidate
+      trained the full ``epochs``); kept as the budget-equal
+      baseline the unit gate compares SHA against.
+
+    Scores are chronological-validation masked-last-point
+    reconstruction MSE.  Deterministic across runs and hosts; ties
+    break toward the smaller model.  Returns {"span", "latent_dim",
+    "intermediate_dim", "loss", "n_evals"}; raises ValueError if no
+    candidate fits the series.
     """
     if isinstance(spans, int):
         spans = (spans,)
@@ -288,9 +363,6 @@ def search_hyperparams_np(
         for ld in sorted(latent_dims)
         for id_ in sorted(intermediate_dims)
     ]
-    rng = np.random.default_rng(seed)
-    order = rng.permutation(len(grid))[:max_evals]
-    candidates = [grid[i] for i in sorted(order)]
     cut = int(len(vals) * train_size)
     # scaling is candidate-invariant (depends only on vals/cut) —
     # hoisted out of the eval loop (it runs per key in fleet mode)
@@ -300,34 +372,46 @@ def search_hyperparams_np(
     mean = 0.0 if np.isnan(mean) else mean
     scaled = np.nan_to_num((vals - mean) / std, nan=0.0)
     mask = (~np.isnan(vals)).astype(float)
-    results = []
-    for span, ld, id_ in candidates:
-        if cut <= span + 2 or len(vals) - cut <= span:
-            continue
-        Xt = np.lib.stride_tricks.sliding_window_view(
-            scaled[:cut], span).copy()
-        Mt = np.lib.stride_tricks.sliding_window_view(
-            mask[:cut], span).copy()
-        vae = NumpyVAE(span, ld, id_, seed)
-        vae.fit(Xt, Mt, epochs=epochs)
-        lo = cut - span + 1
-        Xv = np.lib.stride_tricks.sliding_window_view(
-            scaled[lo:], span).copy()
-        Mv = np.lib.stride_tricks.sliding_window_view(
-            mask[lo:], span).copy()
-        Mq = Mv.copy()
-        Mq[:, -1] = 0.0
-        mu, _ = vae.reconstruct(Xv, Mq, np.random.default_rng(seed + 7))
-        obs = Mv[:, -1] > 0
-        err = (mu[:, -1] - Xv[:, -1])[obs]
-        loss = float(np.mean(err * err)) if err.size else float("inf")
-        results.append((loss, span, ld, id_))
-    if not results:
+
+    def fits(span):
+        return cut > span + 2 and len(vals) - cut > span
+
+    rng = np.random.default_rng(seed)
+    n_start = max_evals if strategy == "grid" else 2 * max_evals
+    order = rng.permutation(len(grid))[:n_start]
+    configs = [grid[i] for i in sorted(order) if fits(grid[i][0])]
+    if not configs:
         raise ValueError(
             "series too short for any candidate span in the search grid")
-    results.sort(key=lambda r: (r[0], r[1], r[2], r[3]))
-    loss, span, ld, id_ = results[0]
+    cands = [_Candidate(s, ld, id_, scaled, mask, cut, seed)
+             for s, ld, id_ in configs]
+
+    def ranked(cs):
+        return sorted(
+            cs, key=lambda c: (c.val_loss(), c.span, c.ld, c.id_))
+
+    if strategy == "grid":
+        for c in cands:
+            c.train(epochs)
+        best = ranked(cands)[0]
+    elif strategy == "sha":
+        # eta=2: cumulative epoch targets e/4 → e/2 → e; half the
+        # field survives each rung.  Cost with n₀ = 2·max_evals:
+        # 2m·e/4 + m·e/4 + (m/2)·e/2 = m·e — exactly the flat-sample
+        # budget, exploring 2× the configurations.  (eta=3 with
+        # 1-epoch rung-0 proxies misranked undertrained VAEs.)
+        targets = [max(1, epochs // 4), max(1, epochs // 2), epochs]
+        for rung, target in enumerate(targets):
+            for c in cands:
+                c.train(target - c.epochs_spent)
+            if rung < len(targets) - 1:
+                keep = max(1, -(-len(cands) // 2))  # ceil(n/2)
+                cands = ranked(cands)[:keep]
+        best = ranked(cands)[0]
+    else:
+        raise ValueError(f"unknown search strategy: {strategy}")
     return {
-        "span": span, "latent_dim": ld, "intermediate_dim": id_,
-        "loss": loss, "n_evals": len(results),
+        "span": best.span, "latent_dim": best.ld,
+        "intermediate_dim": best.id_, "loss": best.val_loss(),
+        "n_evals": len(configs),
     }

@@ -601,13 +601,18 @@ def auto_hyperparams(
     seed: int = 42,
     ts_col: str = "bucket_ts",
     value_col: str = "value",
+    strategy: str = "sha",
 ) -> dict:
     """Joint (span, latent_dim, intermediate_dim) hyper-search under a
     ``max_evals`` budget — the reference's hyperopt TPE space
     (donut.py:813-855: latent ∈ {3,5,8}, neurons ∈ the Fibonacci run
-    {21..233}, span from the model spec) made deterministic: the full
-    grid is shuffled by a seeded RNG and the first ``max_evals``
-    candidates are trained (short-epoch numpy VAE) and scored on
+    {21..233}, span from the model spec) made deterministic and
+    ADAPTIVE: the default ``"sha"`` strategy runs successive halving
+    (3× the candidates of a flat sample start at a fraction of the
+    epochs; the top third by validation loss survives each rung and
+    trains on) under the same total-epoch budget as ``max_evals``
+    full trainings; ``"grid"`` is the budget-equal seeded uniform
+    sample it is gated to beat-or-tie.  Candidates score on
     chronological-validation masked-last-point reconstruction MSE —
     the same quantity ``predict`` minimizes.  Ties break toward the
     smaller model.  Deterministic across runs and hosts.
@@ -633,6 +638,7 @@ def auto_hyperparams(
             vals, max_evals=max_evals, spans=spans,
             latent_dims=latent_dims, intermediate_dims=intermediate_dims,
             train_size=train_size, epochs=epochs, seed=seed,
+            strategy=strategy,
         )
     except ValueError as e:
         raise errors.Invalid(str(e))

@@ -259,3 +259,22 @@ def test_resume_with_span_auto_pins_architecture(spark):
     m.fit(df, resume=True)  # must NOT re-run the hyper-search
     assert m.span == span1
     assert m.state["vae"]["span"] == span1
+
+
+def test_sha_search_beats_or_ties_grid_at_equal_budget(spark):
+    """The adaptive successive-halving search must find a config at
+    least as good (validation loss) as the flat seeded-grid sample
+    under the SAME total-epoch budget — the r5 upgrade gate for the
+    reference's TPE parity (donut.py:813-855,691-693)."""
+    from loudml_spark.ml.models import auto_hyperparams
+
+    df = _sine_series(spark, n=360)
+    kw = dict(max_evals=6, epochs=10, spans=(6, 12, 24),
+              latent_dims=(3, 5), intermediate_dims=(21, 34, 55))
+    sha = auto_hyperparams(df, strategy="sha", **kw)
+    grid = auto_hyperparams(df, strategy="grid", **kw)
+    assert sha["loss"] <= grid["loss"]
+    # SHA explores 3x the configurations for the same budget
+    assert sha["n_evals"] >= grid["n_evals"]
+    # deterministic
+    assert sha == auto_hyperparams(df, strategy="sha", **kw)
