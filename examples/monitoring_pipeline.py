@@ -3,13 +3,26 @@
     intake profile → counter rate → keyed hourly series →
     linear gap interpolation → EWMA smoothing → daily seasonal
     decomposition → CUSUM drift on the residual → MAD outliers →
-    SCD2 user-tier history for as-of enrichment.
+    SCD2 user-tier history for as-of enrichment →
+    LIVE tail: streaming counter increases + missing-heartbeat
+    alerts landing in an idempotent parquet sink.
 
 Run:  python examples/monitoring_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001)
 
 Every step is a DataFrame transform (no driver-side loops); the same
 plans run unchanged on a real cluster.
+
+Production note for the streaming tail: both stateful operators keep
+per-key state in the state store.  The default HDFS-backed in-memory
+provider holds every key's state on-heap; for large key cardinality
+run the RocksDB provider instead (state spills to local disk,
+changelog-checkpointed):
+
+    spark.conf:
+      spark.sql.streaming.stateStore.providerClass=
+        org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+      spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled=true
 """
 
 import os
@@ -111,7 +124,96 @@ def main(sf_dir: str) -> None:
     print("tier versions:", tiers.count(),
           "open versions:", tiers.filter("valid_to IS NULL").count())
 
+    # 10. live tail: the same events as a stream — counter increases
+    #     + missing-heartbeat alerts into an idempotent parquet sink
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="loudml_monitoring_stream")
+    rate_path, alert_path = streaming_tail(spark, sf_dir, work)
+    print("stream rate rows:", spark.read.parquet(rate_path).count())
+    alerts = spark.read.parquet(alert_path)
+    print("heartbeat alerts:")
+    alerts.orderBy("event_type").show(truncate=False)
+
     spark.stop()
+
+
+def streaming_tail(spark, sf_dir: str, work: str,
+                   gap_seconds: int = 6 * 3600) -> tuple[str, str]:
+    """The r5 streaming operators composed production-shape: a file
+    source drained one file per trigger, `stream_counter_increase`
+    (reset-aware deltas whose state survives micro-batches) and
+    `stream_heartbeat_alerts` (event-time state timeouts — alerts
+    fire WITHOUT any event from the dead key), each landing in a
+    batch-id-idempotent parquet sink so checkpoint replay after a
+    crash cannot double-write.  Returns (rate_path, alerts_path).
+
+    A sentinel event 2 days past the end of one key keeps the
+    watermark advancing, so every other key's silence (> gap) is
+    detected — the streaming analogue of a monitoring system's
+    'still alive?' sweep."""
+    from pyspark.sql import functions as F  # noqa: F811 (script+import use)
+
+    from loudml_spark.sources.tables import load_table
+    from loudml_spark.streaming.job import (
+        idempotent_parquet_sink,
+        stream_counter_increase,
+        stream_heartbeat_alerts,
+    )
+
+    src = f"{work}/src"
+    staged = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("ts_ns") / F.lit(NS)).cast("long").alias("ts"),
+        F.col("ts").cast("timestamp").alias("tstamp"),
+        "value",
+    )
+    # several ts-ordered files => several watermark advances
+    staged.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    # sentinels: one key beats far past everyone else's last event, so
+    # the watermark passes every other key's (last_seen + gap).  TWO
+    # sentinel batches because an event-time timeout fires one batch
+    # AFTER the watermark passes it (the watermark a batch computes
+    # applies from the next batch on).
+    last = staged.agg(F.max("ts")).collect()[0][0]
+    for i, offset_days in enumerate((2, 4)):
+        spark.createDataFrame(
+            [("click", last + offset_days * 86400, 0.0)],
+            "event_type string, ts long, value double",
+        ).withColumn(
+            "tstamp", F.timestamp_seconds(F.col("ts"))
+        ).select("event_type", "ts", "tstamp", "value") \
+            .write.mode("append").parquet(f"{src}/sentinel_{i}")
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, ts long, tstamp timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+
+    rate_path, alert_path = f"{work}/rate", f"{work}/alerts"
+    inc = stream_counter_increase(
+        stream.select("event_type", "ts", "value"), key_col="event_type")
+    q1 = (
+        inc.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(rate_path, ["event_type"]))
+        .option("checkpointLocation", f"{work}/ckpt_rate")
+        .trigger(availableNow=True).start()
+    )
+    alerts = stream_heartbeat_alerts(
+        stream.select("event_type", "tstamp"),
+        key_col="event_type", ts_col="tstamp", gap_seconds=gap_seconds)
+    q2 = (
+        alerts.writeStream.outputMode("append")
+        .foreachBatch(idempotent_parquet_sink(alert_path, []))
+        .option("checkpointLocation", f"{work}/ckpt_alerts")
+        .trigger(availableNow=True).start()
+    )
+    q1.awaitTermination(300)
+    q2.awaitTermination(300)
+    return rate_path, alert_path
 
 
 if __name__ == "__main__":

@@ -435,7 +435,14 @@ def stream_heartbeat_alerts(
                 last_ms = max(last_ms, int(pdf["__ts_ms"].max()))
         if last_ms:
             state.update((last_ms,))
-            state.setTimeoutTimestamp(last_ms + gap_ms)
+            # a key whose data arrives in a LATE batch can already be
+            # overdue (due <= current watermark) — Spark rejects a
+            # timeout in the past, so clamp to watermark + 1: the
+            # alert then fires on the next watermark advance, with
+            # due_ts in the OUTPUT still the true last_seen + gap
+            due = last_ms + gap_ms
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(due, wm + 1))
         yield pd.DataFrame(columns=[key_col, "last_seen_ms", "due_ms"])
 
     alerts = (

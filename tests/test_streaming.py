@@ -474,3 +474,35 @@ def test_stream_counter_increase_multi_chunk_batch(spark, tmpdir):
     finally:
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_monitoring_pipeline_streaming_tail_e2e(spark, tmpdir):
+    """The examples/monitoring_pipeline.py streaming tail runs
+    end-to-end: counter increases and missing-heartbeat alerts land
+    in idempotent parquet sinks, and every key except the sentinel's
+    (kept alive 2 days past the data) alerts exactly once."""
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "monitoring_pipeline.py")
+    spec = importlib.util.spec_from_file_location("monitoring_example", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    rate_path, alert_path = mod.streaming_tail(
+        spark, "/root/testdata/sf0.001", str(tmpdir))
+
+    rate = spark.read.parquet(rate_path)
+    assert rate.count() > 0
+    assert {"event_type", "ts", "value", "increase"} <= set(rate.columns)
+
+    alerts = spark.read.parquet(alert_path)
+    got = {r["event_type"] for r in alerts.collect()}
+    all_types = {
+        r[0] for r in spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet")
+        .select("event_type").distinct().collect()
+    }
+    assert got == all_types - {"click"}
+    assert alerts.count() == len(got)  # exactly once per dead key
