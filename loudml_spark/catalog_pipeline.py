@@ -1409,7 +1409,71 @@ FROM d
 """
 
 
+def q_dedup_lines_docs(spark, sf_dir):
+    """C4-style boilerplate-line removal: lines occurring in more
+    than 2 distinct documents are dropped, originals re-join in
+    order.  The synthetic corpus is single-line, so BOTH engines
+    seed deterministic boilerplate (a copyright footer on every doc,
+    a subscribe banner on even ids, a unique footnote per doc) — the
+    split / trim / global-frequency / rebuild machinery is then
+    exercised for real.  Bounded to doc_id < 300 for the oracle
+    diff; the operator is corpus-size-free (pipeline/text.py
+    dedup_lines)."""
+    from loudml_spark.pipeline.text import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("SUBSCRIBE to our newsletter\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.lit("\nCopyright 2024 Example Corp\nfootnote "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(seeded, max_doc_freq=2)
+
+
+SQL_DEDUP_LINES_DOCS = """
+WITH seeded AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0
+               THEN 'SUBSCRIBE to our newsletter' || chr(10)
+               ELSE '' END)
+         || text
+         || chr(10) || 'Copyright 2024 Example Corp'
+         || chr(10) || 'footnote ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents WHERE doc_id < 300
+),
+ls AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM seeded
+),
+lines AS (
+  SELECT doc_id, t.i AS line_no, trim(parts[t.i + 1]) AS line
+  FROM ls, UNNEST(range(len(parts))) AS t(i)
+  WHERE length(trim(parts[t.i + 1])) >= 1
+),
+freq AS (
+  SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+)
+SELECT l.doc_id,
+       CAST(SUM(CASE WHEN f.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_kept,
+       CAST(SUM(CASE WHEN f.df > 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lines_dropped,
+       COALESCE(array_to_string(
+         list(l.line ORDER BY l.line_no) FILTER (WHERE f.df <= 2),
+         chr(10)), '') AS text
+FROM lines l JOIN freq f USING (line)
+GROUP BY l.doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, dict] = {
+    "dedup_lines_docs": {
+        "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
     "text_stats_docs": {
         "fn": q_text_stats_docs, "oracle": SQL_TEXT_STATS_DOCS},
     "text_stats_regex_docs": {

@@ -465,3 +465,60 @@ def langid(
             (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
         ).otherwise(guess)
     return out.withColumn(out_col, guess).drop("__mc")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_doc_freq: int = 2,
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """C4-style boilerplate-line removal: drop every line that occurs
+    (exact match after trim) in MORE than ``max_doc_freq`` distinct
+    documents — the nav menus / cookie banners / copyright footers
+    that repeat across a crawl.  Lines shorter than
+    ``min_line_chars`` after trimming are dropped unconditionally
+    (blank-line normalization).
+
+    Returns (id, ``n_lines_kept``, ``n_lines_dropped``, ``text``)
+    with surviving lines re-joined in original order.
+
+    Scale shape: split is map-only; the global line-frequency table
+    is two map-side-combined shuffles on the line key ((id, line)
+    dedup, then count per line); surviving lines join the frequency
+    back by line key (one shuffle of the corpus' DISTINCT
+    (line, doc) pairs — never the raw text) and re-assemble per doc
+    with an order-carrying array_sort, one final shuffle on id.  No
+    driver-side state: the boilerplate set lives in the join, so a
+    100 TB crawl with millions of repeated lines needs no broadcast
+    of unbounded size.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias(
+            "__line_no", "__raw"),
+    ).withColumn("__line", F.trim(F.col("__raw")))
+    lines = lines.filter(F.length("__line") >= min_line_chars)
+    freq = (
+        lines.select(id_col, "__line").distinct()
+        .groupBy("__line")
+        .agg(F.count("*").alias("__df"))
+    )
+    tagged = lines.join(freq, "__line").withColumn(
+        "__keep", F.col("__df") <= max_doc_freq)
+    per_doc = tagged.groupBy(id_col).agg(
+        F.sum(F.col("__keep").cast("long")).alias("n_lines_kept"),
+        F.sum((~F.col("__keep")).cast("long")).alias("n_lines_dropped"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.when(
+                    F.col("__keep"),
+                    F.struct("__line_no", "__line")))),
+                lambda s: s["__line"],
+            ),
+        ).alias(text_col),
+    )
+    return per_doc

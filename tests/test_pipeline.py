@@ -664,3 +664,35 @@ def test_cms_never_undercounts_and_is_tight_for_heavy_tokens(spark):
     assert got["heavy"] <= 250 + n_total
     # the sketch is bounded state: depth x width rows max
     assert counters.count() <= 4 * 64
+
+
+def test_dedup_lines_boilerplate_removal(spark):
+    """C4-style line dedup: lines in > max_doc_freq distinct docs
+    drop, survivors re-join in original order, blank lines normalize
+    away, and a doc left with zero lines yields empty text."""
+    from loudml_spark.pipeline.text import dedup_lines
+
+    rows = [
+        (1, "FOOTER\nalpha one\n\n  \nbravo"),
+        (2, "FOOTER\nalpha two"),
+        (3, "FOOTER\ncharlie"),
+        (4, "FOOTER"),          # nothing survives
+        (5, "  padded  \ndelta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup_lines(df, max_doc_freq=2).collect()}
+    # FOOTER occurs in 4 docs -> dropped everywhere
+    assert got[1]["text"] == "alpha one\nbravo"
+    assert got[1]["n_lines_kept"] == 2
+    assert got[1]["n_lines_dropped"] == 1
+    assert got[4]["text"] == ""
+    assert got[4]["n_lines_kept"] == 0 and got[4]["n_lines_dropped"] == 1
+    # trim before matching/rebuild
+    assert got[5]["text"] == "padded\ndelta"
+    # per-doc duplicates of a rare line count ONCE toward df
+    df2 = spark.createDataFrame(
+        [(1, "x\nx\nx"), (2, "y")], "doc_id long, text string")
+    g2 = {r["doc_id"]: r for r in
+          dedup_lines(df2, max_doc_freq=1).collect()}
+    assert g2[1]["n_lines_kept"] == 3  # df('x') == 1, all copies kept

@@ -506,3 +506,46 @@ def test_monitoring_pipeline_streaming_tail_e2e(spark, tmpdir):
     }
     assert got == all_types - {"click"}
     assert alerts.count() == len(got)  # exactly once per dead key
+
+
+def test_stream_heartbeat_alerts_rocksdb_state_store(spark, tmpdir):
+    """The production state-store config (RocksDB provider, the
+    SCALE.md / example recommendation for large key cardinality) is
+    exercised for real: the same heartbeat pipeline produces the same
+    alert with per-key state held in RocksDB instead of the default
+    in-memory HDFS-backed provider."""
+    from loudml_spark.streaming.job import stream_heartbeat_alerts
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming."
+        "state.RocksDBStateStoreProvider")
+    try:
+        src = f"{tmpdir}/hb_rocks"
+        schema = "event_type string, sec long"
+        _write_batch(spark, src, [("a", BASE), ("b", BASE + 10)], schema)
+        _write_batch(spark, src, [("b", BASE + 300)], schema)
+        _write_batch(spark, src, [("b", BASE + 600)], schema)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+            .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        )
+        out = stream_heartbeat_alerts(
+            stream, key_col="event_type", ts_col="ts", gap_seconds=60)
+        q = (
+            out.writeStream.format("memory").queryName("hb_rocks_test")
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        alerts = {r["event_type"]: r for r in
+                  spark.sql("select * from hb_rocks_test").collect()}
+        assert "a" in alerts and "b" not in alerts
+        assert int(alerts["a"]["last_seen"].timestamp()) == BASE
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
