@@ -1,10 +1,11 @@
 """End-to-end training-data curation over the documents table:
 
     fingerprint → exact dedup → near-dup LSH pairs → connected
-    components → keep canonicals → quality + repetition gates →
-    PII redaction → benchmark decontamination → stratified corpus
-    mix → deterministic train/val/test split → token-budget shard
-    packing → corpus stats on the training slice.
+    components → keep canonicals → boilerplate line dedup →
+    quality + repetition gates → PII redaction → benchmark
+    decontamination → stratified corpus mix → deterministic
+    train/val/test split → token-budget shard packing →
+    corpus stats on the training slice.
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001)
@@ -65,6 +66,16 @@ def main(sf_dir: str) -> None:
     canon = exact.join(keep, "doc_id")
     n2 = canon.count()
 
+    # 2b. C4-style boilerplate LINE removal: any line repeated across
+    #     more than 5 surviving docs (footers, banners) is dropped
+    #     globally; documents rebuild in order
+    from loudml_spark.pipeline.text import dedup_lines
+
+    lined = dedup_lines(canon.select("doc_id", "text"), max_doc_freq=5)
+    n_dropped_lines = lined.agg(F.sum("n_lines_dropped")).first()[0]
+    canon = canon.drop("text").join(
+        lined.select("doc_id", "text"), "doc_id")
+
     # 3. quality + repetition gates: drop ultra-short and
     #    boilerplate-heavy docs (Gopher-style rules)
     quality = canon.withColumn(
@@ -124,6 +135,7 @@ def main(sf_dir: str) -> None:
 
     print(f"docs: {n0} → exact-dedup {n1} → near-dup {n2} "
           f"→ quality {n3} → decontaminated {n4} → mixed {n5}")
+    print(f"boilerplate lines dropped: {n_dropped_lines}")
     print(f"pii matches scrubbed: {n_pii}")
     print(f"splits: {counts}   train shards: {n_shards}")
     print("top training tokens:")
