@@ -380,6 +380,62 @@ FROM b
 """
 
 
+def q_temperature_mix_docs(spark, sf_dir):
+    """mT5-style temperature mixing (alpha = 0.5): stratum keep
+    rates (n_s/n_min)^(alpha−1) flatten the language distribution so
+    kept counts ∝ n_s^0.5, applied by the deterministic content-hash
+    threshold.  The rates compute DRIVER-side from one count
+    aggregation and inline as integer literals; the oracle generator
+    recomputes them through the SAME Python function from the same
+    parquet (the IVF data-derived-oracle pattern), so both engines
+    compare identical integers — per-engine pow() could flip a
+    rounding tie."""
+    from loudml_spark.pipeline.sampling import split_bucket, temperature_mix
+    from loudml_spark.pipeline.text import rolling_hash_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", rolling_hash_col(F.col("text")).alias("fp")
+    )
+    out = temperature_mix(
+        docs, key=F.col("fp"), strat_col="lang", alpha=0.5)
+    return out.select(
+        "doc_id", "lang",
+        split_bucket(F.col("fp")).alias("fp_bucket"),
+        "keep",
+    )
+
+
+def _sql_temperature_mix_docs(sf_dir=None):
+    """Data-derived oracle: stratum counts read from the SAME parquet
+    via DuckDB, thresholds computed by the SAME temperature_rates
+    code, inlined as a CASE of integer literals."""
+    import duckdb
+
+    from loudml_spark.pipeline.sampling import (
+        SPLIT_MOD,
+        temperature_rates,
+    )
+
+    sf_dir = sf_dir or "/root/testdata/sf0.01"
+    con = duckdb.connect()
+    counts = dict(con.execute(
+        f"SELECT lang, COUNT(*) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY lang"
+    ).fetchall())
+    con.close()
+    rates = temperature_rates(counts, 0.5)
+    case = " ".join(
+        f"WHEN '{s}' THEN {int(round(r * SPLIT_MOD))}"
+        for s, r in sorted(rates.items()))
+    return f"""
+WITH f AS (SELECT doc_id, lang, {_SQL_FP} AS fp FROM documents),
+b AS (SELECT doc_id, lang, fp % {SPLIT_MOD} AS fp_bucket FROM f)
+SELECT doc_id, lang, fp_bucket,
+       fp_bucket < (CASE lang {case} ELSE {SPLIT_MOD} END) AS keep
+FROM b
+"""
+
+
 def q_pack_shards_docs(spark, sf_dir):
     """Token-budget shard packing (corpus → training shards): walking
     docs per language in doc_id order, each doc lands in shard
@@ -1491,6 +1547,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "pack_shards_docs": {
         "fn": q_pack_shards_docs,
         "oracle": SQL_PACK_SHARDS_DOCS},
+    "temperature_mix_docs": {
+        "fn": q_temperature_mix_docs,
+        "oracle_fn": _sql_temperature_mix_docs},
     "embedding_centroids": {
         "fn": q_embedding_centroids,
         "oracle": SQL_EMBEDDING_CENTROIDS},

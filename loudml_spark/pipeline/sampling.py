@@ -116,6 +116,61 @@ def stratified_sample(
     return df.withColumn(keep_col, bucket < thresh)
 
 
+def temperature_rates(
+    counts: dict[str, int], alpha: float,
+) -> dict[str, float]:
+    """Per-stratum keep rates for temperature-flattened mixing
+    (mT5-style): kept counts become ∝ n_s^alpha by pure
+    DOWNSAMPLING — rate_s = (n_s / n_min)^(alpha − 1), so the
+    smallest stratum keeps everything and larger strata flatten
+    toward it.  ``alpha = 1`` keeps the natural distribution;
+    ``alpha = 0`` equalizes every stratum to the smallest's size (in
+    expectation).  alpha > 1 would require upsampling — rejected.
+
+    Driver-side float math ON PURPOSE: the rates become integer
+    thresholds (round(rate·10000)) inlined as literals, so both
+    engines compare against identical integers — a pow() evaluated
+    independently per engine could flip a rounding tie."""
+    if not (0.0 <= alpha <= 1.0):
+        raise errors.Invalid("alpha must be in [0, 1]")
+    if not counts:
+        raise errors.Invalid("counts must be non-empty")
+    if min(counts.values()) <= 0:
+        raise errors.Invalid("stratum counts must be positive")
+    n_min = min(counts.values())
+    return {s: (n / n_min) ** (alpha - 1.0) for s, n in counts.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    key: Column,
+    strat_col: str,
+    alpha: float = 0.5,
+    keep_col: str = "keep",
+    counts: dict[str, int] | None = None,
+) -> DataFrame:
+    """Temperature-based corpus mixing: flatten the stratum (language
+    / source) distribution toward uniform with temperature ``alpha``
+    (kept sizes ∝ n_s^alpha — the mT5 mixing rule), realized as
+    deterministic content-hash downsampling so the selection is
+    stable under re-runs, repartitions, and engines.
+
+    One column-pruned count aggregation discovers stratum sizes
+    (|strata| rows collected — languages/sources number in the
+    hundreds, bounded by design; pass ``counts`` to skip the scan);
+    the rates then inline as literal thresholds into the same
+    zero-shuffle ``stratified_sample`` comparison, so the mix itself
+    is a map stage over 100 TB."""
+    if counts is None:
+        counts = {r[0]: r[1] for r in
+                  df.groupBy(strat_col).count().collect()}
+    rates = temperature_rates(counts, alpha)
+    return stratified_sample(
+        df, key=key, strat_col=strat_col, rates=rates,
+        default_rate=1.0, keep_col=keep_col)
+
+
 def pack_shards(
     df: DataFrame,
     *,

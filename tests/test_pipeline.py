@@ -696,3 +696,39 @@ def test_dedup_lines_boilerplate_removal(spark):
     g2 = {r["doc_id"]: r for r in
           dedup_lines(df2, max_doc_freq=1).collect()}
     assert g2[1]["n_lines_kept"] == 3  # df('x') == 1, all copies kept
+
+
+def test_temperature_mix_flattens_distribution(spark):
+    """Kept stratum sizes follow n_s^alpha: the smallest stratum
+    keeps everything, larger strata flatten toward it; alpha=1 keeps
+    all rows; invalid alpha raises."""
+    import pytest as _pytest
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.sampling import (
+        temperature_mix,
+        temperature_rates,
+    )
+
+    rows = [(i, "big" if i < 900 else "small", i * 37 + 11)
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, h long")
+
+    out = temperature_mix(
+        df, key=F.col("h"), strat_col="src", alpha=0.5)
+    kept = {r["src"]: r["n"] for r in out.filter("keep")
+            .groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert kept["small"] == 100            # smallest stratum: rate 1
+    # big flattens toward sqrt: target 900*(900/100)^-0.5 = 300 ±hash noise
+    assert 240 <= kept["big"] <= 360
+    # alpha=1: natural distribution untouched
+    all_kept = temperature_mix(
+        df, key=F.col("h"), strat_col="src", alpha=1.0)
+    assert all_kept.filter("keep").count() == 1000
+    # rate math is exact at the formula level
+    rates = temperature_rates({"a": 400, "b": 100}, 0.0)
+    assert rates == {"a": 0.25, "b": 1.0}
+    with _pytest.raises(errors.Invalid):
+        temperature_rates({"a": 10}, 1.5)
+    with _pytest.raises(errors.Invalid):
+        temperature_rates({}, 0.5)
