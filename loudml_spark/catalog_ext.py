@@ -121,6 +121,63 @@ def q_sessionize_native_30m(spark, sf_dir):
     )
 
 
+def q_streaming_sessionize_30m(spark, sf_dir):
+    """Gap-based sessionization executed THROUGH Structured Streaming
+    (file source drained one file per trigger → session_window state
+    → memory sink, the q_streaming_detect_1h harness pattern): the
+    state store opens/merges sessions ACROSS micro-batches — the
+    staged files are ts-range splits consumed in arbitrary order, so
+    cross-batch merging is exercised for real — and the final
+    complete-mode output must equal the batch plan bit-for-bit.
+    Shares the batch query's oracle (SQL_SESSIONIZE_NATIVE_30M)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from loudml_spark.streaming.job import stream_sessionize
+
+    # 10% user slice: sessions are per-user, so the parity statement
+    # is identical while the per-call staging write stays small
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    ).select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("value").cast("decimal(18,2)").alias("value"),
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_sess_stream_")
+    name = "stream_sess_" + uuid.uuid4().hex[:8]
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        # 2 ts-range files → 2 micro-batches: exercises cross-batch
+        # session merging while paying complete-mode re-output (the
+        # whole session table re-materializes per trigger) only twice
+        ev.repartitionByRange(2, "ts").write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema(
+                "user_id bigint, ts timestamp, value decimal(18,2)")
+            .option("maxFilesPerTrigger", 1).parquet(tmp)
+        )
+        out = stream_sessionize(
+            stream, gap_seconds=1800, ts_col="ts", by=["user_id"],
+            value_col="value",
+        )
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        q.stop()
+        return spark.table(name).select(
+            "user_id", "session_start", "session_end", "n_events",
+            F.col("sum_value").cast("double").alias("sum_value"),
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 US = 10**6
 
 SQL_SESSIONIZE_NATIVE_30M = f"""
@@ -147,6 +204,11 @@ SELECT user_id,
 FROM s
 GROUP BY user_id, session_id
 """
+
+# the streaming query's 10%-user slice of the same construction
+SQL_STREAMING_SESSIONIZE_30M = SQL_SESSIONIZE_NATIVE_30M.replace(
+    "FROM events\n", "FROM events WHERE user_id % 10 = 0\n")
+
 
 
 # ------------------------------------------------------------ range join
@@ -2047,6 +2109,10 @@ EXT_QUERIES: dict[str, dict] = {
     "sessionize_users_30m": {
         "fn": q_sessionize_users_30m,
         "oracle": SQL_SESSIONIZE_USERS_30M,
+    },
+    "streaming_sessionize_30m": {
+        "fn": q_streaming_sessionize_30m,
+        "oracle": SQL_STREAMING_SESSIONIZE_30M,
     },
     "sessionize_native_30m": {
         "fn": q_sessionize_native_30m,
