@@ -549,3 +549,51 @@ def test_stream_heartbeat_alerts_rocksdb_state_store(spark, tmpdir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_checkpoint_restart_resumes_without_duplicates(spark, tmpdir):
+    """Crash-recovery semantics end-to-end: a query stopped after
+    draining the first files RESUMES from its checkpoint (offsets +
+    state) when restarted with the same checkpointLocation, processes
+    only the files that arrived since, and the idempotent parquet
+    sink holds every input row exactly once across both runs."""
+    from loudml_spark.streaming.job import idempotent_parquet_sink
+
+    src, out, ckpt = f"{tmpdir}/src", f"{tmpdir}/out", f"{tmpdir}/ckpt"
+    schema = "event_type string, ts long, value double"
+
+    def run_available():
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1").parquet(src)
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(idempotent_parquet_sink(out, ["event_type"]))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    # run 1: two files
+    _write_batch(spark, src, [("a", BASE, 1.0), ("a", BASE + 1, 2.0)],
+                 schema)
+    _write_batch(spark, src, [("b", BASE + 2, 3.0)], schema)
+    run_available()
+    first = spark.read.parquet(out)
+    assert first.count() == 3
+    batches_run1 = {r[0] for r in first.select("_batch_id").distinct()
+                    .collect()}
+
+    # run 2: one NEW file; restart from the same checkpoint
+    _write_batch(spark, src, [("a", BASE + 3, 4.0)], schema)
+    run_available()
+    final = spark.read.parquet(out)
+    # exactly once per input row — the old files were NOT reprocessed
+    assert final.count() == 4
+    rows = {(r["event_type"], r["ts"]): r["value"]
+            for r in final.collect()}
+    assert rows[("a", BASE + 3)] == 4.0
+    # the new batch continued the checkpointed batch-id sequence
+    batches_run2 = {r[0] for r in final.select("_batch_id").distinct()
+                    .collect()}
+    assert batches_run1 < batches_run2
