@@ -194,8 +194,14 @@ def streaming_tail(spark, sf_dir: str, work: str,
     )
 
     rate_path, alert_path = f"{work}/rate", f"{work}/alerts"
+    # the sentinels exist only to advance the heartbeat watermark —
+    # keep their fabricated (click, 0.0) samples out of the rate
+    # sink, where the 0.0 after real counter values would register
+    # as a bogus reset
     inc = stream_counter_increase(
-        stream.select("event_type", "ts", "value"), key_col="event_type")
+        stream.filter(F.col("ts") <= last)
+        .select("event_type", "ts", "value"),
+        key_col="event_type")
     q1 = (
         inc.writeStream.outputMode("append")
         .foreachBatch(idempotent_parquet_sink(rate_path, ["event_type"]))

@@ -137,12 +137,17 @@ def q_streaming_sessionize_30m(spark, sf_dir):
     from loudml_spark.streaming.job import stream_sessionize
 
     # 10% user slice: sessions are per-user, so the parity statement
-    # is identical while the per-call staging write stays small
+    # is identical while the per-call staging write stays small.
+    # The loader's ts is TIMESTAMP_NTZ: read the wall clock AS UTC
+    # under any session timezone (a bare NTZ→TIMESTAMP cast shifts
+    # by the session offset — the exact trap session_stats_native
+    # guards against).
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("user_id") % 10 == 0
     ).select(
         "user_id",
-        F.col("ts").cast("timestamp").alias("ts"),
+        F.expr("cast(convert_timezone('UTC', current_timezone(), ts) "
+               "as timestamp)").alias("ts"),
         F.col("value").cast("decimal(18,2)").alias("value"),
     )
     tmp = tempfile.mkdtemp(prefix="lms_sess_stream_")
@@ -169,10 +174,17 @@ def q_streaming_sessionize_30m(spark, sf_dir):
         )
         q.awaitTermination(300)
         q.stop()
-        return spark.table(name).select(
+        # localCheckpoint + drop the memory-sink view: the sink's
+        # full table otherwise stays registered (and resident in the
+        # driver) for the life of the session on every invocation;
+        # the checkpointed blocks are freed by the ContextCleaner
+        # once the returned frame is unreferenced
+        out_df = spark.table(name).select(
             "user_id", "session_start", "session_end", "n_events",
             F.col("sum_value").cast("double").alias("sum_value"),
-        )
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out_df
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)

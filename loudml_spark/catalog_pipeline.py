@@ -418,14 +418,18 @@ def _sql_temperature_mix_docs(sf_dir=None):
 
     sf_dir = sf_dir or "/root/testdata/sf0.01"
     con = duckdb.connect()
+    # NULL strata are excluded on BOTH sides (temperature_mix drops
+    # them from the counts; they fall to the CASE's ELSE = keep)
     counts = dict(con.execute(
         f"SELECT lang, COUNT(*) FROM "
-        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY lang"
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE lang IS NOT NULL GROUP BY lang"
     ).fetchall())
     con.close()
     rates = temperature_rates(counts, 0.5)
     case = " ".join(
-        f"WHEN '{s}' THEN {int(round(r * SPLIT_MOD))}"
+        "WHEN '{}' THEN {}".format(
+            str(s).replace("'", "''"), int(round(r * SPLIT_MOD)))
         for s, r in sorted(rates.items()))
     return f"""
 WITH f AS (SELECT doc_id, lang, {_SQL_FP} AS fp FROM documents),
@@ -1418,12 +1422,16 @@ def q_streaming_detect_1h(spark, sf_dir):
         )
         q.awaitTermination(300)
         q.stop()
-        # the memory sink holds the materialized rows in the driver —
-        # return it directly (no collect/re-create round trip; the
-        # temp source dir can be removed, the sink outlives it)
-        return spark.table(name).select(
+        # localCheckpoint + drop the memory-sink view: the sink's
+        # table otherwise stays registered in the catalog (and its
+        # rows resident in the driver) for the life of the session on
+        # every invocation; checkpointed blocks are freed by the
+        # ContextCleaner once the returned frame is unreferenced
+        out_df = spark.table(name).select(
             "model", "bucket_ts", "score", "is_anomaly", "episode_id"
-        )
+        ).localCheckpoint(eager=True)
+        spark.catalog.dropTempView(name)
+        return out_df
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)

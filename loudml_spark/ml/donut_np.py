@@ -273,22 +273,40 @@ class NumpyVAE:
         return vae
 
 
-class _Candidate:
-    """One (span, latent, hidden) config with its own VAE + window
-    matrices, trainable incrementally (successive-halving rungs add
-    epochs to survivors instead of retraining from scratch)."""
-
-    def __init__(self, span, ld, id_, scaled, mask, cut, seed):
-        self.span, self.ld, self.id_ = span, ld, id_
-        self.Xt = np.lib.stride_tricks.sliding_window_view(
-            scaled[:cut], span).copy()
-        self.Mt = np.lib.stride_tricks.sliding_window_view(
-            mask[:cut], span).copy()
+def _span_windows(span, scaled, mask, cut, cache):
+    """Window matrices depend only on span — share one read-only set
+    per span across every (latent, hidden) candidate instead of
+    copying O(n·span) arrays per config (with 2·max_evals candidates
+    alive at once, per-candidate copies multiply peak memory ~the
+    candidate count; in fleet mode this runs per key inside
+    executors' Python workers)."""
+    if span not in cache:
         lo = cut - span + 1
-        self.Xv = np.lib.stride_tricks.sliding_window_view(
-            scaled[lo:], span).copy()
-        self.Mv = np.lib.stride_tricks.sliding_window_view(
-            mask[lo:], span).copy()
+        cache[span] = (
+            np.lib.stride_tricks.sliding_window_view(
+                scaled[:cut], span).copy(),
+            np.lib.stride_tricks.sliding_window_view(
+                mask[:cut], span).copy(),
+            np.lib.stride_tricks.sliding_window_view(
+                scaled[lo:], span).copy(),
+            np.lib.stride_tricks.sliding_window_view(
+                mask[lo:], span).copy(),
+        )
+    return cache[span]
+
+
+class _Candidate:
+    """One (span, latent, hidden) config with its VAE + span-shared
+    window matrices, trainable incrementally (successive-halving
+    rungs add epochs to survivors instead of retraining from
+    scratch).  The shared matrices are never mutated: fit() copies
+    its mini-batches and val_loss() copies the query mask."""
+
+    def __init__(self, span, ld, id_, scaled, mask, cut, seed,
+                 win_cache):
+        self.span, self.ld, self.id_ = span, ld, id_
+        self.Xt, self.Mt, self.Xv, self.Mv = _span_windows(
+            span, scaled, mask, cut, win_cache)
         self.vae = NumpyVAE(span, ld, id_, seed)
         self.seed = seed
         self.epochs_spent = 0
@@ -383,7 +401,8 @@ def search_hyperparams_np(
     if not configs:
         raise ValueError(
             "series too short for any candidate span in the search grid")
-    cands = [_Candidate(s, ld, id_, scaled, mask, cut, seed)
+    win_cache: dict = {}
+    cands = [_Candidate(s, ld, id_, scaled, mask, cut, seed, win_cache)
              for s, ld, id_ in configs]
 
     def ranked(cs):

@@ -608,8 +608,8 @@ def auto_hyperparams(
     (donut.py:813-855: latent ∈ {3,5,8}, neurons ∈ the Fibonacci run
     {21..233}, span from the model spec) made deterministic and
     ADAPTIVE: the default ``"sha"`` strategy runs successive halving
-    (3× the candidates of a flat sample start at a fraction of the
-    epochs; the top third by validation loss survives each rung and
+    (2× the candidates of a flat sample start at a quarter of the
+    epochs; the top half by validation loss survives each rung and
     trains on) under the same total-epoch budget as ``max_evals``
     full trainings; ``"grid"`` is the budget-equal seeded uniform
     sample it is gated to beat-or-tie.  Candidates score on

@@ -57,13 +57,31 @@ def _shingle_index_col(w: Column, n: int) -> Column:
 
 
 _PERSISTED: list = []
+# bound on simultaneously persisted LSH frames: each call persists a
+# fresh (id, sh, sig) frame (the dominant-size intermediate), so a
+# repeated caller (bench reps, a long-lived service) would otherwise
+# accumulate them until an explicit release.  Evicting the OLDEST
+# beyond this cap is always correct — an evicted frame still
+# referenced by a live plan is simply recomputed on next use.
+_PERSIST_CAP = 2
+
+
+def _persist_bounded(df) -> None:
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSIST_CAP:
+        old = _PERSISTED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass
 
 
 def release_persisted() -> None:
     """Unpersist frames cached by dedup operators (the LSH shingle/
     signature frame).  Wired into catalog.release_caches so bench /
     test teardown drops them; long-lived callers invoking
-    minhash_lsh_pairs repeatedly should call this between batches."""
+    minhash_lsh_pairs repeatedly are additionally protected by the
+    _PERSIST_CAP LRU eviction."""
     while _PERSISTED:
         df = _PERSISTED.pop()
         try:
@@ -304,7 +322,7 @@ def minhash_lsh_pairs(
         _shingle_sig_udf(n, tokenizer)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    _PERSISTED.append(sig)
+    _persist_bounded(sig)
     # Eager materialization: three plan branches consume `sig`, and a
     # lazy persist lets Spark schedule those stages concurrently —
     # each races to compute-and-cache the same partitions, paying the

@@ -165,6 +165,10 @@ def temperature_mix(
     if counts is None:
         counts = {r[0]: r[1] for r in
                   df.groupBy(strat_col).count().collect()}
+    # a NULL stratum can't key the equality comparison (and would
+    # crash the rate math / skew n_min) — NULL-stratum rows fall to
+    # default_rate = 1.0 (kept), matching the oracle's ELSE branch
+    counts = {s: n for s, n in counts.items() if s is not None}
     rates = temperature_rates(counts, alpha)
     return stratified_sample(
         df, key=key, strat_col=strat_col, rates=rates,

@@ -521,4 +521,19 @@ def dedup_lines(
             ),
         ).alias(text_col),
     )
-    return per_doc
+    # a doc whose every line was blank (or whose text is empty/null)
+    # has no rows after the length filter — re-attach it with empty
+    # text instead of silently dropping it from the corpus (a caller
+    # joining the result back would otherwise lose documents outside
+    # any quality gate's audit trail)
+    ids = df.select(id_col).distinct()
+    return (
+        ids.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("n_lines_dropped", F.lit(0))
+            .alias("n_lines_dropped"),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )

@@ -274,7 +274,7 @@ def test_sha_search_beats_or_ties_grid_at_equal_budget(spark):
     sha = auto_hyperparams(df, strategy="sha", **kw)
     grid = auto_hyperparams(df, strategy="grid", **kw)
     assert sha["loss"] <= grid["loss"]
-    # SHA explores 3x the configurations for the same budget
+    # SHA explores 2x the configurations for the same budget
     assert sha["n_evals"] >= grid["n_evals"]
     # deterministic
     assert sha == auto_hyperparams(df, strategy="sha", **kw)

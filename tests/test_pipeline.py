@@ -678,10 +678,15 @@ def test_dedup_lines_boilerplate_removal(spark):
         (3, "FOOTER\ncharlie"),
         (4, "FOOTER"),          # nothing survives
         (5, "  padded  \ndelta"),
+        (6, ""),                # empty doc must NOT vanish
+        (7, None),              # null text must NOT vanish
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    got = {r["doc_id"]: r for r in
-           dedup_lines(df, max_doc_freq=2).collect()}
+    out = dedup_lines(df, max_doc_freq=2)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6, 7}  # every input doc present
+    assert got[6]["text"] == "" and got[6]["n_lines_kept"] == 0
+    assert got[7]["text"] == "" and got[7]["n_lines_dropped"] == 0
     # FOOTER occurs in 4 docs -> dropped everywhere
     assert got[1]["text"] == "alpha one\nbravo"
     assert got[1]["n_lines_kept"] == 2
@@ -728,6 +733,13 @@ def test_temperature_mix_flattens_distribution(spark):
     # rate math is exact at the formula level
     rates = temperature_rates({"a": 400, "b": 100}, 0.0)
     assert rates == {"a": 0.25, "b": 1.0}
+    # NULL strata are excluded from the rate math and kept wholesale
+    df_null = spark.createDataFrame(
+        [(1, None, 5), (2, "a", 6), (3, "a", 7)],
+        "doc_id long, src string, h long")
+    outn = temperature_mix(
+        df_null, key=F.col("h"), strat_col="src", alpha=0.0)
+    assert outn.filter("src IS NULL AND keep").count() == 1
     with _pytest.raises(errors.Invalid):
         temperature_rates({"a": 10}, 1.5)
     with _pytest.raises(errors.Invalid):

@@ -597,3 +597,27 @@ def test_checkpoint_restart_resumes_without_duplicates(spark, tmpdir):
     batches_run2 = {r[0] for r in final.select("_batch_id").distinct()
                     .collect()}
     assert batches_run1 < batches_run2
+
+
+def test_streaming_sessionize_query_tz_independent(spark):
+    """The catalog's streaming sessionization must produce identical
+    epoch-µs sessions under any session timezone: the events table's
+    NTZ wall clock is read AS UTC via convert_timezone (a bare
+    NTZ→TIMESTAMP cast would shift every instant by the session
+    offset and move session boundaries)."""
+    from loudml_spark.catalog import QUERIES
+
+    fn = QUERIES["streaming_sessionize_30m"]["fn"]
+    sf = "/root/testdata/sf0.001"
+    base = fn(spark, sf).agg(
+        F.min("session_start"), F.max("session_end"),
+        F.count("*"), F.sum("n_events")).collect()[0]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        tokyo = fn(spark, sf).agg(
+            F.min("session_start"), F.max("session_end"),
+            F.count("*"), F.sum("n_events")).collect()[0]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert tuple(base) == tuple(tokyo)
