@@ -440,6 +440,74 @@ FROM b
 """
 
 
+def q_sample_16_per_lang(spark, sf_dir):
+    """EXACTLY-16-per-language deterministic sample (eval-set
+    carving): rows rank by (fingerprint bucket, doc_id) within each
+    language; the first 16 survive — same 16 every run, any engine.
+    One shuffle on the language key; strata sort independently.
+    Oracle: the identical ROW_NUMBER construction."""
+    from loudml_spark.pipeline.sampling import sample_exact_k
+    from loudml_spark.pipeline.text import rolling_hash_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", rolling_hash_col(F.col("text")).alias("fp"))
+    out = sample_exact_k(
+        docs, key=F.col("fp"), k=16, order_col="doc_id", by=["lang"],
+        rank_col="rank")
+    return out.select("doc_id", "lang", "rank")
+
+
+SQL_SAMPLE_16_PER_LANG = f"""
+WITH f AS (SELECT doc_id, lang, {_SQL_FP} AS fp FROM documents),
+r AS (
+  SELECT doc_id, lang,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY fp % 10000, doc_id
+         ) AS INTEGER) AS rank
+  FROM f
+)
+SELECT doc_id, lang, rank FROM r WHERE rank <= 16
+"""
+
+
+def q_normalize_text_docs(spark, sf_dir):
+    """Canonical text normalization (pre-dedup step): lowercase,
+    control-char strip, whitespace-run collapse, trim — pure Column
+    regex, map-only.  BOTH engines seed deterministic mess (an
+    upper-cased prefix, a tab, doubled spaces) so every rule fires;
+    output is the normalized text plus a changed audit flag."""
+    from loudml_spark.pipeline.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 300")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HEADER\t"), F.col("text"),
+            F.lit("  trailing  double  spaces "),
+        ).alias("text"),
+    )
+    out = normalize_text(seeded)
+    return out.select("doc_id", "text_norm", "changed")
+
+
+SQL_NORMALIZE_TEXT_DOCS = """
+WITH seeded AS (
+  SELECT doc_id,
+         'HEADER' || chr(9) || text || '  trailing  double  spaces '
+           AS text
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text),
+            '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS text_norm,
+       trim(regexp_replace(regexp_replace(lower(text),
+            '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+            '\\s+', ' ', 'g')) <> text AS changed
+FROM seeded
+"""
+
+
 def q_pack_shards_docs(spark, sf_dir):
     """Token-budget shard packing (corpus → training shards): walking
     docs per language in doc_id order, each doc lands in shard
@@ -1558,6 +1626,12 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "temperature_mix_docs": {
         "fn": q_temperature_mix_docs,
         "oracle_fn": _sql_temperature_mix_docs},
+    "sample_16_per_lang": {
+        "fn": q_sample_16_per_lang,
+        "oracle": SQL_SAMPLE_16_PER_LANG},
+    "normalize_text_docs": {
+        "fn": q_normalize_text_docs,
+        "oracle": SQL_NORMALIZE_TEXT_DOCS},
     "embedding_centroids": {
         "fn": q_embedding_centroids,
         "oracle": SQL_EMBEDDING_CENTROIDS},

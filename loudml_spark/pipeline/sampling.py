@@ -214,3 +214,47 @@ def pack_shards(
         .withColumn("shard_offset",
                     before - shard * F.lit(int(budget)))
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    *,
+    key: Column,
+    k: int,
+    order_col: str,
+    by: "tuple[str, ...] | list[str]" = (),
+    rank_col: str | None = None,
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample (eval-set carving:
+    "give me 500 docs per language, the same 500 every run"):
+    rows rank by (content-hash bucket, ``order_col``) within each
+    ``by`` stratum and the first ``k`` survive.  Unlike a
+    fraction-based sample the size is exact, and unlike ``LIMIT`` the
+    choice is content-stable — adding unrelated rows can displace at
+    most the boundary ranks.
+
+    ``order_col`` must be a unique column (e.g. the id): it breaks
+    hash-bucket ties so the rank is a total order and the selection
+    deterministic across engines.
+
+    Scale shape: one shuffle on the ``by`` keys; each stratum sorts
+    in its own partition(s) — strata parallelize, and the sort is
+    bounded by the largest stratum, not the corpus.  The unkeyed
+    form is a single global sort: bounded inputs only.  Returns the
+    input columns plus the 1-based rank (``rank_col``, default
+    dropped) filtered to rank ≤ k.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise errors.Invalid("k must be >= 1")
+    if order_col not in df.columns:
+        raise errors.Invalid(f"missing order column {order_col!r}")
+    by = list(by)
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()) \
+        .orderBy(split_bucket(key), F.col(order_col))
+    out = df.withColumn("__rank", F.row_number().over(w)) \
+        .filter(F.col("__rank") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rank", rank_col)
+    return out.drop("__rank")

@@ -537,3 +537,29 @@ def dedup_lines(
             F.coalesce(text_col, F.lit("")).alias(text_col),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+) -> DataFrame:
+    """Canonical text normalization (the pre-dedup / pre-fingerprint
+    step): lowercase, strip ASCII control characters, collapse
+    whitespace runs to single spaces, trim.  Pure Column regex —
+    map-only, whole-stage-codegen'd, no Python boundary — and every
+    step is expressible verbatim in ANSI SQL for oracle parity.
+    (Unicode NFKC folding needs ICU and is NOT applied; normalize
+    upstream if the corpus requires it.)
+
+    Adds ``out_col`` plus ``changed`` (boolean: normalization
+    altered the text) for drop/rewrite audits."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.col(text_col)),
+                "[\\x00-\\x1f\\x7f]", " "),
+            "\\s+", " "),
+    )
+    return df.withColumn(out_col, norm).withColumn(
+        "changed", F.col(out_col) != F.col(text_col))

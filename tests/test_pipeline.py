@@ -744,3 +744,45 @@ def test_temperature_mix_flattens_distribution(spark):
         temperature_rates({"a": 10}, 1.5)
     with _pytest.raises(errors.Invalid):
         temperature_rates({}, 0.5)
+
+
+def test_sample_exact_k_deterministic(spark):
+    """Exactly k rows per stratum, stable across runs/repartitions,
+    ranked by (hash bucket, order_col); k >= stratum size keeps all."""
+    from loudml_spark.pipeline.sampling import sample_exact_k
+
+    rows = [(i, "a" if i < 30 else "b", i * 37 + 11) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, s string, h long")
+    out = sample_exact_k(
+        df, key=F.col("h"), k=5, order_col="doc_id", by=["s"],
+        rank_col="rank")
+    got = out.collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["s"], []).append(r["doc_id"])
+    assert len(per["a"]) == 5 and len(per["b"]) == 5
+    # stable under repartition
+    out2 = sample_exact_k(
+        df.repartition(7), key=F.col("h"), k=5, order_col="doc_id",
+        by=["s"], rank_col="rank")
+    assert sorted((r["s"], r["doc_id"]) for r in out2.collect()) == \
+        sorted((r["s"], r["doc_id"]) for r in got)
+    # k larger than the stratum keeps everything
+    assert sample_exact_k(
+        df, key=F.col("h"), k=100, order_col="doc_id", by=["s"]
+    ).count() == 40
+
+
+def test_normalize_text_rules(spark):
+    """Lowercase, control-char strip, whitespace collapse, trim, and
+    the changed audit flag."""
+    from loudml_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "Hello\tWorld  twice "), (2, "already clean")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert got[1]["text_norm"] == "hello world twice"
+    assert got[1]["changed"] is True
+    assert got[2]["text_norm"] == "already clean"
+    assert got[2]["changed"] is False
