@@ -162,10 +162,15 @@ def streaming_tail(spark, sf_dir: str, work: str,
     )
 
     src = f"{work}/src"
+    # loader ts is TIMESTAMP_NTZ: read the wall clock AS UTC under
+    # any session timezone (a bare NTZ→TIMESTAMP cast shifts real
+    # events by the session offset while the epoch-built sentinels
+    # would not — skewing the gap geometry)
     staged = load_table(spark, sf_dir, "events").select(
         "event_type",
         (F.col("ts_ns") / F.lit(NS)).cast("long").alias("ts"),
-        F.col("ts").cast("timestamp").alias("tstamp"),
+        F.expr("cast(convert_timezone('UTC', current_timezone(), ts) "
+               "as timestamp)").alias("tstamp"),
         "value",
     )
     # several ts-ordered files => several watermark advances

@@ -132,9 +132,11 @@ def q_streaming_sessionize_30m(spark, sf_dir):
     Shares the batch query's oracle (SQL_SESSIONIZE_NATIVE_30M)."""
     import shutil
     import tempfile
-    import uuid
 
-    from loudml_spark.streaming.job import stream_sessionize
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_sessionize,
+    )
 
     # 10% user slice: sessions are per-user, so the parity statement
     # is identical while the per-call staging write stays small.
@@ -151,7 +153,6 @@ def q_streaming_sessionize_30m(spark, sf_dir):
         F.col("value").cast("decimal(18,2)").alias("value"),
     )
     tmp = tempfile.mkdtemp(prefix="lms_sess_stream_")
-    name = "stream_sess_" + uuid.uuid4().hex[:8]
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     try:
@@ -168,23 +169,12 @@ def q_streaming_sessionize_30m(spark, sf_dir):
             stream, gap_seconds=1800, ts_col="ts", by=["user_id"],
             value_col="value",
         )
-        q = (
-            out.writeStream.format("memory").queryName(name)
-            .outputMode("complete").trigger(availableNow=True).start()
+        return drain_stream_to_df(
+            out,
+            ["user_id", "session_start", "session_end", "n_events",
+             F.col("sum_value").cast("double").alias("sum_value")],
+            output_mode="complete", prefix="stream_sess",
         )
-        q.awaitTermination(300)
-        q.stop()
-        # localCheckpoint + drop the memory-sink view: the sink's
-        # full table otherwise stays registered (and resident in the
-        # driver) for the life of the session on every invocation;
-        # the checkpointed blocks are freed by the ContextCleaner
-        # once the returned frame is unreferenced
-        out_df = spark.table(name).select(
-            "user_id", "session_start", "session_end", "n_events",
-            F.col("sum_value").cast("double").alias("sum_value"),
-        ).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(name)
-        return out_df
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)

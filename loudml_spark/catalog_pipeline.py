@@ -1464,16 +1464,17 @@ def q_streaming_detect_1h(spark, sf_dir):
     so the streaming path itself is oracle-checked."""
     import shutil
     import tempfile
-    import uuid
 
     from loudml_spark.catalog import _scored_series
-    from loudml_spark.streaming.job import stateful_detect_stream
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stateful_detect_stream,
+    )
 
     scored = _scored_series(spark, sf_dir).select(
         F.lit("m1").alias("model"), "bucket_ts", "score"
     )
     tmp = tempfile.mkdtemp(prefix="lms_stream_")
-    name = "stream_detect_" + uuid.uuid4().hex[:8]
     # one small series → dozens of state-store partitions is pure
     # overhead (a state dir + commit per partition per batch)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -1484,22 +1485,11 @@ def q_streaming_detect_1h(spark, sf_dir):
             "model string, bucket_ts long, score double"
         ).parquet(tmp)
         out = stateful_detect_stream(stream, key_col="model")
-        q = (
-            out.writeStream.format("memory").queryName(name)
-            .outputMode("append").trigger(availableNow=True).start()
+        return drain_stream_to_df(
+            out,
+            ["model", "bucket_ts", "score", "is_anomaly", "episode_id"],
+            prefix="stream_detect",
         )
-        q.awaitTermination(300)
-        q.stop()
-        # localCheckpoint + drop the memory-sink view: the sink's
-        # table otherwise stays registered in the catalog (and its
-        # rows resident in the driver) for the life of the session on
-        # every invocation; checkpointed blocks are freed by the
-        # ContextCleaner once the returned frame is unreferenced
-        out_df = spark.table(name).select(
-            "model", "bucket_ts", "score", "is_anomaly", "episode_id"
-        ).localCheckpoint(eager=True)
-        spark.catalog.dropTempView(name)
-        return out_df
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         shutil.rmtree(tmp, ignore_errors=True)

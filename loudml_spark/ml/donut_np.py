@@ -311,6 +311,7 @@ class _Candidate:
         self.seed = seed
         self.epochs_spent = 0
         self._opt: dict = {}
+        self._loss_at: tuple | None = None  # (epochs_spent, loss)
 
     def train(self, extra_epochs: int) -> None:
         # optimizer state persists across rungs, so chunked training
@@ -322,14 +323,24 @@ class _Candidate:
 
     def val_loss(self) -> float:
         """Chronological-validation masked-last-point reconstruction
-        MSE — the quantity ``predict`` minimizes."""
+        MSE — the quantity ``predict`` minimizes.  Memoized per
+        training state: the full reconstruct pass (MCMC + MC draws
+        over every validation window) is deterministic given the
+        weights, and rung ranking + the final report would otherwise
+        re-run it several times per candidate (per KEY in fleet
+        mode)."""
+        if self._loss_at is not None and \
+                self._loss_at[0] == self.epochs_spent:
+            return self._loss_at[1]
         Mq = self.Mv.copy()
         Mq[:, -1] = 0.0
         mu, _ = self.vae.reconstruct(
             self.Xv, Mq, np.random.default_rng(self.seed + 7))
         obs = self.Mv[:, -1] > 0
         err = (mu[:, -1] - self.Xv[:, -1])[obs]
-        return float(np.mean(err * err)) if err.size else float("inf")
+        loss = float(np.mean(err * err)) if err.size else float("inf")
+        self._loss_at = (self.epochs_spent, loss)
+        return loss
 
 
 def search_hyperparams_np(

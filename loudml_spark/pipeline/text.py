@@ -561,5 +561,8 @@ def normalize_text(
                 "[\\x00-\\x1f\\x7f]", " "),
             "\\s+", " "),
     )
+    # null-safe: NULL text yields changed = False, not NULL — a
+    # caller splitting the audit into changed / NOT changed would
+    # otherwise lose null-text docs from BOTH partitions
     return df.withColumn(out_col, norm).withColumn(
-        "changed", F.col(out_col) != F.col(text_col))
+        "changed", ~F.col(out_col).eqNullSafe(F.col(text_col)))

@@ -218,9 +218,20 @@ class ScheduledJobRegistry:
             if sj.next_run_at <= now:
                 # bind BOTH desc and fn as defaults: the lambda runs on
                 # a registry thread after this loop has moved on, and a
-                # late-bound `sj` would resolve to the last job iterated
+                # late-bound `sj` would resolve to the last job iterated.
+                # Pool routing reads the SPEC, not the user-chosen job
+                # name: a schedule whose relative_url targets _train
+                # is a training job whatever it is called (a name
+                # heuristic would put 'nightly retrain' in the query
+                # pool and starve interactive reads — the exact
+                # failure the pool split prevents).
+                from loudml_spark.jobs import TRAIN_POOL
+
+                url = str(sj.desc.get("relative_url", ""))
+                pool = TRAIN_POOL if "_train" in url else None
                 job = self.jobs.submit(
-                    sj.name, lambda d=sj.desc, f=sj.fn: f(d))
+                    sj.name, lambda d=sj.desc, f=sj.fn: f(d),
+                    pool=pool)
                 sj.runs.append(job)
                 sj.n_fired += 1
                 if len(sj.runs) > sj.MAX_RUNS:

@@ -156,6 +156,44 @@ def stream_dedupe(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+def drain_stream_to_df(
+    out_stream: DataFrame,
+    columns: Sequence[str],
+    *,
+    output_mode: str = "append",
+    timeout: int = 300,
+    prefix: str = "drain",
+) -> DataFrame:
+    """Run a BOUNDED streaming plan to completion and hand back the
+    result as a regular DataFrame: memory sink + availableNow
+    trigger, await, then ``localCheckpoint(eager)`` the selected
+    columns and DROP the sink's temp view — without the drop, every
+    invocation leaks one fully-materialized result table into the
+    session catalog (and driver memory) for the session's lifetime;
+    the checkpointed blocks are freed by the ContextCleaner once the
+    returned frame is unreferenced.
+
+    This is the batch↔streaming parity harness the oracle-paired
+    streaming catalog queries share (streaming_detect_1h,
+    streaming_sessionize_30m): the caller stages a bounded source,
+    builds the streaming plan, and compares the drained frame to the
+    batch oracle."""
+    import uuid
+
+    spark = out_stream.sparkSession
+    name = prefix + "_" + uuid.uuid4().hex[:8]
+    q = (
+        out_stream.writeStream.format("memory").queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(timeout)
+    q.stop()
+    out = spark.table(name).select(*columns).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def idempotent_parquet_sink(out_dir: str, partition_cols: Sequence[str] = ()):
     """Production ``foreachBatch`` sink: partitioned parquet with
     BATCH-ID idempotence.

@@ -182,3 +182,28 @@ def test_job_scheduler_pool_by_type(spark):
     # explicit override wins
     assert reg.submit("eval[m1]", read_pool,
                       pool="training").wait(30) == "training"
+
+
+def test_scheduled_train_jobs_route_to_training_pool(spark):
+    """Pool routing for SCHEDULED jobs reads the spec's relative_url,
+    not the user-chosen schedule name: a retrain schedule named
+    anything still lands in the training pool."""
+    from loudml_spark.scheduler import ScheduledJobRegistry
+
+    reg = ScheduledJobRegistry(JobRegistry(spark))
+
+    def read_pool(desc):
+        return spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+
+    reg.add({"name": "nightly refresh",  # name says nothing about type
+             "relative_url": "/models/m1/_train",
+             "every": {"count": 1, "unit": "seconds"}},
+            read_pool, now=0.0)
+    reg.add({"name": "scoring sweep",
+             "relative_url": "/models/m1/_eval",
+             "every": {"count": 1, "unit": "seconds"}},
+            read_pool, now=0.0)
+    jobs = reg.run_pending(now=10.0)
+    got = {j.name: j.wait(30) for j in jobs}
+    assert got["nightly refresh"] == "training"
+    assert got["scoring sweep"] == "queries"
