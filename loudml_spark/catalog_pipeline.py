@@ -673,6 +673,60 @@ LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
+CORPUS_SPLIT_ID = 400  # doc_id < 400 = existing corpus, rest = delta
+
+
+def q_incremental_new_docs(spark, sf_dir):
+    """Incremental-ingestion exact dedup: which delta docs
+    (doc_id ≥ {split}) already exist verbatim in the corpus
+    (doc_id < {split})?  One equi-join of the delta against the
+    corpus' per-text minima.  Oracle: the same LEFT JOIN."""
+    from loudml_spark.pipeline.dedup import incremental_exact_new
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < CORPUS_SPLIT_ID)
+    delta = docs.filter((F.col("doc_id") >= CORPUS_SPLIT_ID)
+                        & (F.col("doc_id") < 1000))
+    return incremental_exact_new(delta, corpus)
+
+
+SQL_INCREMENTAL_NEW_DOCS = f"""
+WITH idx AS (
+  SELECT text, MIN(doc_id) AS dup_of FROM documents
+  WHERE doc_id < {CORPUS_SPLIT_ID} GROUP BY text
+)
+SELECT d.doc_id, idx.dup_of IS NULL AS is_new, idx.dup_of
+FROM documents d LEFT JOIN idx USING (text)
+WHERE d.doc_id >= {CORPUS_SPLIT_ID} AND d.doc_id < 1000
+"""
+
+
+def q_incremental_lsh_pairs_docs(spark, sf_dir):
+    """Incremental near-dup detection: LSH pairs BETWEEN the delta
+    (doc_id ≥ {split}) and the corpus (doc_id < {split}) at
+    jaccard ≥ 0.8 — the daily-crawl ingestion shape (the cross-frame
+    band join moves only (id, band, key); corpus×corpus never
+    re-runs).  Oracle: the full-corpus banding CTEs filtered to
+    cross pairs (corpus ids sort below delta ids, so id_a < {split}
+    ≤ id_b selects exactly the cross-frame candidates)."""
+    from loudml_spark.pipeline.dedup import incremental_minhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    corpus = docs.filter(F.col("doc_id") < CORPUS_SPLIT_ID)
+    delta = docs.filter(F.col("doc_id") >= CORPUS_SPLIT_ID)
+    return incremental_minhash_pairs(
+        delta, corpus, n=1, bands=2, threshold=0.8)
+
+
+SQL_INCREMENTAL_LSH_PAIRS_DOCS = f"""
+WITH {_SQL_LSH_CTES}
+SELECT id_a AS corpus_id, id_b AS new_id, jaccard
+FROM j
+WHERE jaccard >= 0.8
+  AND id_a < {CORPUS_SPLIT_ID} AND id_b >= {CORPUS_SPLIT_ID}
+"""
+
+
 def q_ngram_jaccard_pairs_docs(spark, sf_dir):
     """Prefix-filtered inverted-index all-pairs join (PPJoin-style) —
     exact same output as the naive O(N²) verifier, which is retired
@@ -1619,6 +1673,12 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "sample_16_per_lang": {
         "fn": q_sample_16_per_lang,
         "oracle": SQL_SAMPLE_16_PER_LANG},
+    "incremental_new_docs": {
+        "fn": q_incremental_new_docs,
+        "oracle": SQL_INCREMENTAL_NEW_DOCS},
+    "incremental_lsh_pairs_docs": {
+        "fn": q_incremental_lsh_pairs_docs,
+        "oracle": SQL_INCREMENTAL_LSH_PAIRS_DOCS},
     "normalize_text_docs": {
         "fn": q_normalize_text_docs,
         "oracle": SQL_NORMALIZE_TEXT_DOCS},

@@ -287,6 +287,42 @@ def minhash_signatures(
     )
 
 
+def _banded_keys(sig: DataFrame, bands: int, r: int) -> DataFrame:
+    """(id, band, key) rows from an (id, sig) frame — the band key
+    combines r signature values into one int64, and ONLY the id
+    rides into the band shuffle (the shingle set stays out)."""
+    return sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (F.element_at("sig", b * r + j + 1) * (31 ** j)
+                     for j in range(1, r)),
+                    F.element_at("sig", b * r + 1),
+                ).alias("key"),
+            )
+            for b in range(bands)
+        ])).alias("bk"),
+    ).select("id", "bk.band", "bk.key")
+
+
+def _shingle_sig_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int, tokenizer: str,
+) -> DataFrame:
+    """(id, sh, sig) via the single fused Arrow pass, persisted
+    (bounded registry) and eagerly materialized — see
+    minhash_lsh_pairs for why both matter."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _shingle_sig_udf(n, tokenizer)(F.col(text_col)).alias("ss"),
+    ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    _persist_bounded(sig)
+    sig.count()
+    return sig
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -330,22 +366,7 @@ def minhash_lsh_pairs(
     # cold at sf0.1).  One blocking count runs the pass exactly once
     # into the cache before any consumer stage launches.
     sig.count()
-    # band key: combine r signature values into one int64; only the
-    # id rides along — the set stays out of the band shuffle
-    keys = sig.select(
-        "id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (F.element_at("sig", b * r + j + 1) * (31 ** j)
-                     for j in range(1, r)),
-                    F.element_at("sig", b * r + 1),
-                ).alias("key"),
-            )
-            for b in range(bands)
-        ])).alias("bk"),
-    ).select("id", "bk.band", "bk.key")
+    keys = _banded_keys(sig, bands, r)
 
     cand_ids = (
         keys.alias("a").join(
@@ -379,6 +400,92 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_exact_new(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    key_cols: Sequence[str] = ("text",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental-ingestion exact dedup: for every document in the
+    NEW batch, is it already in the corpus?  Returns the new batch's
+    (id, is_new, dup_of) — ``dup_of`` is the lowest corpus id with
+    identical content (null when genuinely new).
+
+    One equi-join of the new batch against the corpus' per-key
+    minima on the content key; the corpus side reduces to one row
+    per distinct key before the join (map-side combined), so the
+    join input is |distinct corpus keys|, not corpus rows.  This is
+    the daily-delta shape: the corpus×corpus pass ran when the
+    corpus landed, and each new batch pays only delta×index."""
+    key_cols = list(key_cols)
+    index = corpus_df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("dup_of"))
+    out = new_df.select(id_col, *key_cols).join(
+        index, key_cols, "left")
+    return out.select(
+        id_col,
+        F.col("dup_of").isNull().alias("is_new"),
+        "dup_of",
+    )
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    bands: int = 4,
+    threshold: float = 0.5,
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """Incremental near-dup detection: LSH candidate pairs BETWEEN a
+    new batch and the existing corpus (never corpus×corpus — that
+    ran when the corpus landed), verified with exact Jaccard.
+    Returns (corpus_id, new_id, jaccard) with jaccard ≥ threshold.
+
+    Same shuffle discipline as minhash_lsh_pairs: the cross-frame
+    band join moves only (id, band, key); shingle sets join back by
+    id.  At production scale the corpus' band keys are computed once
+    and STORED (they are pure functions of the text), so each daily
+    delta pays one map pass over itself plus an equi-join against
+    the persisted key table."""
+    r = N_HASHES // bands
+    sig_new = _shingle_sig_frame(new_df, text_col, id_col, n, tokenizer)
+    sig_corpus = _shingle_sig_frame(
+        corpus_df, text_col, id_col, n, tokenizer)
+    cand = (
+        _banded_keys(sig_corpus, bands, r).alias("a")
+        .join(
+            _banded_keys(sig_new, bands, r).alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.id").alias("corpus_id"),
+            F.col("b.id").alias("new_id"),
+        )
+        .dropDuplicates(["corpus_id", "new_id"])
+    )
+    pairs = (
+        cand
+        .join(sig_corpus.select(F.col("id").alias("corpus_id"),
+                                F.col("sh").alias("sh_a")), "corpus_id")
+        .join(sig_new.select(F.col("id").alias("new_id"),
+                             F.col("sh").alias("sh_b")), "new_id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
+        .otherwise(F.lit(0.0))
+    return (
+        pairs.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("corpus_id", "new_id", "jaccard")
     )
 
 

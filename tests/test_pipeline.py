@@ -786,3 +786,38 @@ def test_normalize_text_rules(spark):
     assert got[1]["changed"] is True
     assert got[2]["text_norm"] == "already clean"
     assert got[2]["changed"] is False
+
+
+def test_incremental_dedup_cross_frame_only(spark, docs):
+    """Incremental ingestion: exact dup_of points at the lowest
+    corpus id; LSH pairs are strictly cross-frame (never
+    corpus×corpus or delta×delta) and match the full-run pairs
+    restricted to cross pairs."""
+    from loudml_spark.pipeline.dedup import (
+        incremental_exact_new,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+    )
+
+    corpus = docs.filter("doc_id < 2")    # docs 0,1 (identical text)
+    delta = docs.filter("doc_id >= 2")    # docs 2,3,4
+
+    # delta doc 2 is a near-dup (not exact) -> genuinely new exactly
+    got = {r["doc_id"]: r for r in
+           incremental_exact_new(delta, corpus).collect()}
+    assert all(got[i]["is_new"] for i in (2, 3, 4))
+    # an exact copy in the delta resolves to the LOWEST corpus id
+    delta2 = delta.union(
+        docs.filter("doc_id = 0").selectExpr("99 as doc_id", "text"))
+    got2 = {r["doc_id"]: r for r in
+            incremental_exact_new(delta2, corpus).collect()}
+    assert got2[99]["is_new"] is False and got2[99]["dup_of"] == 0
+
+    inc = {(r["corpus_id"], r["new_id"]): r["jaccard"] for r in
+           incremental_minhash_pairs(
+               delta, corpus, n=1, threshold=0.5).collect()}
+    full = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+            minhash_lsh_pairs(docs, n=1, threshold=0.5).collect()}
+    cross = {(a, b): j for (a, b), j in full.items() if a < 2 <= b}
+    assert inc == cross and len(inc) > 0
+    assert all(a < 2 <= b for a, b in inc)
