@@ -709,13 +709,23 @@ def q_incremental_lsh_pairs_docs(spark, sf_dir):
     re-runs).  Oracle: the full-corpus banding CTEs filtered to
     cross pairs (corpus ids sort below delta ids, so id_a < {split}
     ≤ id_b selects exactly the cross-frame candidates)."""
-    from loudml_spark.pipeline.dedup import incremental_minhash_pairs
+    from loudml_spark.pipeline.dedup import (
+        _shingle_sig_frame,
+        incremental_minhash_pairs,
+    )
 
-    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
-    corpus = docs.filter(F.col("doc_id") < CORPUS_SPLIT_ID)
-    delta = docs.filter(F.col("doc_id") >= CORPUS_SPLIT_ID)
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    # the production shape: signatures computed ONCE (stored at
+    # landing time); corpus and delta sides are filters of the same
+    # persisted frame, so the Arrow shingle pass runs once, not twice
+    sig = _shingle_sig_frame(docs, "text", "doc_id", 1, "whitespace")
     return incremental_minhash_pairs(
-        delta, corpus, n=1, bands=2, threshold=0.8)
+        None, None, n=1, bands=2, threshold=0.8,
+        new_sig=sig.filter(F.col("id") >= CORPUS_SPLIT_ID),
+        corpus_sig=sig.filter(F.col("id") < CORPUS_SPLIT_ID),
+    )
 
 
 SQL_INCREMENTAL_LSH_PAIRS_DOCS = f"""

@@ -442,6 +442,8 @@ def incremental_minhash_pairs(
     bands: int = 4,
     threshold: float = 0.5,
     tokenizer: str = "whitespace",
+    new_sig: DataFrame | None = None,
+    corpus_sig: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: LSH candidate pairs BETWEEN a
     new batch and the existing corpus (never corpus×corpus — that
@@ -450,14 +452,18 @@ def incremental_minhash_pairs(
 
     Same shuffle discipline as minhash_lsh_pairs: the cross-frame
     band join moves only (id, band, key); shingle sets join back by
-    id.  At production scale the corpus' band keys are computed once
-    and STORED (they are pure functions of the text), so each daily
-    delta pays one map pass over itself plus an equi-join against
-    the persisted key table."""
+    id.  At production scale the corpus' signatures are computed
+    once and STORED (they are pure functions of the text) — pass
+    that table as ``corpus_sig`` (an ``(id, sh, sig)`` frame, e.g.
+    ``shingle_signatures(corpus_df)`` persisted at landing time) and
+    each daily delta pays one map pass over itself plus an equi-join
+    against the stored keys instead of re-hashing the corpus."""
     r = N_HASHES // bands
-    sig_new = _shingle_sig_frame(new_df, text_col, id_col, n, tokenizer)
-    sig_corpus = _shingle_sig_frame(
-        corpus_df, text_col, id_col, n, tokenizer)
+    sig_new = (new_sig if new_sig is not None else
+               _shingle_sig_frame(new_df, text_col, id_col, n, tokenizer))
+    sig_corpus = (corpus_sig if corpus_sig is not None else
+                  _shingle_sig_frame(
+                      corpus_df, text_col, id_col, n, tokenizer))
     cand = (
         _banded_keys(sig_corpus, bands, r).alias("a")
         .join(
