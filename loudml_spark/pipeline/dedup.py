@@ -307,16 +307,33 @@ def _banded_keys(sig: DataFrame, bands: int, r: int) -> DataFrame:
     ).select("id", "bk.band", "bk.key")
 
 
-def _shingle_sig_frame(
-    df: DataFrame, text_col: str, id_col: str, n: int, tokenizer: str,
+def shingle_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    tokenizer: str = "whitespace",
 ) -> DataFrame:
-    """(id, sh, sig) via the single fused Arrow pass, persisted
-    (bounded registry) and eagerly materialized — see
-    minhash_lsh_pairs for why both matter."""
-    sig = df.select(
+    """(id, sh, sig): the shingle-hash set AND minhash signature of
+    every document in ONE fused Arrow pass — the landing-time
+    signature table.  Write this to parquet when a corpus lands and
+    every later near-dup job (incremental_minhash_pairs'
+    ``corpus_sig``, cluster maintenance) reads the stored keys
+    instead of re-hashing the text.  Lazy, map-only."""
+    return df.select(
         F.col(id_col).alias("id"),
         _shingle_sig_udf(n, tokenizer)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
+
+
+def _shingle_sig_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int, tokenizer: str,
+) -> DataFrame:
+    """shingle_signatures + persist (bounded registry) + eager
+    materialization — see minhash_lsh_pairs for why both matter."""
+    sig = shingle_signatures(
+        df, text_col, id_col, n=n, tokenizer=tokenizer)
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     _persist_bounded(sig)
     sig.count()
@@ -353,19 +370,14 @@ def minhash_lsh_pairs(
     # ONE Arrow pass computes the shingle set and its signature
     # together (r1 verdict: two separate UDFs re-hashed every shingle
     # twice — 2× the dominant map cost)
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        _shingle_sig_udf(n, tokenizer)(F.col(text_col)).alias("ss"),
-    ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    _persist_bounded(sig)
-    # Eager materialization: three plan branches consume `sig`, and a
-    # lazy persist lets Spark schedule those stages concurrently —
-    # each races to compute-and-cache the same partitions, paying the
-    # dominant Arrow shingle pass up to 3× (measured 13 s → 35-77 s
-    # cold at sf0.1).  One blocking count runs the pass exactly once
-    # into the cache before any consumer stage launches.
-    sig.count()
+    # persist + eager materialization: three plan branches consume
+    # `sig`, and a lazy persist lets Spark schedule those stages
+    # concurrently — each races to compute-and-cache the same
+    # partitions, paying the dominant Arrow shingle pass up to 3×
+    # (measured 13 s → 35-77 s cold at sf0.1).  The blocking count
+    # inside _shingle_sig_frame runs the pass exactly once into the
+    # cache before any consumer stage launches.
+    sig = _shingle_sig_frame(df, text_col, id_col, n, tokenizer)
     keys = _banded_keys(sig, bands, r)
 
     cand_ids = (
