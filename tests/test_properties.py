@@ -298,3 +298,98 @@ def test_twa_bounded_and_even_spacing_is_mean(spark, samples):
     n = len(vals)
     want = (vals[0] / 2 + sum(vals[1:-1]) + vals[-1] / 2) / (n - 1)
     assert out2["twa"] == pytest.approx(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["x", "y", "zz", " ", ""]),
+                 min_size=0, max_size=5),
+        min_size=1, max_size=8,
+    ),
+    max_df=st.integers(1, 3),
+)
+def test_dedup_lines_matches_bruteforce(spark, docs, max_df):
+    """dedup_lines ≡ a pure-Python reference on arbitrary corpora
+    (blank lines, empty docs, repeated lines): every input doc
+    present, per-doc counts exact, kept lines in original order."""
+    from loudml_spark.pipeline.text import dedup_lines
+
+    corpus = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    # Python reference
+    per_doc_lines = {
+        i: [ln.strip() for ln in text.split("\n") if ln.strip()]
+        for i, text in corpus
+    }
+    from collections import Counter
+    dfreq = Counter()
+    for lines in per_doc_lines.values():
+        dfreq.update(set(lines))
+    expected = {}
+    for i, lines in per_doc_lines.items():
+        kept = [ln for ln in lines if dfreq[ln] <= max_df]
+        expected[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_lines_kept"],
+                         r["n_lines_dropped"])
+           for r in dedup_lines(df, max_doc_freq=max_df).collect()}
+    assert got == expected
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    counts=st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(1, 10**6), min_size=1, max_size=4),
+    alpha=st.floats(0.0, 1.0, allow_nan=False),
+)
+def test_temperature_rates_invariants(counts, alpha):
+    """Rates in (0, 1]; the smallest stratum keeps everything; larger
+    strata never keep a higher rate; kept sizes n·r are ∝ n^alpha."""
+    from loudml_spark.pipeline.sampling import temperature_rates
+
+    rates = temperature_rates(counts, alpha)
+    n_min = min(counts.values())
+    assert all(0.0 < r <= 1.0 for r in rates.values())
+    for s, n in counts.items():
+        if n == n_min:
+            assert rates[s] == 1.0
+    ordered = sorted(counts, key=counts.get)
+    for lo, hi in zip(ordered, ordered[1:]):
+        assert rates[hi] <= rates[lo] + 1e-12
+    # proportionality: n·r / n^alpha constant across strata
+    ref = None
+    for s, n in counts.items():
+        q = (n * rates[s]) / (n ** alpha)
+        ref = q if ref is None else ref
+        assert math.isclose(q, ref, rel_tol=1e-9)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["p", "q"]), st.integers(0, 10**6)),
+        min_size=1, max_size=30, unique_by=lambda t: t[1]),
+    k=st.integers(1, 6),
+)
+def test_sample_exact_k_matches_bruteforce(spark, rows, k):
+    """sample_exact_k ≡ python sort by (hash bucket, id) + head(k)
+    per stratum."""
+    from pyspark.sql import functions as F
+
+    from loudml_spark.pipeline.sampling import sample_exact_k
+
+    expected = {}
+    for s, i in rows:
+        expected.setdefault(s, []).append((i * 37 % 10_000, i))
+    want = {
+        (s, i)
+        for s, lst in expected.items()
+        for _, i in sorted(lst)[:k]
+    }
+    df = spark.createDataFrame(rows, "s string, doc_id long")
+    got = {(r["s"], r["doc_id"]) for r in sample_exact_k(
+        df, key=F.col("doc_id") * 37, k=k, order_col="doc_id",
+        by=["s"]).collect()}
+    assert got == want
