@@ -710,8 +710,8 @@ def q_incremental_lsh_pairs_docs(spark, sf_dir):
     cross pairs (corpus ids sort below delta ids, so id_a < {split}
     ≤ id_b selects exactly the cross-frame candidates)."""
     from loudml_spark.pipeline.dedup import (
-        _shingle_sig_frame,
         incremental_minhash_pairs,
+        shingle_signatures,
     )
 
     docs = _rebalance(
@@ -720,7 +720,7 @@ def q_incremental_lsh_pairs_docs(spark, sf_dir):
     # the production shape: signatures computed ONCE (stored at
     # landing time); corpus and delta sides are filters of the same
     # persisted frame, so the Arrow shingle pass runs once, not twice
-    sig = _shingle_sig_frame(docs, "text", "doc_id", 1, "whitespace")
+    sig = shingle_signatures(docs, n=1, persist=True)
     return incremental_minhash_pairs(
         None, None, n=1, bands=2, threshold=0.8,
         new_sig=sig.filter(F.col("id") >= CORPUS_SPLIT_ID),

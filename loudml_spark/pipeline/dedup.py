@@ -287,6 +287,42 @@ def minhash_signatures(
     )
 
 
+def _check_bands(bands: int) -> int:
+    """rows-per-band, validated: bands must evenly divide N_HASHES —
+    otherwise r = N_HASHES // bands silently drops signature values
+    (or collapses to r = 0, every band carrying the SAME one-hash
+    key: collision probability j instead of j^r, recall quietly
+    gone)."""
+    if bands < 1 or N_HASHES % bands != 0:
+        from loudml_spark import errors
+
+        raise errors.Invalid(
+            f"bands must evenly divide N_HASHES={N_HASHES}, got {bands}")
+    return N_HASHES // bands
+
+
+def jaccard_col(sh_a: str, sh_b: str):
+    """Exact Jaccard of two shingle-set columns — THE verification
+    expression every near-dup path shares.  No rounding: int/int
+    division is bit-deterministic, and ROUND on exact decimal ties
+    (e.g. 1/128) is not engine-portable.  union = 0 (two sub-n-word
+    docs) defines jaccard as 0, not ÷0."""
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(sh_a) + F.size(sh_b) - inter
+    return F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def band_keys(sig: DataFrame, *, bands: int = 4) -> DataFrame:
+    """(id, band, key) from an (id, sig) frame — the LANDING-TIME
+    key table: store it next to shingle_signatures' output and an
+    incremental batch equi-joins it directly
+    (incremental_minhash_pairs' ``corpus_keys``) instead of
+    re-banding the corpus per batch."""
+    return _banded_keys(sig, bands, _check_bands(bands))
+
+
 def _banded_keys(sig: DataFrame, bands: int, r: int) -> DataFrame:
     """(id, band, key) rows from an (id, sig) frame — the band key
     combines r signature values into one int64, and ONLY the id
@@ -314,30 +350,35 @@ def shingle_signatures(
     *,
     n: int = 3,
     tokenizer: str = "whitespace",
+    persist: bool = False,
 ) -> DataFrame:
     """(id, sh, sig): the shingle-hash set AND minhash signature of
     every document in ONE fused Arrow pass — the landing-time
     signature table.  Write this to parquet when a corpus lands and
     every later near-dup job (incremental_minhash_pairs'
     ``corpus_sig``, cluster maintenance) reads the stored keys
-    instead of re-hashing the text.  Lazy, map-only."""
-    return df.select(
+    instead of re-hashing the text.  Lazy, map-only by default;
+    ``persist=True`` additionally caches it memory-and-disk
+    (bounded registry, released by ``release_persisted``) and
+    materializes EAGERLY — the multi-consumer form the LSH paths
+    use, where concurrent stages would otherwise race to
+    compute-and-cache the same partitions."""
+    sig = df.select(
         F.col(id_col).alias("id"),
         _shingle_sig_udf(n, tokenizer)(F.col(text_col)).alias("ss"),
     ).select("id", F.col("ss.sh").alias("sh"), F.col("ss.sig").alias("sig"))
+    if persist:
+        sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+        _persist_bounded(sig)
+        sig.count()
+    return sig
 
 
 def _shingle_sig_frame(
     df: DataFrame, text_col: str, id_col: str, n: int, tokenizer: str,
 ) -> DataFrame:
-    """shingle_signatures + persist (bounded registry) + eager
-    materialization — see minhash_lsh_pairs for why both matter."""
-    sig = shingle_signatures(
-        df, text_col, id_col, n=n, tokenizer=tokenizer)
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
-    _persist_bounded(sig)
-    sig.count()
-    return sig
+    return shingle_signatures(
+        df, text_col, id_col, n=n, tokenizer=tokenizer, persist=True)
 
 
 def minhash_lsh_pairs(
@@ -366,7 +407,7 @@ def minhash_lsh_pairs(
     three plan branches consume it and the Arrow shingle pass is the
     dominant map cost — recomputing it per branch would triple it.
     """
-    r = N_HASHES // bands
+    r = _check_bands(bands)
     # ONE Arrow pass computes the shingle set and its signature
     # together (r1 verdict: two separate UDFs re-hashed every shingle
     # twice — 2× the dominant map cost)
@@ -401,18 +442,25 @@ def minhash_lsh_pairs(
         .join(sets.select(F.col("id").alias("id_b"),
                           F.col("sh").alias("sh_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    # no rounding: int/int division is bit-deterministic, and ROUND on
-    # exact decimal ties (e.g. 1/128) is not engine-portable.
-    # union=0 (two sub-n-word docs) defines jaccard as 0, not ÷0.
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
-        .otherwise(F.lit(0.0))
     return (
-        cand.withColumn("jaccard", jac)
+        cand.withColumn("jaccard", jaccard_col("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def exact_dedup_index(
+    corpus_df: DataFrame,
+    key_cols: Sequence[str] = ("text",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(key_cols..., dup_of): the corpus' per-content-key minima —
+    the landing-time EXACT-dedup index.  Store it (bucketed on the
+    key) when the corpus lands and pass it to incremental_exact_new
+    as ``corpus_index`` so each delta batch pays only delta×index
+    instead of re-aggregating the standing corpus per batch."""
+    return corpus_df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("dup_of"))
 
 
 def incremental_exact_new(
@@ -420,6 +468,8 @@ def incremental_exact_new(
     corpus_df: DataFrame,
     key_cols: Sequence[str] = ("text",),
     id_col: str = "doc_id",
+    *,
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-ingestion exact dedup: for every document in the
     NEW batch, is it already in the corpus?  Returns the new batch's
@@ -431,10 +481,13 @@ def incremental_exact_new(
     per distinct key before the join (map-side combined), so the
     join input is |distinct corpus keys|, not corpus rows.  This is
     the daily-delta shape: the corpus×corpus pass ran when the
-    corpus landed, and each new batch pays only delta×index."""
+    corpus landed.  Pass the STORED ``exact_dedup_index`` frame as
+    ``corpus_index`` and each batch truly pays only delta×index —
+    without it the index is rebuilt from ``corpus_df`` per call (one
+    corpus scan + shuffle), the bounded self-contained form."""
     key_cols = list(key_cols)
-    index = corpus_df.groupBy(*key_cols).agg(
-        F.min(id_col).alias("dup_of"))
+    index = (corpus_index if corpus_index is not None
+             else exact_dedup_index(corpus_df, key_cols, id_col))
     out = new_df.select(id_col, *key_cols).join(
         index, key_cols, "left")
     return out.select(
@@ -456,6 +509,7 @@ def incremental_minhash_pairs(
     tokenizer: str = "whitespace",
     new_sig: DataFrame | None = None,
     corpus_sig: DataFrame | None = None,
+    corpus_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental near-dup detection: LSH candidate pairs BETWEEN a
     new batch and the existing corpus (never corpus×corpus — that
@@ -464,20 +518,30 @@ def incremental_minhash_pairs(
 
     Same shuffle discipline as minhash_lsh_pairs: the cross-frame
     band join moves only (id, band, key); shingle sets join back by
-    id.  At production scale the corpus' signatures are computed
-    once and STORED (they are pure functions of the text) — pass
-    that table as ``corpus_sig`` (an ``(id, sh, sig)`` frame, e.g.
-    ``shingle_signatures(corpus_df)`` persisted at landing time) and
-    each daily delta pays one map pass over itself plus an equi-join
-    against the stored keys instead of re-hashing the corpus."""
-    r = N_HASHES // bands
+    id.  The production landing-time contract — both tables are
+    pure functions of the text, computed ONCE when the corpus lands:
+
+    * ``corpus_sig`` — the stored ``shingle_signatures`` frame
+      (skips re-hashing the corpus text per batch);
+    * ``corpus_keys`` — the stored ``band_keys`` frame, ideally
+      bucketed on ``key`` (skips the per-batch corpus band-explode
+      AND its shuffle: with a small delta, AQE broadcasts the
+      delta's keys and the per-batch cost really is proportional to
+      the delta, as an incremental path should be — without it the
+      corpus-side re-band + shuffle dominates each batch).
+
+    Without them, both sides compute from text (the bounded
+    self-contained form the catalog query exercises)."""
+    r = _check_bands(bands)
     sig_new = (new_sig if new_sig is not None else
                _shingle_sig_frame(new_df, text_col, id_col, n, tokenizer))
     sig_corpus = (corpus_sig if corpus_sig is not None else
                   _shingle_sig_frame(
                       corpus_df, text_col, id_col, n, tokenizer))
+    keys_corpus = (corpus_keys if corpus_keys is not None
+                   else _banded_keys(sig_corpus, bands, r))
     cand = (
-        _banded_keys(sig_corpus, bands, r).alias("a")
+        keys_corpus.alias("a")
         .join(
             _banded_keys(sig_new, bands, r).alias("b"),
             (F.col("a.band") == F.col("b.band"))
@@ -496,12 +560,8 @@ def incremental_minhash_pairs(
         .join(sig_new.select(F.col("id").alias("new_id"),
                              F.col("sh").alias("sh_b")), "new_id")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
-        .otherwise(F.lit(0.0))
     return (
-        pairs.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", jaccard_col("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("corpus_id", "new_id", "jaccard")
     )
@@ -531,16 +591,12 @@ def ngram_jaccard_pairs(
         ).alias("sh"),
     )
     a, b = sets.alias("a"), sets.alias("b")
-    inter = F.size(F.array_intersect("a.sh", "b.sh"))
-    union = F.size("a.sh") + F.size("b.sh") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
-        .otherwise(F.lit(0.0))
     return (
         a.join(b, F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            jac.alias("jaccard"),
+            jaccard_col("a.sh", "b.sh").alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -689,12 +745,8 @@ def ngram_jaccard_pairs_indexed(
         .join(sets.select(F.col("id").alias("id_b"),
                           F.col("sh").alias("sh_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.when(union > 0, inter.cast("double") / union.cast("double")) \
-        .otherwise(F.lit(0.0))
     return (
-        verified.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jaccard_col("sh_a", "sh_b"))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -821,3 +821,50 @@ def test_incremental_dedup_cross_frame_only(spark, docs):
     cross = {(a, b): j for (a, b), j in full.items() if a < 2 <= b}
     assert inc == cross and len(inc) > 0
     assert all(a < 2 <= b for a, b in inc)
+
+
+def test_incremental_stored_tables_and_band_validation(spark, docs):
+    """The landing-time contract: stored signature/key/index frames
+    produce identical results to the from-text path, and an invalid
+    band count fails fast instead of silently collapsing recall."""
+    from loudml_spark import errors
+    from loudml_spark.pipeline.dedup import (
+        band_keys,
+        exact_dedup_index,
+        incremental_exact_new,
+        incremental_minhash_pairs,
+        minhash_lsh_pairs,
+        shingle_signatures,
+    )
+
+    corpus = docs.filter("doc_id < 2")
+    delta = docs.filter("doc_id >= 2")
+
+    # stored-signature + stored-key path == from-text path
+    sig_c = shingle_signatures(corpus, n=1)
+    sig_d = shingle_signatures(delta, n=1)
+    from_text = sorted(
+        tuple(r) for r in incremental_minhash_pairs(
+            delta, corpus, n=1, threshold=0.5).collect())
+    stored = sorted(
+        tuple(r) for r in incremental_minhash_pairs(
+            None, None, n=1, threshold=0.5,
+            new_sig=sig_d, corpus_sig=sig_c,
+            corpus_keys=band_keys(sig_c, bands=4)).collect())
+    assert stored == from_text and len(stored) > 0
+
+    # stored exact index path == from-corpus path
+    idx = exact_dedup_index(corpus, ["text"])
+    a = sorted(tuple(r) for r in
+               incremental_exact_new(delta, corpus).collect())
+    b = sorted(tuple(r) for r in
+               incremental_exact_new(
+                   delta, None, corpus_index=idx).collect())
+    assert a == b
+
+    # bands must divide N_HASHES (8): 3 drops values, 16 gives r=0
+    for bad in (3, 16, 0):
+        with pytest.raises(errors.Invalid):
+            minhash_lsh_pairs(docs, n=1, bands=bad)
+        with pytest.raises(errors.Invalid):
+            band_keys(sig_c, bands=bad)
