@@ -1141,6 +1141,93 @@ GROUP BY 1, 2, 3
 """
 
 
+def q_tpch_q8_market_share(spark, sf_dir):
+    """Q8-style national market share: NATION_1's fraction of PROMO-
+    part revenue sold into ASIA per order year.  8-way join — only
+    the fixed-cardinality dims (nation ×2 aliased, region) broadcast;
+    part/supplier/orders/customer are SF-scaling and join unhinted
+    (AQE decides: broadcast at small SF, shuffle join at 100× — the
+    q3/q5/q7 policy the gate test pins).  Revenue partials ride
+    DECIMAL; the share is ONE double division of two decimal-exact
+    sums, so it is bit-deterministic across engines with no
+    rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+               "o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+    cust = load_table(spark, sf_dir, "customer")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"))
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("supp_nation"))
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA")
+    vol = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)")
+           - F.col("l_discount").cast("decimal(4,2)"))
+    )
+    joined = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(region),
+              F.col("n1_region") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2_key"))
+    )
+    per_year = joined.groupBy(
+        F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", vol)
+              .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("num"),
+        F.sum(vol).alias("den"),
+        F.count("*").alias("n_lineitems"),
+    )
+    return per_year.select(
+        "o_year",
+        (F.col("num").cast("double") / F.col("den").cast("double"))
+        .alias("mkt_share"),
+        "n_lineitems",
+    )
+
+
+SQL_TPCH_Q8_MARKET_SHARE = """
+WITH base AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                     THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+            AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n_lineitems
+FROM base
+GROUP BY o_year
+"""
+
+
 def q_tpch_q10_returned_items(spark, sf_dir):
     """Q10-style: top-20 customers by revenue lost to returned items
     in one quarter.  Fact-sized customer/orders/lineitem join plain
@@ -1373,6 +1460,10 @@ QUERIES: dict[str, dict] = {
     "tpch_q5_local_supplier": {
         "fn": q_tpch_q5_local_supplier,
         "oracle": SQL_TPCH_Q5_LOCAL_SUPPLIER},
+    "tpch_q8_market_share": {
+        "fn": q_tpch_q8_market_share,
+        "oracle": SQL_TPCH_Q8_MARKET_SHARE,
+    },
     "tpch_q7_volume_shipping": {
         "fn": q_tpch_q7_volume_shipping,
         "oracle": SQL_TPCH_Q7_VOLUME_SHIPPING},
