@@ -175,6 +175,22 @@ def streaming_tail(spark, sf_dir: str, work: str,
     )
     # several ts-ordered files => several watermark advances
     staged.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    # The file source feeds triggers in MODIFICATION-TIME order, and
+    # the four range files land with near-identical mtimes — a tie the
+    # listing may break AGAINST ts order.  A file picked up after a
+    # later-range file makes its whole key-population late: the
+    # watermark has passed, heartbeat state was already timed out, and
+    # the re-created state alerts a SECOND time.  Pin strictly
+    # increasing mtimes in ts-range order (part-file name order ==
+    # range order) so pickup order is deterministic and every key's
+    # events precede the watermark passing its due.
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    _now = _time.time()
+    for _i, _f in enumerate(sorted(_glob.glob(f"{src}/part-*.parquet"))):
+        _os.utime(_f, (_now + _i, _now + _i))
     # sentinels: one key beats far past everyone else's last event, so
     # the watermark passes every other key's (last_seen + gap).  TWO
     # sentinel batches because an event-time timeout fires one batch
@@ -189,6 +205,10 @@ def streaming_tail(spark, sf_dir: str, work: str,
             "tstamp", F.timestamp_seconds(F.col("ts"))
         ).select("event_type", "ts", "tstamp", "value") \
             .write.mode("append").parquet(f"{src}/sentinel_{i}")
+        # same mtime pinning: each sentinel strictly after all data
+        # files and after the previous sentinel
+        for _f in _glob.glob(f"{src}/sentinel_{i}/part-*.parquet"):
+            _os.utime(_f, (_now + 100 + i, _now + 100 + i))
 
     stream = (
         spark.readStream.schema(

@@ -1930,7 +1930,8 @@ def _sql_lttb_hourly_100(sf_dir=None) -> str:
 
     from loudml_spark.operators.downsample import lttb_values
 
-    sf_dir = sf_dir or "/root/testdata/sf0.01"
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     con = duckdb.connect()
     con.execute(
         "CREATE VIEW events AS SELECT * FROM read_parquet('"

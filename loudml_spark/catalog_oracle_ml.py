@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import os
 
-DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+from loudml_spark.oracle_util import resolve_oracle_sf_dir  # noqa: E402
 
 
 def _keyed_series_6h_cte(jan1: int, jan31: int, ns: int) -> str:
@@ -175,7 +175,7 @@ def sql_donut_predict_1h(sf_dir: str | None = None) -> str:
         donut_predict_values,
     )
 
-    sf_dir = sf_dir or DEFAULT_SF_DIR
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     span = 24
     ts, vals = _hourly_series_np(sf_dir)
     state = donut_fit_values(
@@ -218,7 +218,7 @@ def sql_forecast_donut_48h(sf_dir: str | None = None) -> str:
         donut_forecast_values,
     )
 
-    sf_dir = sf_dir or DEFAULT_SF_DIR
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     _, vals = _hourly_series_np(sf_dir)
     state = donut_fit_values(
         vals, span=24, latent_dim=3, intermediate_dim=34,
@@ -253,7 +253,7 @@ def sql_donut_fleet_6h(sf_dir: str | None = None) -> str:
     from loudml_spark.catalog import JAN1, JAN22, JAN31, NS
     from loudml_spark.ml.donut_fleet import donut_fit_predict_group
 
-    sf_dir = sf_dir or DEFAULT_SF_DIR
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     lits = []
     for et, (ts, vals) in sorted(
             _series_by_key(sf_dir, JAN1, JAN31, NS).items()):
@@ -294,7 +294,7 @@ def sql_forecast_donut_fleet_6h(sf_dir: str | None = None) -> str:
     from loudml_spark.ml.donut_fleet import donut_forecast_group
     from loudml_spark.ml.scoring import band_sigma_for
 
-    sf_dir = sf_dir or DEFAULT_SF_DIR
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     p = band_sigma_for(0.95)
     lits = []
     for et, (ts, vals) in sorted(
@@ -328,7 +328,7 @@ def sql_ar_fleet_predict_6h(sf_dir: str | None = None) -> str:
     from loudml_spark.ml.models import BAND_SIGMA
     from loudml_spark.ml.regression import _fit_arrays, ar_predict_values
 
-    sf_dir = sf_dir or DEFAULT_SF_DIR
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     span = AR_FLEET_SPAN
     lits = []
     for et, (ts, vals) in sorted(

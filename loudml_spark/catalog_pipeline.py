@@ -416,7 +416,8 @@ def _sql_temperature_mix_docs(sf_dir=None):
         temperature_rates,
     )
 
-    sf_dir = sf_dir or "/root/testdata/sf0.01"
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     con = duckdb.connect()
     # NULL strata are excluded on BOTH sides (temperature_mix drops
     # them from the counts; they fall to the CASE's ELSE = keep)
@@ -503,7 +504,7 @@ SELECT doc_id,
             '\\s+', ' ', 'g')) AS text_norm,
        trim(regexp_replace(regexp_replace(lower(text),
             '[\\x00-\\x1f\\x7f]', ' ', 'g'),
-            '\\s+', ' ', 'g')) <> text AS changed
+            '\\s+', ' ', 'g')) IS DISTINCT FROM text AS changed
 FROM seeded
 """
 
@@ -1114,9 +1115,8 @@ def _sql_ann_pq_topk(sf_dir=None) -> str:
         train_pq_codebooks_from_arrays,
     )
 
-    if sf_dir is None:
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
-                                "/root/testdata/sf0.01")
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
@@ -1231,9 +1231,8 @@ def _sql_ann_ivf_topk(sf_dir=None) -> str:
         train_ivf_centroids_from_arrays,
     )
 
-    if sf_dir is None:
-        sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
-                                "/root/testdata/sf0.01")
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()

@@ -169,7 +169,10 @@ def temperature_mix(
     # crash the rate math / skew n_min) — NULL-stratum rows fall to
     # default_rate = 1.0 (kept), matching the oracle's ELSE branch
     counts = {s: n for s, n in counts.items() if s is not None}
-    rates = temperature_rates(counts, alpha)
+    # an all-NULL stratum column leaves no counts at all: every row is
+    # a NULL-stratum row and falls to default_rate = 1.0 (kept), so
+    # skip the rate math instead of tripping its non-empty validation
+    rates = temperature_rates(counts, alpha) if counts else {}
     return stratified_sample(
         df, key=key, strat_col=strat_col, rates=rates,
         default_rate=1.0, keep_col=keep_col)

@@ -187,7 +187,13 @@ def drain_stream_to_df(
         .outputMode(output_mode)
         .trigger(availableNow=True).start()
     )
-    q.awaitTermination(timeout)
+    finished = q.awaitTermination(timeout)
+    if not finished:
+        q.stop()
+        spark.catalog.dropTempView(name)
+        raise errors.LoudMLSparkError(
+            f"stream drain timed out after {timeout}s; refusing to "
+            "return a partial frame")
     q.stop()
     out = spark.table(name).select(*columns).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)

@@ -740,6 +740,13 @@ def test_temperature_mix_flattens_distribution(spark):
     outn = temperature_mix(
         df_null, key=F.col("h"), strat_col="src", alpha=0.0)
     assert outn.filter("src IS NULL AND keep").count() == 1
+    # entirely-NULL stratum column: no counts at all — every row falls
+    # to default_rate = 1.0 (kept) instead of tripping the rate math
+    df_all_null = spark.createDataFrame(
+        [(1, None, 5), (2, None, 6)], "doc_id long, src string, h long")
+    out_all_null = temperature_mix(
+        df_all_null, key=F.col("h"), strat_col="src", alpha=0.5)
+    assert out_all_null.filter("keep").count() == 2
     with _pytest.raises(errors.Invalid):
         temperature_rates({"a": 10}, 1.5)
     with _pytest.raises(errors.Invalid):
