@@ -1500,6 +1500,11 @@ from loudml_spark.catalog_pipeline import PIPELINE_QUERIES  # noqa: E402
 
 QUERIES.update(PIPELINE_QUERIES)
 
+# TPC-H completion: the 15 query patterns beyond q1/q3/q4/q5/q7/q8/q10
+from loudml_spark.catalog_tpch import TPCH_QUERIES  # noqa: E402
+
+QUERIES.update(TPCH_QUERIES)
+
 # relational/time-series extensions (sessionize / range join / rollup /
 # corpus vocabulary + TF-IDF)
 from loudml_spark.catalog_ext import EXT_QUERIES  # noqa: E402
