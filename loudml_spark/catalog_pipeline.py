@@ -1656,6 +1656,136 @@ GROUP BY l.doc_id
 """
 
 
+
+# ------------------------------------------------- winnowing fingerprints
+
+
+def q_winnow_fingerprints_docs(spark, sf_dir):
+    """MOSS winnowing fingerprints (k=8 chars, window w=4) over the
+    document corpus — the partial-overlap detector whole-document
+    MinHash lacks: any shared substring of length >= k+w-1 = 11 chars
+    is guaranteed to yield a shared fingerprint.  Selection is a plain
+    windowed MIN over the combined (hash, rightmost-pos) integer
+    encoding, identical in Spark and the SQL oracle (see
+    pipeline/text.py winnow_fingerprints).  Explode is map-side; the
+    only shuffle partitions BY DOCUMENT."""
+    from loudml_spark.pipeline.text import winnow_fingerprints
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
+        .filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return winnow_fingerprints(docs, k=8, w=4)
+
+
+def _winnow_sql_cte(docs_sql: str, k: int = 8, w: int = 4) -> str:
+    """Shared oracle CTE: winnowing over ``docs_sql`` (doc_id, text)."""
+    from loudml_spark.pipeline.text import winnow_hash_sql
+
+    h = winnow_hash_sql("t", "pos", k)
+    return f"""
+WITH d AS ({docs_sql}),
+dd AS (SELECT doc_id, substr(text, 1, 2040) AS t FROM d),
+p AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, length(t) - {k - 1})) AS pos
+  FROM dd WHERE length(t) >= {k}
+), g AS (
+  SELECT doc_id, pos, {h} AS h FROM p
+), c AS (
+  SELECT doc_id, pos, h * 2048 + (2047 - pos) AS comb FROM g
+), wnd AS (
+  SELECT doc_id, pos,
+         MIN(comb) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW)
+           AS cmin
+  FROM c
+), fps AS (
+  SELECT DISTINCT doc_id, cmin // 2048 AS fp,
+         CAST(2047 - cmin % 2048 AS INTEGER) AS pos
+  FROM wnd WHERE pos >= {w}
+)"""
+
+
+def _sql_winnow_fingerprints_docs(sf_dir=None) -> str:
+    return _winnow_sql_cte(
+        "SELECT doc_id, text FROM documents WHERE doc_id < 200"
+    ) + "\nSELECT doc_id, fp, pos FROM fps"
+
+
+def q_winnow_overlap_pairs(spark, sf_dir):
+    """Partial-overlap pair detection via shared winnowing
+    fingerprints, demonstrated on a SEEDED corpus with ground truth:
+    each base doc i spawns members (i, i+1000) sharing a ~30-char
+    injected segment interleaving the doc id with four distinct
+    padding blocks (every 8-gram of it contains the doc id, so none is
+    corpus boilerplate, and no two grams repeat; member b's remainder
+    is the reversed text).  The winnowing guarantee
+    (shared substring >= k+w-1 = 11 chars -> >= 1 shared fingerprint)
+    makes all 60 seeded pairs present in the answer — pinned by a unit
+    test; additional pairs are GENUINE >= 11-char overlaps in the
+    word-soup corpus.  Fingerprints appearing in more than 4 documents
+    are dropped first (stop-gram cut — the same document-frequency
+    bound that keeps LSH band buckets from exploding on boilerplate),
+    then pairs form by fingerprint EQUI-join and keep >= 2 shared
+    prints.  At 100 TB the df cut is what bounds the self-join
+    fan-out."""
+    from loudml_spark.pipeline.text import winnow_fingerprints
+
+    base = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
+        .filter(F.col("doc_id") < 60).select("doc_id", "text")
+    did = F.col("doc_id").cast("string")
+    seg = F.concat(F.lit("zq"), did, F.lit("avq"), did, F.lit("bwq"),
+                   did, F.lit("cxq"), did, F.lit("dyq "))
+    a = base.select("doc_id", F.concat(seg, F.col("text")).alias("text"))
+    b = base.select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(seg, F.reverse(F.col("text"))).alias("text"))
+    fps = winnow_fingerprints(a.unionByName(b), k=8, w=4) \
+        .select("doc_id", "fp").distinct()
+    rare = fps.join(
+        fps.groupBy("fp").agg(
+            F.countDistinct("doc_id").alias("df")).filter(F.col("df") <= 4),
+        "fp")
+    lhs = rare.select(F.col("doc_id").alias("doc_a"), "fp")
+    rhs = rare.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        lhs.join(rhs, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("fp").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )
+
+
+def _sql_winnow_overlap_pairs(sf_dir=None) -> str:
+    seeded = """
+  SELECT doc_id,
+         'zq' || CAST(doc_id AS VARCHAR) || 'avq'
+              || CAST(doc_id AS VARCHAR) || 'bwq'
+              || CAST(doc_id AS VARCHAR) || 'cxq'
+              || CAST(doc_id AS VARCHAR) || 'dyq ' || text AS text
+  FROM documents WHERE doc_id < 60
+  UNION ALL
+  SELECT doc_id + 1000,
+         'zq' || CAST(doc_id AS VARCHAR) || 'avq'
+              || CAST(doc_id AS VARCHAR) || 'bwq'
+              || CAST(doc_id AS VARCHAR) || 'cxq'
+              || CAST(doc_id AS VARCHAR) || 'dyq ' || reverse(text)
+  FROM documents WHERE doc_id < 60"""
+    return _winnow_sql_cte(seeded) + """,
+u AS (SELECT DISTINCT doc_id, fp FROM fps),
+rare AS (
+  SELECT u.doc_id, u.fp FROM u
+  JOIN (SELECT fp FROM u GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) <= 4) k ON u.fp = k.fp
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS shared_fps
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING COUNT(DISTINCT a.fp) >= 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -1745,4 +1875,10 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_split_docs_80_10_10, "oracle": SQL_SPLIT_DOCS_80_10_10},
     "quality_gate_docs": {
         "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
+    "winnow_fingerprints_docs": {
+        "fn": q_winnow_fingerprints_docs,
+        "oracle_fn": _sql_winnow_fingerprints_docs},
+    "winnow_overlap_pairs": {
+        "fn": q_winnow_overlap_pairs,
+        "oracle_fn": _sql_winnow_overlap_pairs},
 }

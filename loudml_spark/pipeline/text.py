@@ -377,6 +377,92 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_len: int = 2040,
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every ``k``-char gram, then in every window of
+    ``w`` consecutive gram hashes keep the minimum, rightmost on ties
+    — the guarantee the paper proves is that any shared substring of
+    length ≥ ``k + w - 1`` yields at least one SHARED fingerprint, so
+    winnowing catches partial overlap (one paragraph copied into an
+    otherwise different document) that whole-document MinHash dilutes
+    away.
+
+    Engine-portable selection trick: rightmost-minimum is a lexicographic
+    min over (hash, -pos), encoded as ONE integer ``h*2048 + (2047-pos)``
+    (hash < 1e9+7 ≈ 2^30, pos ≤ 2040 < 2^11, product < 2^41) so a plain
+    windowed MIN — available identically in Spark and ANSI SQL — selects
+    it with no argmin/tie ambiguity.  ``max_len`` truncates pathological
+    documents to keep pos inside its 11-bit field (fingerprint the head;
+    raise the cap for longer corpora).
+
+    Plan shape: explode positions (map-side, no shuffle), one window
+    shuffle partitioned BY DOCUMENT (frames are bounded by document
+    length, never by corpus size), distinct.  Returns
+    (id_col, fp long, pos int) — one row per selected fingerprint.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    if max_len - k + 1 > 2047:
+        raise ValueError(
+            "max gram position (max_len - k + 1) must fit the 11-bit "
+            "pos field (<= 2047)")
+    from pyspark.sql import Window
+
+    txt = F.substring(F.col(text_col), 1, max_len)
+    n_grams = F.length(txt) - k + 1
+    grams = (
+        df.select(
+            F.col(id_col),
+            txt.alias("__t"),
+            F.explode(
+                F.when(n_grams >= 1, F.sequence(F.lit(1), n_grams))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            id_col, "pos",
+            rolling_hash_col(
+                F.expr(f"substring(__t, pos, {k})"), prefix=k).alias("h"),
+        )
+    )
+    comb = (F.col("h") * F.lit(2048) + (F.lit(2047) - F.col("pos")))
+    win = (
+        Window.partitionBy(id_col).orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        grams.withColumn("__cmin", F.min(comb).over(win))
+        .filter(F.col("pos") >= w)  # complete windows only
+        .select(
+            id_col,
+            F.expr("__cmin div 2048").alias("fp"),  # int64 div, no FP
+            (F.lit(2047) - F.col("__cmin") % F.lit(2048))
+            .cast("int").alias("pos"),
+        )
+        .distinct()
+    )
+
+
+def winnow_hash_sql(text_expr: str, pos_expr: str, k: int) -> str:
+    """The ANSI-SQL mirror of ``rolling_hash_col`` over the ``k``-char
+    gram at 1-based ``pos_expr`` — a Horner chain with a mod after
+    every step, exactly the Spark aggregate's order of operations, so
+    the hashes are integer-identical across engines."""
+    expr = "CAST(0 AS BIGINT)"
+    for i in range(k):
+        expr = (f"(({expr}) * 31 + ord(substr({text_expr}, "
+                f"{pos_expr} + {i}, 1))) % {HASH_MOD}")
+    return expr
+
+
 def char_entropy(
     df: DataFrame, text_col: str = "text", *, out_col: str = "entropy"
 ) -> DataFrame:

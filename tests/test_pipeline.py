@@ -875,3 +875,56 @@ def test_incremental_stored_tables_and_band_validation(spark, docs):
             minhash_lsh_pairs(docs, n=1, bands=bad)
         with pytest.raises(errors.Invalid):
             band_keys(sig_c, bands=bad)
+
+
+def test_winnow_fingerprints_guarantee_and_window_coverage(spark):
+    """The winnowing theorem in miniature: two documents sharing a
+    substring of length >= k+w-1 have >= 1 common fingerprint; every
+    complete window of w gram positions contains a selected position
+    (the density guarantee); sub-k documents yield nothing; and the
+    selection is deterministic across repartitions."""
+    from loudml_spark.pipeline.text import winnow_fingerprints
+
+    shared = "QUITEUNIQUESEG"  # 14 >= k + w - 1 = 11
+    rows = [
+        (1, "alpha beta " + shared + " gamma delta"),
+        (2, shared + " epsilon zeta eta theta iota"),
+        (3, "short"),  # < k chars: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=8, w=4)
+    got = fps.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc.get(3) is None
+    assert by_doc[1] & by_doc[2], "shared >= 11-char substring must share a fp"
+
+    # density: every complete window [t-w+1, t] holds >= 1 selected pos
+    pos1 = sorted(r["pos"] for r in got if r["doc_id"] == 1)
+    n_grams = len(rows[0][1]) - 8 + 1
+    for t in range(4, n_grams + 1):
+        assert any(t - 3 <= p <= t for p in pos1), (t, pos1)
+
+    # deterministic under repartition
+    again = winnow_fingerprints(df.repartition(7), k=8, w=4).collect()
+    assert {(r["doc_id"], r["fp"], r["pos"]) for r in again} == \
+        {(r["doc_id"], r["fp"], r["pos"]) for r in got}
+
+
+def test_winnow_overlap_pairs_seeded_recall(spark):
+    """Every seeded (i, i+1000) pair — members sharing only the
+    injected doc-unique segment — appears in the catalog query's
+    output: the detection side of the winnowing guarantee."""
+    from loudml_spark.catalog_pipeline import q_winnow_overlap_pairs
+    from loudml_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    base_ids = {
+        r[0] for r in load_table(spark, sf_dir, "documents")
+        .filter("doc_id < 60").select("doc_id").collect()
+    }
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in q_winnow_overlap_pairs(spark, sf_dir).collect()}
+    missing = {(i, i + 1000) for i in base_ids} - pairs
+    assert not missing, missing
