@@ -1786,6 +1786,198 @@ HAVING COUNT(DISTINCT a.fp) >= 2
 """
 
 
+
+
+# ------------------------------------------------- unigram LM quality
+
+
+def q_lm_score_docs(spark, sf_dir):
+    """Unigram-LM quality score over `documents`: mean token
+    log-probability under an add-one-smoothed unigram model fit on
+    the corpus itself (CCNet-style LM quality filtering, unigram
+    fidelity) + per-doc OOV rate.  One token-count shuffle, bounded
+    driver collect (<= vocab_size rows), broadcast model, one per-doc
+    aggregation — see pipeline/corpus.py lm_score."""
+    from loudml_spark.pipeline.corpus import lm_score
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return lm_score(docs, vocab_size=500)
+
+
+SQL_LM_SCORE_DOCS = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+counts AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+n AS (SELECT CAST(SUM(tf) AS BIGINT) AS n FROM counts),
+vocab AS (
+  SELECT token, tf FROM counts ORDER BY tf DESC, token ASC LIMIT 500
+),
+v AS (SELECT COUNT(*) AS v FROM vocab),
+model AS (
+  SELECT token, ln((tf + 1) / CAST(n.n + v.v + 1 AS DOUBLE)) AS logp
+  FROM vocab, n, v
+),
+oov AS (SELECT ln(1.0 / CAST(n.n + v.v + 1 AS DOUBLE)) AS logp FROM n, v),
+scored AS (
+  SELECT t.doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(CASE WHEN m.logp IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_oov,
+         SUM(COALESCE(m.logp, (SELECT logp FROM oov))) AS s
+  FROM tok t LEFT JOIN model m ON t.token = m.token
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.n_oov, 0) AS n_oov,
+       s.n_oov * 1.0 / s.n_tokens AS oov_rate,
+       ROUND(s.s / s.n_tokens, 6) AS avg_logp
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
+
+# ------------------------------------------------- SemDeDup (embeddings)
+
+
+def _semdedup_corpus(spark, sf_dir):
+    """Seeded SemDeDup corpus: the embeddings table plus, for each
+    vec_id < 100, a DETERMINISTIC semantic near-duplicate (id+10000)
+    whose second half is scaled by 0.5 — halving is exactly
+    representable in float32, so both engines derive bit-identical
+    vectors and cosine(orig, copy) ≈ 0.94 lands above the 0.9
+    threshold while the organic corpus (max pairwise cosine < 0.9)
+    stays below it."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    pert = emb.filter("vec_id < 100").select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", 1, 32),
+            F.transform(
+                F.slice("embedding", 33, 32),
+                lambda x: (x * F.lit(0.5)).cast("float"),
+            ),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(pert)
+
+
+def q_semdedup_pairs_emb(spark, sf_dir):
+    """SemDeDup candidate pairs (Abbas et al. 2023): coarse-quantizer
+    clustering bounds the quadratic cosine comparison to WITHIN each
+    cell — a plain equi-join on the cell id, never an all-pairs scan.
+    Centroids train on the portable id-hash sample through shared
+    deterministic numpy, so the oracle retrains bit-identical
+    centroids and replays assignment + pairing in SQL."""
+    from loudml_spark.pipeline.similarity import semdedup_pairs
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    return semdedup_pairs(corpus, threshold=0.9, n_centroids=16)
+
+
+def q_semdedup_survivors_emb(spark, sf_dir):
+    """SemDeDup keep/drop decision: connected components over the
+    within-cell cosine pairs (the O(log n) large/small-star pass
+    shared with the MinHash dedup path), min-id exemplar per
+    component, unpaired vectors as singletons."""
+    from loudml_spark.pipeline.similarity import semdedup_survivors
+
+    corpus = _semdedup_corpus(spark, sf_dir)
+    return semdedup_survivors(corpus, threshold=0.9, n_centroids=16)
+
+
+_SQL_SEMDEDUP_CORPUS = """
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id,
+         embedding[1:32] || list_transform(
+           embedding[33:64], x -> CAST(x * 0.5 AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 100
+"""
+
+
+def _sql_semdedup_cte(sf_dir) -> str:
+    """Shared oracle CTE: retrain centroids from the seeded corpus
+    (same portable sample key + numpy as the Spark side), inline them
+    as literals, replay assignment and within-cell pairing."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    from loudml_spark.pipeline.similarity import (
+        train_ivf_centroids_from_arrays,
+    )
+
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    X = np.array(t.column("embedding").to_pylist(), dtype=np.float32)
+    m = ids < 100
+    Xp = X[m].copy()
+    Xp[:, 32:] = (Xp[:, 32:] * np.float32(0.5))
+    ids_c = np.concatenate([ids, ids[m] + 10000])
+    X_c = np.concatenate([X, Xp]).astype(np.float64)
+    C = train_ivf_centroids_from_arrays(
+        ids_c, X_c, n_centroids=16, seed=42)
+    values = ", ".join(
+        "(" + str(j) + ", ["
+        + ", ".join(repr(float(x)) for x in row) + "])"
+        for j, row in enumerate(C)
+    )
+    dot = _SQL_DOT.format(a="e.embedding", b="C.cv")
+    return f"""
+WITH RECURSIVE C(cell, cv) AS (VALUES {values}),
+corpus AS ({_SQL_SEMDEDUP_CORPUS}),
+a AS (
+  SELECT e.vec_id, e.embedding, C.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {dot} DESC, C.cell ASC
+         ) AS rn
+  FROM corpus e CROSS JOIN C
+),
+cells AS (SELECT vec_id, embedding, cell FROM a WHERE rn = 1),
+p AS (
+  SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cosine
+  FROM cells a JOIN cells b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+),
+pairs AS (SELECT cell, id_a, id_b, cosine FROM p WHERE cosine >= 0.9)"""
+
+
+def _sql_semdedup_pairs_emb(sf_dir=None) -> str:
+    return _sql_semdedup_cte(sf_dir) + """
+SELECT cell, id_a, id_b, cosine FROM pairs
+"""
+
+
+def _sql_semdedup_survivors_emb(sf_dir=None) -> str:
+    return _sql_semdedup_cte(sf_dir) + """,
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach(id, r) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id
+),
+comp AS (
+  SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+)
+SELECT d.vec_id,
+       COALESCE(comp.cluster_id, d.vec_id) AS cluster_id,
+       COALESCE(comp.cluster_id, d.vec_id) = d.vec_id AS is_canonical
+FROM (SELECT vec_id FROM corpus) d
+LEFT JOIN comp ON comp.vec_id = d.vec_id
+"""
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -1881,4 +2073,12 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "winnow_overlap_pairs": {
         "fn": q_winnow_overlap_pairs,
         "oracle_fn": _sql_winnow_overlap_pairs},
+    "lm_score_docs": {
+        "fn": q_lm_score_docs, "oracle": SQL_LM_SCORE_DOCS},
+    "semdedup_pairs_emb": {
+        "fn": q_semdedup_pairs_emb,
+        "oracle_fn": _sql_semdedup_pairs_emb},
+    "semdedup_survivors_emb": {
+        "fn": q_semdedup_survivors_emb,
+        "oracle_fn": _sql_semdedup_survivors_emb},
 }

@@ -276,3 +276,92 @@ def cms_estimate(
     joined = cb.join(F.broadcast(counters), ["d", "bucket"], "left")
     return joined.groupBy(*candidates.columns).agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+
+
+def lm_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Unigram language-model quality score — the classic LM-based
+    quality proxy of web-corpus filters (CCNet-style perplexity
+    filtering, at unigram fidelity): score each document by the mean
+    log-probability of its tokens under an add-one-smoothed unigram
+    model fit on the corpus itself.  Natural prose made of common
+    tokens scores high; rare-token soup and gibberish score low; the
+    per-document out-of-vocabulary rate comes along for free.
+
+    Model: vocabulary = top ``vocab_size`` tokens by (tf desc, token
+    asc) — the same deterministic cut as :func:`vocabulary`;
+    p(tok) = (tf + 1) / (N + V + 1) in-vocab, 1 / (N + V + 1) OOV,
+    with N = total corpus token count (OOV occurrences included) and
+    V = |vocab| actually kept.
+
+    Scale shape: ONE token-count shuffle (map-side combined, bounded
+    by |vocab|·|tasks| rows regardless of corpus size); N and the
+    ≤``vocab_size``-row model are reduced from that frame and the
+    model is collected to the driver (bounded by ``vocab_size`` — the
+    IVF-centroid practice) and BROADCAST back onto the exploded
+    tokens, so scoring is map-side; one per-document aggregation and
+    a final id-equi-join against the input to keep zero-token
+    documents ends the plan.  Nothing driver-side ever scales with
+    the corpus.
+
+    Float discipline: ln is libm (last ulp is not engine-portable),
+    so ``avg_logp`` rounds to 6 dp; ``oov_rate`` is a single IEEE
+    division of exact integers (bit-identical everywhere) and stays
+    unrounded.
+
+    Returns (id_col, n_tokens, n_oov, oov_rate, avg_logp); zero-token
+    documents keep NULL rate/score.
+    """
+    if vocab_size < 1:
+        raise ValueError("vocab_size must be >= 1")
+    toks = tokens(df, text_col=text_col, id_col=id_col)
+    counts = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    counts = counts.persist()
+    try:
+        n_total = counts.agg(F.sum("tf")).first()[0] or 0
+        top = counts.orderBy(F.desc("tf"), F.asc("token")) \
+            .limit(vocab_size).collect()
+    finally:
+        counts.unpersist()
+    v_kept = len(top)
+    denom = float(n_total + v_kept + 1)
+    spark = df.sparkSession
+    if top:
+        model = spark.createDataFrame(
+            [(r["token"], int(r["tf"])) for r in top],
+            "token string, tf long",
+        ).select("token", F.log((F.col("tf") + 1) / F.lit(denom))
+                 .alias("logp"))
+    else:
+        model = spark.createDataFrame([], "token string, logp double")
+    import math
+
+    oov_logp = math.log(1.0 / denom)
+    scored = (
+        toks.join(F.broadcast(model), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("logp").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+            F.sum(F.coalesce("logp", F.lit(oov_logp))).alias("__s"),
+        )
+    )
+    return (
+        df.select(id_col).join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            (F.col("n_oov") / F.col("n_tokens")).alias("oov_rate"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(F.col("__s") / F.col("n_tokens"), 6),
+            ).alias("avg_logp"),
+        )
+    )

@@ -470,3 +470,97 @@ def pq_adc_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc", "rank")
     )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Semantic-duplicate candidate pairs, SemDeDup-style (Abbas et
+    al. 2023, arXiv 2303.09540): cluster embeddings with the coarse
+    quantizer, then compare pairwise cosine ONLY within each cluster
+    — the clustering is what bounds the quadratic pair blow-up to
+    cell size, turning an O(N²) all-pairs scan into Σ|cell|² work
+    reachable by a plain equi-join on the cell id.
+
+    Plan shape: one Arrow-batched assignment pass (centroids are a
+    driver-trained ≤``n_centroids``×d numpy constant broadcast inside
+    the UDF), one self equi-join on ``cell`` (shuffle key = cell id),
+    cosine + threshold inside the join projection.  No cross join
+    exists in the plan at any scale; at 100 TB the cell count (and a
+    per-cell cap upstream if cells skew) is the knob that keeps the
+    within-cell quadratic bounded.
+
+    Output: (cell, id_a, id_b, cosine) with id_a < id_b and
+    cosine ≥ ``threshold`` (rounded to ``round_to`` dp BEFORE the
+    threshold so the pair set is engine-exact).
+    """
+    from loudml_spark.pipeline.dedup import cosine_col
+
+    C = train_ivf_centroids(
+        corpus, n_centroids, vec_col=vec_col, seed=seed
+    )
+    assign = _centroid_assign_udf(C, 1)
+    cells = corpus.select(
+        F.col(id_col), F.col(vec_col),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+    )
+    a = cells.select(
+        F.col("cell"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"))
+    b = cells.select(
+        F.col("cell"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(cosine_col(F.col("__va"), F.col("__vb")), round_to),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("cell", "id_a", "id_b", "cosine")
+    )
+
+
+def semdedup_survivors(
+    corpus: DataFrame,
+    *,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup keep/drop decision: connected components over the
+    within-cluster cosine-pair graph, keep one exemplar per
+    component.  The exemplar is the component's MINIMUM id —
+    deterministic across engines and partitionings (the paper keeps
+    the member farthest from the centroid; a float argmin is not
+    engine-portable, and which member survives does not change the
+    dedup rate the operator exists for).
+
+    Composition: :func:`semdedup_pairs` → the O(log n) large/small-
+    star connected-components pass shared with the MinHash dedup path
+    (pipeline/dedup.py) → (id_col, cluster_id, is_canonical), vectors
+    in no pair surviving as singleton clusters of themselves.
+    """
+    from loudml_spark.pipeline.dedup import dedup_clusters
+
+    pairs = semdedup_pairs(
+        corpus, threshold=threshold, n_centroids=n_centroids,
+        vec_col=vec_col, id_col=id_col, seed=seed,
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+    return dedup_clusters(
+        pairs, corpus.select(F.col(id_col).cast("long").alias(id_col)),
+        id_col=id_col,
+    )

@@ -928,3 +928,67 @@ def test_winnow_overlap_pairs_seeded_recall(spark):
              for r in q_winnow_overlap_pairs(spark, sf_dir).collect()}
     missing = {(i, i + 1000) for i in base_ids} - pairs
     assert not missing, missing
+
+
+def test_lm_score_hand_computed(spark):
+    """Add-one-smoothed unigram model on a 3-doc corpus, verified
+    against hand-derived probabilities, plus OOV accounting and the
+    zero-token-document NULL contract."""
+    import math
+
+    from loudml_spark.pipeline.corpus import lm_score
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "zzzunseen"),
+        (4, "!!!"),  # zero tokens after [a-z]+ extraction
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # vocab_size=3 keeps {the:3, cat:1 ... tie} -> tf desc, token asc:
+    # the(3), cat(1), dog(1) kept; mat/on/sat/zzzunseen are OOV.
+    out = {r["doc_id"]: r for r in lm_score(df, vocab_size=3).collect()}
+    n_total = 9  # the,cat,sat,on,the,mat,the,dog,zzzunseen
+    denom = n_total + 3 + 1
+    lp = {"the": math.log(4 / denom), "cat": math.log(2 / denom),
+          "dog": math.log(2 / denom)}
+    oov = math.log(1 / denom)
+    d1 = (lp["the"] * 2 + lp["cat"] + oov * 3) / 6
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 3
+    assert abs(out[1]["avg_logp"] - d1) < 1e-6
+    assert out[2]["n_oov"] == 0
+    assert out[3]["n_oov"] == 1 and out[3]["oov_rate"] == 1.0
+    assert out[4]["n_tokens"] == 0
+    assert out[4]["avg_logp"] is None and out[4]["oov_rate"] is None
+
+    with pytest.raises(ValueError):
+        lm_score(df, vocab_size=0)
+
+
+def test_semdedup_seeded_recall_and_survivors(spark):
+    """Every seeded near-duplicate (i, i+10000) — second half scaled
+    by 0.5, cosine ~0.94 — is caught when both members share a cell,
+    and the survivor set keeps exactly one exemplar per component."""
+    from loudml_spark.catalog_pipeline import (
+        q_semdedup_pairs_emb,
+        q_semdedup_survivors_emb,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    pairs = q_semdedup_pairs_emb(spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got, "seeded corpus must produce semantic-dup pairs"
+    for a, b in got:
+        assert b == a + 10000, (a, b)
+        assert a < 100
+    surv = q_semdedup_survivors_emb(spark, sf_dir).collect()
+    canon = {r["vec_id"] for r in surv if r["is_canonical"]}
+    by_cluster = {}
+    for r in surv:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    for cid, members in by_cluster.items():
+        assert min(members) == cid
+        assert cid in canon
+    # each detected pair collapsed: its high member is not canonical
+    for a, b in got:
+        assert b not in canon
