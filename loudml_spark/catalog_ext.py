@@ -2024,6 +2024,67 @@ GROUP BY 1, 2
 """
 
 
+
+
+def q_streaming_dedup_events(spark, sf_dir):
+    """Exactly-once ingestion from an at-least-once source, executed
+    THROUGH Structured Streaming: the staged source delivers a 10%
+    event slice and then RE-delivers a third of it in a later file
+    (the crash/retry shape of real ingestion); maxFilesPerTrigger=1
+    makes the re-delivery arrive in a separate micro-batch, so
+    dropDuplicatesWithinWatermark's state store — not within-batch
+    luck — is what suppresses the duplicates.  The drained append
+    output must equal the batch DISTINCT slice row-for-row (oracle);
+    the watermark (90 days) exceeds the staged data's full span so no
+    dedup state expires mid-drain — production sizes it to the
+    source's max re-delivery delay instead (see stream_dedupe).
+    Duplicate deliveries are byte-identical rows, so which delivery
+    survives is immaterial to the value hash."""
+    import shutil
+    import tempfile
+
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_dedupe,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    ).select(
+        "event_id",
+        F.expr("cast(convert_timezone('UTC', current_timezone(), ts) "
+               "as timestamp)").alias("ts"),
+        "user_id", "event_type", "value",
+    )
+    tmp = tempfile.mkdtemp(prefix="lms_dedup_stream_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        ev.coalesce(1).write.mode("overwrite").parquet(tmp)
+        ev.filter(F.col("event_id") % 3 == 0).coalesce(1) \
+            .write.mode("append").parquet(tmp)
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, "
+                "event_type string, value double")
+            .option("maxFilesPerTrigger", 1).parquet(tmp)
+        )
+        out = stream_dedupe(
+            stream, ["event_id"], ts_col="ts", watermark="90 days")
+        return drain_stream_to_df(
+            out, ["event_id", "user_id", "event_type", "value"],
+            output_mode="append", prefix="stream_dedup",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+SQL_STREAMING_DEDUP_EVENTS = """
+SELECT event_id, user_id, event_type, value
+FROM events WHERE user_id % 10 = 0
+"""
+
 EXT_QUERIES: dict[str, dict] = {
     "cms_heavy_hitters": {
         "fn": q_cms_heavy_hitters,
@@ -2116,6 +2177,10 @@ EXT_QUERIES: dict[str, dict] = {
     "streaming_sessionize_30m": {
         "fn": q_streaming_sessionize_30m,
         "oracle": SQL_STREAMING_SESSIONIZE_30M,
+    },
+    "streaming_dedup_events": {
+        "fn": q_streaming_dedup_events,
+        "oracle": SQL_STREAMING_DEDUP_EVENTS,
     },
     "sessionize_native_30m": {
         "fn": q_sessionize_native_30m,

@@ -1978,6 +1978,25 @@ FROM (SELECT vec_id FROM corpus) d
 LEFT JOIN comp ON comp.vec_id = d.vec_id
 """
 
+
+
+def q_bloom_decontaminate_docs(spark, sf_dir):
+    """Same contamination answer as decontaminate_docs, produced
+    through the BLOOM-prefiltered path (pipeline/dedup.py
+    benchmark_overlap_bloom): the eval-set grams compress to an 8 KB
+    literal word array, corpus docs with < min_overlap Bloom-passing
+    grams never reach the verification join, survivors verify
+    exactly.  Shares the exact operator's oracle — the value-hash
+    match IS the proof the prefilter loses nothing (the
+    simhash_pairs_blocked pattern)."""
+    from loudml_spark.pipeline.dedup import benchmark_overlap_bloom
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20").select(
+        F.col("doc_id").alias("bench_id"), "text")
+    return benchmark_overlap_bloom(corpus, bench, n=3, min_overlap=8)
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -2081,4 +2100,7 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "semdedup_survivors_emb": {
         "fn": q_semdedup_survivors_emb,
         "oracle_fn": _sql_semdedup_survivors_emb},
+    "bloom_decontaminate_docs": {
+        "fn": q_bloom_decontaminate_docs,
+        "oracle": SQL_DECONTAMINATE_DOCS},
 }

@@ -1187,3 +1187,110 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------- bloom
+
+
+def bloom_build(hashes: Sequence[int], *, m_bits: int = 1 << 16,
+                k: int = 3) -> list[int]:
+    """Build a Bloom filter over int64 hashes: ``m_bits`` bits packed
+    32-per-word (32, not 64, so the Column-side bit test below stays
+    inside exact double arithmetic — every word value < 2^32 < 2^53).
+    Probes use double hashing, pos_i = (h%m + i·(1 + h%(m−1))) % m —
+    plain int64 arithmetic, portable to any engine or numpy mirror.
+    """
+    if m_bits % 32:
+        raise ValueError("m_bits must be a multiple of 32")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    words = [0] * (m_bits // 32)
+    for h in hashes:
+        h1 = h % m_bits
+        h2 = 1 + h % (m_bits - 1)
+        for i in range(k):
+            pos = (h1 + i * h2) % m_bits
+            words[pos // 32] |= 1 << (pos % 32)
+    return words
+
+
+def bloom_probe_col(h: Column, words: list[int], *, m_bits: int,
+                    k: int) -> Column:
+    """Boolean Column: all ``k`` probe bits of ``h`` set in the packed
+    Bloom words (built by :func:`bloom_build`).  The word array rides
+    the plan as ONE literal (m_bits/32 longs — 8 KB at m=2^16; even a
+    10^10-bit production filter is ~1 GB, broadcast territory, vs an
+    exact hash-set that would be unbounded).  Bit extraction is
+    floor-div arithmetic on <2^32 word values — exact in doubles, no
+    shift builtins needed inside higher-order-function lambdas."""
+    bits_lit = F.lit(words).cast("array<long>")
+    h1 = h % F.lit(m_bits)
+    h2 = F.lit(1) + (h % F.lit(m_bits - 1))
+    cond = F.lit(True)
+    for i in range(k):
+        pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
+        word = F.element_at(bits_lit, (pos / F.lit(32)).cast("int") + 1)
+        p2 = F.pow(F.lit(2.0), (pos % F.lit(32)).cast("double")) \
+            .cast("long")
+        cond = cond & (F.floor(word / p2) % 2 == 1)
+    return cond
+
+
+def benchmark_overlap_bloom(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 3,
+    min_overlap: int = 8,
+    tokenizer: str = "whitespace",
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> DataFrame:
+    """:func:`benchmark_overlap` with a Bloom prefilter — the shape
+    that survives when the eval-set n-gram table outgrows an exact
+    broadcast set: corpus documents whose shingle arrays hold fewer
+    than ``min_overlap`` grams PASSING the Bloom test (a necessary
+    condition — Bloom has no false negatives) never enter the
+    verification join at all, so the join input shrinks from |corpus|
+    to |candidates| before any shuffle.  Survivors are verified by
+    the EXACT equi-join, so false positives only cost work, never
+    correctness: the final output is identical to the exact
+    operator's, row for row (the catalog pairs this with the same
+    oracle — the value-hash match is the proof the prefilter loses
+    nothing).
+
+    The filter itself is built on the driver from the (by definition
+    small) benchmark side and rides the plan as a literal word array
+    — m_bits/32 longs, 8 KB at the default m=2^16 / k=3.
+    """
+    sh = _shingle_hashes_udf(n, tokenizer)
+    bench_hashes = [
+        r[0]
+        for r in benchmark.select(
+            F.explode(sh(F.col(text_col))).alias("__h")
+        ).distinct().collect()
+    ]
+    words = bloom_build(bench_hashes, m_bits=m_bits, k=k)
+    n_pass = F.size(F.filter(
+        sh(F.col(text_col)),
+        lambda h: bloom_probe_col(h, words, m_bits=m_bits, k=k),
+    ))
+    cand = df.filter(n_pass >= F.lit(min_overlap))
+    flagged = benchmark_overlap(
+        cand, benchmark, text_col=text_col, id_col=id_col,
+        bench_id_col=bench_id_col, n=n, min_overlap=min_overlap,
+        tokenizer=tokenizer,
+    )
+    return (
+        df.select(id_col)
+        .join(flagged, id_col, "left")
+        .select(
+            id_col,
+            F.col("matched_bench"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )

@@ -992,3 +992,62 @@ def test_semdedup_seeded_recall_and_survivors(spark):
     # each detected pair collapsed: its high member is not canonical
     for a, b in got:
         assert b not in canon
+
+
+def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
+    """Bloom semantics: every inserted hash probes positive (no false
+    negatives — the property the prefilter's correctness rests on);
+    the bloom path's final output equals the exact operator's
+    row-for-row; and the prefilter genuinely prunes (fewer docs reach
+    verification than the corpus has)."""
+    from loudml_spark.pipeline.dedup import (
+        _shingle_hashes_udf,
+        benchmark_overlap,
+        benchmark_overlap_bloom,
+        bloom_build,
+        bloom_probe_col,
+    )
+    from loudml_spark.sources.tables import load_table
+
+    # membership: inserted hashes always test positive
+    hashes = [h * 2_654_435_761 % 1_000_000_007 for h in range(1, 400)]
+    words = bloom_build(hashes, m_bits=1 << 12, k=3)
+    hdf = spark.createDataFrame([(h,) for h in hashes], "h long")
+    n_pos = hdf.filter(
+        bloom_probe_col(F.col("h"), words, m_bits=1 << 12, k=3)
+    ).count()
+    assert n_pos == len(hashes)
+
+    with pytest.raises(ValueError):
+        bloom_build([], m_bits=100, k=3)  # not a multiple of 32
+    with pytest.raises(ValueError):
+        bloom_build([], m_bits=64, k=0)
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20").select(
+        F.col("doc_id").alias("bench_id"), "text")
+    exact = benchmark_overlap(corpus, bench, n=3, min_overlap=8)
+    bloom = benchmark_overlap_bloom(corpus, bench, n=3, min_overlap=8)
+    key = lambda r: (r["doc_id"], r["matched_bench"], r["n_overlap"],
+                     r["contaminated"])
+    assert sorted(map(key, bloom.collect())) == \
+        sorted(map(key, exact.collect()))
+
+    # the prefilter must actually shrink the verification input
+    sh = _shingle_hashes_udf(3, "whitespace")
+    bench_hashes = [
+        r[0] for r in bench.select(
+            F.explode(sh(F.col("text"))).alias("h")).distinct().collect()
+    ]
+    w2 = bloom_build(bench_hashes, m_bits=1 << 16, k=3)
+    n_cand = corpus.filter(
+        F.size(F.filter(
+            sh(F.col("text")),
+            lambda h: bloom_probe_col(h, w2, m_bits=1 << 16, k=3),
+        )) >= 8
+    ).count()
+    n_corpus = corpus.count()
+    n_contaminated = exact.filter("contaminated").count()
+    assert n_contaminated <= n_cand < n_corpus, \
+        (n_contaminated, n_cand, n_corpus)
