@@ -1997,6 +1997,55 @@ def q_bloom_decontaminate_docs(spark, sf_dir):
         F.col("doc_id").alias("bench_id"), "text")
     return benchmark_overlap_bloom(corpus, bench, n=3, min_overlap=8)
 
+
+
+def q_pack_sequences_docs(spark, sf_dir):
+    """Fixed-window sequence packing (the pretraining rule that SPLITS
+    straddling documents at window boundaries, vs pack_shards'
+    charge-to-first-shard): per language, concatenate docs in doc_id
+    order and cut every 256 tokens.  One shuffle on the language key
+    (the window partition); the boundary explode adds at most
+    1 + n_tokens/256 rows per doc, map-side.  Oracle: the same int64
+    running-sum + generate_series construction in SQL."""
+    from loudml_spark.pipeline.sampling import pack_sequences
+    from loudml_spark.pipeline.text import token_count_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(
+        docs, token_col="n_tokens", seq_len=256, by="lang")
+
+
+SQL_PACK_SEQUENCES_DOCS = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS s
+  FROM t WHERE n_tokens > 0
+),
+e AS (
+  SELECT doc_id, lang, n_tokens, s, s + n_tokens AS e,
+         unnest(generate_series(CAST(s // 256 AS BIGINT), CAST((s + n_tokens - 1) // 256 AS BIGINT)))
+           AS seq_id
+  FROM c
+)
+SELECT doc_id, lang, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(s, seq_id * 256) - seq_id * 256 AS BIGINT)
+         AS offset_in_seq,
+       CAST(GREATEST(s, seq_id * 256) - s AS BIGINT) AS tok_begin,
+       CAST(LEAST(e, (seq_id + 1) * 256) - s AS BIGINT) AS tok_end
+FROM e
+"""
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -2103,4 +2152,6 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "bloom_decontaminate_docs": {
         "fn": q_bloom_decontaminate_docs,
         "oracle": SQL_DECONTAMINATE_DOCS},
+    "pack_sequences_docs": {
+        "fn": q_pack_sequences_docs, "oracle": SQL_PACK_SEQUENCES_DOCS},
 }

@@ -261,3 +261,68 @@ def sample_exact_k(
     if rank_col:
         return out.withColumnRenamed("__rank", rank_col)
     return out.drop("__rank")
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    token_col: str,
+    seq_len: int,
+    by: str | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style contiguous sequence packing — the complement of
+    :func:`pack_shards`: documents concatenate in ``order_col`` order
+    into one token stream that is CUT every ``seq_len`` tokens, so a
+    document straddling a window boundary SPLITS across training
+    sequences (the standard pretraining packing rule; pack_shards
+    instead charges the whole straddler to the shard it starts in).
+
+    Output: one row per (document × window it intersects) —
+    ``seq_id`` (the training sequence), ``offset_in_seq`` (where this
+    piece begins inside the window), ``tok_begin``/``tok_end`` (the
+    half-open token slice of the DOCUMENT carried by this window).
+    Pieces tile each document exactly: tok spans concatenate to
+    [0, n_tokens) with no gaps, and every window except a stratum's
+    last holds exactly ``seq_len`` tokens.  Zero-token documents emit
+    no rows.  All arithmetic is int64 — deterministic and
+    engine-portable.
+
+    ``by`` partitions the packing (per language/source): REQUIRED at
+    scale, same single-partition-window caveat as pack_shards.  The
+    boundary-window explode adds ≤ 1 + n_tokens/seq_len rows per
+    document — bounded fan-out, map-side.
+    """
+    from pyspark.sql import Window
+
+    if seq_len <= 0:
+        raise errors.Invalid("seq_len must be positive")
+    w = (Window.partitionBy(by) if by else Window.partitionBy()) \
+        .orderBy(order_col) \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    L = F.lit(int(seq_len))
+    start = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    end = start + F.col(token_col)
+    # two steps: the window expressions materialize first, THEN the
+    # generator explodes over plain columns (Spark rejects a window
+    # function and a generator in the same projection)
+    out = (
+        df.filter(F.col(token_col) > 0)
+        .withColumn("__start", start)
+        .withColumn("__end", end)
+    )
+    out = out.withColumn(
+        "seq_id",
+        F.explode(F.sequence(
+            F.floor(F.col("__start") / L),
+            F.floor((F.col("__end") - F.lit(1)) / L),
+        )),
+    )
+    piece_begin = F.greatest(F.col("__start"), F.col("seq_id") * L)
+    piece_end = F.least(F.col("__end"), (F.col("seq_id") + 1) * L)
+    return (
+        out.withColumn("offset_in_seq", piece_begin - F.col("seq_id") * L)
+        .withColumn("tok_begin", piece_begin - F.col("__start"))
+        .withColumn("tok_end", piece_end - F.col("__start"))
+        .drop("__start", "__end")
+    )

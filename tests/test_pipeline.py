@@ -1051,3 +1051,54 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
     n_contaminated = exact.filter("contaminated").count()
     assert n_contaminated <= n_cand < n_corpus, \
         (n_contaminated, n_cand, n_corpus)
+
+
+def test_pack_sequences_tiling_invariants(spark):
+    """Sequence packing contracts: document pieces tile [0, n_tokens)
+    with no gaps; every window except a stratum's last carries exactly
+    seq_len tokens; zero-token docs vanish; bad seq_len raises."""
+    from loudml_spark import errors
+    from loudml_spark.pipeline.sampling import pack_sequences
+
+    rows = [
+        (1, "a", 5), (2, "a", 9), (3, "a", 0), (4, "a", 17),
+        (5, "b", 8), (6, "b", 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    out = pack_sequences(df, token_col="n", seq_len=8, by="lang") \
+        .collect()
+    assert not any(r["doc_id"] == 3 for r in out)
+
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    n_of = {d: n for d, _, n in rows}
+    for d, pieces in by_doc.items():
+        pieces.sort(key=lambda r: r["tok_begin"])
+        assert pieces[0]["tok_begin"] == 0
+        assert pieces[-1]["tok_end"] == n_of[d]
+        for p, q in zip(pieces, pieces[1:]):
+            assert p["tok_end"] == q["tok_begin"]  # no gap, no overlap
+            assert q["seq_id"] == p["seq_id"] + 1  # consecutive windows
+
+    # per-(lang, seq) token fill: 8 everywhere but the stratum's last
+    fill = {}
+    last_seq = {}
+    for r in out:
+        k = (r["lang"], r["seq_id"])
+        fill[k] = fill.get(k, 0) + (r["tok_end"] - r["tok_begin"])
+        last_seq[r["lang"]] = max(
+            last_seq.get(r["lang"], -1), r["seq_id"])
+    for (lang, seq), n in fill.items():
+        if seq < last_seq[lang]:
+            assert n == 8, (lang, seq, n)
+        else:
+            assert 0 < n <= 8
+    # offsets are consistent with the in-window placement
+    for r in out:
+        assert 0 <= r["offset_in_seq"] < 8
+        assert (r["offset_in_seq"] + (r["tok_end"] - r["tok_begin"])
+                ) <= 8
+
+    with pytest.raises(errors.Invalid):
+        pack_sequences(df, token_col="n", seq_len=0)
