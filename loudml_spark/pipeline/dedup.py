@@ -612,6 +612,7 @@ def benchmark_overlap(
     n: int = 3,
     min_overlap: int = 8,
     tokenizer: str = "whitespace",
+    shingles_col: str | None = None,
 ) -> DataFrame:
     """Decontamination: flag training documents that share ≥
     ``min_overlap`` distinct word n-grams with ANY benchmark/eval
@@ -635,12 +636,26 @@ def benchmark_overlap(
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
     sh = _shingle_hashes_udf(n, tokenizer)
+    # ``shingles_col``: reuse a precomputed shingle-hash array (the
+    # Arrow pass is the dominant map cost — a caller that already
+    # paid it, e.g. the Bloom prefilter, must not pay it twice)
+    doc_grams = (F.col(shingles_col) if shingles_col
+                 else sh(F.col(text_col)))
     doc_sh = df.select(
-        F.col(id_col), F.explode(sh(F.col(text_col))).alias("__h"))
+        F.col(id_col), F.explode(doc_grams).alias("__h"))
     bench_sh = benchmark.select(
         F.col(bench_id_col).alias("__bid"),
         F.explode(sh(F.col(text_col))).alias("__h"),
     )
+    best = _benchmark_best(doc_sh, bench_sh, id_col, min_overlap)
+    return _attach_contamination(df.select(id_col), best, id_col)
+
+
+def _benchmark_best(doc_sh, bench_sh, id_col, min_overlap):
+    """Shared core: exploded (id, gram-hash) vs broadcast bench grams
+    → per-doc best match ≥ min_overlap (count desc, bench id asc)."""
+    from pyspark.sql import Window
+
     hits = (
         doc_sh.join(F.broadcast(bench_sh), "__h")
         .groupBy(id_col, "__bid")
@@ -649,15 +664,18 @@ def benchmark_overlap(
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("n_overlap"), F.asc("__bid"))
-    best = (
+    return (
         hits.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
         .select(id_col, F.col("__bid").alias("matched_bench"),
                 "n_overlap")
     )
+
+
+def _attach_contamination(ids_df, best, id_col):
+    """Re-attach clean documents: one output row per input doc."""
     return (
-        df.select(id_col)
-        .join(best, id_col, "left")
+        ids_df.join(best, id_col, "left")
         .select(
             id_col,
             F.col("matched_bench"),
@@ -1224,16 +1242,40 @@ def bloom_probe_col(h: Column, words: list[int], *, m_bits: int,
     floor-div arithmetic on <2^32 word values — exact in doubles, no
     shift builtins needed inside higher-order-function lambdas."""
     bits_lit = F.lit(words).cast("array<long>")
+    # 32-entry power-of-two lookup: a transcendental pow() per bit
+    # test tripled the probe cost at sf0.1 — element_at is O(1)
+    pow2_lit = F.lit([1 << b for b in range(32)]).cast("array<long>")
     h1 = h % F.lit(m_bits)
     h2 = F.lit(1) + (h % F.lit(m_bits - 1))
     cond = F.lit(True)
     for i in range(k):
         pos = (h1 + F.lit(i) * h2) % F.lit(m_bits)
         word = F.element_at(bits_lit, (pos / F.lit(32)).cast("int") + 1)
-        p2 = F.pow(F.lit(2.0), (pos % F.lit(32)).cast("double")) \
-            .cast("long")
+        p2 = F.element_at(pow2_lit, (pos % F.lit(32)).cast("int") + 1)
         cond = cond & (F.floor(word / p2) % 2 == 1)
     return cond
+
+
+def build_bloom_words(
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    n: int = 3,
+    tokenizer: str = "whitespace",
+    m_bits: int = 1 << 16,
+    k: int = 3,
+) -> list[int]:
+    """Collect the benchmark side's distinct n-gram hashes and pack
+    them into Bloom words — the once-per-eval-set build step of
+    :func:`benchmark_overlap_bloom`."""
+    sh = _shingle_hashes_udf(n, tokenizer)
+    bench_hashes = [
+        r[0]
+        for r in benchmark.select(
+            F.explode(sh(F.col(text_col))).alias("__h")
+        ).distinct().collect()
+    ]
+    return bloom_build(bench_hashes, m_bits=m_bits, k=k)
 
 
 def benchmark_overlap_bloom(
@@ -1248,6 +1290,7 @@ def benchmark_overlap_bloom(
     tokenizer: str = "whitespace",
     m_bits: int = 1 << 16,
     k: int = 3,
+    words: list[int] | None = None,
 ) -> DataFrame:
     """:func:`benchmark_overlap` with a Bloom prefilter — the shape
     that survives when the eval-set n-gram table outgrows an exact
@@ -1267,30 +1310,36 @@ def benchmark_overlap_bloom(
     — m_bits/32 longs, 8 KB at the default m=2^16 / k=3.
     """
     sh = _shingle_hashes_udf(n, tokenizer)
-    bench_hashes = [
-        r[0]
-        for r in benchmark.select(
-            F.explode(sh(F.col(text_col))).alias("__h")
-        ).distinct().collect()
-    ]
-    words = bloom_build(bench_hashes, m_bits=m_bits, k=k)
+    if words is None:
+        # the filter is a static artifact of the eval set — callers
+        # that scrub many corpus batches build it once (build_bloom_
+        # words) and pass it in; building per call costs one bench-
+        # side job each time
+        words = build_bloom_words(
+            benchmark, text_col=text_col, n=n, tokenizer=tokenizer,
+            m_bits=m_bits, k=k)
+    # ONE Arrow shingle pass: the same projection feeds the Bloom
+    # prune AND the verification explode (filter + explode collapse
+    # into a single ArrowEvalPython stage); the final re-attach joins
+    # the UDF-FREE corpus id scan, so no second pass exists anywhere
+    grams = df.withColumn("__sh", sh(F.col(text_col)))
     n_pass = F.size(F.filter(
-        sh(F.col(text_col)),
+        F.col("__sh"),
         lambda h: bloom_probe_col(h, words, m_bits=m_bits, k=k),
     ))
-    cand = df.filter(n_pass >= F.lit(min_overlap))
-    flagged = benchmark_overlap(
-        cand, benchmark, text_col=text_col, id_col=id_col,
-        bench_id_col=bench_id_col, n=n, min_overlap=min_overlap,
-        tokenizer=tokenizer,
+    # prune-by-emptying instead of filter-then-explode: one projection
+    # → Catalyst keeps a single ArrowEvalPython stage for the shingle
+    # UDF instead of re-evaluating it on each side of the filter
+    doc_sh = grams.select(
+        F.col(id_col),
+        F.explode(
+            F.when(n_pass >= F.lit(min_overlap), F.col("__sh"))
+            .otherwise(F.array().cast("array<long>"))
+        ).alias("__h"),
     )
-    return (
-        df.select(id_col)
-        .join(flagged, id_col, "left")
-        .select(
-            id_col,
-            F.col("matched_bench"),
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
-        )
+    bench_sh = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.explode(sh(F.col(text_col))).alias("__h"),
     )
+    best = _benchmark_best(doc_sh, bench_sh, id_col, min_overlap)
+    return _attach_contamination(df.select(id_col), best, id_col)

@@ -160,6 +160,57 @@ class ORCBucket(Bucket):
         shutil.rmtree(self.settings["path"], ignore_errors=True)
 
 
+class BinaryFileBucket(Bucket):
+    """Raw-file bucket over Spark's built-in `binaryFile` source —
+    the ingestion front door for multimodal corpora (images / audio /
+    video land as one row per file: path, modificationTime, length,
+    content binary).  Feeds pipeline/multimodal.py, whose operators
+    expect exactly this (id-able path + opaque binary + typed
+    metadata).
+
+    Settings: ``path`` (dir/glob), optional ``pattern`` (mapped to
+    `pathGlobFilter`, e.g. ``*.png``), optional ``recursive``
+    (recursiveFileLookup).  Scale notes: the source parallelizes per
+    file and prunes by glob at listing time; `content` is only
+    materialized for rows that survive column pruning, so
+    metadata-only queries (count, size histograms) never read the
+    bytes.  Read-only by design — writing files is the job of the
+    thing that produced them, not the analytics engine."""
+
+    def read(self, spark):
+        reader = spark.read.format("binaryFile")
+        if "pattern" in self.settings:
+            reader = reader.option(
+                "pathGlobFilter", self.settings["pattern"])
+        if self.settings.get("recursive"):
+            reader = reader.option("recursiveFileLookup", "true")
+        return reader.load(self.settings["path"])
+
+
+class TextBucket(Bucket):
+    """Line-oriented text bucket (`spark.read.text`) — raw-corpus
+    ingestion (one row per line, column ``value``; Spark decompresses
+    .gz/.bz2/.zst natively).  ``wholetext: true`` flips to one row
+    per FILE — the document-per-file shape a crawl dump drops.
+    Writes require a single string column (Spark's text sink rule)."""
+
+    def read(self, spark):
+        reader = spark.read
+        if self.settings.get("wholetext"):
+            reader = reader.option("wholetext", "true")
+        if "line_sep" in self.settings:
+            reader = reader.option("lineSep", self.settings["line_sep"])
+        return reader.text(self.settings["path"])
+
+    def write(self, df, mode="append"):
+        df.write.mode(mode).text(self.settings["path"])
+
+    def drop(self):
+        import shutil
+
+        shutil.rmtree(self.settings["path"], ignore_errors=True)
+
+
 class JDBCBucket(Bucket):
     """JDBC bucket — covers the reference's SQL-ish stores. Catalyst
     pushes filters down (DSv2); partitioned reads via
@@ -179,6 +230,8 @@ _BUCKET_TYPES = {
     "orc": ORCBucket,
     "mem": MemBucket,
     "jdbc": JDBCBucket,
+    "binaryfile": BinaryFileBucket,
+    "text": TextBucket,
 }
 
 
