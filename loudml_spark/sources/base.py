@@ -195,12 +195,11 @@ class TextBucket(Bucket):
     Writes require a single string column (Spark's text sink rule)."""
 
     def read(self, spark):
-        reader = spark.read
-        if self.settings.get("wholetext"):
-            reader = reader.option("wholetext", "true")
-        if "line_sep" in self.settings:
-            reader = reader.option("lineSep", self.settings["line_sep"])
-        return reader.text(self.settings["path"])
+        return spark.read.text(
+            self.settings["path"],
+            wholetext=bool(self.settings.get("wholetext")),
+            lineSep=self.settings.get("line_sep"),
+        )
 
     def write(self, df, mode="append"):
         df.write.mode(mode).text(self.settings["path"])

@@ -64,3 +64,57 @@ def test_bucket_drop(spark, tmp_path):
     b.drop()
     with pytest.raises(Exception):
         b.read(spark).count()
+
+
+def test_binaryfile_bucket_reads_raw_files(spark, tmp_path):
+    """binaryFile ingestion: one row per file with path/length/content;
+    glob pattern prunes at listing time; the bucket is read-only."""
+    from loudml_spark.sources.base import BucketRegistry
+
+    d = tmp_path / "blobs"
+    d.mkdir()
+    (d / "a.png").write_bytes(b"\x89PNG-fake-a")
+    (d / "b.png").write_bytes(b"\x89PNG-fake-bb")
+    (d / "notes.txt").write_text("not a blob")
+
+    reg = BucketRegistry()
+    b = reg.add({"name": "blobs", "type": "binaryfile",
+                 "path": str(d), "pattern": "*.png"})
+    rows = b.read(spark).orderBy("path").collect()
+    assert [r["path"].rsplit("/", 1)[-1] for r in rows] == \
+        ["a.png", "b.png"]
+    assert rows[0]["content"] == b"\x89PNG-fake-a"
+    assert rows[1]["length"] == 12
+
+    # metadata-only projection never needs content
+    assert b.read(spark).select("length").count() == 2
+
+    with pytest.raises(errors.Invalid):
+        b.write(b.read(spark))
+
+
+def test_text_bucket_lines_and_wholetext(spark, tmp_path):
+    from loudml_spark.sources.base import BucketRegistry
+
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "f1.txt").write_text("line one\nline two\n")
+    (src / "f2.txt").write_text("solo\n")
+
+    reg = BucketRegistry()
+    lines = reg.add({"name": "lines", "type": "text",
+                     "path": str(src)})
+    got = sorted(r["value"] for r in lines.read(spark).collect())
+    assert got == ["line one", "line two", "solo"]
+
+    whole = reg.add({"name": "whole", "type": "text",
+                     "path": str(src), "wholetext": True})
+    docs = sorted(r["value"] for r in whole.read(spark).collect())
+    assert docs == ["line one\nline two\n", "solo\n"]
+
+    # write + read back round trip
+    out = reg.add({"name": "out", "type": "text",
+                   "path": str(tmp_path / "out")})
+    out.write(lines.read(spark), mode="overwrite")
+    assert sorted(r["value"] for r in out.read(spark).collect()) == got
+    out.drop()
