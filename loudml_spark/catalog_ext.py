@@ -2085,6 +2085,78 @@ SELECT event_id, user_id, event_type, value
 FROM events WHERE user_id % 10 = 0
 """
 
+
+
+def q_streaming_join_click_purchase(spark, sf_dir):
+    """Click→purchase attribution as a STREAM-STREAM interval join:
+    both sides are unbounded file streams (each staged as 2 ts-range
+    files so matches must form ACROSS micro-batches through the join
+    state store), paired on user_id with the purchase inside
+    [click, click + 6 hours].  The drained append output must equal
+    the batch interval join row-for-row (oracle).  The staged drain
+    uses a data-spanning watermark so no join state evicts mid-drain;
+    production sets it to the streams' max skew and state stays
+    bounded by throughput × (watermark + window) — see
+    stream_interval_join."""
+    import shutil
+    import tempfile
+
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_interval_join,
+    )
+
+    ts_utc = F.expr("cast(convert_timezone('UTC', current_timezone(), "
+                    "ts) as timestamp)")
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", ts_utc.alias("ts"))
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", ts_utc.alias("ts"), "value")
+    tmpc = tempfile.mkdtemp(prefix="lms_join_c_")
+    tmpp = tempfile.mkdtemp(prefix="lms_join_p_")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        clicks.repartitionByRange(2, "ts").write \
+            .mode("overwrite").parquet(tmpc)
+        purchases.repartitionByRange(2, "ts").write \
+            .mode("overwrite").parquet(tmpp)
+        sc = (spark.readStream
+              .schema("user_id bigint, ts timestamp")
+              .option("maxFilesPerTrigger", 1).parquet(tmpc))
+        sp = (spark.readStream
+              .schema("user_id bigint, ts timestamp, value double")
+              .option("maxFilesPerTrigger", 1).parquet(tmpp))
+        out = stream_interval_join(
+            sc, sp, key="user_id", within="6 hours",
+            watermark="90 days")
+        return drain_stream_to_df(
+            out,
+            ["user_id",
+             F.expr("cast(l_ts as bigint)").alias("click_s"),
+             F.expr("cast(r_ts as bigint)").alias("purchase_s"),
+             F.col("r_value").alias("value")],
+            output_mode="append", prefix="stream_ij",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(tmpc, ignore_errors=True)
+        shutil.rmtree(tmpp, ignore_errors=True)
+
+
+SQL_STREAMING_JOIN_CLICK_PURCHASE = """
+SELECT c.user_id,
+       CAST(epoch_us(c.ts) // 1000000 AS BIGINT) AS click_s,
+       CAST(epoch_us(p.ts) // 1000000 AS BIGINT) AS purchase_s,
+       p.value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
+"""
+
 EXT_QUERIES: dict[str, dict] = {
     "cms_heavy_hitters": {
         "fn": q_cms_heavy_hitters,
@@ -2181,6 +2253,10 @@ EXT_QUERIES: dict[str, dict] = {
     "streaming_dedup_events": {
         "fn": q_streaming_dedup_events,
         "oracle": SQL_STREAMING_DEDUP_EVENTS,
+    },
+    "streaming_join_click_purchase": {
+        "fn": q_streaming_join_click_purchase,
+        "oracle": SQL_STREAMING_JOIN_CLICK_PURCHASE,
     },
     "sessionize_native_30m": {
         "fn": q_sessionize_native_30m,

@@ -603,3 +603,56 @@ def latest_predictions(df: DataFrame) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__seq")
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts_left: str = "ts",
+    ts_right: str = "ts",
+    within: str = "1 hour",
+    watermark: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream interval join: pair each left event with right
+    events of the same ``key`` whose timestamp falls in
+    [left.ts, left.ts + ``within``] — the attribution/enrichment
+    pattern (click → purchase, request → response) executed with BOTH
+    sides unbounded.
+
+    Both inputs get a watermark (Spark's requirement for state
+    cleanup in stream-stream joins): each side's join state is
+    retained only while the other side's watermark can still produce
+    a match, so state is bounded by throughput × (watermark +
+    ``within``) — the join NEVER holds a full stream.  The time-range
+    predicate is what lets the engine derive those retention bounds;
+    an unconstrained stream-stream equi-join would require infinite
+    state and is rejected by Spark.
+
+    Output columns: ``key``, left columns prefixed ``l_``, right
+    columns prefixed ``r_`` (timestamps included) — prefixing keeps
+    the two sides' clocks distinguishable downstream.
+    """
+    lw = left.withWatermark(ts_left, watermark)
+    rw = right.withWatermark(ts_right, watermark)
+    lp = lw.select(
+        F.col(key).alias("__k"),
+        *[F.col(c).alias(f"l_{c}") for c in left.columns if c != key],
+    )
+    rp = rw.select(
+        F.col(key).alias("__rk"),
+        *[F.col(c).alias(f"r_{c}") for c in right.columns if c != key],
+    )
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col(f"r_{ts_right}") >= F.col(f"l_{ts_left}"))
+        & (F.col(f"r_{ts_right}")
+           <= F.col(f"l_{ts_left}") + F.expr(f"interval {within}"))
+    )
+    return (
+        lp.join(rp, cond, how)
+        .drop("__rk")
+        .withColumnRenamed("__k", key)
+    )

@@ -621,3 +621,53 @@ def test_streaming_sessionize_query_tz_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
     assert tuple(base) == tuple(tokyo)
+
+
+def test_stream_interval_join_cross_batch(spark, tmpdir):
+    """Stream-stream interval join: a (click, purchase) pair split
+    ACROSS micro-batches must still match through the join state
+    store; purchases outside [click, click+window] or before the
+    click must not."""
+    from loudml_spark.streaming.job import stream_interval_join
+
+    lsrc = f"{tmpdir}/ij_left"
+    rsrc = f"{tmpdir}/ij_right"
+    # left: clicks for users 1 and 2 (one file)
+    _write_batch(
+        spark, lsrc,
+        [(1, BASE), (2, BASE + 100)],
+        "user_id long, sec long",
+    )
+    # right batch 1: in-window purchase for user 1; pre-click for 2
+    _write_batch(
+        spark, rsrc,
+        [(1, BASE + 600, 10.0), (2, BASE + 50, 99.0)],
+        "user_id long, sec long, value double",
+    )
+    # right batch 2 (separate file → separate trigger): in-window for
+    # user 2 (cross-batch match), out-of-window for user 1
+    _write_batch(
+        spark, rsrc,
+        [(2, BASE + 1900, 20.0), (1, BASE + 7200, 77.0)],
+        "user_id long, sec long, value double",
+    )
+    mk = lambda p, cols: (
+        spark.readStream.schema(cols)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+        .withColumn("ts", F.timestamp_seconds(F.col("sec")))
+        .drop("sec")
+    )
+    out = stream_interval_join(
+        mk(lsrc, "user_id long, sec long"),
+        mk(rsrc, "user_id long, sec long, value double"),
+        key="user_id", within="30 minutes", watermark="2 hours",
+    )
+    q = (
+        out.writeStream.format("memory").queryName("ij_test")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user_id, r_value from ij_test").collect()
+    got = sorted((r["user_id"], r["r_value"]) for r in rows)
+    assert got == [(1, 10.0), (2, 20.0)]
