@@ -2,10 +2,12 @@
 
     fingerprint → exact dedup → near-dup LSH pairs → connected
     components → keep canonicals → boilerplate line dedup →
-    quality + repetition gates → PII redaction → benchmark
-    decontamination → stratified corpus mix → deterministic
-    train/val/test split → token-budget shard packing →
-    corpus stats on the training slice.
+    quality + repetition gates → unigram-LM quality scoring →
+    PII redaction → Bloom-prefiltered benchmark decontamination →
+    stratified corpus mix → deterministic train/val/test split →
+    token-budget shard packing → fixed-window sequence packing →
+    corpus stats on the training slice (+ a SemDeDup pass over the
+    embeddings table).
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001)
@@ -39,7 +41,7 @@ def main(sf_dir: str) -> None:
     from loudml_spark.pipeline.dedup import (
         dedup_clusters, minhash_lsh_pairs,
     )
-    from loudml_spark.pipeline.dedup import benchmark_overlap
+    from loudml_spark.pipeline.dedup import benchmark_overlap_bloom
     from loudml_spark.pipeline.sampling import (
         hash_split, pack_shards, stratified_sample,
     )
@@ -88,6 +90,18 @@ def main(sf_dir: str) -> None:
     ).select(*quality.columns)
     n3 = quality.count()
 
+    # 3b. unigram-LM quality score (CCNet-style proxy): drop docs
+    #     whose tokens are mostly out-of-vocabulary gibberish
+    from loudml_spark.pipeline.corpus import lm_score
+
+    lm = lm_score(quality, vocab_size=500)
+    quality = quality.join(
+        lm.filter(
+            F.col("oov_rate").isNull() | (F.col("oov_rate") <= 0.5)
+        ).select("doc_id"),
+        "doc_id")
+    n3b = quality.count()
+
     # 4. PII scrub (map-only regex; counts audit what was removed)
     red = redact_pii(quality)
     n_pii = red.agg(F.sum(
@@ -98,9 +112,11 @@ def main(sf_dir: str) -> None:
 
     # 5. benchmark decontamination: hold the first 10 docs out as a
     #    stand-in eval set, drop training docs overlapping them
+    #    — through the Bloom-prefiltered path: corpus docs that
+    #    cannot reach min_overlap never enter the verification join
     bench = quality.filter("doc_id < 10").select(
         F.col("doc_id").alias("bench_id"), "text")
-    flags = benchmark_overlap(
+    flags = benchmark_overlap_bloom(
         quality.filter("doc_id >= 10"), bench, n=3, min_overlap=8)
     clean = quality.join(
         flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
@@ -129,18 +145,42 @@ def main(sf_dir: str) -> None:
     n_shards = shards.agg(
         F.countDistinct("lang", "shard")).first()[0]
 
+    # 8b. fixed-window sequence packing: the 512-token training
+    #     sequences a dataloader reads, straddlers split at window
+    #     boundaries (the GPT packing rule)
+    from loudml_spark.pipeline.sampling import pack_sequences
+
+    seqs = pack_sequences(
+        split.filter(F.col("split") == "train"),
+        token_col="n_tokens", seq_len=512, by="lang",
+    )
+    n_seqs = seqs.agg(F.countDistinct("lang", "seq_id")).first()[0]
+
     # 9. vocabulary of the training slice
     train_vocab = vocabulary(
         split.filter(F.col("split") == "train"), top_k=10)
 
     print(f"docs: {n0} → exact-dedup {n1} → near-dup {n2} "
-          f"→ quality {n3} → decontaminated {n4} → mixed {n5}")
+          f"→ quality {n3} → lm-gate {n3b} → decontaminated {n4} "
+          f"→ mixed {n5}")
     print(f"boilerplate lines dropped: {n_dropped_lines}")
     print(f"pii matches scrubbed: {n_pii}")
-    print(f"splits: {counts}   train shards: {n_shards}")
+    print(f"splits: {counts}   train shards: {n_shards}   "
+          f"train sequences(512): {n_seqs}")
     print("top training tokens:")
     for r in train_vocab.collect():
         print(f"  {r['token']:>12}  tf={r['tf']}  df={r['df']}")
+
+    # 10. SemDeDup over the embeddings table: coarse-quantizer cells
+    #     bound the within-cell cosine comparison; one exemplar per
+    #     semantic-duplicate component survives
+    from loudml_spark.pipeline.similarity import semdedup_survivors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = semdedup_survivors(emb, threshold=0.9, n_centroids=16)
+    n_vec = sem.count()
+    n_keep = sem.filter("is_canonical").count()
+    print(f"semdedup(embeddings): {n_vec} vectors → {n_keep} kept")
 
 
 if __name__ == "__main__":
