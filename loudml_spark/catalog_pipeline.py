@@ -2075,6 +2075,51 @@ SELECT doc_id, lang, n_tokens, CAST(seq_id AS BIGINT) AS seq_id,
 FROM e
 """
 
+
+
+def q_centroid_similarity_labels(spark, sf_dir):
+    """Embedding-space drift monitor: pairwise cosine between label
+    centroids.  The pair computation is an equi-join on the DIMENSION
+    index over per-(label, dim) averages — |labels|²·|dims| partial
+    products independent of corpus size, and no non-equi vector pair
+    join anywhere (plan-gate-clean).  See
+    pipeline/embeddings.py centroid_similarity."""
+    from loudml_spark.pipeline.embeddings import centroid_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "label", "embedding")
+    out = centroid_similarity(emb, group_col="label")
+    return out.select(
+        F.col("grp_a").cast("int").alias("grp_a"),
+        F.col("grp_b").cast("int").alias("grp_b"),
+        "cosine")
+
+
+SQL_CENTROID_SIMILARITY_LABELS = """
+WITH d AS (
+  SELECT label, t.i AS dim, embedding[t.i + 1] AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+),
+p AS (
+  SELECT label, dim, AVG(CAST(v AS DOUBLE)) AS a
+  FROM d GROUP BY 1, 2
+),
+n AS (
+  SELECT label, sqrt(SUM(a * a)) AS nrm FROM p GROUP BY label
+),
+dots AS (
+  SELECT x.label AS grp_a, y.label AS grp_b, SUM(x.a * y.a) AS dot
+  FROM p x JOIN p y ON x.dim = y.dim AND x.label < y.label
+  GROUP BY 1, 2
+)
+SELECT CAST(d.grp_a AS INTEGER) AS grp_a,
+       CAST(d.grp_b AS INTEGER) AS grp_b,
+       ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM dots d
+JOIN n na ON na.label = d.grp_a
+JOIN n nb ON nb.label = d.grp_b
+"""
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -2183,4 +2228,7 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "oracle": SQL_DECONTAMINATE_DOCS},
     "pack_sequences_docs": {
         "fn": q_pack_sequences_docs, "oracle": SQL_PACK_SEQUENCES_DOCS},
+    "centroid_similarity_labels": {
+        "fn": q_centroid_similarity_labels,
+        "oracle": SQL_CENTROID_SIMILARITY_LABELS},
 }

@@ -76,3 +76,64 @@ def group_centroids(
             )["__avg"].alias(out_col),
         )
     )
+
+
+def centroid_similarity(
+    df: DataFrame,
+    *,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine between GROUP CENTROIDS — the embedding-space
+    drift/affinity monitor (are two sources/snapshots drifting apart?
+    which corpus slices are semantically close?).
+
+    Join discipline: the pair computation is an EQUI-join on the
+    dimension index over the per-(group, dim) averages — never a
+    non-equi pair join of assembled vectors (which would plan as a
+    nested-loop).  Intermediate size is |groups|²·|dims| partial
+    products, independent of corpus row count; norms reduce per group
+    and broadcast back onto the bounded pair frame.
+
+    Returns (grp_a, grp_b, cosine) for grp_a < grp_b, cosine rounded
+    to ``round_to`` (summation-order ulps).
+    """
+    if group_col not in df.columns or vec_col not in df.columns:
+        raise errors.Invalid(
+            f"missing column: need {group_col!r} and {vec_col!r}")
+    per_dim = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.posexplode(F.col(vec_col)).alias("__dim", "__v"),
+        )
+        .groupBy("__g", "__dim")
+        .agg(F.avg(F.col("__v").cast("double")).alias("__a"))
+    )
+    norms = per_dim.groupBy("__g").agg(
+        F.sqrt(F.sum(F.col("__a") * F.col("__a"))).alias("__norm"))
+    a = per_dim.select(F.col("__g").alias("grp_a"), "__dim",
+                       F.col("__a").alias("__va"))
+    b = per_dim.select(F.col("__g").alias("grp_b"), "__dim",
+                       F.col("__a").alias("__vb"))
+    dots = (
+        a.join(b, "__dim")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.sum(F.col("__va") * F.col("__vb")).alias("__dot"))
+    )
+    na = norms.select(F.col("__g").alias("grp_a"),
+                      F.col("__norm").alias("__na"))
+    nb = norms.select(F.col("__g").alias("grp_b"),
+                      F.col("__norm").alias("__nb"))
+    return (
+        dots.join(F.broadcast(na), "grp_a")
+        .join(F.broadcast(nb), "grp_b")
+        .select(
+            "grp_a", "grp_b",
+            F.round(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")),
+                round_to,
+            ).alias("cosine"),
+        )
+    )

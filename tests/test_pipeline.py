@@ -1102,3 +1102,27 @@ def test_pack_sequences_tiling_invariants(spark):
 
     with pytest.raises(errors.Invalid):
         pack_sequences(df, token_col="n", seq_len=0)
+
+
+def test_centroid_similarity_hand_computed(spark):
+    """Pairwise centroid cosine on a 2-group toy set with known
+    centroids: g0 -> mean([1,0],[1,0]) = [1,0]; g1 -> mean([0,2],[2,0])
+    = [1,1]; cos = 1/sqrt(2)."""
+    import math
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.embeddings import centroid_similarity
+
+    rows = [
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),
+        (1, [0.0, 2.0]), (1, [2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "g int, embedding array<float>")
+    out = centroid_similarity(df, group_col="g").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["grp_a"], r["grp_b"]) == (0, 1)
+    assert r["cosine"] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+
+    with pytest.raises(errors.Invalid):
+        centroid_similarity(df, group_col="nope")

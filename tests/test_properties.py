@@ -393,3 +393,72 @@ def test_sample_exact_k_matches_bruteforce(spark, rows, k):
         df, key=F.col("doc_id") * 37, k=k, order_col="doc_id",
         by=["s"]).collect()}
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 400), min_size=1, max_size=30),
+    seq_len=st.integers(16, 300),
+)
+def test_pack_sequences_matches_python_walk(spark, sizes, seq_len):
+    """The windowed-SQL packing equals a straight Python walk of the
+    concatenated token stream: same windows, same piece bounds, and
+    pieces tile every non-empty document exactly."""
+    from loudml_spark.pipeline.sampling import pack_sequences
+
+    rows = [(i, "x", n) for i, n in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n long")
+    got = sorted(
+        pack_sequences(df, token_col="n", seq_len=seq_len, by="lang")
+        .collect(),
+        key=lambda r: (r["doc_id"], r["seq_id"]),
+    )
+    expect = []
+    pos = 0
+    for i, n in enumerate(sizes):
+        start, end = pos, pos + n
+        pos = end
+        if n == 0:
+            continue
+        for s in range(start // seq_len, (end - 1) // seq_len + 1):
+            lo, hi = max(start, s * seq_len), min(end, (s + 1) * seq_len)
+            expect.append((i, s, lo - s * seq_len, lo - start, hi - start))
+    assert [(r["doc_id"], r["seq_id"], r["offset_in_seq"],
+             r["tok_begin"], r["tok_end"]) for r in got] == expect
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    hashes=st.lists(st.integers(0, 10**15), min_size=1, max_size=200),
+    probes=st.lists(st.integers(0, 10**15), min_size=1, max_size=50),
+    k=st.integers(1, 5),
+)
+def test_bloom_words_python_mirror_no_false_negatives(hashes, probes, k):
+    """Pure-arithmetic mirror of bloom_probe_col (same double-hash
+    positions, same 32-bit word packing): every inserted hash probes
+    positive, and any positive probe is explainable by the bit array
+    (sanity of the packing arithmetic)."""
+    from loudml_spark.pipeline.dedup import bloom_build
+
+    m = 1 << 12
+    words = bloom_build(hashes, m_bits=m, k=k)
+
+    def probe(h):
+        h1, h2 = h % m, 1 + h % (m - 1)
+        for i in range(k):
+            pos = (h1 + i * h2) % m
+            if not (words[pos // 32] >> (pos % 32)) & 1:
+                return False
+        return True
+
+    assert all(probe(h) for h in hashes)
+    member_bits = set()
+    for h in hashes:
+        h1, h2 = h % m, 1 + h % (m - 1)
+        member_bits.update((h1 + i * h2) % m for i in range(k))
+    for p in probes:
+        if probe(p):
+            h1, h2 = p % m, 1 + p % (m - 1)
+            assert all(
+                (p_ in member_bits)
+                for p_ in ((h1 + i * h2) % m for i in range(k)))
