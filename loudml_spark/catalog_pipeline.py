@@ -2120,6 +2120,56 @@ JOIN n na ON na.label = d.grp_a
 JOIN n nb ON nb.label = d.grp_b
 """
 
+
+
+def q_containment_pairs_docs(spark, sf_dir):
+    """Asymmetric near-dup: n-gram CONTAINMENT |A∩B|/|A| on a seeded
+    corpus — each excerpt doc (id+3000) is the first 200 chars of its
+    base (id < 40), so containment(excerpt→base) ≈ 1 while symmetric
+    Jaccard would dilute toward the size ratio.  Candidates come from
+    the shared-gram equi-join under a df ≤ 8 stop-gram cut (the
+    LSH-band df-bound); counts are exact ints, containments single
+    IEEE divisions.  See pipeline/dedup.py ngram_containment_pairs."""
+    from loudml_spark.pipeline.dedup import ngram_containment_pairs
+
+    base = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
+        .filter(F.col("doc_id") < 40).select("doc_id", "text")
+    exc = base.select(
+        (F.col("doc_id") + 3000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"))
+    corpus = base.unionByName(exc)
+    return ngram_containment_pairs(
+        corpus, n=3, threshold=0.6, max_df=8)
+
+
+SQL_CONTAINMENT_PAIRS_DOCS = f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id + 3000, substr(text, 1, 200)
+  FROM documents WHERE doc_id < 40
+),
+w AS (SELECT doc_id, {{words}} AS words FROM d),
+s AS (SELECT doc_id, {{gh}} AS sh FROM w),
+e0 AS (SELECT doc_id AS id, unnest(sh) AS h FROM s),
+keep AS (SELECT h FROM e0 GROUP BY h HAVING COUNT(*) <= 8),
+e AS (SELECT id, e0.h FROM e0 JOIN keep ON e0.h = keep.h),
+sz AS (SELECT id, COUNT(*) AS sz FROM e GROUP BY id),
+c AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM e a JOIN e b ON a.h = b.h AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       n_common * 1.0 / sa.sz AS containment_a,
+       n_common * 1.0 / sb.sz AS containment_b
+FROM c
+JOIN sz sa ON sa.id = c.id_a
+JOIN sz sb ON sb.id = c.id_b
+WHERE n_common * 1.0 / sa.sz >= 0.6
+   OR n_common * 1.0 / sb.sz >= 0.6
+""".format(words="string_split(text, ' ')", gh=_SQL_3GRAM_HASHES)
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -2231,4 +2281,7 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "centroid_similarity_labels": {
         "fn": q_centroid_similarity_labels,
         "oracle": SQL_CENTROID_SIMILARITY_LABELS},
+    "containment_pairs_docs": {
+        "fn": q_containment_pairs_docs,
+        "oracle": SQL_CONTAINMENT_PAIRS_DOCS},
 }

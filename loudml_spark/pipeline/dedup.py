@@ -1343,3 +1343,69 @@ def benchmark_overlap_bloom(
     )
     best = _benchmark_best(doc_sh, bench_sh, id_col, min_overlap)
     return _attach_contamination(df.select(id_col), best, id_col)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: n-gram containment
+    |A∩B| / |A| — the measure that catches a short document contained
+    inside a long one (quotes, excerpts, page-of-a-book), which
+    symmetric Jaccard dilutes toward zero as the size ratio grows.
+
+    Candidate generation is the shared-gram EQUI-join (shuffle key =
+    gram hash), with an optional document-frequency stop-gram cut
+    (``max_df``) bounding the per-gram fan-out — the same df-bound
+    that keeps LSH band buckets from exploding on boilerplate; at
+    100 TB the cut is what bounds the self-join.  Never an all-pairs
+    scan.
+
+    Output: one row per unordered candidate pair (id_a < id_b) with
+    ``n_common`` distinct shared grams and BOTH directed containments
+    (``containment_a`` = share of A's grams found in B, and vice
+    versa), kept when either direction ≥ ``threshold``.  Counts are
+    exact integers; the containments are single IEEE divisions —
+    engine-portable with no rounding.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = _shingle_hashes_udf(n, tokenizer)
+    grams = df.select(
+        F.col(id_col).alias("id"), sh(F.col(text_col)).alias("__sh"))
+    ex = grams.select("id", F.explode("__sh").alias("h"))
+    if max_df is not None:
+        keep = ex.groupBy("h").agg(
+            F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
+        ex = ex.join(keep.select("h"), "h")
+    # sizes from the POST-cut gram space so numerator and denominator
+    # measure the same universe (otherwise the stop-gram cut silently
+    # deflates containment of boilerplate-heavy docs)
+    sizes = ex.groupBy("id").agg(F.count("*").alias("sz"))
+    a = ex.select(F.col("id").alias("id_a"), "h")
+    b = ex.select(F.col("id").alias("id_b"), "h")
+    common = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("__sa"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("__sb"))
+    out = (
+        common.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "n_common",
+            (F.col("n_common") / F.col("__sa")).alias("containment_a"),
+            (F.col("n_common") / F.col("__sb")).alias("containment_b"),
+        )
+    )
+    return out.filter(
+        (F.col("containment_a") >= threshold)
+        | (F.col("containment_b") >= threshold))

@@ -62,10 +62,14 @@ class Bucket(ABC):
 
 
 class ParquetBucket(Bucket):
-    """Parquet directory/file bucket — the natural Spark store."""
+    """Parquet directory/file bucket — the natural Spark store.
+
+    ``options`` passes reader options straight through — e.g.
+    ``{"mergeSchema": "true"}`` for schema-evolved datasets (files
+    written before a column existed read back as NULLs)."""
 
     def read(self, spark):
-        reader = spark.read
+        reader = spark.read.options(**self.settings.get("options", {}))
         if "schema" in self.settings:
             reader = reader.schema(self.settings["schema"])
         return reader.parquet(self.settings["path"])
@@ -128,7 +132,7 @@ class JSONBucket(Bucket):
     """JSON-lines bucket (Spark reads .gz/.bz2 natively)."""
 
     def read(self, spark):
-        reader = spark.read
+        reader = spark.read.options(**self.settings.get("options", {}))
         if "schema" in self.settings:
             reader = reader.schema(self.settings["schema"])
         return reader.json(self.settings["path"])
@@ -146,7 +150,7 @@ class ORCBucket(Bucket):
     """ORC bucket — same columnar pushdown story as parquet."""
 
     def read(self, spark):
-        reader = spark.read
+        reader = spark.read.options(**self.settings.get("options", {}))
         if "schema" in self.settings:
             reader = reader.schema(self.settings["schema"])
         return reader.orc(self.settings["path"])

@@ -1126,3 +1126,48 @@ def test_centroid_similarity_hand_computed(spark):
 
     with pytest.raises(errors.Invalid):
         centroid_similarity(df, group_col="nope")
+
+
+def test_containment_pairs_seeded_excerpts(spark):
+    """Every seeded (base, excerpt) pair surfaces with near-1
+    containment on the excerpt side — the asymmetric measure's whole
+    point — while symmetric Jaccard on the same pair is diluted by
+    the size ratio; threshold validation raises."""
+    from loudml_spark.catalog_pipeline import q_containment_pairs_docs
+    from loudml_spark.pipeline.dedup import ngram_containment_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = q_containment_pairs_docs(spark, sf_dir).collect()
+    pairs = {(r["id_a"], r["id_b"]): r for r in rows}
+    assert pairs, "seeded corpus must produce containment pairs"
+    # every seeded (base, base+3000) pair present (extras are GENUINE
+    # >=0.6 containments inside the word-soup corpus)
+    from loudml_spark.sources.tables import load_table as _lt
+    seeded = {(i, i + 3000)
+              for (i,) in _lt(spark, sf_dir, "documents")
+              .filter("doc_id < 40").select("doc_id").collect()}
+    missing = seeded - set(pairs)
+    assert not missing, missing
+    for (a, b), r in pairs.items():
+        ex_side = max(r["containment_a"], r["containment_b"])
+        assert ex_side >= 0.6
+        # Jaccard = |∩| / (|A| + |B| − |∩|) is strictly smaller than
+        # the excerpt-side containment for a proper excerpt
+        sa = r["n_common"] / r["containment_a"]
+        sb = r["n_common"] / r["containment_b"]
+        jac = r["n_common"] / (sa + sb - r["n_common"])
+        # equality only when excerpt == whole doc (short documents)
+        assert jac <= ex_side
+    assert any(
+        r["n_common"] / (r["n_common"] / r["containment_a"]
+                         + r["n_common"] / r["containment_b"]
+                         - r["n_common"]) < max(r["containment_a"],
+                                                r["containment_b"])
+        for r in pairs.values()
+    ), "at least one proper excerpt must show dilution"
+
+    with pytest.raises(ValueError):
+        ngram_containment_pairs(
+            spark.createDataFrame([(1, "a b c d")],
+                                  "doc_id long, text string"),
+            threshold=0.0)

@@ -118,3 +118,24 @@ def test_text_bucket_lines_and_wholetext(spark, tmp_path):
     out.write(lines.read(spark), mode="overwrite")
     assert sorted(r["value"] for r in out.read(spark).collect()) == got
     out.drop()
+
+
+def test_parquet_bucket_schema_evolution_mergeschema(spark, tmp_path):
+    """Reader options pass through: a dataset whose later files added
+    a column reads back whole under mergeSchema, with pre-evolution
+    rows NULL in the new column."""
+    from loudml_spark.sources.base import BucketRegistry
+
+    p = str(tmp_path / "evolved")
+    spark.createDataFrame([(1, 10.0)], "id long, v double") \
+        .write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, 20.0, "new")], "id long, v double, tag string"
+    ).write.mode("append").parquet(p)
+
+    reg = BucketRegistry()
+    b = reg.add({"name": "ev", "type": "parquet", "path": p,
+                 "options": {"mergeSchema": "true"}})
+    rows = {r["id"]: r for r in b.read(spark).collect()}
+    assert set(b.read(spark).columns) == {"id", "v", "tag"}
+    assert rows[1]["tag"] is None and rows[2]["tag"] == "new"
