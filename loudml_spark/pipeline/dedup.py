@@ -1380,10 +1380,18 @@ def ngram_containment_pairs(
     grams = df.select(
         F.col(id_col).alias("id"), sh(F.col(text_col)).alias("__sh"))
     ex = grams.select("id", F.explode("__sh").alias("h"))
+    # persist the exploded gram frame: it feeds the df cut, the size
+    # aggregate, and BOTH sides of the candidate self-join — without
+    # the persist every branch re-runs the shingle UDF over the full
+    # corpus (measured: 32 ArrowEvalPython stages → 2 at sf0.01)
+    ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+    _persist_bounded(ex)
     if max_df is not None:
         keep = ex.groupBy("h").agg(
             F.count("*").alias("__df")).filter(F.col("__df") <= max_df)
         ex = ex.join(keep.select("h"), "h")
+        ex = ex.persist(StorageLevel.MEMORY_AND_DISK)
+        _persist_bounded(ex)
     # sizes from the POST-cut gram space so numerator and denominator
     # measure the same universe (otherwise the stop-gram cut silently
     # deflates containment of boilerplate-heavy docs)
