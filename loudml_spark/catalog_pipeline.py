@@ -2170,6 +2170,52 @@ WHERE n_common * 1.0 / sa.sz >= 0.6
    OR n_common * 1.0 / sb.sz >= 0.6
 """.format(words="string_split(text, ' ')", gh=_SQL_3GRAM_HASHES)
 
+def q_fuzzy_pairs_customers(spark, sf_dir):
+    """Record linkage: all customer-name pairs within edit distance 1
+    via the symmetric-delete blocked join (exact recall by the
+    deletion-alignment pigeonhole; exact precision by the levenshtein
+    verify).  TPC-H names differ in single digits, so the d=1 pair
+    set is dense — 19.5k pairs from 1.5k names at sf0.01 — making
+    the recall claim non-trivial.  See pipeline/linkage.py."""
+    from loudml_spark.pipeline.linkage import fuzzy_self_pairs
+
+    cust = load_table(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_name")
+    return fuzzy_self_pairs(
+        cust, id_col="c_custkey", text_col="c_name", max_distance=1)
+
+
+SQL_FUZZY_PAIRS_CUSTOMERS = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey
+  AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+def q_fuzzy_match_parts(spark, sf_dir):
+    """d=2 variant over the distinct part-name vocabulary (two-word
+    phrases like 'red bolt' / 'old bolt'), exercising the nested
+    deletion neighborhood.  Names keyed by min(p_partkey) so ids are
+    deterministic."""
+    from loudml_spark.pipeline.linkage import fuzzy_self_pairs
+
+    names = load_table(spark, sf_dir, "part") \
+        .groupBy("p_name").agg(F.min("p_partkey").alias("pid"))
+    return fuzzy_self_pairs(
+        names, id_col="pid", text_col="p_name", max_distance=2)
+
+
+SQL_FUZZY_MATCH_PARTS = """
+WITH nm AS (SELECT p_name, min(p_partkey) AS pid FROM part GROUP BY p_name)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+FROM nm a, nm b
+WHERE a.pid < b.pid AND levenshtein(a.p_name, b.p_name) <= 2
+"""
+
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -2284,4 +2330,10 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "containment_pairs_docs": {
         "fn": q_containment_pairs_docs,
         "oracle": SQL_CONTAINMENT_PAIRS_DOCS},
+    "fuzzy_pairs_customers": {
+        "fn": q_fuzzy_pairs_customers,
+        "oracle": SQL_FUZZY_PAIRS_CUSTOMERS},
+    "fuzzy_match_parts": {
+        "fn": q_fuzzy_match_parts,
+        "oracle": SQL_FUZZY_MATCH_PARTS},
 }
