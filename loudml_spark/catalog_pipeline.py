@@ -2170,6 +2170,50 @@ WHERE n_common * 1.0 / sa.sz >= 0.6
    OR n_common * 1.0 / sb.sz >= 0.6
 """.format(words="string_split(text, ' ')", gh=_SQL_3GRAM_HASHES)
 
+def q_sparse_cosine_pairs_docs(spark, sf_dir):
+    """Exact TF-IDF cosine all-pairs >= 0.8 on a fixed 100-doc slice
+    (one token equi-join computes candidates AND dot products; see
+    pipeline/corpus.py sparse_cosine_pairs).  The synthetic corpus
+    draws from a 31-word pool, so every token is a hot term and the
+    slice bound plays the role the max_df cut plays on a real
+    Zipfian corpus — the operator's scale lever is exercised by the
+    max_df unit tests instead."""
+    from loudml_spark.pipeline.corpus import sparse_cosine_pairs
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
+        .filter(F.col("doc_id") < 100).select("doc_id", "text")
+    return sparse_cosine_pairs(docs, threshold=0.8, n_docs=100)
+
+
+SQL_SPARSE_COSINE_PAIRS_DOCS = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM d
+),
+per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+lens AS (SELECT doc_id, SUM(tf) AS doc_len FROM per_doc GROUP BY 1),
+dfreq AS (SELECT token, COUNT(*) AS df FROM per_doc GROUP BY 1),
+w AS (
+  SELECT p.doc_id, p.token,
+         (CAST(p.tf AS DOUBLE) / l.doc_len)
+         * (ln((1.0 + 100) / (1.0 + f.df)) + 1.0) AS wt
+  FROM per_doc p JOIN lens l USING (doc_id) JOIN dfreq f USING (token)
+),
+nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY 1),
+u AS (SELECT w.doc_id, token, wt / nrm AS u FROM w JOIN nrm USING (doc_id))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(COUNT(*) AS BIGINT) AS n_common,
+       ROUND(SUM(a.u * b.u), 6) AS cosine
+FROM u a JOIN u b ON a.token = b.token AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING ROUND(SUM(a.u * b.u), 6) >= 0.8
+"""
+
+
 def q_fuzzy_pairs_customers(spark, sf_dir):
     """Record linkage: all customer-name pairs within edit distance 1
     via the symmetric-delete blocked join (exact recall by the
@@ -2330,6 +2374,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "containment_pairs_docs": {
         "fn": q_containment_pairs_docs,
         "oracle": SQL_CONTAINMENT_PAIRS_DOCS},
+    "sparse_cosine_pairs_docs": {
+        "fn": q_sparse_cosine_pairs_docs,
+        "oracle": SQL_SPARSE_COSINE_PAIRS_DOCS},
     "fuzzy_pairs_customers": {
         "fn": q_fuzzy_pairs_customers,
         "oracle": SQL_FUZZY_PAIRS_CUSTOMERS},

@@ -365,3 +365,60 @@ def lm_score(
             ).alias("avg_logp"),
         )
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs TF-IDF cosine similarity >= ``threshold`` via
+    an inverted-index self-join (the unweighted skeleton of Bayardo
+    et al., "Scaling Up All Pairs Similarity Search", WWW'07).
+
+    Returns ``(id_a, id_b, n_common, cosine)`` with id_a < id_b and
+    cosine rounded to 6 dp (engine-portable float convention).
+
+    Shape: unit-normalize the per-(doc, token) TF-IDF weights, then
+    ONE equi-join on token computes candidates and dot products in
+    the same shuffle — ``sum(u_a · u_b)`` per pair IS the cosine.
+    Join fan-out per token is df², so on a real Zipfian corpus pass
+    ``max_df`` to drop stop-terms from the similarity space (norms
+    are recomputed post-cut so cosine stays a true cosine in the
+    df-bounded term space — the same post-cut-universe rule as
+    ``ngram_containment_pairs``; rare terms carry the discriminative
+    weight, which is exactly what the IDF factor encodes).  Without
+    a cut the worst-case candidate set is the true near-dup graph
+    plus every pair sharing a hot term.
+    """
+    from loudml_spark import errors
+
+    if not 0.0 < threshold <= 1.0:
+        raise errors.Invalid(
+            f"threshold must be in (0, 1], got {threshold}")
+    if max_df is not None and max_df < 2:
+        raise errors.Invalid("max_df must be >= 2 (df=1 terms never "
+                             "produce a candidate pair)")
+    w = tf_idf(df, text_col=text_col, id_col=id_col, n_docs=n_docs)
+    if max_df is not None:
+        w = w.filter(F.col("df") <= max_df)
+    nrm = w.groupBy(id_col).agg(
+        F.sqrt(F.sum(F.col("tfidf") * F.col("tfidf"))).alias("__n"))
+    u = w.join(nrm, id_col).select(
+        F.col(id_col).alias("id"), "token",
+        (F.col("tfidf") / F.col("__n")).alias("u"))
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(b, (F.col("a.token") == F.col("b.token"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"),
+                 F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"),
+             F.round(F.sum(F.col("a.u") * F.col("b.u")), 6)
+             .alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1171,3 +1171,61 @@ def test_containment_pairs_seeded_excerpts(spark):
             spark.createDataFrame([(1, "a b c d")],
                                   "doc_id long, text string"),
             threshold=0.0)
+
+
+def test_sparse_cosine_pairs_hand_computed(spark):
+    """3 tiny docs with known TF-IDF cosines (numpy oracle), plus the
+    max_df cut semantics: cutting a universal term recomputes norms
+    in the reduced space."""
+    import math
+
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import sparse_cosine_pairs
+
+    texts = {1: "cat dog cat", 2: "cat dog dog", 3: "bird bird cat"}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+
+    def oracle(docs, max_df=None, n=3):
+        import collections
+        per = {i: collections.Counter(t.split()) for i, t in docs.items()}
+        dfreq = collections.Counter(
+            tok for c in per.values() for tok in c)
+        vecs = {}
+        for i, c in per.items():
+            dl = sum(c.values())
+            v = {t: (tf / dl) * (math.log((1 + n) / (1 + dfreq[t])) + 1)
+                 for t, tf in c.items()
+                 if max_df is None or dfreq[t] <= max_df}
+            nrm = math.sqrt(sum(x * x for x in v.values()))
+            vecs[i] = {t: x / nrm for t, x in v.items()}
+        out = {}
+        ids = sorted(vecs)
+        for x in ids:
+            for y in ids:
+                if x < y:
+                    shared = set(vecs[x]) & set(vecs[y])
+                    if shared:
+                        out[(x, y)] = (len(shared), round(sum(
+                            vecs[x][t] * vecs[y][t] for t in shared), 6))
+        return out
+
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["cosine"])
+           for r in sparse_cosine_pairs(
+               df, threshold=0.01).collect()}
+    assert got == oracle(texts)
+
+    # 'cat' appears in all 3 docs; max_df=2 removes it from the
+    # similarity space — (1,3) shared only 'cat', so it disappears
+    got_cut = {(r["id_a"], r["id_b"]): (r["n_common"], r["cosine"])
+               for r in sparse_cosine_pairs(
+                   df, threshold=0.01, max_df=2).collect()}
+    assert got_cut == oracle(texts, max_df=2)
+    assert (1, 3) in got and (1, 3) not in got_cut
+
+    with pytest.raises(errors.Invalid):
+        sparse_cosine_pairs(df, threshold=0.0)
+    with pytest.raises(errors.Invalid):
+        sparse_cosine_pairs(df, max_df=1)
