@@ -2168,7 +2168,66 @@ JOIN events p
  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 6 HOUR
 """
 
+def q_xcorr_click_view_1h(spark, sf_dir):
+    """Lead/lag scan: Pearson cross-correlation of the hourly mean
+    value of 'click' vs 'view' events at lags -6..+6 hours
+    (operators/tsmath.py cross_correlation — lag fan-out is a
+    13-literal explode on the aggregated series, one equi-join on
+    the shifted bucket, no range join).  Hourly means route through
+    DECIMAL so corr's inputs are bit-identical in both engines; the
+    corr itself is rounded (association order differs)."""
+    from loudml_spark.operators.tsmath import cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 3600 * NS
+
+    def series(t):
+        return (
+            ev.filter(F.col("event_type") == t)
+            .select(
+                F.expr(f"((`ts_ns` - pmod(`ts_ns`, {step}L)) "
+                       f"div {step}L) * 3600")
+                .cast("long").alias("bucket_ts"),
+                F.col("value").cast("decimal(18,2)").alias("v"))
+            .groupBy("bucket_ts")
+            .agg((F.sum("v").cast("double") / F.count("v"))
+                 .alias("value"))
+        )
+
+    return cross_correlation(
+        series("click"), series("view"),
+        interval=3600, max_lag=6).orderBy("lag")
+
+
+SQL_XCORR_CLICK_VIEW_1H = """
+WITH a AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+b AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(value) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+l AS (SELECT CAST(unnest(range(-6, 7)) AS INTEGER) AS lag),
+bs AS (
+  SELECT l.lag, b.bucket_ts + l.lag * 3600 AS shifted, b.v
+  FROM b CROSS JOIN l
+)
+SELECT bs.lag AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(corr(a.v, bs.v), 6) AS xcorr
+FROM a JOIN bs ON a.bucket_ts = bs.shifted
+GROUP BY 1 ORDER BY 1
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
+    "xcorr_click_view_1h": {
+        "fn": q_xcorr_click_view_1h,
+        "oracle": SQL_XCORR_CLICK_VIEW_1H},
     "cms_heavy_hitters": {
         "fn": q_cms_heavy_hitters,
         "oracle_fn": lambda sf_dir=None: _sql_cms_heavy_hitters(),

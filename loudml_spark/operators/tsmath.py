@@ -431,3 +431,56 @@ def mad_scores(
         / F.col("__mad"),
     )
     return step2.withColumn(out_col, score).drop("__med", "__mad")
+
+
+def cross_correlation(
+    series_a: DataFrame,
+    series_b: DataFrame,
+    *,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    interval: int,
+    max_lag: int,
+    out_col: str = "xcorr",
+) -> DataFrame:
+    """Pearson cross-correlation of two bucketized series at every
+    integer lag in [-max_lag, +max_lag]: row ``(lag, n, xcorr)``
+    where ``xcorr = corr(a[t], b[t - lag*interval])`` over the ``n``
+    buckets where both series exist (positive lag = b leads a).  The
+    lead/lag scan behind "does the error rate predict the signup
+    drop, and by how many hours?".
+
+    Shape: the lag fan-out is an EXPLODE of a (2·max_lag+1)-literal
+    array on the (already aggregated, |buckets|-sized) b series —
+    no range join, no per-lag plan branch; one equi-join on the
+    shifted bucket key, one groupBy(lag).  Constant series yield
+    null (zero variance), matching SQL corr semantics — spelled as
+    try_divide(covar_pop, σ_a·σ_b) because under ANSI mode (Spark 4
+    default) the built-in ``corr`` raises DIVIDE_BY_ZERO instead.
+    """
+    _need(series_a, ts_col, value_col)
+    _need(series_b, ts_col, value_col)
+    if interval <= 0:
+        raise errors.Invalid(f"interval must be > 0, got {interval}")
+    if max_lag < 0:
+        raise errors.Invalid(f"max_lag must be >= 0, got {max_lag}")
+    lags = F.array(*[F.lit(i) for i in range(-max_lag, max_lag + 1)])
+    b = (
+        series_b.select(F.col(ts_col).alias("__ts"),
+                        F.col(value_col).alias("__vb"),
+                        F.explode(lags).alias("lag"))
+        .select("lag", "__vb",
+                (F.col("__ts") + F.col("lag").cast("long") * interval)
+                .alias("__shifted"))
+    )
+    a = series_a.select(F.col(ts_col).alias("__ts2"),
+                        F.col(value_col).alias("__va"))
+    return (
+        a.join(b, F.col("__ts2") == F.col("__shifted"))
+        .groupBy("lag")
+        .agg(F.count("*").alias("n"),
+             F.round(F.try_divide(
+                 F.covar_pop("__va", "__vb"),
+                 F.stddev_pop("__va") * F.stddev_pop("__vb")), 6)
+             .alias(out_col))
+    )

@@ -258,3 +258,59 @@ def test_quantile_bins_approx_empty_and_all_null(spark):
     nulls = spark.createDataFrame([(None,), (None,)], "v double")
     out = quantile_bins(nulls, value_col="v", n_bins=4, approx=True)
     assert [r["bin"] for r in out.collect()] == [1, 1]
+
+
+def test_cross_correlation_detects_known_lag(spark):
+    """b[t] = a[t + 2 buckets] (b leads a by 2): xcorr must be
+    exactly 1.0 at lag=+2, overlap n shrinks away from the peak, and
+    a constant series yields null."""
+    import math
+    import random
+
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import cross_correlation
+
+    rng = random.Random(7)
+    vals = [rng.random() for _ in range(40)]
+    a = spark.createDataFrame(
+        [(i * 10, vals[i]) for i in range(40)],
+        "bucket_ts long, value double")
+    # b[t] = a[t + 2Δ]  =>  a[t] = b[t - 2Δ]  =>  peak at lag=+2
+    b = spark.createDataFrame(
+        [((i - 2) * 10, vals[i]) for i in range(40)],
+        "bucket_ts long, value double")
+    got = {r["lag"]: (r["n"], r["xcorr"])
+           for r in cross_correlation(
+               a, b, interval=10, max_lag=3).collect()}
+    assert set(got) == set(range(-3, 4))
+    assert got[2] == (40, 1.0)
+    for lag, (n, x) in got.items():
+        assert n == 40 - abs(lag - 2)
+        if lag != 2:
+            assert x is None or abs(x) < 0.5
+
+    # python oracle for one off-peak lag (exact pearson, rounded 6)
+    def pearson(xs, ys):
+        n = len(xs)
+        mx, my = sum(xs) / n, sum(ys) / n
+        num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+        den = math.sqrt(sum((x - mx) ** 2 for x in xs)
+                        * sum((y - my) ** 2 for y in ys))
+        return num / den
+    # lag 0: a[t] vs b[t] = vals[i] vs vals[i+2] over i where both exist
+    exp = round(pearson(vals[:-2], vals[2:]), 6)
+    assert got[0][1] == pytest.approx(exp, abs=1e-6)
+
+    const = spark.createDataFrame(
+        [(i * 10, 5.0) for i in range(40)],
+        "bucket_ts long, value double")
+    g2 = {r["lag"]: r["xcorr"] for r in cross_correlation(
+        a, const, interval=10, max_lag=1).collect()}
+    assert all(v is None for v in g2.values())
+
+    with pytest.raises(errors.Invalid):
+        cross_correlation(a, b, interval=0, max_lag=1)
+    with pytest.raises(errors.Invalid):
+        cross_correlation(a, b, interval=10, max_lag=-1)
