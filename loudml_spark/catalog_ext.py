@@ -2224,10 +2224,112 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _daily_mean_by_type(spark, sf_dir):
+    """Shared DECIMAL-exact daily-mean series per event_type (the
+    cusum/xcorr input convention: inputs bit-identical both engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", _day_ts().alias("bucket_ts"),
+                  F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("event_type", "bucket_ts")
+        .agg((F.sum("v").cast("double") / F.count("v")).alias("value"))
+    )
+
+
+_SQL_DAILY_MEAN_BY_TYPE = """
+daily AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 86400000000000) * 86400 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(value) AS value
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+def q_theil_sen_daily_by_type(spark, sf_dir):
+    """Theil–Sen robust trend of the daily mean per event_type —
+    median of all pairwise slopes (operators/tsmath.py theil_sen;
+    30-point series → 435 pairs/key via a keyed self equi-join).
+    Slope/intercept inputs are DECIMAL-exact; the medians interpolate
+    identically (percentile ≡ quantile_cont) and round at 6 dp."""
+    from loudml_spark.operators.tsmath import theil_sen
+
+    return theil_sen(
+        _daily_mean_by_type(spark, sf_dir), by=["event_type"])
+
+
+SQL_THEIL_SEN_DAILY_BY_TYPE = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+sl AS (
+  SELECT a.event_type,
+         quantile_cont((b.value - a.value)
+                       / CAST(b.bucket_ts - a.bucket_ts AS DOUBLE),
+                       0.5) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.bucket_ts < b.bucket_ts
+  GROUP BY 1
+)
+SELECT d.event_type AS event_type,
+       ROUND(ANY_VALUE(sl.slope), 6) AS slope,
+       ROUND(quantile_cont(d.value - sl.slope * d.bucket_ts, 0.5), 6)
+         AS intercept,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM daily d JOIN sl ON sl.event_type = d.event_type
+GROUP BY 1
+"""
+
+
+def q_naive_forecast_daily_by_type(spark, sf_dir):
+    """Seasonal-naive + drift baseline forecast (FPP3 §5.2): 14-day
+    horizon off the weekly season of the daily mean per event_type
+    (operators/tsmath.py naive_forecast).  The benchmark every
+    trained Donut forecast must beat; literal-explode horizon
+    fan-out, all equi-joins."""
+    from loudml_spark.operators.tsmath import naive_forecast
+
+    return naive_forecast(
+        _daily_mean_by_type(spark, sf_dir), interval=86400,
+        horizon=14, season=7, drift=True, by=["event_type"])
+
+
+SQL_NAIVE_FORECAST_DAILY_BY_TYPE = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+scal AS (
+  SELECT event_type, arg_min(value, bucket_ts) AS y1,
+         arg_max(value, bucket_ts) AS yT, max(bucket_ts) AS xT,
+         COUNT(*) AS n
+  FROM daily GROUP BY 1
+),
+ls AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY bucket_ts DESC) AS r,
+         value AS src
+  FROM daily QUALIFY r <= 7
+),
+h AS (SELECT CAST(unnest(range(1, 15)) AS INTEGER) AS h)
+SELECT s.event_type AS event_type, h.h AS h,
+       s.xT + h.h * 86400 AS forecast_ts,
+       ROUND(ls.src + h.h * ((s.yT - s.y1) / CAST(s.n - 1 AS DOUBLE)),
+             6) AS yhat
+FROM scal s
+CROSS JOIN h
+JOIN ls ON ls.event_type = s.event_type
+       AND ls.r = 7 * CAST(ceil(h.h / 7.0) AS INTEGER) - h.h + 1
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
     "xcorr_click_view_1h": {
         "fn": q_xcorr_click_view_1h,
         "oracle": SQL_XCORR_CLICK_VIEW_1H},
+    "theil_sen_daily_by_type": {
+        "fn": q_theil_sen_daily_by_type,
+        "oracle": SQL_THEIL_SEN_DAILY_BY_TYPE},
+    "naive_forecast_daily_by_type": {
+        "fn": q_naive_forecast_daily_by_type,
+        "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},
     "cms_heavy_hitters": {
         "fn": q_cms_heavy_hitters,
         "oracle_fn": lambda sf_dir=None: _sql_cms_heavy_hitters(),

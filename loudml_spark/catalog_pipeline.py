@@ -2223,7 +2223,7 @@ def q_fuzzy_pairs_customers(spark, sf_dir):
     the recall claim non-trivial.  See pipeline/linkage.py."""
     from loudml_spark.pipeline.linkage import fuzzy_self_pairs
 
-    cust = load_table(spark, sf_dir, "customer") \
+    cust = _rebalance(spark, load_table(spark, sf_dir, "customer")) \
         .select("c_custkey", "c_name")
     return fuzzy_self_pairs(
         cust, id_col="c_custkey", text_col="c_name", max_distance=1)

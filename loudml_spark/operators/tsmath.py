@@ -484,3 +484,138 @@ def cross_correlation(
                  F.stddev_pop("__va") * F.stddev_pop("__vb")), 6)
              .alias(out_col))
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    *,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: ``slope`` is the median of all
+    pairwise slopes (y_j − y_i)/(x_j − x_i), ``intercept`` the median
+    of y_i − slope·x_i — the classic 29%-breakdown alternative to
+    least squares (ml/regression.py), immune to the spikes that drag
+    an OLS fit.
+
+    Runs on a BUCKETIZED series: the within-key pair fan-out is
+    n²/2 where n is the bucket count (time-range-bound, never raw
+    volume), produced by a self equi-join ON THE KEYS — unkeyed
+    input degenerates to one constant-key partition, the deliberate
+    bounded-frame case (same policy as mad_scores).  Output:
+    key columns + (slope, intercept, n_points).
+    """
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    base = df.select(
+        *by, F.col(ts_col).alias("__x"), F.col(value_col).alias("__y"))
+    if not by:
+        # constant synthetic key: the pair join and the slope
+        # re-attach stay equi-joins (no nested loop) and the
+        # semantics are the single-series case
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for k in gb:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    keys = [F.col(f"a.{k}").alias(k) for k in gb]
+    slopes = a.join(b, cond).select(
+        *keys,
+        ((F.col("b.__y") - F.col("a.__y"))
+         / (F.col("b.__x") - F.col("a.__x")).cast("double"))
+        .alias("__s"))
+    slope = slopes.groupBy(*gb).agg(
+        F.expr("percentile(__s, 0.5)").alias("slope"))
+    out = base.join(slope, gb).groupBy(*gb).agg(
+        F.round(F.first("slope"), round_dp).alias("slope"),
+        F.round(F.expr("percentile(__y - slope * __x, 0.5)"),
+                round_dp).alias("intercept"),
+        F.count("*").alias("n_points"))
+    return out.drop("__k")
+
+
+def naive_forecast(
+    df: DataFrame,
+    *,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    interval: int,
+    horizon: int,
+    season: int | None = None,
+    drift: bool = False,
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """The M-competition baseline forecasters, exactly (Hyndman &
+    Athanasopoulos, FPP3 §5.2): per key and horizon h = 1..H,
+
+    * naive:            ŷ(T+h) = y_T
+    * naive + drift:    ŷ(T+h) = y_T + h · (y_T − y_1)/(n − 1)
+    * seasonal naive:   ŷ(T+h) = y(T + h − m·⌈h/m⌉)  (last season)
+    * snaive + drift:   seasonal source + the drift term
+
+    Every Donut forecast in this repo should beat these — that is
+    what the baselines are FOR — and they are the honest fallback
+    for series too short to train.
+
+    Shape: one groupBy for the per-key scalars (y_first via min_by,
+    y_last via max_by, n), a row_number window to keep the last
+    ``season`` rows per key, and a literal explode of the H horizons
+    joined on the season offset — all equi-joins, fan-out H per key.
+    Horizons whose seasonal source does not exist (series shorter
+    than one season) emit no row; drift with n = 1 yields null.
+    Output: (by..., h, forecast_ts, yhat).
+    """
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if interval <= 0:
+        raise errors.Invalid(f"interval must be > 0, got {interval}")
+    if horizon < 1:
+        raise errors.Invalid(f"horizon must be >= 1, got {horizon}")
+    if season is not None and season < 1:
+        raise errors.Invalid(f"season must be >= 1, got {season}")
+    base = df.select(
+        *by, F.col(ts_col).alias("__x"), F.col(value_col).alias("__y"))
+    if not by:
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    scal = base.groupBy(*gb).agg(
+        F.expr("min_by(__y, __x)").alias("__y1"),
+        F.expr("max_by(__y, __x)").alias("__yT"),
+        F.max("__x").alias("__xT"),
+        F.count("*").alias("__n"))
+    hs = F.explode(F.array(
+        *[F.lit(h) for h in range(1, horizon + 1)])).alias("h")
+    fc = scal.select(*gb, "__y1", "__yT", "__xT", "__n", hs)
+    d = F.try_divide(
+        F.col("__yT") - F.col("__y1"),
+        (F.col("__n") - F.lit(1)).cast("double"))
+    drift_term = (F.col("h").cast("double") * d) if drift else F.lit(0.0)
+    if season is None:
+        out = fc.select(
+            *gb, "h",
+            (F.col("__xT") + F.col("h").cast("long") * interval)
+            .alias("forecast_ts"),
+            F.round(F.col("__yT") + drift_term, round_dp)
+            .alias("yhat"))
+    else:
+        m = season
+        w = (Window.partitionBy(*gb) if gb else Window.partitionBy()) \
+            .orderBy(F.desc("__x"))
+        last_season = base.withColumn(
+            "__r", F.row_number().over(w)).filter(F.col("__r") <= m) \
+            .select(*gb, F.col("__r"), F.col("__y").alias("__src"))
+        # source rank-from-end for horizon h: m·⌈h/m⌉ − h + 1
+        fc = fc.withColumn(
+            "__r", (F.lit(m) * F.ceil(F.col("h") / F.lit(m))
+                    - F.col("h") + 1).cast("int"))
+        out = fc.join(last_season, gb + ["__r"]).select(
+            *gb, "h",
+            (F.col("__xT") + F.col("h").cast("long") * interval)
+            .alias("forecast_ts"),
+            F.round(F.col("__src") + drift_term, round_dp)
+            .alias("yhat"))
+    return out.drop("__k")

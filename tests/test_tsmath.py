@@ -314,3 +314,94 @@ def test_cross_correlation_detects_known_lag(spark):
         cross_correlation(a, b, interval=0, max_lag=1)
     with pytest.raises(errors.Invalid):
         cross_correlation(a, b, interval=10, max_lag=-1)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """y = 3 + 2x with one wild spike: Theil-Sen recovers slope 2
+    exactly (python median-of-pairwise-slopes oracle), keyed and
+    unkeyed, while an OLS fit would be dragged."""
+    import statistics
+
+    from loudml_spark.operators.tsmath import theil_sen
+
+    xs = list(range(12))
+    ys = [3.0 + 2.0 * x for x in xs]
+    ys[5] = 500.0
+    rows = [(x, y) for x, y in zip(xs, ys)]
+
+    def oracle(xs, ys):
+        slopes = [(ys[j] - ys[i]) / (xs[j] - xs[i])
+                  for i in range(len(xs)) for j in range(i + 1, len(xs))]
+        s = statistics.median(slopes)
+        b = statistics.median(y - s * x for x, y in zip(xs, ys))
+        return round(s, 6), round(b, 6)
+
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    got = theil_sen(df).collect()
+    assert len(got) == 1
+    es, eb = oracle(xs, ys)
+    assert (got[0]["slope"], got[0]["intercept"],
+            got[0]["n_points"]) == (es, eb, 12)
+    assert abs(got[0]["slope"] - 2.0) < 0.2  # robustness claim
+
+    keyed = spark.createDataFrame(
+        [("a", x, y) for x, y in rows]
+        + [("b", x, float(7 - x)) for x in xs],
+        "k string, bucket_ts long, value double")
+    g2 = {r["k"]: (r["slope"], r["intercept"])
+          for r in theil_sen(keyed, by=["k"]).collect()}
+    assert g2["a"] == oracle(xs, ys)
+    assert g2["b"] == (-1.0, 7.0)
+
+
+def test_naive_forecast_modes(spark):
+    """FPP3 definitions, hand-computed: naive repeats y_T, drift
+    extrapolates the first-to-last line, seasonal naive repeats the
+    last season, snaive+drift adds the drift term; short series emit
+    no seasonal rows beyond their data, n=1 drift is null."""
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import naive_forecast
+
+    ys = [10.0, 20.0, 30.0, 25.0, 35.0, 45.0]  # n=6
+    df = spark.createDataFrame(
+        [(i * 10, v) for i, v in enumerate(ys)],
+        "bucket_ts long, value double")
+
+    nav = {r["h"]: (r["forecast_ts"], r["yhat"]) for r in
+           naive_forecast(df, interval=10, horizon=3).collect()}
+    assert nav == {1: (60, 45.0), 2: (70, 45.0), 3: (80, 45.0)}
+
+    dr = {r["h"]: r["yhat"] for r in naive_forecast(
+        df, interval=10, horizon=3, drift=True).collect()}
+    d = (45.0 - 10.0) / 5
+    assert dr == {h: round(45.0 + h * d, 6) for h in (1, 2, 3)}
+
+    sn = {r["h"]: r["yhat"] for r in naive_forecast(
+        df, interval=10, horizon=5, season=3).collect()}
+    # last season = [25, 35, 45]; h=1..5 -> 25,35,45,25,35
+    assert sn == {1: 25.0, 2: 35.0, 3: 45.0, 4: 25.0, 5: 35.0}
+
+    snd = {r["h"]: r["yhat"] for r in naive_forecast(
+        df, interval=10, horizon=4, season=3, drift=True).collect()}
+    assert snd == {1: round(25.0 + 1 * d, 6), 2: round(35.0 + 2 * d, 6),
+                   3: round(45.0 + 3 * d, 6), 4: round(25.0 + 4 * d, 6)}
+
+    short = spark.createDataFrame(
+        [(0, 1.0), (10, 2.0)], "bucket_ts long, value double")
+    # season=4 but only 2 points: h whose source rank > 2 emit nothing
+    s2 = {r["h"]: r["yhat"] for r in naive_forecast(
+        short, interval=10, horizon=4, season=4).collect()}
+    assert s2 == {3: 1.0, 4: 2.0}
+
+    one = spark.createDataFrame([(0, 9.0)], "bucket_ts long, value double")
+    o = naive_forecast(one, interval=10, horizon=2, drift=True).collect()
+    assert all(r["yhat"] is None for r in o)
+
+    with pytest.raises(errors.Invalid):
+        naive_forecast(df, interval=10, horizon=0)
+    with pytest.raises(errors.Invalid):
+        naive_forecast(df, interval=0, horizon=1)
+    with pytest.raises(errors.Invalid):
+        naive_forecast(df, interval=10, horizon=1, season=0)
