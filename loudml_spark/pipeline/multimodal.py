@@ -187,3 +187,64 @@ def frame_sample(
 
     videos = media_df.filter(F.col("media_type") == "video")
     return videos.mapInPandas(batches, schema=schema)
+
+
+def audio_windows(
+    media_df: DataFrame, window_ms: int = 500, hop_ms: int = 250, *,
+    use_fake_decoder: bool = False, max_windows: int = 64,
+) -> DataFrame:
+    """Slice audio media into overlapping analysis windows (the STFT
+    framing shape: ``window_ms`` length, ``hop_ms`` stride): one row
+    per window with (media_id, window_idx, start_ms, pcm binary,
+    rms double).  Downstream feature extractors consume windows, not
+    whole tracks, so a 3-hour recording parallelizes across tasks
+    after ONE explode instead of serializing in a single decode call.
+
+    Real decode needs librosa/soundfile (not in this container) and
+    raises a named NotImplementedError; the fake decoder emits
+    deterministic byte slices as 'PCM' with a byte-mean RMS, fully
+    exercising schema, overlap math and batch iteration.
+    ``max_windows`` bounds fan-out per row (fake and real alike) —
+    the cap every explode needs at 100 TB.
+    """
+    if window_ms <= 0 or hop_ms <= 0:
+        raise ValueError("window_ms and hop_ms must be positive")
+    schema = ("media_id long, window_idx int, start_ms int, "
+              "pcm binary, rms double")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "audio decode needs librosa/soundfile which are "
+                    "not installed; pass use_fake_decoder=True for "
+                    "the deterministic byte-level fake"
+                )
+            rows = []
+            for _, r in pdf.iterrows():
+                dur = r["meta"]["duration_ms"] if r["meta"] is not None else 0
+                content = bytes(r["content"] or b"")
+                if dur is None or dur < window_ms or not content:
+                    continue
+                n_win = 1 + (int(dur) - window_ms) // hop_ms
+                for i in range(min(n_win, max_windows)):
+                    start = i * hop_ms
+                    # fake PCM: the byte span covering the window's
+                    # share of the track, cycled if short
+                    lo = int(len(content) * start / max(1, dur))
+                    hi = int(len(content) * (start + window_ms)
+                             / max(1, dur))
+                    pcm = content[lo:max(hi, lo + 1)]
+                    rows.append({
+                        "media_id": r["media_id"],
+                        "window_idx": i,
+                        "start_ms": start,
+                        "pcm": pcm,
+                        "rms": float(sum(pcm)) / len(pcm),
+                    })
+            yield pd.DataFrame(
+                rows, columns=["media_id", "window_idx", "start_ms",
+                               "pcm", "rms"])
+
+    audio = media_df.filter(F.col("media_type") == "audio")
+    return audio.mapInPandas(batches, schema=schema)

@@ -77,3 +77,48 @@ def test_resize_images_real_decode_is_explicit(media):
     assert "PIL" in str(e.value)
     with pytest.raises(ValueError):
         resize_images(media, 0, 4, use_fake_decoder=True)
+
+
+def test_audio_windows_fake(media):
+    from loudml_spark.pipeline.multimodal import audio_windows
+
+    out = audio_windows(
+        media, window_ms=40, hop_ms=20, use_fake_decoder=True,
+    ).collect()
+    assert len(out) > 0
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+        assert isinstance(r["pcm"], (bytes, bytearray)) and len(r["pcm"]) > 0
+        assert r["start_ms"] == r["window_idx"] * 20
+        assert 0.0 <= r["rms"] <= 255.0
+    # overlap math: a track of duration d yields 1 + (d-40)//20
+    # windows (capped); verify against the fake metadata
+    metas = {r["media_id"]: r["meta"]["duration_ms"]
+             for r in media.filter("media_type = 'audio'").collect()}
+    for mid, rows in by_id.items():
+        want = min(1 + (metas[mid] - 40) // 20, 64)
+        assert len(rows) == want, mid
+    # audio-only rows; short tracks (< window) emit nothing
+    assert set(by_id) == {m for m, d in metas.items() if d >= 40}
+    # deterministic
+    again = audio_windows(
+        media, window_ms=40, hop_ms=20, use_fake_decoder=True,
+    ).collect()
+    assert sorted((r["media_id"], r["window_idx"], bytes(r["pcm"]))
+                  for r in out) == \
+        sorted((r["media_id"], r["window_idx"], bytes(r["pcm"]))
+               for r in again)
+
+
+def test_audio_windows_gating_and_validation(media):
+    import pytest
+    from loudml_spark.pipeline.multimodal import audio_windows
+
+    with pytest.raises(Exception) as e:
+        audio_windows(media).collect()
+    assert "librosa" in str(e.value)
+    with pytest.raises(ValueError):
+        audio_windows(media, window_ms=0, use_fake_decoder=True)
+    with pytest.raises(ValueError):
+        audio_windows(media, hop_ms=0, use_fake_decoder=True)
