@@ -8,3 +8,8 @@ from loudml_spark.pipeline.dedup import (  # noqa: F401
     embedding_cosine_pairs,
 )
 from loudml_spark.pipeline.similarity import cosine_topk  # noqa: F401
+from loudml_spark.pipeline.linkage import (  # noqa: F401
+    fuzzy_join,
+    fuzzy_self_pairs,
+)
+from loudml_spark.pipeline.corpus import sparse_cosine_pairs  # noqa: F401
