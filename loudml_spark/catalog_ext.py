@@ -2320,6 +2320,43 @@ JOIN ls ON ls.event_type = s.event_type
 """
 
 
+def q_backtest_naive_daily(spark, sf_dir):
+    """Rolling-origin accuracy of the naive forecaster at horizons
+    1/2/7 days per event_type (operators/tsmath.py forecast_backtest)
+    — the honesty check behind 'which forecaster do I trust': one
+    window pass computes every horizon's lag column, a struct-array
+    explode unpivots, MAE/RMSE per (key, h).  Error inputs are
+    DECIMAL-exact differences; the error aggregates round at 6 dp."""
+    from loudml_spark.operators.tsmath import forecast_backtest
+
+    return forecast_backtest(
+        _daily_mean_by_type(spark, sf_dir), horizons=(1, 2, 7),
+        by=["event_type"])
+
+
+SQL_BACKTEST_NAIVE_DAILY = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+l AS (
+  SELECT event_type,
+         value - lag(value, 1) OVER w AS e1,
+         value - lag(value, 2) OVER w AS e2,
+         value - lag(value, 7) OVER w AS e7
+  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+),
+u AS (
+  SELECT event_type, 1 AS h, e1 AS e FROM l
+  UNION ALL SELECT event_type, 2, e2 FROM l
+  UNION ALL SELECT event_type, 7, e7 FROM l
+)
+SELECT event_type, CAST(h AS INTEGER) AS h,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(ABS(e)), 6) AS mae,
+       ROUND(sqrt(AVG(e * e)), 6) AS rmse
+FROM u WHERE e IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
     "xcorr_click_view_1h": {
         "fn": q_xcorr_click_view_1h,
@@ -2327,6 +2364,9 @@ EXT_QUERIES: dict[str, dict] = {
     "theil_sen_daily_by_type": {
         "fn": q_theil_sen_daily_by_type,
         "oracle": SQL_THEIL_SEN_DAILY_BY_TYPE},
+    "backtest_naive_daily": {
+        "fn": q_backtest_naive_daily,
+        "oracle": SQL_BACKTEST_NAIVE_DAILY},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},

@@ -619,3 +619,67 @@ def naive_forecast(
             F.round(F.col("__src") + drift_term, round_dp)
             .alias("yhat"))
     return out.drop("__k")
+
+
+def forecast_backtest(
+    df: DataFrame,
+    *,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    horizons: Sequence[int] = (1,),
+    method: str = "naive",
+    season: int | None = None,
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rolling-origin backtest of the naive forecasters: for every
+    bucket t and horizon h, pretend the series ended at t−h, forecast
+    t, and score against the actual — the standard way to pick (and
+    honestly report) a forecasting method before trusting it forward.
+
+    * ``method="naive"``:  ŷ_t = y_{t−h}
+    * ``method="snaive"``: ŷ_t = y_{t − m·⌈h/m⌉}  (needs ``season``)
+
+    Output per (key, h): ``n`` scored points (origins whose lag
+    exists), ``mae``, ``rmse`` — both rounded.  One window pass per
+    key computes ALL horizons' lag columns (offsets are literals, so
+    they share a single sort), then a struct-array explode unpivots
+    them: shuffle cost is one hash partition on the keys regardless
+    of |horizons|.
+    """
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    hs = sorted(set(int(h) for h in horizons))
+    if not hs or hs[0] < 1:
+        raise errors.Invalid("horizons must be >= 1")
+    if method == "naive":
+        offset = {h: h for h in hs}
+    elif method == "snaive":
+        if season is None or season < 1:
+            raise errors.Invalid("snaive needs season >= 1")
+        offset = {h: season * -(-h // season) for h in hs}
+    else:
+        raise errors.Invalid(
+            f"unknown backtest method {method!r} (naive|snaive)")
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()) \
+        .orderBy(ts_col)
+    y = F.col(value_col)
+    # window expressions are not allowed inside a generator:
+    # materialize the per-horizon error columns first, then explode
+    lagged = df.select(
+        *by, *[(y - F.lag(y, offset[h]).over(w)).alias(f"__e{h}")
+               for h in hs])
+    errs = F.array(*[
+        F.struct(F.lit(h).alias("h"), F.col(f"__e{h}").alias("e"))
+        for h in hs])
+    out = (
+        lagged.select(*by, F.explode(errs).alias("__x"))
+        .select(*by, F.col("__x.h").alias("h"), F.col("__x.e").alias("e"))
+        .filter(F.col("e").isNotNull())
+        .groupBy(*by, "h")
+        .agg(F.count("*").alias("n"),
+             F.round(F.avg(F.abs(F.col("e"))), round_dp).alias("mae"),
+             F.round(F.sqrt(F.avg(F.col("e") * F.col("e"))),
+                     round_dp).alias("rmse"))
+    )
+    return out

@@ -405,3 +405,45 @@ def test_naive_forecast_modes(spark):
         naive_forecast(df, interval=0, horizon=1)
     with pytest.raises(errors.Invalid):
         naive_forecast(df, interval=10, horizon=1, season=0)
+
+
+def test_forecast_backtest_hand_computed(spark):
+    """Python oracle over a short keyed series: naive errors are
+    y_t - y_{t-h}; snaive(m=3) sources from the same weekday-slot;
+    only origins with an existing lag score."""
+    import math
+
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import forecast_backtest
+
+    ys = [10.0, 12.0, 9.0, 14.0, 11.0, 13.0, 15.0]
+    df = spark.createDataFrame(
+        [("a", i * 10, v) for i, v in enumerate(ys)],
+        "k string, bucket_ts long, value double")
+
+    def oracle(offset):
+        es = [ys[i] - ys[i - offset] for i in range(offset, len(ys))]
+        return (len(es), round(sum(abs(e) for e in es) / len(es), 6),
+                round(math.sqrt(sum(e * e for e in es) / len(es)), 6))
+
+    got = {r["h"]: (r["n"], r["mae"], r["rmse"])
+           for r in forecast_backtest(
+               df, horizons=[1, 2, 3], by=["k"]).collect()}
+    assert got == {1: oracle(1), 2: oracle(2), 3: oracle(3)}
+
+    # snaive m=3: h=1..3 all source lag 3; h=4 sources lag 6
+    sn = {r["h"]: (r["n"], r["mae"], r["rmse"])
+          for r in forecast_backtest(
+              df, horizons=[1, 2, 3, 4], method="snaive", season=3,
+              by=["k"]).collect()}
+    assert sn[1] == sn[2] == sn[3] == oracle(3)
+    assert sn[4] == oracle(6)
+
+    with pytest.raises(errors.Invalid):
+        forecast_backtest(df, horizons=[0])
+    with pytest.raises(errors.Invalid):
+        forecast_backtest(df, method="snaive")
+    with pytest.raises(errors.Invalid):
+        forecast_backtest(df, method="arima")
