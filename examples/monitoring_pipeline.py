@@ -112,6 +112,29 @@ def main(sf_dir: str) -> None:
         "event_type", "bucket_ts", "ewma", "robust_score"
     ).show(5)
 
+    # 8b. forecaster selection the honest way: rolling-origin
+    #     backtest of naive vs seasonal-naive(24h) on the hourly
+    #     series, then roll the winner's shape 24 h forward with
+    #     drift — the baseline any trained model must beat
+    from loudml_spark.operators.tsmath import (
+        forecast_backtest, naive_forecast,
+    )
+
+    bt_naive = forecast_backtest(
+        series, horizons=(1, 24), by=["event_type"])
+    bt_snaive = forecast_backtest(
+        series, horizons=(1, 24), method="snaive", season=24,
+        by=["event_type"])
+    print("== backtest MAE (naive vs snaive-24) ==")
+    bt_naive.select("event_type", "h", F.col("mae").alias("mae_naive")) \
+        .join(bt_snaive.select("event_type", "h",
+                               F.col("mae").alias("mae_snaive")),
+              ["event_type", "h"]).orderBy("event_type", "h").show()
+    fc = naive_forecast(
+        series, interval=3600, horizon=24, season=24, drift=True,
+        by=["event_type"])
+    print("baseline forecast rows (next 24 h):", fc.count())
+
     # 9. SCD2 user-tier history — join-ready for as-of enrichment
     tiers = scd2_from_changelog(
         ev.select(
