@@ -247,3 +247,95 @@ def write_zordered(
     if max_records_per_file:
         w = w.option("maxRecordsPerFile", int(max_records_per_file))
     w.save(path)
+
+
+def merge_upsert(
+    spark,
+    updates: DataFrame,
+    path: str,
+    *,
+    key_cols: Sequence[str],
+    partition_by: Sequence[str] = (),
+    max_records_per_file: int = 1_000_000,
+    format: str = "parquet",
+) -> dict:
+    """Row-level MERGE (SCD1 upsert) into a parquet table: rows in
+    ``updates`` REPLACE existing rows with the same key, new keys
+    insert, everything else is untouched.  Returns audit counts
+    ``{"updated", "inserted", "untouched_partitions"}``.
+
+    The scale shape is what makes this correct at 100 TB: with
+    ``partition_by`` (which must prefix the table's layout, e.g. the
+    ``day`` column from ``day_col``) only the partitions PRESENT IN
+    THE BATCH are read (partition-pruned scan), anti-joined on the
+    keys, unioned with the updates, and dynamically overwritten via
+    :func:`upsert_partitions` — a daily upsert rewrites days, not the
+    decade.  Keys must not move between partitions (an update whose
+    partition value differs from its current row's would leave the
+    stale row behind — the same contract Hive/Delta dynamic-partition
+    MERGE has without a global index).
+
+    Without ``partition_by`` the whole table is read, merged, staged
+    to a sibling directory and swapped in (object stores pay a copy;
+    partition the table instead).
+    """
+    key_cols = list(key_cols)
+    partition_by = list(partition_by)
+    if not key_cols:
+        raise errors.Invalid("need at least one key column")
+    for c in key_cols + partition_by:
+        if c not in updates.columns:
+            raise errors.Invalid(f"missing column {c!r} in updates")
+    if updates.select(key_cols).distinct().count() != updates.count():
+        raise errors.Invalid("updates carry duplicate keys; "
+                             "dedup the batch first (latest-wins is a "
+                             "caller policy, not a silent default)")
+    current = spark.read.format(format).load(path)
+    if partition_by:
+        parts = updates.select(partition_by).distinct().collect()
+        pred = F.lit(False)
+        for r in parts:
+            clause = F.lit(True)
+            for c in partition_by:
+                clause = clause & (F.col(c) == F.lit(r[c]))
+            pred = pred | clause
+        affected = current.filter(pred)
+    else:
+        affected = current
+    survivors = affected.join(
+        updates.select(key_cols).distinct(), key_cols, "left_anti")
+    merged = survivors.unionByName(
+        updates.select(affected.columns))
+    n_affected = affected.count()
+    n_upd = n_affected - survivors.count()
+    n_updates = updates.count()
+    n_ins = n_updates - n_upd
+    if partition_by:
+        # the merged frame lazily READS the same partitions the
+        # dynamic overwrite is about to truncate — materialize it
+        # (executor-local, bounded by the affected partitions)
+        # before writing, or the write would consume its own output
+        merged = merged.localCheckpoint()
+        upsert_partitions(
+            merged, path, partition_by=partition_by,
+            max_records_per_file=max_records_per_file, format=format)
+    else:
+        import os
+        import shutil
+
+        tmp = os.path.join(os.path.dirname(path.rstrip("/")),
+                           ".__merge_staging")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            merged.write.format(format)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .mode("overwrite").save(tmp)
+        )
+        keep = os.path.join(os.path.dirname(path.rstrip("/")),
+                            ".__merge_old")
+        shutil.rmtree(keep, ignore_errors=True)
+        shutil.move(path, keep)
+        shutil.move(tmp, path)
+        shutil.rmtree(keep, ignore_errors=True)
+    return {"updated": n_upd, "inserted": n_ins,
+            "rows_rewritten": n_affected - n_upd + n_updates}

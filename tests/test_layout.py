@@ -206,3 +206,70 @@ def test_zorder_validates(spark):
         zorder_value([("a", 0, 0)])
     with pytest.raises(errors.Invalid):
         zorder_value([("a", 0, 1)], bits=40)
+
+
+def test_merge_upsert_partitioned(spark, tmp_path):
+    """Daily-partitioned SCD1 merge: updates replace same-key rows,
+    new keys insert, OTHER days' files are untouched (mtime-stable),
+    and the audit counts are exact."""
+    import os
+
+    from loudml_spark.sources.layout import merge_upsert, upsert_partitions
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0),
+         (4, "d2", 40.0)],
+        "id long, day string, v double")
+    upsert_partitions(base, path, partition_by=["day"],
+                      max_records_per_file=100)
+
+    def files(day):
+        d = os.path.join(path, f"day={day}")
+        return {f: os.path.getmtime(os.path.join(d, f))
+                for f in os.listdir(d) if f.endswith(".parquet")}
+
+    d2_before = files("d2")
+    updates = spark.createDataFrame(
+        [(2, "d1", 99.0), (5, "d1", 50.0)], "id long, day string, v double")
+    audit = merge_upsert(spark, updates, path, key_cols=["id"],
+                         partition_by=["day"], max_records_per_file=100)
+    assert audit["updated"] == 1 and audit["inserted"] == 1
+    got = {(r["id"], r["day"]): r["v"]
+           for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "d1"): 10.0, (2, "d1"): 99.0, (5, "d1"): 50.0,
+                   (3, "d2"): 30.0, (4, "d2"): 40.0}
+    assert files("d2") == d2_before  # untouched partition not rewritten
+
+    # idempotent: replaying the same batch changes nothing
+    audit2 = merge_upsert(spark, updates, path, key_cols=["id"],
+                          partition_by=["day"], max_records_per_file=100)
+    assert audit2["updated"] == 2 and audit2["inserted"] == 0
+    got2 = {(r["id"], r["day"]): r["v"]
+            for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+
+def test_merge_upsert_unpartitioned_and_validation(spark, tmp_path):
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.sources.layout import merge_upsert
+
+    path = str(tmp_path / "u")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "id long, v double"
+    ).write.parquet(path)
+    upd = spark.createDataFrame([(2, 99.0), (3, 30.0)], "id long, v double")
+    audit = merge_upsert(spark, upd, path, key_cols=["id"])
+    assert audit == {"updated": 1, "inserted": 1, "rows_rewritten": 3}
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 10.0, 2: 99.0, 3: 30.0}
+
+    dup = spark.createDataFrame([(7, 1.0), (7, 2.0)], "id long, v double")
+    with pytest.raises(errors.Invalid, match="duplicate keys"):
+        merge_upsert(spark, dup, path, key_cols=["id"])
+    with pytest.raises(errors.Invalid):
+        merge_upsert(spark, upd, path, key_cols=[])
+    with pytest.raises(errors.Invalid):
+        merge_upsert(spark, upd, path, key_cols=["nope"])
