@@ -154,6 +154,10 @@ def fuzzy_join(
     verify as :func:`fuzzy_self_pairs`."""
     if max_distance < 1:
         raise errors.Invalid("max_distance must be >= 1")
+    if left_id == right_id:
+        raise errors.Invalid(
+            f"left_id and right_id are both {left_id!r}; the output "
+            "carries one column per side — alias one of them")
     pl = _df_cut(_variant_index(left, left_id, left_text, max_distance),
                  max_variant_df)
     pr = _df_cut(_variant_index(right, right_id, right_text, max_distance),

@@ -278,3 +278,31 @@ def test_sha_search_beats_or_ties_grid_at_equal_budget(spark):
     assert sha["n_evals"] >= grid["n_evals"]
     # deterministic
     assert sha == auto_hyperparams(df, strategy="sha", **kw)
+
+
+def test_forecast_beats_naive_baseline(spark, trained):
+    """The baseline forecasters exist to be beaten: on the seasonal
+    series the Donut 48-bucket forecast must have lower MAE against
+    ground truth than the non-seasonal naive baseline (which flat-
+    lines at y_T and misses the swing).  Seasonal-naive is the
+    near-oracle on a pure sine, so the gate uses naive — the honest
+    comparison a flat forecaster actually loses."""
+    from loudml_spark.operators.tsmath import naive_forecast
+
+    m, df = trained
+    n = 500
+    from_ts = BASE + n * 3600
+    to_ts = from_ts + 48 * 3600
+    truth = {from_ts + j * 3600:
+             10.0 + 5.0 * math.sin(2 * math.pi * ((n + j) % 24) / 24)
+             for j in range(48)}
+    fc = m.forecast(spark, from_ts, to_ts).collect()
+    donut_mae = sum(abs(r["predicted"] - truth[r["bucket_ts"]])
+                    for r in fc) / len(fc)
+    base = naive_forecast(df, interval=3600, horizon=48).collect()
+    naive_mae = sum(abs(r["yhat"] - truth[r["forecast_ts"]])
+                    for r in base) / len(base)
+    assert donut_mae < naive_mae, (donut_mae, naive_mae)
+    # and the seasonal-naive baseline is computable on the same frame
+    sn = naive_forecast(df, interval=3600, horizon=48, season=24)
+    assert sn.count() == 48

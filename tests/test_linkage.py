@@ -60,6 +60,9 @@ def test_errors(spark):
     with pytest.raises(errors.Invalid):
         fuzzy_self_pairs(df, id_col="id", text_col="t",
                          max_variant_df=0)
+    with pytest.raises(errors.Invalid):
+        fuzzy_join(df, df, left_id="id", left_text="t",
+                   right_id="id", right_text="t")
 
 
 @pytest.mark.parametrize("d", [1, 2])
