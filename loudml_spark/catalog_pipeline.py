@@ -2170,6 +2170,37 @@ WHERE n_common * 1.0 / sa.sz >= 0.6
    OR n_common * 1.0 / sb.sz >= 0.6
 """.format(words="string_split(text, ' ')", gh=_SQL_3GRAM_HASHES)
 
+def q_embedding_covariance(spark, sf_dir):
+    """Population covariance matrix of the embedding column, rows
+    (i, j, n, cov) for i <= j — the distributed-PCA first pass
+    (pipeline/embeddings.py embedding_covariance): one numpy Gram
+    pass per partition, d(d+1)/2 partials shuffled per partition,
+    independent of corpus rows.  The oracle recomputes per-entry
+    Σxy/n − (Σx/n)(Σy/n) from an UNNEST self-join."""
+    from loudml_spark.pipeline.embeddings import embedding_covariance
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    out = embedding_covariance(emb)
+    # +0.0 collapses IEEE negative zero (round can emit -0.0, whose
+    # bit pattern breaks the driver's canonical sort/hash)
+    return out.withColumn("cov", F.col("cov") + F.lit(0.0))
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT vec_id, CAST(t.i AS INTEGER) AS dim,
+         CAST(embedding[t.i + 1] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+)
+SELECT a.dim AS i, b.dim AS j, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(a.v * b.v) / COUNT(*)
+             - (SUM(a.v) / COUNT(*)) * (SUM(b.v) / COUNT(*)), 6)
+       + 0.0 AS cov
+FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+GROUP BY 1, 2
+"""
+
+
 def q_sparse_cosine_pairs_docs(spark, sf_dir):
     """Exact TF-IDF cosine all-pairs >= 0.8 on a fixed 100-doc slice
     (one token equi-join computes candidates AND dot products; see
@@ -2374,6 +2405,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "containment_pairs_docs": {
         "fn": q_containment_pairs_docs,
         "oracle": SQL_CONTAINMENT_PAIRS_DOCS},
+    "embedding_covariance": {
+        "fn": q_embedding_covariance,
+        "oracle": SQL_EMBEDDING_COVARIANCE},
     "sparse_cosine_pairs_docs": {
         "fn": q_sparse_cosine_pairs_docs,
         "oracle": SQL_SPARSE_COSINE_PAIRS_DOCS},

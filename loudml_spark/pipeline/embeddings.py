@@ -137,3 +137,119 @@ def centroid_similarity(
             ).alias("cosine"),
         )
     )
+
+
+def embedding_covariance(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Population covariance matrix of a vector column as rows
+    ``(i, j, n, cov)`` for i <= j — the input to PCA, whitening, or
+    Mahalanobis scoring over embeddings.
+
+    Scale shape (the standard distributed-PCA first pass): each
+    partition accumulates its d×d Gram, dim sums and count in ONE
+    numpy pass (Arrow batches, BLAS GEMM — this is a justified
+    Pandas-UDF hot path: the per-row HOF formulation would explode
+    rows × d² cells through the shuffle), then emits d(d+1)/2 partial
+    rows.  The only shuffle carries partitions × d(d+1)/2 partials —
+    independent of corpus row count.  cov = Σxy/n − (Σx/n)(Σy/n).
+    """
+    import numpy as np
+
+    if vec_col not in df.columns:
+        raise errors.Invalid(f"missing column {vec_col!r}")
+    schema = "i int, j int, sxx double, sx double, sy double, n long"
+
+    def gram(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d = x.shape[1]
+            g = x.T @ x
+            s = x.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            import pandas as pd
+
+            yield pd.DataFrame({
+                "i": iu.astype("int32"), "j": ju.astype("int32"),
+                "sxx": g[iu, ju], "sx": s[iu], "sy": s[ju],
+                "n": np.full(len(iu), len(x), dtype="int64")})
+
+    partials = df.select(vec_col).mapInPandas(gram, schema=schema)
+    n, sxx, sx, sy = (F.col("n"), F.col("sxx"), F.col("sx"), F.col("sy"))
+    out = partials.groupBy("i", "j").agg(
+        F.sum("n").alias("n"), F.sum("sxx").alias("sxx"),
+        F.sum("sx").alias("sx"), F.sum("sy").alias("sy"))
+    cov = (F.col("sxx") / F.col("n")
+           - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n")))
+    if round_to is not None:
+        cov = F.round(cov, round_to)
+    return out.select("i", "j", "n", cov.alias("cov"))
+
+
+def pca_fit(df: DataFrame, *, k: int, vec_col: str = "embedding"):
+    """Fit PCA: distributed covariance (one Gram pass), then an
+    eigendecomposition of the d×d matrix ON THE DRIVER — d², not
+    n·d, is what crosses the wire, so this is exact PCA at any
+    corpus size as long as d stays sane (≤ a few thousand).
+
+    Returns ``(components, explained_ratio)``: components is a
+    k×d numpy array (rows = descending-eigenvalue eigenvectors,
+    sign-fixed so each row's max-|coefficient| entry is positive —
+    eigh's sign is otherwise arbitrary), explained_ratio the k
+    eigenvalue shares.
+    """
+    import numpy as np
+
+    if k < 1:
+        raise errors.Invalid(f"k must be >= 1, got {k}")
+    rows = embedding_covariance(
+        df, vec_col=vec_col, round_to=None).collect()
+    if not rows:
+        raise errors.Invalid("no vectors to fit")
+    d = max(r["j"] for r in rows) + 1
+    if k > d:
+        raise errors.Invalid(f"k={k} exceeds dimension {d}")
+    c = np.zeros((d, d))
+    for r in rows:
+        c[r["i"], r["j"]] = c[r["j"], r["i"]] = r["cov"]
+    w, v = np.linalg.eigh(c)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T             # k×d
+    for row in comps:                 # deterministic sign
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1
+    total = float(np.sum(np.clip(w, 0, None))) or 1.0
+    ratio = [float(np.clip(w[o], 0, None)) / total for o in order]
+    return comps, ratio
+
+
+def pca_project(
+    df: DataFrame,
+    components,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted components: adds ``out_col`` as an
+    array<double> of length k.  The k×d component matrix rides into
+    the plan as LITERALS (a few KB — the broadcast-free way to ship a
+    small model), and each projection is a zip_with/aggregate dot
+    product — pure Column math, whole-stage codegen, no UDF."""
+    if vec_col not in df.columns:
+        raise errors.Invalid(f"missing column {vec_col!r}")
+    comps = [[float(x) for x in row] for row in components]
+    vec = F.col(vec_col)
+    dots = [
+        F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in row]),
+                       lambda a, b: a.cast("double") * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        for row in comps
+    ]
+    return df.withColumn(out_col, F.array(*dots))

@@ -3,6 +3,8 @@ queries()/oracle_sql() surfaces must stay consistent — this is the
 interface the correctness harness consumes, so a broken entry here
 means a broken CORRECTNESS row there."""
 
+import math as _math
+
 import pytest
 
 import __spark_entry__ as entry
@@ -86,6 +88,19 @@ def test_every_query_canonicalizes_like_the_driver(spark):
                    if _kind(spdf[c]) == "!"}
             if bad:
                 failures[name] = f"unsortable spark cells {bad}"
+                continue
+            # IEEE negative zero: -0.0 == 0.0 numerically but its
+            # repr/bit pattern breaks the driver's canonical
+            # sort/hash when the two engines disagree (the
+            # embedding_covariance r7 failure) — outputs must
+            # normalize (x + 0.0) after any ROUND
+            negz = [
+                c for c in spdf.columns if spdf[c].dtype.kind == "f"
+                and any(v == 0.0 and _math.copysign(1.0, v) < 0
+                        for v in spdf[c].dropna())
+            ]
+            if negz:
+                failures[name] = f"negative-zero float cells {negz}"
                 continue
             sql = oracles.get(name)
             if sql is None:

@@ -1229,3 +1229,62 @@ def test_sparse_cosine_pairs_hand_computed(spark):
         sparse_cosine_pairs(df, threshold=0.0)
     with pytest.raises(errors.Invalid):
         sparse_cosine_pairs(df, max_df=1)
+
+
+def test_embedding_covariance_and_pca_match_numpy(spark):
+    """Distributed Gram-pass covariance == numpy population cov
+    (round 6); PCA projections == sklearn-style numpy PCA (eigh on
+    the covariance, sign-fixed) within 1e-6; explained ratios
+    descending and summing <= 1."""
+    import numpy as np
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.embeddings import (
+        embedding_covariance, pca_fit, pca_project,
+    )
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: variance concentrated in two directions
+    base = rng.normal(0, 1, (80, 2)) @ rng.normal(0, 1, (2, 6)) \
+        + rng.normal(0, 0.05, (80, 6))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(4)
+
+    x = np.asarray([np.asarray(v, dtype=np.float64) for _, v in rows])
+    want_cov = np.cov(x, rowvar=False, bias=True)
+    got = {(r["i"], r["j"]): (r["n"], r["cov"])
+           for r in embedding_covariance(df).collect()}
+    assert len(got) == 6 * 7 // 2
+    for (i, j), (n, cv) in got.items():
+        assert n == 80 and i <= j
+        assert cv == pytest.approx(round(float(want_cov[i, j]), 6),
+                                   abs=2e-6)
+
+    comps, ratio = pca_fit(df, k=3)
+    assert comps.shape == (3, 6)
+    assert ratio == sorted(ratio, reverse=True)
+    assert 0.95 <= ratio[0] + ratio[1] and sum(ratio) <= 1.0 + 1e-9
+
+    # numpy oracle with the same sign convention
+    w, v = np.linalg.eigh(want_cov)
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T.copy()
+    for row in ref:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1
+    assert np.allclose(comps, ref, atol=1e-6)
+
+    proj = {r["vec_id"]: r["pca"]
+            for r in pca_project(df, comps).collect()}
+    want = x @ ref.T
+    for i in range(80):
+        assert np.allclose(proj[i], want[i], atol=1e-5), i
+
+    with pytest.raises(errors.Invalid):
+        pca_fit(df, k=0)
+    with pytest.raises(errors.Invalid):
+        pca_fit(df, k=7)
+    with pytest.raises(errors.Invalid):
+        embedding_covariance(df.select("vec_id"), vec_col="embedding")
