@@ -2357,6 +2357,78 @@ GROUP BY 1, 2
 """
 
 
+def q_dq_audit_lineitem(spark, sf_dir):
+    """Data-quality audit of lineitem (operators/validate.py):
+    row-local rules fuse into ONE aggregation pass, uniqueness is a
+    group-count, the orders foreign key a LEFT join + conditional
+    count — the intake gate a daily load runs before anything
+    downstream trusts the table.  Output (rule, n_checked,
+    n_violations, passed), one row per rule."""
+    from loudml_spark.operators.validate import (
+        expect, foreign_key, in_range, not_null, unique, validate,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return validate(li, [
+        not_null("l_orderkey"),
+        not_null("l_quantity"),
+        in_range("l_discount", 0.0, 0.1),
+        in_range("l_quantity", 1.0, 50.0),
+        unique("l_orderkey", "l_linenumber"),
+        foreign_key("l_orderkey", orders, "o_orderkey"),
+        expect("price_positive", F.col("l_extendedprice") > 0),
+    ])
+
+
+SQL_DQ_AUDIT_LINEITEM = """
+WITH row_rules AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nn_ok,
+         CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v_nn_qty,
+         CAST(SUM(CASE WHEN NOT (l_discount IS NULL
+                    OR (l_discount >= 0.0 AND l_discount <= 0.1))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_rng_disc,
+         CAST(SUM(CASE WHEN NOT (l_quantity IS NULL
+                    OR (l_quantity >= 1.0 AND l_quantity <= 50.0))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS v_rng_qty,
+         CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END)
+              AS BIGINT) AS v_price
+  FROM lineitem
+),
+uq AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c - 1) AS BIGINT) AS v
+  FROM (SELECT COUNT(*) AS c FROM lineitem
+        GROUP BY l_orderkey, l_linenumber)
+),
+fk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS v
+  FROM (SELECT l_orderkey FROM lineitem WHERE l_orderkey IS NOT NULL) l
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON l.l_orderkey = o.o_orderkey
+)
+SELECT rule, n_checked, n_violations, n_violations = 0 AS passed
+FROM (
+  SELECT 'not_null(l_orderkey)' AS rule, n AS n_checked,
+         v_nn_ok AS n_violations FROM row_rules
+  UNION ALL SELECT 'not_null(l_quantity)', n, v_nn_qty FROM row_rules
+  UNION ALL SELECT 'in_range(l_discount,0.0,0.1)', n, v_rng_disc
+    FROM row_rules
+  UNION ALL SELECT 'in_range(l_quantity,1.0,50.0)', n, v_rng_qty
+    FROM row_rules
+  UNION ALL SELECT 'expect(price_positive)', n, v_price FROM row_rules
+  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)', n, v FROM uq
+  UNION ALL SELECT 'foreign_key(l_orderkey->o_orderkey)', n, v FROM fk
+)
+ORDER BY rule
+"""
+
+
 EXT_QUERIES: dict[str, dict] = {
     "xcorr_click_view_1h": {
         "fn": q_xcorr_click_view_1h,
@@ -2367,6 +2439,9 @@ EXT_QUERIES: dict[str, dict] = {
     "backtest_naive_daily": {
         "fn": q_backtest_naive_daily,
         "oracle": SQL_BACKTEST_NAIVE_DAILY},
+    "dq_audit_lineitem": {
+        "fn": q_dq_audit_lineitem,
+        "oracle": SQL_DQ_AUDIT_LINEITEM},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},
