@@ -2201,6 +2201,72 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """PCA-whitened Mahalanobis outlier scores over the embeddings
+    table (pipeline/embeddings.py embedding_outlier_scores): fit on
+    a bounded portable-hash sample (bit-reproducible driver numpy
+    pass, the IVF training discipline), score map-only with (k·d+2k)
+    plan literals.  The oracle refits through the SAME
+    _pca_fit_arrays on the SAME sample fetched via DuckDB and
+    recomputes projections + scores in SQL."""
+    from loudml_spark.pipeline.embeddings import embedding_outlier_scores
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    return embedding_outlier_scores(emb, k=4, max_rows=256)
+
+
+def _sql_embedding_outliers(sf_dir=None) -> str:
+    import duckdb
+    import numpy as np
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    from loudml_spark.pipeline.embeddings import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_MOD, _pca_fit_arrays,
+    )
+
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'embeddings.parquet')}')")
+    rows = con.execute(f"""
+        SELECT vec_id, embedding FROM embeddings
+        ORDER BY ((vec_id * {SAMPLE_A} + {SAMPLE_B}) % {SAMPLE_MOD}
+                  + {SAMPLE_MOD}) % {SAMPLE_MOD}, vec_id
+        LIMIT 256
+    """).fetchall()
+    con.close()
+    rows.sort(key=lambda r: r[0])
+    x = np.asarray([np.asarray(v, dtype=np.float64) for _, v in rows])
+    mean, comps, eig = _pca_fit_arrays(x, 4)
+    m = comps @ mean
+
+    def dlit(v):
+        return f"CAST({float(v)!r} AS DOUBLE)"
+
+    wrows = ", ".join(
+        f"({c}, [{', '.join(dlit(w) for w in comps[c])}], "
+        f"{dlit(m[c])}, {dlit(eig[c])})"
+        for c in range(len(m)))
+    return f"""
+WITH wmat(c, wv, mc, lam) AS (VALUES {wrows}),
+proj AS (
+  SELECT e.vec_id, w.c,
+         SUM(CAST(e.embedding[t.i + 1] AS DOUBLE) * w.wv[t.i + 1])
+           AS p,
+         ANY_VALUE(w.mc) AS mc, ANY_VALUE(w.lam) AS lam
+  FROM embeddings e
+  CROSS JOIN wmat w
+  CROSS JOIN UNNEST(range(len(e.embedding))) AS t(i)
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       ROUND(sqrt(SUM((p - mc) * (p - mc) / lam)), 6) + 0.0
+         AS outlier_score
+FROM proj GROUP BY vec_id
+"""
+
+
 def q_sparse_cosine_pairs_docs(spark, sf_dir):
     """Exact TF-IDF cosine all-pairs >= 0.8 on a fixed 100-doc slice
     (one token equi-join computes candidates AND dot products; see
@@ -2408,6 +2474,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "embedding_covariance": {
         "fn": q_embedding_covariance,
         "oracle": SQL_EMBEDDING_COVARIANCE},
+    "embedding_outliers": {
+        "fn": q_embedding_outliers,
+        "oracle_fn": _sql_embedding_outliers},
     "sparse_cosine_pairs_docs": {
         "fn": q_sparse_cosine_pairs_docs,
         "oracle": SQL_SPARSE_COSINE_PAIRS_DOCS},

@@ -253,3 +253,113 @@ def pca_project(
         for row in comps
     ]
     return df.withColumn(out_col, F.array(*dots))
+
+
+# portable affine sample-rank constants (shared verbatim by the
+# oracle SQL — same family as pipeline/corpus.py CMS_A/CMS_B)
+SAMPLE_A = 1299721
+SAMPLE_B = 15485863
+SAMPLE_MOD = 1_000_000_007
+
+
+def _pca_fit_arrays(x, k: int, *, eps: float = 1e-9):
+    """Deterministic PCA fit from a (n, d) float64 array: population
+    covariance in ONE numpy pass over rows sorted by the caller,
+    eigh, descending eigenvalues, sign-fixed rows.  SHARED by the
+    Spark operator and the DuckDB oracle generator — identical bits
+    in, identical components out (the catalog_oracle_ml.py replay
+    contract).  Returns (mean[d], comps[k,d], eigvals[k])."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = (xc.T @ xc) / len(x)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()
+    for row in comps:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1
+    eig = np.clip(w[order], eps, None)
+    return mean, comps, eig
+
+
+def pca_fit_sample(
+    df: DataFrame,
+    *,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 2048,
+):
+    """Bit-reproducible PCA fit on a bounded deterministic sample:
+    the ``max_rows`` vectors with the smallest PORTABLE affine hash
+    of the id (``(id·1299721 + 15485863) mod 1e9+7`` — pure int64
+    math both engines compute identically; xxhash64 would be
+    Spark-only), selected with TakeOrdered (no full sort), collected
+    to the driver SORTED BY ID and fit in one numpy pass.  The same
+    bounded-sample training discipline as IVF k-means
+    (similarity.py): the corpus never collects, the fit is
+    deterministic regardless of partitioning, and the artifact
+    replays exactly in the oracle."""
+    import numpy as np
+
+    if k < 1:
+        raise errors.Invalid(f"k must be >= 1, got {k}")
+    for c in (vec_col, id_col):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    rank = F.pmod(
+        F.col("__id").cast("long") * F.lit(SAMPLE_A) + F.lit(SAMPLE_B),
+        F.lit(SAMPLE_MOD))
+    rows = (
+        df.select(F.col(id_col).alias("__id"),
+                  F.col(vec_col).alias("__v"))
+        .orderBy(rank, F.col("__id"))
+        .limit(int(max_rows)).collect()
+    )
+    if not rows:
+        raise errors.Invalid("no vectors to fit")
+    rows.sort(key=lambda r: r["__id"])
+    x = np.asarray([np.asarray(r["__v"], dtype=np.float64)
+                    for r in rows])
+    if k > x.shape[1]:
+        raise errors.Invalid(f"k={k} exceeds dimension {x.shape[1]}")
+    return _pca_fit_arrays(x, k)
+
+
+def embedding_outlier_scores(
+    df: DataFrame,
+    *,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_rows: int = 2048,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mahalanobis-style outlier score in PCA space:
+    ``sqrt(Σ_c (proj_c(x) − proj_c(μ))² / λ_c)`` over the top-k
+    components — rare/corrupt embeddings (wrong modality, truncated
+    vectors, adversarial inserts) score high because PCA whitening
+    measures distance in units of natural corpus variance.
+
+    Fit is the bounded-sample driver pass (:func:`pca_fit_sample`);
+    scoring ships (k·d + 2k) literals into the plan and is pure
+    Column math — map-only, whole-stage codegen, zero shuffle.
+    Output: (id_col, outlier_score rounded).
+    """
+    mean, comps, eig = pca_fit_sample(
+        df, k=k, vec_col=vec_col, id_col=id_col, max_rows=max_rows)
+    m = comps @ mean
+    proj = pca_project(df, comps, vec_col=vec_col, out_col="__p")
+    terms = [
+        (F.col("__p")[c] - F.lit(float(m[c]))) ** 2
+        / F.lit(float(eig[c]))
+        for c in range(len(m))
+    ]
+    score = F.sqrt(sum(terms[1:], terms[0]))
+    out = proj.select(
+        F.col(id_col),
+        (F.round(score, round_to) + F.lit(0.0)).alias("outlier_score"))
+    return out

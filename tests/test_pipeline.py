@@ -1288,3 +1288,47 @@ def test_embedding_covariance_and_pca_match_numpy(spark):
         pca_fit(df, k=7)
     with pytest.raises(errors.Invalid):
         embedding_covariance(df.select("vec_id"), vec_col="embedding")
+
+
+def test_embedding_outlier_scores_flag_injected_outlier(spark):
+    """Vectors on a 2D subspace + one far-off-subspace outlier: the
+    outlier gets the max whitened score, and every score matches the
+    numpy replay (same sample selection, same fit, full projection
+    math) to 6 dp."""
+    import numpy as np
+
+    from loudml_spark.pipeline.embeddings import (
+        SAMPLE_A, SAMPLE_B, SAMPLE_MOD,
+        _pca_fit_arrays, embedding_outlier_scores,
+    )
+
+    rng = np.random.default_rng(9)
+    x = rng.normal(0, 1, (60, 2)) @ rng.normal(0, 1, (2, 8))
+    x += rng.normal(0, 0.01, x.shape)
+    x[37] += 25.0  # inject: far off the natural subspace
+    rows = [(i, [float(v) for v in x[i]]) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>").repartition(4)
+
+    got = {r["vec_id"]: r["outlier_score"]
+           for r in embedding_outlier_scores(
+               df, k=3, max_rows=40).collect()}
+    assert max(got, key=got.get) == 37
+
+    # numpy replay: same portable-hash sample, same fit, same math
+    xf = np.asarray([np.asarray(v, dtype=np.float64) for _, v in rows])
+    order = sorted(range(60),
+                   key=lambda i: ((i * SAMPLE_A + SAMPLE_B) % SAMPLE_MOD, i))
+    sample = np.asarray(sorted(order[:40]))
+    mean, comps, eig = _pca_fit_arrays(xf[sample], 3)
+    m = comps @ mean
+    proj = xf @ comps.T
+    want = np.sqrt((((proj - m) ** 2) / eig).sum(axis=1))
+    for i in range(60):
+        assert abs(got[i] - round(float(want[i]), 6)) <= 1e-6, i
+
+    # deterministic across runs / repartitions
+    again = {r["vec_id"]: r["outlier_score"]
+             for r in embedding_outlier_scores(
+                 df.repartition(7), k=3, max_rows=40).collect()}
+    assert again == got
