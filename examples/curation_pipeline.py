@@ -53,6 +53,24 @@ def main(sf_dir: str) -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
+    # 0. intake gate: invariants the rest of the pipeline assumes —
+    #    one audit frame, loud failure before any compute is spent
+    from loudml_spark.operators.validate import (
+        expect, not_null, unique, validate,
+    )
+
+    audit = validate(docs, [
+        not_null("doc_id"), not_null("text"), unique("doc_id"),
+        expect("n_chars_consistent",
+               F.length("text") == F.col("n_chars")),
+    ]).collect()
+    print("== intake audit ==")
+    for r in audit:
+        print(f"  {r['rule']:>38}  checked={r['n_checked']} "
+              f"violations={r['n_violations']} passed={r['passed']}")
+    if not all(r["passed"] for r in audit):
+        raise SystemExit("intake audit failed — refusing to curate")
+
     # 1. content fingerprint + exact dedup (cheap, catches byte-dups)
     docs = docs.withColumn("fp", rolling_hash_col(F.col("text")))
     w = F.row_number().over(
