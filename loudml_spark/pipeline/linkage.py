@@ -78,17 +78,29 @@ def deletion_neighborhood(s: Column, d: int) -> Column:
 
 
 def _variant_index(
-    df: DataFrame, id_col: str, text_col: str, d: int,
+    df: DataFrame, id_col: str, text_col: str, d: int, max_len: int,
 ) -> DataFrame:
     """(id, vh) posting list: one row per (row, deletion variant),
-    variants carried only as 8-byte xxhash64 keys."""
+    variants carried only as 8-byte xxhash64 keys.  A row longer
+    than ``max_len`` fails the job loudly (assert_true) instead of
+    silently exploding ~C(len, d) variants per row — symmetric-
+    delete blocking is for short keys; near-dup DOCUMENTS belong to
+    minhash_lsh_pairs."""
     for c in (id_col, text_col):
         if c not in df.columns:
             raise errors.Invalid(f"column {c!r} not in frame")
+    s = F.col(text_col)
+    guard = F.assert_true(
+        s.isNull() | (F.length(s) <= max_len),
+        F.concat(
+            F.lit(f"fuzzy join key longer than max_len={max_len} "
+                  "chars (deletion neighborhood is ~C(len,d) rows; "
+                  "use minhash_lsh_pairs for long text): "),
+            F.substring(s, 1, 40)))
+    neigh = F.when(guard.isNull(), deletion_neighborhood(s, d))
     return df.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            deletion_neighborhood(F.col(text_col), d)).alias("__v"),
+        F.explode(neigh).alias("__v"),
     ).select("id", F.xxhash64("__v").alias("vh"))
 
 
@@ -109,16 +121,18 @@ def fuzzy_self_pairs(
     text_col: str,
     max_distance: int = 1,
     max_variant_df: int | None = None,
+    max_len: int = 64,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with edit distance <= ``max_distance``.
 
     Returns ``(id_a, id_b, distance)`` — exact recall (deletion
-    pigeonhole), exact precision (levenshtein verify).
+    pigeonhole), exact precision (levenshtein verify).  Keys longer
+    than ``max_len`` fail the job loudly (see _variant_index).
     """
     if max_distance < 1:
         raise errors.Invalid("max_distance must be >= 1")
     posting = _df_cut(
-        _variant_index(df, id_col, text_col, max_distance),
+        _variant_index(df, id_col, text_col, max_distance, max_len),
         max_variant_df)
     a, b = posting.alias("a"), posting.alias("b")
     cand = a.join(
@@ -148,20 +162,24 @@ def fuzzy_join(
     right_text: str,
     max_distance: int = 1,
     max_variant_df: int | None = None,
+    max_len: int = 64,
 ) -> DataFrame:
     """Two-table edit-distance join: ``(left_id, right_id, distance)``
-    for every cross pair within ``max_distance``.  Same blocking and
-    verify as :func:`fuzzy_self_pairs`."""
+    for every cross pair within ``max_distance``.  Same blocking,
+    verify and max_len guard as :func:`fuzzy_self_pairs`."""
     if max_distance < 1:
         raise errors.Invalid("max_distance must be >= 1")
     if left_id == right_id:
         raise errors.Invalid(
             f"left_id and right_id are both {left_id!r}; the output "
             "carries one column per side — alias one of them")
-    pl = _df_cut(_variant_index(left, left_id, left_text, max_distance),
-                 max_variant_df)
-    pr = _df_cut(_variant_index(right, right_id, right_text, max_distance),
-                 max_variant_df)
+    pl = _df_cut(
+        _variant_index(left, left_id, left_text, max_distance, max_len),
+        max_variant_df)
+    pr = _df_cut(
+        _variant_index(right, right_id, right_text, max_distance,
+                       max_len),
+        max_variant_df)
     cand = pl.alias("a").join(
         pr.alias("b"), F.col("a.vh") == F.col("b.vh")) \
         .select(F.col("a.id").alias("id_l"),

@@ -124,3 +124,16 @@ def test_max_variant_df_cut(spark):
         df, id_col="id", text_col="t", max_distance=1,
         max_variant_df=2).count()
     assert full == 3 and cut == 0
+
+
+def test_long_key_fails_loudly(spark):
+    """A key past max_len must fail the job with a named error, not
+    silently explode C(len, d) variants through the shuffle."""
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, "short")], "id long, t string")
+    with pytest.raises(Exception, match="max_len"):
+        fuzzy_self_pairs(df, id_col="id", text_col="t").collect()
+    # raising the limit opts in
+    out = fuzzy_self_pairs(
+        df, id_col="id", text_col="t", max_len=128).collect()
+    assert out == []
