@@ -2357,6 +2357,117 @@ GROUP BY 1, 2
 """
 
 
+_JAN1 = 1704067200
+_JAN31 = _JAN1 + 30 * 86400
+
+
+def q_survival_view_to_purchase(spark, sf_dir):
+    """Kaplan–Meier time-to-conversion: hours from a user's first
+    view to their first subsequent purchase, right-censored at the
+    observation window end for users who never convert
+    (operators/funnel.py survival_curve).  The estimator handles
+    censoring correctly — a naive mean over converters only would
+    bias conversion time down.  Durations are exact int64-ns
+    divisions; the survival product is exp(Σ ln(·)) rounded 6."""
+    from loudml_spark.operators.funnel import survival_curve
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("user_id", "event_type", "ts_ns")
+    v = ev.filter(F.col("event_type") == "view") \
+        .groupBy("user_id").agg(F.min("ts_ns").alias("tv"))
+    p = ev.filter(F.col("event_type") == "purchase") \
+        .join(v, "user_id") \
+        .filter(F.col("ts_ns") >= F.col("tv")) \
+        .groupBy("user_id").agg(F.min("ts_ns").alias("tp"))
+    step = 3600 * NS
+    subj = v.join(p, "user_id", "left").select(
+        F.expr(f"(coalesce(tp, {_JAN31 * NS}L) - tv) div {step}L")
+        .alias("dur_h"),
+        F.col("tp").isNotNull().cast("int").alias("converted"))
+    return survival_curve(
+        subj, duration_col="dur_h", event_col="converted")
+
+
+SQL_SURVIVAL_VIEW_TO_PURCHASE = f"""
+WITH v AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS tv
+  FROM events WHERE event_type = 'view' GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_ns(e.ts)) AS tp
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= v.tv
+  GROUP BY 1
+),
+subj AS (
+  SELECT (COALESCE(p.tp, {_JAN31 * NS}) - v.tv) // {3600 * NS} AS t,
+         CASE WHEN p.tp IS NULL THEN 0 ELSE 1 END AS ev
+  FROM v LEFT JOIN p USING (user_id)
+),
+per_t AS (
+  SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS tot
+  FROM subj GROUP BY t
+),
+st AS (
+  SELECT t, d, tot,
+         CAST(SUM(tot) OVER ()
+              - (SUM(tot) OVER w - tot) AS BIGINT) AS n_risk
+  FROM per_t
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+),
+km AS (
+  SELECT t, n_risk, d,
+         CASE WHEN MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                   OVER w = 1
+              THEN 0.0
+              ELSE exp(SUM(CASE WHEN d < n_risk
+                           THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                           ELSE 0.0 END) OVER w)
+         END AS s
+  FROM st
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT t, n_risk, d AS n_events, ROUND(s, 6) + 0.0 AS survival
+FROM km WHERE d > 0
+"""
+
+
+def q_winsorized_mean_by_type(spark, sf_dir):
+    """Tail-tamed mean per event_type: values clipped to their
+    per-key [5%, 95%] exact quantiles (operators/tsmath.py
+    winsorize — one window shuffle computes both cut points), then
+    averaged beside the raw mean.  Cut points interpolate
+    identically (percentile ≡ quantile_cont); means round at 6 dp."""
+    from loudml_spark.operators.tsmath import winsorize
+
+    ev = load_table(spark, sf_dir, "events") \
+        .select("event_type", "value")
+    w = winsorize(ev, value_col="value", lower=0.05, upper=0.95,
+                  by=["event_type"], out_col="w")
+    return w.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.round(F.avg("value"), 6).alias("mean_raw"),
+        F.round(F.avg("w"), 6).alias("mean_winsorized"))
+
+
+SQL_WINSORIZED_MEAN_BY_TYPE = """
+WITH cuts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_type AS event_type,
+       CAST(COUNT(e.value) AS BIGINT) AS n,
+       ROUND(AVG(e.value), 6) AS mean_raw,
+       ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 6)
+         AS mean_winsorized
+FROM events e JOIN cuts c USING (event_type)
+GROUP BY 1
+"""
+
+
 def q_dq_audit_lineitem(spark, sf_dir):
     """Data-quality audit of lineitem (operators/validate.py):
     row-local rules fuse into ONE aggregation pass, uniqueness is a
@@ -2442,6 +2553,12 @@ EXT_QUERIES: dict[str, dict] = {
     "dq_audit_lineitem": {
         "fn": q_dq_audit_lineitem,
         "oracle": SQL_DQ_AUDIT_LINEITEM},
+    "winsorized_mean_by_type": {
+        "fn": q_winsorized_mean_by_type,
+        "oracle": SQL_WINSORIZED_MEAN_BY_TYPE},
+    "survival_view_to_purchase": {
+        "fn": q_survival_view_to_purchase,
+        "oracle": SQL_SURVIVAL_VIEW_TO_PURCHASE},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},

@@ -212,3 +212,63 @@ def cohort_retention(
     if max_offset is not None:
         out = out.filter(F.col("offset") <= max_offset)
     return out
+
+
+def survival_curve(
+    df: DataFrame,
+    *,
+    duration_col: str,
+    event_col: str,
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kaplan–Meier survival estimate per key: for each distinct
+    event time t (rows where the event OCCURRED),
+    ``S(t) = Π_{t_i <= t} (1 − d_i / n_i)`` with d_i events at t_i
+    and n_i subjects still at risk — time-to-event analytics
+    (signup → churn, view → purchase) that handles right-censored
+    subjects correctly instead of dropping them (which biases every
+    naive mean-duration estimate downward).
+
+    Input: one row per subject — ``duration_col`` (numeric time to
+    event or to censoring) and ``event_col`` (1 = event observed,
+    0 = censored).  Output per key: ``(t, n_risk, n_events,
+    survival)`` at event times only, survival rounded.
+
+    Shape: one groupBy on (key, t), then window passes over the
+    per-key distinct-time frame (rows bounded by distinct durations,
+    never subjects).  The product is exp(Σ ln(·)) — a cumulative-sum
+    window, with the d = n absorbing zero handled explicitly (ln(0)
+    is engine-dependent).
+    """
+    for c in (duration_col, event_col, *by):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    by = list(by)
+    per_t = (
+        df.select(*by, F.col(duration_col).alias("t"),
+                  F.col(event_col).cast("int").alias("__e"))
+        .groupBy(*by, "t")
+        .agg(F.sum("__e").alias("n_events"),
+             F.count(F.lit(1)).alias("__total"))
+    )
+    base = Window.partitionBy(*by) if by else Window.partitionBy()
+    w_cum = base.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    n_all = F.sum("__total").over(base.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    left_before = F.sum("__total").over(w_cum) - F.col("__total")
+    step = per_t.withColumn("n_risk", n_all - left_before)
+    d, n = F.col("n_events").cast("double"), F.col("n_risk").cast("double")
+    # ln(1 - d/n) only where the factor is positive; d = n is the
+    # absorbing zero (no survivors past t) — flag it and zero out
+    # that row and everything after
+    term = F.when(d < n, F.log(F.lit(1.0) - d / n)).otherwise(F.lit(0.0))
+    dead = F.max(
+        F.when(d >= n, F.lit(1)).otherwise(F.lit(0))).over(w_cum)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(term).over(w_cum)))
+    return (
+        step.withColumn("survival", F.round(surv, round_dp) + F.lit(0.0))
+        .filter(F.col("n_events") > 0)
+        .select(*by, "t", "n_risk", "n_events", "survival")
+    )

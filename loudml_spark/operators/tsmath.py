@@ -683,3 +683,39 @@ def forecast_backtest(
                      round_dp).alias("rmse"))
     )
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    *,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    by: Sequence[str] = (),
+    approx: bool = False,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-key [lower, upper] quantiles —
+    the standard tail-taming transform before means/regressions that
+    a single sensor glitch would otherwise drag (the transform-side
+    sibling of mad_scores' detection).  NULLs pass through.
+
+    Same execution policy as mad_scores: whole-partition window
+    aggregates (both cut points share ONE shuffle on ``by``, no
+    join-back re-executing the input), exact percentiles for
+    bucketized frames, ``approx=True`` for raw-point scale.
+    """
+    _need(df, value_col, *by)
+    if not (0.0 <= lower < upper <= 1.0):
+        raise errors.Invalid(
+            f"need 0 <= lower < upper <= 1, got ({lower}, {upper})")
+    by = list(by)
+    out_col = out_col or value_col
+    pct = "approx_percentile" if approx else "percentile"
+    w = Window.partitionBy(*by) if by else Window.partitionBy()
+    lo = F.expr(f"{pct}({value_col}, {lower!r})").over(w)
+    hi = F.expr(f"{pct}({value_col}, {upper!r})").over(w)
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), lo), hi))
+    return df.withColumn(out_col, clipped)

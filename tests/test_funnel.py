@@ -100,3 +100,40 @@ def test_funnel_latency_transitions(spark):
     c = out["C"]
     assert c["n_converted"] == 1
     assert c["p50_latency"] == pytest.approx(20.0)
+
+
+def test_survival_curve_matches_hand_km(spark):
+    """Textbook Kaplan-Meier: 6 subjects, censoring at t=3 and t=5,
+    absorbing zero at the last event; censored-only times emit no
+    row but correctly shrink the risk set."""
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.operators.funnel import survival_curve
+
+    rows = [(1, 1), (2, 1), (3, 0), (4, 1), (5, 0), (6, 1)]
+    df = spark.createDataFrame(rows, "dur long, ev int")
+    got = [(r["t"], r["n_risk"], r["n_events"], r["survival"])
+           for r in survival_curve(
+               df, duration_col="dur", event_col="ev")
+           .orderBy("t").collect()]
+    assert got == [
+        (1, 6, 1, round(5 / 6, 6)),
+        (2, 5, 1, round(5 / 6 * 4 / 5, 6)),
+        (4, 3, 1, round(5 / 6 * 4 / 5 * 2 / 3, 6)),
+        (6, 1, 1, 0.0),
+    ]
+
+    # ties: two events at the same time step the curve once
+    tied = spark.createDataFrame(
+        [("a", 2, 1), ("a", 2, 1), ("a", 5, 0), ("b", 1, 1)],
+        "k string, dur long, ev int")
+    g2 = {(r["k"], r["t"]): (r["n_risk"], r["n_events"], r["survival"])
+          for r in survival_curve(
+              tied, duration_col="dur", event_col="ev",
+              by=["k"]).collect()}
+    assert g2[("a", 2)] == (3, 2, round(1 / 3, 6))
+    assert g2[("b", 1)] == (1, 1, 0.0)
+
+    with pytest.raises(errors.Invalid):
+        survival_curve(df, duration_col="nope", event_col="ev")

@@ -447,3 +447,26 @@ def test_forecast_backtest_hand_computed(spark):
         forecast_backtest(df, method="snaive")
     with pytest.raises(errors.Invalid):
         forecast_backtest(df, method="arima")
+
+
+def test_winsorize_clips_tails(spark):
+    import numpy as np
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import winsorize
+
+    vals = [float(v) for v in range(1, 21)] + [1000.0, -50.0]
+    df = spark.createDataFrame(
+        [("k", v) for v in vals] + [("k", None), ("x", 5.0)],
+        "k string, value double")
+    out = {r["value"]: r["w"] for r in winsorize(
+        df, value_col="value", lower=0.1, upper=0.9, by=["k"],
+        out_col="w").filter("k = 'k'").collect()}
+    lo, hi = (float(np.percentile(vals, 10)),
+              float(np.percentile(vals, 90)))
+    assert out[1000.0] == pytest.approx(hi)
+    assert out[-50.0] == pytest.approx(lo)
+    assert out[10.0] == 10.0          # interior untouched
+    assert out[None] is None          # nulls pass through
+    with pytest.raises(errors.Invalid):
+        winsorize(df, value_col="value", lower=0.9, upper=0.1)
