@@ -2201,6 +2201,43 @@ GROUP BY 1, 2
 """
 
 
+def q_pmi_pairs_docs(spark, sf_dir):
+    """Collocation mining: PMI of token pairs by document-level
+    co-occurrence on a fixed 200-doc slice (pipeline/corpus.py
+    pmi_pairs — pair fan-out is a self equi-join ON THE DOCUMENT,
+    bounded by per-doc vocabulary).  Counts exact ints; the single
+    ln rounds at 6 dp."""
+    from loudml_spark.pipeline.corpus import pmi_pairs
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
+        .filter(F.col("doc_id") < 200).select("doc_id", "text")
+    return pmi_pairs(docs, min_pair_count=20)
+
+
+SQL_PMI_PAIRS_DOCS = """
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM d
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d),
+f AS (SELECT token, COUNT(*) AS df FROM t GROUP BY 1),
+pr AS (
+  SELECT a.token AS token_a, b.token AS token_b, COUNT(*) AS c
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING COUNT(*) >= 20
+)
+SELECT pr.token_a, pr.token_b, CAST(pr.c AS BIGINT) AS n_docs,
+       ROUND(ln(CAST(pr.c AS DOUBLE) * n.n_docs
+                / (CAST(fa.df AS DOUBLE) * fb.df)), 6) + 0.0 AS pmi
+FROM pr
+CROSS JOIN n
+JOIN f fa ON fa.token = pr.token_a
+JOIN f fb ON fb.token = pr.token_b
+"""
+
+
 def q_embedding_outliers(spark, sf_dir):
     """PCA-whitened Mahalanobis outlier scores over the embeddings
     table (pipeline/embeddings.py embedding_outlier_scores): fit on
@@ -2477,6 +2514,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "embedding_outliers": {
         "fn": q_embedding_outliers,
         "oracle_fn": _sql_embedding_outliers},
+    "pmi_pairs_docs": {
+        "fn": q_pmi_pairs_docs,
+        "oracle": SQL_PMI_PAIRS_DOCS},
     "sparse_cosine_pairs_docs": {
         "fn": q_sparse_cosine_pairs_docs,
         "oracle": SQL_SPARSE_COSINE_PAIRS_DOCS},

@@ -436,3 +436,60 @@ def sparse_cosine_pairs(
              .alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 2,
+    max_df: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information of token pairs by document-level
+    co-occurrence: ``pmi = ln(c_ab · N / (df_a · df_b))`` — the
+    collocation statistic behind phrase mining and compound-term
+    discovery (tokens that appear together far more often than
+    chance).  Returns ``(token_a, token_b, n_docs, pmi)`` for
+    token_a < token_b with c_ab >= ``min_pair_count``.
+
+    Shape: documents reduce to DISTINCT (doc, token) postings first;
+    the pair fan-out is a self equi-join ON THE DOCUMENT, so cost is
+    Σ_doc (distinct tokens)² — bounded by per-doc vocabulary, not
+    corpus size.  On real corpora pass ``max_df`` to drop ubiquitous
+    terms whose pairs dominate the join and carry no signal (PMI of
+    a stop-word pair ≈ 0 by construction; this is the same stop-term
+    df cut as sparse_cosine_pairs).  All counts are exact ints; the
+    single ln rounds at ``round_dp``.
+    """
+    from loudml_spark import errors
+
+    if min_pair_count < 1:
+        raise errors.Invalid("min_pair_count must be >= 1")
+    if max_df is not None and max_df < 2:
+        raise errors.Invalid("max_df must be >= 2")
+    t = tokens(df, text_col=text_col, id_col=id_col) \
+        .select(F.col(id_col).alias("id"), "token").distinct()
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = t.groupBy("token").agg(F.count("*").alias("df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df") <= max_df)
+    post = t.join(dfreq, "token")
+    a, b = post.alias("a"), post.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.id") == F.col("b.id"))
+               & (F.col("a.token") < F.col("b.token")))
+        .groupBy(F.col("a.token").alias("token_a"),
+                 F.col("b.token").alias("token_b"))
+        .agg(F.count("*").alias("n_docs"),
+             F.first(F.col("a.df")).alias("__dfa"),
+             F.first(F.col("b.df")).alias("__dfb"))
+        .filter(F.col("n_docs") >= min_pair_count)
+    )
+    pmi = F.log(
+        F.col("n_docs").cast("double") * F.lit(float(n_docs))
+        / (F.col("__dfa").cast("double") * F.col("__dfb")))
+    return pairs.select(
+        "token_a", "token_b", "n_docs",
+        (F.round(pmi, round_dp) + F.lit(0.0)).alias("pmi"))

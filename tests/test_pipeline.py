@@ -1332,3 +1332,57 @@ def test_embedding_outlier_scores_flag_injected_outlier(spark):
              for r in embedding_outlier_scores(
                  df.repartition(7), k=3, max_rows=40).collect()}
     assert again == got
+
+
+def test_pmi_pairs_hand_computed(spark):
+    """4 tiny docs, python oracle: PMI = ln(c_ab*N/(df_a*df_b));
+    strong collocation ('new york' in every doc it appears) scores
+    above independent pairs; max_df drops ubiquitous tokens."""
+    import itertools
+    import math
+
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import pmi_pairs
+
+    texts = {1: "new york pizza", 2: "new york subway",
+             3: "pizza oven", 4: "the pizza the subway"}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+
+    def oracle(min_count=1, max_df=None):
+        toks = {i: set(t.split()) for i, t in texts.items()}
+        n = len(toks)
+        dfreq = {}
+        for s in toks.values():
+            for w in s:
+                dfreq[w] = dfreq.get(w, 0) + 1
+        if max_df is not None:
+            toks = {i: {w for w in s if dfreq[w] <= max_df}
+                    for i, s in toks.items()}
+        out = {}
+        vocab = sorted({w for s in toks.values() for w in s})
+        for a, b in itertools.combinations(vocab, 2):
+            c = sum(1 for s in toks.values() if a in s and b in s)
+            if c >= min_count:
+                out[(a, b)] = (c, round(
+                    math.log(c * n / (dfreq[a] * dfreq[b])), 6))
+        return out
+
+    got = {(r["token_a"], r["token_b"]): (r["n_docs"], r["pmi"])
+           for r in pmi_pairs(df, min_pair_count=1).collect()}
+    assert got == oracle()
+    # 'new york' co-occur in 2/2 of their docs: pmi = ln(2*4/(2*2)) = ln 2
+    assert got[("new", "york")] == (2, round(math.log(2.0), 6))
+
+    cut = {(r["token_a"], r["token_b"]): (r["n_docs"], r["pmi"])
+           for r in pmi_pairs(
+               df, min_pair_count=1, max_df=2).collect()}
+    assert cut == oracle(max_df=2)
+    assert not any("pizza" in p for p in cut)  # df=3 token dropped
+
+    with pytest.raises(errors.Invalid):
+        pmi_pairs(df, min_pair_count=0)
+    with pytest.raises(errors.Invalid):
+        pmi_pairs(df, max_df=1)
