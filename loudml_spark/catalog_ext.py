@@ -2433,6 +2433,44 @@ FROM km WHERE d > 0
 """
 
 
+def q_changepoint_daily_by_type(spark, sf_dir):
+    """Mean-shift split point of the daily series per event_type
+    (operators/tsmath.py changepoint_mean — binary-segmentation
+    step 1, argmax of the centered-cumsum deviation).  Inputs are
+    DECIMAL-exact daily means; the statistic rounds at 6 dp
+    (windowed-SUM association differs), and the argmax is stable
+    because deviation gaps on this series are orders of magnitude
+    above float noise (exact ties break to the earliest day in both
+    engines via lexicographic (dev, -ts))."""
+    from loudml_spark.operators.tsmath import changepoint_mean
+
+    return changepoint_mean(
+        _daily_mean_by_type(spark, sf_dir), by=["event_type"])
+
+
+SQL_CHANGEPOINT_DAILY_BY_TYPE = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+st AS (
+  SELECT event_type, bucket_ts,
+         ABS(SUM(value) OVER w
+             - (CAST(row_number() OVER w2 AS DOUBLE)
+                / COUNT(*) OVER (PARTITION BY event_type))
+               * SUM(value) OVER (PARTITION BY event_type)) AS dev,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+               ROWS UNBOUNDED PRECEDING),
+         w2 AS (PARTITION BY event_type ORDER BY bucket_ts)
+)
+SELECT event_type, bucket_ts AS changepoint_ts,
+       ROUND(dev, 6) AS statistic,
+       CAST(n AS BIGINT) AS n_points
+FROM st
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY dev DESC, bucket_ts ASC) = 1
+"""
+
+
 def q_winsorized_mean_by_type(spark, sf_dir):
     """Tail-tamed mean per event_type: values clipped to their
     per-key [5%, 95%] exact quantiles (operators/tsmath.py
@@ -2559,6 +2597,9 @@ EXT_QUERIES: dict[str, dict] = {
     "survival_view_to_purchase": {
         "fn": q_survival_view_to_purchase,
         "oracle": SQL_SURVIVAL_VIEW_TO_PURCHASE},
+    "changepoint_daily_by_type": {
+        "fn": q_changepoint_daily_by_type,
+        "oracle": SQL_CHANGEPOINT_DAILY_BY_TYPE},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},

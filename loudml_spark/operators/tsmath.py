@@ -719,3 +719,49 @@ def winsorize(
         F.col(value_col).isNotNull(),
         F.least(F.greatest(F.col(value_col), lo), hi))
     return df.withColumn(out_col, clipped)
+
+
+def changepoint_mean(
+    df: DataFrame,
+    *,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """WHERE did the mean shift?  The binary-segmentation step-1
+    estimate per key: the time t* maximizing the centered-cumsum
+    deviation ``|C_t − (i/n)·C_n|`` (C = running sum, i = position)
+    — the complement of :func:`cusum`, which flags WHEN drift
+    accumulates past a threshold but not the split point.
+
+    Output per key: ``(changepoint_ts, statistic, n_points)`` —
+    the candidate split for segment-wise refitting; ties break to
+    the earliest time deterministically.  One window shuffle on the
+    keys (cumsum + position share it), one max_by aggregation; the
+    frame is an already-bucketized series, rows bounded by bucket
+    count.
+    """
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    base = Window.partitionBy(*by) if by else Window.partitionBy()
+    w = base.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    whole = base.orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    v = F.col(value_col).cast("double")
+    c = F.sum(v).over(w)
+    cn = F.sum(v).over(whole)
+    i = F.row_number().over(base.orderBy(ts_col))
+    n = F.count(F.lit(1)).over(whole)
+    dev = F.abs(c - (i.cast("double") / n.cast("double")) * cn)
+    step = df.select(
+        *by, F.col(ts_col).alias("__t"), dev.alias("__dev"),
+        n.alias("__n"))
+    # ties break to the EARLIEST ts: maximize (dev, -ts)
+    # lexicographically — struct comparison is lexicographic in both
+    # engines
+    return step.groupBy(*by).agg(
+        F.expr("max_by(__t, struct(__dev as d, -__t as mt))")
+        .alias("changepoint_ts"),
+        F.round(F.max("__dev"), round_dp).alias("statistic"),
+        F.first("__n").alias("n_points"))

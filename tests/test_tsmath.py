@@ -470,3 +470,35 @@ def test_winsorize_clips_tails(spark):
     assert out[None] is None          # nulls pass through
     with pytest.raises(errors.Invalid):
         winsorize(df, value_col="value", lower=0.9, upper=0.1)
+
+
+def test_changepoint_mean_finds_level_shift(spark):
+    """Level shift at a known index: the max-centered-cumsum-deviation
+    estimate lands on (or within one bucket of) the true split;
+    python oracle pins the exact statistic and tie-break."""
+    import numpy as np
+
+    from loudml_spark.operators.tsmath import changepoint_mean
+
+    rng = np.random.default_rng(4)
+    vals = [float(v) for v in 10 + rng.normal(0, 0.5, 30)] + \
+           [float(v) for v in 16 + rng.normal(0, 0.5, 20)]
+    rows = [("a", i * 10, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    got = changepoint_mean(df, by=["k"]).collect()[0]
+
+    c = np.cumsum(vals)
+    n = len(vals)
+    dev = np.abs(c - (np.arange(1, n + 1) / n) * c[-1])
+    best = int(np.argmax(dev))
+    assert got["changepoint_ts"] == best * 10
+    assert abs(best - 29) <= 1          # true shift after index 29
+    assert got["statistic"] == round(float(dev[best]), 6)
+    assert got["n_points"] == 50
+
+    # constant series: every deviation 0, tie breaks to earliest ts
+    const = spark.createDataFrame(
+        [("c", i * 10, 5.0) for i in range(8)],
+        "k string, bucket_ts long, value double")
+    g2 = changepoint_mean(const, by=["k"]).collect()[0]
+    assert g2["changepoint_ts"] == 0 and g2["statistic"] == 0.0
