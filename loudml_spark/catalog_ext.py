@@ -2433,6 +2433,78 @@ FROM km WHERE d > 0
 """
 
 
+def q_ts_strength_by_type(spark, sf_dir):
+    """Hyndman trend/seasonal strength (FPP3 §4.3) of each
+    event_type's hourly series, from the keyed additive
+    decomposition (operators/tsmath.py decomposition_strength) —
+    the series-routing diagnostic: which series deserve a seasonal
+    model.  Trend is the DECIMAL-exact MA; seasonal/resid carry the
+    6 dp convention; strengths round at 6 with NULLIF/try_divide
+    zero-variance parity."""
+    from loudml_spark.operators.rollup import rollup_partials
+    from loudml_spark.operators.tsmath import (
+        decompose_additive, decomposition_strength,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("ts_ns").alias("ts"), "value")
+    base = rollup_partials(
+        ev, value_col="value", interval=3600, ts_col="ts",
+        ts_scale=NS, group_by=["event_type"])
+    dec = decompose_additive(
+        base, period=DECOMP_PERIOD, interval=3600, by=["event_type"])
+    return decomposition_strength(dec, by=["event_type"])
+
+
+SQL_TS_STRENGTH_BY_TYPE = f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_ns(ts) // {3600 * NS}) * 3600 AS bucket_ts,
+         COUNT(value) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec
+  FROM events
+  GROUP BY 1, 2
+),
+t AS (
+  SELECT event_type, bucket_ts,
+         CAST(sum_dec AS DOUBLE) / n AS value,
+         CASE WHEN COUNT(*) OVER wt = 25
+              THEN CAST(SUM(sum_dec) OVER wt AS DOUBLE)
+                   / SUM(n) OVER wt
+         END AS trend
+  FROM b
+  WINDOW wt AS (PARTITION BY event_type ORDER BY bucket_ts
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+p AS (
+  SELECT event_type, bucket_ts, value, trend,
+         (bucket_ts // 3600) % {DECOMP_PERIOD} AS phase,
+         value - trend AS detr
+  FROM t
+),
+s AS (
+  SELECT event_type, bucket_ts, value, trend,
+         ROUND(AVG(detr) OVER (PARTITION BY event_type, phase), 6)
+           AS seasonal
+  FROM p
+),
+d AS (
+  SELECT event_type, trend, seasonal,
+         ROUND(value - trend - seasonal, 6) AS resid
+  FROM s WHERE trend IS NOT NULL
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(GREATEST(0.0, 1.0 - var_pop(resid)
+             / NULLIF(var_pop(trend + resid), 0)), 6)
+         AS trend_strength,
+       ROUND(GREATEST(0.0, 1.0 - var_pop(resid)
+             / NULLIF(var_pop(seasonal + resid), 0)), 6)
+         AS seasonal_strength
+FROM d WHERE resid IS NOT NULL
+GROUP BY 1
+"""
+
+
 def q_changepoint_daily_by_type(spark, sf_dir):
     """Mean-shift split point of the daily series per event_type
     (operators/tsmath.py changepoint_mean — binary-segmentation
@@ -2600,6 +2672,9 @@ EXT_QUERIES: dict[str, dict] = {
     "changepoint_daily_by_type": {
         "fn": q_changepoint_daily_by_type,
         "oracle": SQL_CHANGEPOINT_DAILY_BY_TYPE},
+    "ts_strength_by_type": {
+        "fn": q_ts_strength_by_type,
+        "oracle": SQL_TS_STRENGTH_BY_TYPE},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},

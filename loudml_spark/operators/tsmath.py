@@ -765,3 +765,41 @@ def changepoint_mean(
         .alias("changepoint_ts"),
         F.round(F.max("__dev"), round_dp).alias("statistic"),
         F.first("__n").alias("n_points"))
+
+
+def decomposition_strength(
+    df: DataFrame,
+    *,
+    trend_col: str = "trend",
+    seasonal_col: str = "seasonal",
+    resid_col: str = "resid",
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Hyndman's trend/seasonal strength diagnostics (FPP3 §4.3) over
+    a decomposed series:
+    ``F_trend = max(0, 1 − var(resid)/var(trend + resid))``,
+    ``F_seas  = max(0, 1 − var(resid)/var(seasonal + resid))`` —
+    the 0..1 scores behind "is this series worth a seasonal model?"
+    (feature-izing thousands of series before routing them to
+    forecasters).  Rows whose trend is null (the MA edge) are
+    excluded; zero-variance denominators yield null (try_divide).
+
+    One aggregation pass per key over the decomposed frame.
+    Output: (by..., n, trend_strength, seasonal_strength).
+    """
+    _need(df, trend_col, seasonal_col, resid_col, *by)
+    by = list(by)
+    d = df.filter(F.col(resid_col).isNotNull()
+                  & F.col(trend_col).isNotNull())
+    r = F.col(resid_col)
+
+    def strength(partner):
+        ratio = F.try_divide(F.var_pop(r), F.var_pop(partner + r))
+        return F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - ratio), round_dp)
+
+    return d.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n"),
+        strength(F.col(trend_col)).alias("trend_strength"),
+        strength(F.col(seasonal_col)).alias("seasonal_strength"))

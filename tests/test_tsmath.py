@@ -502,3 +502,52 @@ def test_changepoint_mean_finds_level_shift(spark):
         "k string, bucket_ts long, value double")
     g2 = changepoint_mean(const, by=["k"]).collect()[0]
     assert g2["changepoint_ts"] == 0 and g2["statistic"] == 0.0
+
+
+def test_decomposition_strength_separates_shapes(spark):
+    """Strong seasonal + linear trend series vs pure noise: the
+    F-measures order correctly and match a numpy oracle."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from loudml_spark.operators.tsmath import (
+        decompose_additive, decomposition_strength,
+    )
+
+    rng = np.random.default_rng(2)
+    period, n = 8, 64
+    vals = [0.5 * i + 10 * math.sin(2 * math.pi * i / period)
+            + float(rng.normal(0, 0.3)) for i in range(n)]
+    df = spark.createDataFrame(
+        [(i * 10, v) for i, v in enumerate(vals)],
+        "bucket_ts long, value double").selectExpr(
+        "bucket_ts", "CAST(value AS DECIMAL(28,10)) AS sum_dec",
+        "CAST(1 AS LONG) AS n")
+    dec = decompose_additive(df, period=period, interval=10)
+    got = decomposition_strength(dec).collect()[0]
+    assert got["trend_strength"] > 0.8
+    assert got["seasonal_strength"] > 0.95
+
+    rows = dec.filter("trend IS NOT NULL AND resid IS NOT NULL") \
+        .select("trend", "seasonal", "resid").collect()
+    t = np.array([r["trend"] for r in rows])
+    s = np.array([r["seasonal"] for r in rows])
+    e = np.array([r["resid"] for r in rows])
+    ft = max(0.0, 1 - e.var() / (t + e).var())
+    fs = max(0.0, 1 - e.var() / (s + e).var())
+    assert got["trend_strength"] == pytest.approx(round(ft, 6), abs=1e-6)
+    assert got["seasonal_strength"] == pytest.approx(round(fs, 6), abs=1e-6)
+    assert got["n"] == len(rows)
+
+    noise = spark.createDataFrame(
+        [(i * 10, float(v)) for i, v in
+         enumerate(rng.normal(0, 1, n))],
+        "bucket_ts long, value double").selectExpr(
+        "bucket_ts", "CAST(value AS DECIMAL(28,10)) AS sum_dec",
+        "CAST(1 AS LONG) AS n")
+    g2 = decomposition_strength(
+        decompose_additive(noise, period=period, interval=10)
+    ).collect()[0]
+    assert g2["seasonal_strength"] < got["seasonal_strength"]
