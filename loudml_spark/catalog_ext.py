@@ -2433,6 +2433,58 @@ FROM km WHERE d > 0
 """
 
 
+BROWN_ALPHA = 0.5
+BROWN_N_LAGS = 16
+
+
+def q_brown_forecast_daily(spark, sf_dir):
+    """Brown double-exponential-smoothing 7-day forecast per
+    event_type (operators/tsmath.py brown_forecast) — the
+    trend-aware classical forecaster between the naive baselines and
+    the learned models.  Both smoothing passes reuse ewma_trunc's
+    renormalized truncation with literals shared by the SQL mirror,
+    so s1/s2 are bit-identical and yhat rounds trivially."""
+    from loudml_spark.operators.tsmath import brown_forecast
+
+    return brown_forecast(
+        _daily_mean_by_type(spark, sf_dir), interval=86400,
+        horizon=7, alpha=BROWN_ALPHA, n_lags=BROWN_N_LAGS,
+        by=["event_type"])
+
+
+def _sql_brown_forecast_daily(sf_dir=None) -> str:
+    from loudml_spark.operators.tsmath import ewma_trunc_sql
+
+    e1 = ewma_trunc_sql("value", BROWN_N_LAGS, alpha=BROWN_ALPHA)
+    e2 = ewma_trunc_sql("s1", BROWN_N_LAGS, alpha=BROWN_ALPHA)
+    slope_lit = f"CAST({BROWN_ALPHA / (1.0 - BROWN_ALPHA)!r} AS DOUBLE)"
+    return f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+t1 AS (
+  SELECT event_type, bucket_ts, value, {e1} AS s1
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+),
+t2 AS (
+  SELECT event_type, bucket_ts, s1, {e2} AS s2
+  FROM t1
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts)
+),
+lastrow AS (
+  SELECT event_type, bucket_ts, s1, s2 FROM t2
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY bucket_ts DESC) = 1
+),
+h AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS h)
+SELECT l.event_type AS event_type, h.h AS h,
+       l.bucket_ts + h.h * 86400 AS forecast_ts,
+       ROUND((CAST(2.0 AS DOUBLE) * l.s1 - l.s2)
+             + CAST(h.h AS DOUBLE)
+               * ({slope_lit} * (l.s1 - l.s2)), 6) AS yhat
+FROM lastrow l CROSS JOIN h
+"""
+
+
 def q_ts_strength_by_type(spark, sf_dir):
     """Hyndman trend/seasonal strength (FPP3 §4.3) of each
     event_type's hourly series, from the keyed additive
@@ -2675,6 +2727,9 @@ EXT_QUERIES: dict[str, dict] = {
     "ts_strength_by_type": {
         "fn": q_ts_strength_by_type,
         "oracle": SQL_TS_STRENGTH_BY_TYPE},
+    "brown_forecast_daily": {
+        "fn": q_brown_forecast_daily,
+        "oracle_fn": _sql_brown_forecast_daily},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},

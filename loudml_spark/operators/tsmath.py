@@ -803,3 +803,64 @@ def decomposition_strength(
         F.count(F.lit(1)).alias("n"),
         strength(F.col(trend_col)).alias("trend_strength"),
         strength(F.col(seasonal_col)).alias("seasonal_strength"))
+
+
+def brown_forecast(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    interval: int,
+    horizon: int,
+    n_lags: int = 16,
+    alpha: float | None = None,
+    halflife: float | None = None,
+    ts_col: str = "bucket_ts",
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Brown's double exponential smoothing forecast — the
+    trend-aware step up from the naive baselines: smooth the series
+    twice with the SAME truncated EWMA (s1 over x, s2 over s1), then
+    extrapolate from the last bucket per key:
+
+        level = 2·s1 − s2
+        slope = (α/(1−α))·(s1 − s2)
+        ŷ(T+h) = level + h·slope
+
+    Both smoothing passes reuse :func:`ewma_trunc` (renormalized
+    truncation, identical literals in Spark and the SQL mirror), so
+    two window passes share one shuffle on the keys; the horizon
+    fan-out is a literal explode of the last row per key.  Output:
+    (by..., h, forecast_ts, yhat).
+    """
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if interval <= 0:
+        raise errors.Invalid(f"interval must be > 0, got {interval}")
+    if horizon < 1:
+        raise errors.Invalid(f"horizon must be >= 1, got {horizon}")
+    ws = ewma_weights(2, alpha=alpha, halflife=halflife)
+    a = 1.0 - ws[1]  # resolved alpha, same resolution as the weights
+    if a >= 1.0 - 1e-12:
+        raise errors.Invalid("alpha must be < 1 for Brown's slope")
+    s1 = ewma_trunc(df, value_col=value_col, n_lags=n_lags,
+                    alpha=alpha, halflife=halflife, ts_col=ts_col,
+                    by=by, out_col="__s1")
+    s2 = ewma_trunc(s1, value_col="__s1", n_lags=n_lags,
+                    alpha=alpha, halflife=halflife, ts_col=ts_col,
+                    by=by, out_col="__s2")
+    w = (Window.partitionBy(*by).orderBy(F.desc(ts_col)) if by
+         else Window.orderBy(F.desc(ts_col)))
+    last = s2.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") == 1)
+    hs = F.explode(F.array(
+        *[F.lit(h) for h in range(1, horizon + 1)])).alias("h")
+    level = F.lit(2.0) * F.col("__s1") - F.col("__s2")
+    slope = F.lit(a / (1.0 - a)) * (F.col("__s1") - F.col("__s2"))
+    return last.select(*by, "__s1", "__s2", F.col(ts_col).alias("__xT"),
+                       hs).select(
+        *by, "h",
+        (F.col("__xT") + F.col("h").cast("long") * interval)
+        .alias("forecast_ts"),
+        F.round(level + F.col("h").cast("double") * slope, round_dp)
+        .alias("yhat"))

@@ -12,4 +12,13 @@ from loudml_spark.pipeline.linkage import (  # noqa: F401
     fuzzy_join,
     fuzzy_self_pairs,
 )
-from loudml_spark.pipeline.corpus import sparse_cosine_pairs  # noqa: F401
+from loudml_spark.pipeline.corpus import (  # noqa: F401
+    pmi_pairs,
+    sparse_cosine_pairs,
+)
+from loudml_spark.pipeline.embeddings import (  # noqa: F401
+    embedding_covariance,
+    embedding_outlier_scores,
+    pca_fit,
+    pca_project,
+)

@@ -551,3 +551,52 @@ def test_decomposition_strength_separates_shapes(spark):
         decompose_additive(noise, period=period, interval=10)
     ).collect()[0]
     assert g2["seasonal_strength"] < got["seasonal_strength"]
+
+
+def test_brown_forecast_tracks_linear_trend(spark):
+    """On a clean linear series Brown's method converges to the true
+    slope: the h-step forecasts track y = a + b*t closely, and a
+    python replay of the truncated double smoothing matches
+    exactly."""
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import brown_forecast, ewma_weights
+
+    b0, b1 = 5.0, 2.0
+    vals = [b0 + b1 * i for i in range(60)]
+    df = spark.createDataFrame(
+        [(i * 10, v) for i, v in enumerate(vals)],
+        "bucket_ts long, value double")
+    got = {r["h"]: (r["forecast_ts"], r["yhat"])
+           for r in brown_forecast(
+               df, interval=10, horizon=3, alpha=0.5,
+               n_lags=24).collect()}
+
+    # python replay of the truncated renormalized double EWMA
+    ws = ewma_weights(24, alpha=0.5)
+
+    def trunc_ewma(series, t):
+        num = den = 0.0
+        for j, w in enumerate(ws):
+            if t - j >= 0 and series[t - j] is not None:
+                num += w * series[t - j]
+                den += w
+        return num / den
+
+    s1 = [trunc_ewma(vals, t) for t in range(60)]
+    s2 = [trunc_ewma(s1, t) for t in range(60)]
+    level = 2 * s1[-1] - s2[-1]
+    slope = (0.5 / 0.5) * (s1[-1] - s2[-1])
+    for h in (1, 2, 3):
+        assert got[h][0] == 590 + h * 10
+        assert got[h][1] == pytest.approx(
+            round(level + h * slope, 6), abs=1e-6)
+        # trend-aware: within 2% of the true line
+        truth = b0 + b1 * (59 + h)
+        assert abs(got[h][1] - truth) / truth < 0.02
+
+    with pytest.raises(errors.Invalid):
+        brown_forecast(df, interval=10, horizon=0, alpha=0.5)
+    with pytest.raises(errors.Invalid):
+        brown_forecast(df, interval=0, horizon=1, alpha=0.5)
