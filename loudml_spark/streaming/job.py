@@ -656,3 +656,49 @@ def stream_interval_join(
         .drop("__rk")
         .withColumnRenamed("__k", key)
     )
+
+
+def stream_validate_sink(
+    rules,
+    audit_dir: str,
+    *,
+    fail_fast: bool = False,
+):
+    """Streaming data-quality gate: a ``foreachBatch`` sink that runs
+    :func:`loudml_spark.operators.validate.validate` over every
+    micro-batch and lands one audit row per (batch, rule) in a
+    batch-id-idempotent parquet table — the intake gate of
+    examples/curation_pipeline.py, continuously.
+
+    The audit write uses the same overwrite-own-partition idempotence
+    as :func:`idempotent_parquet_sink` (a replayed batch rewrites its
+    audit rows instead of duplicating them), so the audit table is a
+    faithful per-batch quality history to alert and trend on.
+
+    ``fail_fast=True`` raises on the first failing rule, killing the
+    query — the "refuse to ingest garbage" mode; the raise happens
+    AFTER the audit lands, so the failure itself is recorded.
+    Rules are evaluated as ONE aggregation pass per batch (row rules
+    fuse; see operators/validate.py) — cost is a scan of the
+    micro-batch, not the stream's history.
+    """
+    from loudml_spark import errors
+    from loudml_spark.operators.validate import validate
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        audit = validate(batch_df, rules) \
+            .withColumn("_batch_id", F.lit(int(batch_id)))
+        (
+            audit.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(audit_dir)
+        )
+        if fail_fast:
+            bad = [r["rule"] for r in audit.collect() if not r["passed"]]
+            if bad:
+                raise errors.Invalid(
+                    f"stream batch {batch_id} failed data-quality "
+                    f"rules: {bad}")
+
+    return process

@@ -671,3 +671,61 @@ def test_stream_interval_join_cross_batch(spark, tmpdir):
         "select user_id, r_value from ij_test").collect()
     got = sorted((r["user_id"], r["r_value"]) for r in rows)
     assert got == [(1, 10.0), (2, 20.0)]
+
+
+def test_stream_validate_sink_audits_each_batch(spark, tmpdir):
+    """Continuous DQ gate: one audit row per (batch, rule), the bad
+    batch's violations recorded; replaying a batch overwrites its
+    own audit partition; fail_fast raises AFTER landing the audit."""
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.operators.validate import in_range, not_null
+    from loudml_spark.streaming.job import stream_validate_sink
+
+    src = f"{tmpdir}/dq_src"
+    audit_dir = f"{tmpdir}/dq_audit"
+    _write_batch(spark, src, [(1, 5.0), (2, 7.0)],
+                 "id long, v double")
+    _write_batch(spark, src, [(3, None), (4, 99.0)],
+                 "id long, v double")
+    rules = [not_null("v"), in_range("v", 0.0, 10.0)]
+    stream = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream
+        .foreachBatch(stream_validate_sink(rules, audit_dir))
+        .option("checkpointLocation", f"{tmpdir}/dq_ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    audit = spark.read.parquet(audit_dir).collect()
+    got = {(r["_batch_id"], r["rule"]): (r["n_violations"], r["passed"])
+           for r in audit}
+    assert len(got) == 4  # 2 batches x 2 rules
+    by_batch = {}
+    for (b, rule), (v, p) in got.items():
+        by_batch.setdefault(b, {})[rule] = (v, p)
+    clean = [b for b, rs in by_batch.items()
+             if all(p for _, p in rs.values())]
+    dirty = [b for b in by_batch if b not in clean]
+    assert len(clean) == 1 and len(dirty) == 1
+    assert by_batch[dirty[0]]["not_null(v)"] == (1, False)
+    assert by_batch[dirty[0]]["in_range(v,0.0,10.0)"] == (1, False)
+
+    # replay: direct-invoke the sink for the dirty batch again —
+    # audit rows must not duplicate
+    sink = stream_validate_sink(rules, audit_dir)
+    sink(spark.createDataFrame([(3, None), (4, 99.0)],
+                               "id long, v double"), dirty[0])
+    assert len(spark.read.parquet(audit_dir).collect()) == 4
+
+    # fail_fast: raises, but the audit for the failing batch lands
+    strict = stream_validate_sink(rules, audit_dir, fail_fast=True)
+    with pytest.raises(errors.Invalid, match="failed data-quality"):
+        strict(spark.createDataFrame([(9, -5.0)], "id long, v double"),
+               99)
+    a99 = spark.read.parquet(audit_dir).filter("_batch_id = 99")
+    assert a99.filter("NOT passed").count() == 1
