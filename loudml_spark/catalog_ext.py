@@ -2433,6 +2433,105 @@ FROM km WHERE d > 0
 """
 
 
+def q_acf_hourly_clicks(spark, sf_dir):
+    """Autocorrelation function of the hourly click series at lags
+    0..24 — cross_correlation of the series WITH ITSELF (zero new
+    operator code: the self-pairing is the definition), the
+    seasonality fingerprint that says which `season` to hand
+    naive_forecast/decompose (a daily cycle shows as the lag-24
+    peak).  Same DECIMAL-exact inputs + rounded Pearson as xcorr."""
+    from loudml_spark.operators.tsmath import cross_correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 3600 * NS
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.expr(f"((`ts_ns` - pmod(`ts_ns`, {step}L)) "
+                   f"div {step}L) * 3600").cast("long")
+            .alias("bucket_ts"),
+            F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("bucket_ts")
+        .agg((F.sum("v").cast("double") / F.count("v")).alias("value"))
+    )
+    return cross_correlation(
+        s, s, interval=3600, max_lag=24).filter(F.col("lag") >= 0)
+
+
+SQL_ACF_HOURLY_CLICKS = """
+WITH a AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+l AS (SELECT CAST(unnest(range(0, 25)) AS INTEGER) AS lag),
+bs AS (
+  SELECT l.lag, a.bucket_ts + l.lag * 3600 AS shifted, a.v
+  FROM a CROSS JOIN l
+)
+SELECT bs.lag AS lag, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(covar_pop(a.v, bs.v)
+             / NULLIF(stddev_pop(a.v) * stddev_pop(bs.v), 0), 6)
+         AS xcorr
+FROM a JOIN bs ON a.bucket_ts = bs.shifted
+GROUP BY 1
+"""
+
+
+def q_mann_kendall_daily_by_type(spark, sf_dir):
+    """Mann–Kendall trend significance of the daily mean per
+    event_type (operators/tsmath.py mann_kendall) — paired with
+    theil_sen_daily_by_type: the slope AND whether it is real.
+    S and the tie-corrected variance are exact integers over the
+    DECIMAL-exact means; only z rounds (sqrt)."""
+    from loudml_spark.operators.tsmath import mann_kendall
+
+    return mann_kendall(
+        _daily_mean_by_type(spark, sf_dir), by=["event_type"])
+
+
+SQL_MANN_KENDALL_DAILY_BY_TYPE = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.value > a.value THEN 1
+                       WHEN b.value < a.value THEN -1
+                       ELSE 0 END) AS BIGINT) AS s_stat
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.bucket_ts < b.bucket_ts
+  GROUP BY 1
+),
+ties AS (
+  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie
+  FROM (SELECT event_type, COUNT(*) AS t
+        FROM daily GROUP BY event_type, value)
+  GROUP BY 1
+),
+v AS (
+  SELECT s.event_type, ties.n, s.s_stat,
+         CAST(ties.n * (ties.n - 1) * (2 * ties.n + 5) - ties.tie
+              AS DOUBLE) / 18.0 AS var_s
+  FROM s JOIN ties USING (event_type)
+),
+z AS (
+  SELECT event_type, n, s_stat, var_s,
+         ROUND(CASE WHEN s_stat > 0
+                    THEN (s_stat - 1) / sqrt(var_s)
+                    WHEN s_stat < 0
+                    THEN (s_stat + 1) / sqrt(var_s)
+                    ELSE 0.0 END, 6) + 0.0 AS z
+  FROM v
+)
+SELECT event_type, n, s_stat, var_s, z,
+       CASE WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM z
+"""
+
+
 BROWN_ALPHA = 0.5
 BROWN_N_LAGS = 16
 
@@ -2730,6 +2829,12 @@ EXT_QUERIES: dict[str, dict] = {
     "brown_forecast_daily": {
         "fn": q_brown_forecast_daily,
         "oracle_fn": _sql_brown_forecast_daily},
+    "acf_hourly_clicks": {
+        "fn": q_acf_hourly_clicks,
+        "oracle": SQL_ACF_HOURLY_CLICKS},
+    "mann_kendall_daily_by_type": {
+        "fn": q_mann_kendall_daily_by_type,
+        "oracle": SQL_MANN_KENDALL_DAILY_BY_TYPE},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},

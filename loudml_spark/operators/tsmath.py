@@ -864,3 +864,65 @@ def brown_forecast(
         .alias("forecast_ts"),
         F.round(level + F.col("h").cast("double") * slope, round_dp)
         .alias("yhat"))
+
+
+def mann_kendall(
+    df: DataFrame,
+    *,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    by: Sequence[str] = (),
+    z_crit: float = 1.96,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Mann–Kendall non-parametric trend test per key — the
+    significance companion to :func:`theil_sen` (which gives the
+    slope, not whether it is real): ``S = Σ_{i<j} sign(x_j − x_i)``
+    over time-ordered pairs, the tie-corrected variance
+    ``[n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)]/18``, and the
+    continuity-corrected z.  Robust to outliers and monotone (not
+    just linear) trends.
+
+    Output per key: ``(n, s_stat, var_s, z, trend)`` with trend ∈
+    {'increasing', 'decreasing', 'no trend'} at |z| > ``z_crit``.
+    Same pair-join shape as theil_sen: n²/2 per key over an
+    already-bucketized series (time-range-bound), one keyed self
+    equi-join + one tie aggregation; S and the variance are exact
+    integers until the final division and sqrt (rounded).
+    """
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    base = df.select(
+        *by, F.col(ts_col).alias("__x"), F.col(value_col).alias("__y"))
+    if not by:
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for k in gb:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    s = a.join(b, cond).groupBy(
+        *[F.col(f"a.{k}").alias(k) for k in gb]).agg(
+        F.sum(F.signum(F.col("b.__y") - F.col("a.__y")).cast("long"))
+        .alias("s_stat"))
+    ties = base.groupBy(*gb, "__y").agg(F.count("*").alias("__t")) \
+        .groupBy(*gb).agg(
+            F.sum("__t").alias("n"),
+            F.sum(F.col("__t") * (F.col("__t") - 1)
+                  * (2 * F.col("__t") + 5)).alias("__tie"))
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("__tie")) \
+        .cast("double") / F.lit(18.0)
+    j = s.join(ties, gb).withColumn("var_s", var_s)
+    z = F.when(F.col("s_stat") > 0,
+               (F.col("s_stat") - 1) / F.sqrt(F.col("var_s"))) \
+        .when(F.col("s_stat") < 0,
+              (F.col("s_stat") + 1) / F.sqrt(F.col("var_s"))) \
+        .otherwise(F.lit(0.0))
+    out = j.withColumn("z", F.round(z, round_dp) + F.lit(0.0))
+    trend = F.when(F.col("z") > z_crit, "increasing") \
+        .when(F.col("z") < -z_crit, "decreasing") \
+        .otherwise("no trend")
+    return out.select(
+        *gb, "n", "s_stat", "var_s", "z", trend.alias("trend")) \
+        .drop("__k")

@@ -600,3 +600,55 @@ def test_brown_forecast_tracks_linear_trend(spark):
         brown_forecast(df, interval=10, horizon=0, alpha=0.5)
     with pytest.raises(errors.Invalid):
         brown_forecast(df, interval=0, horizon=1, alpha=0.5)
+
+
+def test_mann_kendall_matches_reference_formulas(spark):
+    """Python oracle (textbook S, tie-corrected variance, continuity-
+    corrected z) on a trending, a flat-with-ties, and a descending
+    series; trend labels at |z| > 1.96."""
+    import math
+
+    import pytest
+
+    from loudml_spark.operators.tsmath import mann_kendall
+
+    def oracle(vals):
+        n = len(vals)
+        s = sum((vals[j] > vals[i]) - (vals[j] < vals[i])
+                for i in range(n) for j in range(i + 1, n))
+        from collections import Counter
+        ties = Counter(vals)
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in ties.values())
+        var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+        if s > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+        return s, var, round(z, 6)
+
+    series = {
+        "up": [1.0, 2.0, 1.5, 3.0, 4.0, 3.5, 5.0, 6.0, 7.0, 8.0],
+        "flat": [2.0, 2.0, 2.0, 3.0, 1.0, 2.0, 2.0, 3.0, 1.0, 2.0],
+        "down": [9.0, 8.5, 8.0, 7.0, 7.5, 6.0, 5.0, 4.0, 3.0, 2.0],
+    }
+    rows = [(k, i * 10, v) for k, vs in series.items()
+            for i, v in enumerate(vs)]
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    got = {r["k"]: r for r in mann_kendall(df, by=["k"]).collect()}
+    for k, vs in series.items():
+        s, var, z = oracle(vs)
+        r = got[k]
+        assert (r["n"], r["s_stat"]) == (10, s), k
+        assert r["var_s"] == pytest.approx(var)
+        assert r["z"] == pytest.approx(z, abs=1e-6)
+    assert got["up"]["trend"] == "increasing"
+    assert got["down"]["trend"] == "decreasing"
+    assert got["flat"]["trend"] == "no trend"
+
+    # unkeyed path
+    one = mann_kendall(spark.createDataFrame(
+        [(i * 10, float(i)) for i in range(8)],
+        "bucket_ts long, value double")).collect()
+    assert len(one) == 1 and one[0]["trend"] == "increasing"
