@@ -95,11 +95,21 @@ def main():
     # as an earlier line for humans/logs, then a compact final line that
     # is guaranteed to fit: headline scalars + the slowest queries, with
     # the fast tail summarized by count ("queries_omitted").
-    print(json.dumps({
+    full = {
         "detail": "full per-query mins and medians (see final line for summary)",
         "queries": timings,
         "queries_median": medians,
-    }))
+    }
+    print(json.dumps(full))
+    # Also persist the complete per-query detail next to this script so
+    # it stays readable after the detail line scrolls out of the tail.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump({"sf": sf_of(SF_DIR), "reps": reps, **full}, f,
+                      indent=1)
+    except OSError:
+        pass  # read-only checkout: stdout still carries everything
 
     tail_budget = 1900  # headroom under the driver's 2000-char capture
     slowest = sorted(timings.items(), key=lambda kv: -kv[1])

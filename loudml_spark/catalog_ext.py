@@ -2532,6 +2532,132 @@ FROM z
 """
 
 
+def q_periodogram_hourly_clicks(spark, sf_dir):
+    """Spectral power of the hourly click series at Fourier
+    frequencies 1..40 (operators/tsmath.py periodogram) — the
+    quantitative sequel to acf_hourly_clicks: the argmax row names
+    the dominant period outright (a daily cycle on the 720-bucket
+    month peaks at freq 30 = 720/24).  Same DECIMAL-exact series as
+    the ACF; angles reduce through exact integer (k·t mod n_span)
+    before cos/sin so both engines transcend the same doubles."""
+    from loudml_spark.operators.tsmath import periodogram
+
+    ev = load_table(spark, sf_dir, "events")
+    step = 3600 * NS
+    s = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.expr(f"((`ts_ns` - pmod(`ts_ns`, {step}L)) "
+                   f"div {step}L) * 3600").cast("long")
+            .alias("bucket_ts"),
+            F.col("value").cast("decimal(18,2)").alias("v"))
+        .groupBy("bucket_ts")
+        .agg((F.sum("v").cast("double") / F.count("v")).alias("value"))
+    )
+    return periodogram(s, interval=3600, max_freq=40)
+
+
+SQL_PERIODOGRAM_HOURLY_CLICKS = """
+WITH a AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS bucket_ts,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+         / COUNT(value) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+st AS (
+  SELECT MIN(bucket_ts) AS t0, MAX(bucket_ts) AS t1,
+         CAST(SUM(CAST(v AS DECIMAL(30,12))) AS DOUBLE) / COUNT(v) AS m,
+         CAST(COUNT(v) AS BIGINT) AS n
+  FROM a
+),
+b AS (
+  SELECT CAST((a.bucket_ts - st.t0) // 3600 AS BIGINT) AS t,
+         CAST((st.t1 - st.t0) // 3600 + 1 AS BIGINT) AS nspan,
+         a.v - st.m AS d, st.n AS n
+  FROM a CROSS JOIN st
+),
+k AS (SELECT CAST(unnest(range(1, 41)) AS INTEGER) AS freq),
+terms AS (
+  SELECT k.freq, b.n, b.nspan,
+         b.d * cos(2 * pi() * CAST((k.freq * b.t) % b.nspan AS DOUBLE)
+                   / CAST(b.nspan AS DOUBLE)) AS c,
+         b.d * sin(2 * pi() * CAST((k.freq * b.t) % b.nspan AS DOUBLE)
+                   / CAST(b.nspan AS DOUBLE)) AS s
+  FROM b CROSS JOIN k
+)
+SELECT freq, MAX(n) AS n,
+       ROUND(CAST(MAX(nspan) AS DOUBLE) / CAST(freq AS DOUBLE), 6) + 0.0
+         AS period,
+       ROUND((ROUND(SUM(c), 6) * ROUND(SUM(c), 6)
+              + ROUND(SUM(s), 6) * ROUND(SUM(s), 6)) / MAX(n), 6) + 0.0
+         AS power
+FROM terms GROUP BY freq
+"""
+
+
+def q_ljung_box_daily_by_type(spark, sf_dir):
+    """Ljung–Box whiteness of the daily mean per event_type
+    (operators/tsmath.py ljung_box) — the residual-structure gate
+    that closes the trend/season toolkit: theil_sen gives the slope,
+    mann_kendall its significance, and this says whether anything
+    beyond noise remains at lags 1..10.  r rounds before it squares
+    into Q on BOTH engines, so the cumulative statistic accumulates
+    identical summands."""
+    from loudml_spark.operators.tsmath import ljung_box
+
+    return ljung_box(
+        _daily_mean_by_type(spark, sf_dir),
+        by=["event_type"], interval=86400, max_lag=10)
+
+
+SQL_LJUNG_BOX_DAILY_BY_TYPE = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+st AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(30,12))) AS DOUBLE)
+         / COUNT(value) AS m,
+         CAST(COUNT(value) AS BIGINT) AS n
+  FROM daily GROUP BY 1
+),
+b AS (
+  SELECT d.event_type, d.bucket_ts, d.value - st.m AS dd, st.n AS n
+  FROM daily d JOIN st USING (event_type)
+),
+den AS (
+  SELECT event_type, SUM(dd * dd) AS ss, MAX(n) AS n
+  FROM b GROUP BY 1
+),
+lags AS (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS lag),
+num AS (
+  SELECT a.event_type, lags.lag, SUM(a.dd * c.dd) AS num
+  FROM b a
+  CROSS JOIN lags
+  JOIN b c ON c.event_type = a.event_type
+          AND c.bucket_ts = a.bucket_ts + lags.lag * 86400
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT nm.event_type, nm.lag, den.n,
+         ROUND(nm.num / NULLIF(den.ss, 0), 6) + 0.0 AS r
+  FROM num nm JOIN den USING (event_type)
+),
+q AS (
+  SELECT event_type, lag, n, r,
+         ROUND(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0)
+               * SUM(r * r / (CAST(n AS DOUBLE) - CAST(lag AS DOUBLE)))
+                 OVER (PARTITION BY event_type ORDER BY lag), 6) + 0.0
+           AS q_stat,
+         ROUND(CAST([3.841, 5.991, 7.815, 9.488, 11.070, 12.592, 14.067,
+                     15.507, 16.919, 18.307][lag] AS DOUBLE), 6) + 0.0
+           AS q_crit
+  FROM r
+)
+SELECT event_type, lag, n, r, q_stat, q_crit,
+       q_stat <= q_crit AS white
+FROM q
+"""
+
+
 BROWN_ALPHA = 0.5
 BROWN_N_LAGS = 16
 
@@ -2835,6 +2961,12 @@ EXT_QUERIES: dict[str, dict] = {
     "mann_kendall_daily_by_type": {
         "fn": q_mann_kendall_daily_by_type,
         "oracle": SQL_MANN_KENDALL_DAILY_BY_TYPE},
+    "periodogram_hourly_clicks": {
+        "fn": q_periodogram_hourly_clicks,
+        "oracle": SQL_PERIODOGRAM_HOURLY_CLICKS},
+    "ljung_box_daily_by_type": {
+        "fn": q_ljung_box_daily_by_type,
+        "oracle": SQL_LJUNG_BOX_DAILY_BY_TYPE},
     "naive_forecast_daily_by_type": {
         "fn": q_naive_forecast_daily_by_type,
         "oracle": SQL_NAIVE_FORECAST_DAILY_BY_TYPE},

@@ -652,3 +652,121 @@ def test_mann_kendall_matches_reference_formulas(spark):
         [(i * 10, float(i)) for i in range(8)],
         "bucket_ts long, value double")).collect()
     assert len(one) == 1 and one[0]["trend"] == "increasing"
+
+
+def test_periodogram_finds_planted_period(spark):
+    """A pure 24-bucket cosine must put essentially all spectral
+    power at freq = n/24; numpy oracle reproduces each power to
+    1e-6 (same exact-integer angle reduction)."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from loudml_spark.operators.tsmath import periodogram
+
+    n = 240  # 10 full cycles of a period-24 wave
+    vals = [5.0 + 2.0 * math.cos(2 * math.pi * t / 24) for t in range(n)]
+    rows = [(t * 3600, v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    got = {r["freq"]: r for r in periodogram(
+        df, interval=3600, max_freq=20).collect()}
+    assert len(got) == 20
+
+    def oracle(k):
+        arr = np.array(vals)
+        d = arr - arr.mean()
+        th = 2 * math.pi * ((k * np.arange(n)) % n) / n
+        c = round(float((d * np.cos(th)).sum()), 6)
+        s = round(float((d * np.sin(th)).sum()), 6)
+        return round((c * c + s * s) / n, 6)
+
+    for k in range(1, 21):
+        assert got[k]["power"] == pytest.approx(oracle(k), abs=2e-6), k
+        assert got[k]["n"] == n
+        assert got[k]["period"] == pytest.approx(n / k, abs=1e-6)
+    peak = max(got.values(), key=lambda r: r["power"])
+    assert peak["freq"] == 10  # n/24 = 240/24
+    assert peak["power"] > 100 * sorted(
+        r["power"] for r in got.values())[-2]
+
+    from loudml_spark import errors as lerr
+    with pytest.raises(lerr.Invalid):
+        periodogram(df, interval=0, max_freq=5)
+    with pytest.raises(lerr.Invalid):
+        periodogram(df, interval=3600, max_freq=0)
+
+
+def test_periodogram_keyed_and_sparse(spark):
+    """Keys stay independent; a missing bucket drops one term but
+    keeps calendar-true periods (n_span from the timestamp span)."""
+    import math
+
+    from loudml_spark.operators.tsmath import periodogram
+
+    rows = []
+    for t in range(48):
+        rows.append(("a", t * 10, math.cos(2 * math.pi * t / 12)))
+        if t != 7:  # hole in series b
+            rows.append(("b", t * 10, math.cos(2 * math.pi * t / 6)))
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    got = periodogram(df, by=["k"], interval=10, max_freq=10).collect()
+    by_k = {}
+    for r in got:
+        by_k.setdefault(r["k"], {})[r["freq"]] = r
+    assert max(by_k["a"].values(), key=lambda r: r["power"])["freq"] == 4
+    assert max(by_k["b"].values(), key=lambda r: r["power"])["freq"] == 8
+    assert by_k["b"][8]["n"] == 47 and by_k["b"][8]["period"] == 6.0
+
+
+def test_ljung_box_white_vs_autocorrelated(spark):
+    """Deterministic seeded noise stays white at every lag (an
+    affine-hash sequence does NOT — it's a small-modulus LCG, heavily
+    autocorrelated); a strong AR-ish sawtooth fails immediately.  Q matches
+    a from-the-formula python oracle built on the same rounded r."""
+    import pytest
+
+    from loudml_spark.operators.tsmath import ljung_box
+
+    import random
+
+    n = 120
+    rng = random.Random(42)  # Mersenne: platform-stable
+    noise = [rng.uniform(-1.0, 1.0) for _ in range(n)]
+    saw = [float(t % 12) for t in range(n)]
+    rows = [("noise", t * 10, v) for t, v in enumerate(noise)]
+    rows += [("saw", t * 10, v) for t, v in enumerate(saw)]
+    df = spark.createDataFrame(rows, "k string, bucket_ts long, value double")
+    got = {(r["k"], r["lag"]): r
+           for r in ljung_box(df, by=["k"], interval=10, max_lag=10)
+           .collect()}
+
+    def oracle(vals, max_lag):
+        m = sum(vals) / len(vals)
+        d = [x - m for x in vals]
+        ss = sum(x * x for x in d)
+        out, acc = {}, 0.0
+        nn = len(vals)
+        for k in range(1, max_lag + 1):
+            r = round(sum(d[t] * d[t + k] for t in range(nn - k)) / ss, 6)
+            acc += r * r / (nn - k)
+            out[k] = (r, round(nn * (nn + 2) * acc, 6))
+        return out
+
+    for name, series in (("noise", noise), ("saw", saw)):
+        exp = oracle(series, 10)
+        for k in range(1, 11):
+            r, q = exp[k]
+            assert got[(name, k)]["r"] == pytest.approx(r, abs=1e-6), (name, k)
+            assert got[(name, k)]["q_stat"] == pytest.approx(
+                q, abs=1e-4), (name, k)
+    # the sawtooth is maximally autocorrelated at its period
+    assert not got[("saw", 1)]["white"]
+    assert all(got[("noise", k)]["white"] for k in range(1, 11))
+    # Wilson-Hilferty matches chi2.ppf(0.95, k) within 1%
+    assert got[("noise", 1)]["q_crit"] == pytest.approx(3.841, rel=0.01)
+    assert got[("noise", 10)]["q_crit"] == pytest.approx(18.307, rel=0.01)
+
+    from loudml_spark import errors as lerr
+    with pytest.raises(lerr.Invalid):
+        ljung_box(df, by=["k"], interval=10, max_lag=0)
