@@ -949,6 +949,79 @@ QUALIFY rank <= {TFIDF_TOP_TERMS}
 """
 
 
+BM25_TERMS = ("spark", "window", "merge", "hash")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 25
+
+
+def q_bm25_top25_docs(spark, sf_dir):
+    """Okapi BM25 retrieval (pipeline/corpus.py bm25_scores) for the
+    literal query {BM25_TERMS}: Lucene-style non-negative idf, k1=1.2
+    b=0.75, top-{BM25_TOP_K} by (score desc, doc_id asc).  The tf/df
+    legs filter to the 4 query terms before aggregating; doc lengths
+    ride one map-side-combined shuffle; N and the DECIMAL-exact avgdl
+    inline as literals (no 1-row constant join).  Per-term scores
+    round at 6 dp and sum as DECIMAL so the total is
+    addition-order-independent — both engines rank identical
+    doubles."""
+    from loudml_spark.pipeline.corpus import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, top_k=BM25_TOP_K)
+
+
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+SQL_BM25_TOP25_DOCS = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+lens AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+  FROM per_doc GROUP BY doc_id
+),
+n AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(doc_len AS DECIMAL(30,6))) AS DOUBLE)
+         / COUNT(*) AS avgdl
+  FROM lens
+),
+qt AS (
+  SELECT * FROM per_doc WHERE token IN ({_BM25_IN})
+),
+dfreq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM qt GROUP BY token
+),
+per_term AS (
+  SELECT q.doc_id,
+         ROUND(
+           ln(1.0 + (n.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * (q.tf * {BM25_K1 + 1.0})
+           / (q.tf + {BM25_K1} * (
+                {1.0 - BM25_B} + {BM25_B} * l.doc_len / n.avgdl)),
+           6) AS s
+  FROM qt q
+  JOIN dfreq d USING (token)
+  JOIN lens l USING (doc_id)
+  CROSS JOIN n
+)
+SELECT doc_id, COUNT(*) AS n_terms,
+       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) + 0.0 AS score
+FROM per_term
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""
+
+
 # -------------------------------------------------------- tsmath ops
 
 
@@ -3138,6 +3211,9 @@ EXT_QUERIES: dict[str, dict] = {
         "fn": q_unpivot_lineitem_measures,
         "oracle": SQL_UNPIVOT_LINEITEM_MEASURES,
     },
+    "bm25_top25_docs": {
+        "fn": q_bm25_top25_docs,
+        "oracle": SQL_BM25_TOP25_DOCS},
     "vocab_top100": {
         "fn": q_vocab_top100,
         "oracle": SQL_VOCAB_TOP100,

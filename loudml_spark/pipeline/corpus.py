@@ -493,3 +493,81 @@ def pmi_pairs(
     return pairs.select(
         "token_a", "token_b", "n_docs",
         (F.round(pmi, round_dp) + F.lit(0.0)).alias("pmi"))
+
+
+def bm25_scores(
+    df: DataFrame,
+    terms: "Sequence[str]",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Okapi BM25 retrieval scores for a literal query-term set —
+    the ranking sequel to ``tf_idf``: per document,
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with the Lucene/ATIRE non-negative idf
+    ``ln(1 + (N − df + ½)/(df + ½))``.  Returns
+    ``(id_col, n_terms, score)`` ordered (score desc, id asc),
+    optionally truncated to ``top_k`` (TakeOrderedAndProject — per-
+    task heaps, no global sort).
+
+    Scale shape: document length needs ALL tokens (one map-side-
+    combined shuffle on ``id_col``); the tf/df legs filter to the
+    query terms BEFORE aggregating, so they shuffle only matching
+    occurrences.  The df table is |terms| rows → broadcast joins; N
+    and avgdl are computed eagerly and inlined as literals (a 1-row
+    constant join would plan as BroadcastNestedLoopJoin, breaking
+    the catalog's no-nested-loop invariant — tf_idf's precedent).
+
+    Cross-engine determinism: N, df, tf, doc_len are exact integers;
+    avgdl = DECIMAL-exact sum / count (order-independent, then one
+    IEEE division); the idf argument is built from exact halves so
+    ``ln`` sees bit-identical doubles; each per-term score rounds at
+    ``round_dp`` and sums as DECIMAL so the final score is
+    addition-order-independent.
+    """
+    from loudml_spark import errors
+
+    terms = list(dict.fromkeys(terms))
+    if not terms:
+        raise errors.Invalid("terms must be non-empty")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise errors.Invalid(f"need k1 >= 0 and 0 <= b <= 1, got {k1}/{b}")
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    per_doc = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    doc_len = per_doc.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("doc_len"))
+    stats = doc_len.agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("doc_len").cast("decimal(30,6)")).cast("double")
+         / F.count("*")).alias("avgdl")).first()
+    n_docs, avgdl = int(stats["n"]), float(stats["avgdl"])
+    qt = per_doc.filter(F.col("token").isin(terms))
+    dfreq = qt.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5)))
+    per_term = (
+        qt.join(F.broadcast(dfreq), "token")
+        .join(doc_len, id_col)
+        .select(
+            id_col,
+            F.round(
+                idf * (F.col("tf") * F.lit(k1 + 1.0))
+                / (F.col("tf")
+                   + F.lit(k1) * (F.lit(1.0 - b)
+                                  + F.lit(b) * F.col("doc_len")
+                                  / F.lit(avgdl))),
+                round_dp).alias("__s"))
+    )
+    out = per_term.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"),
+        (F.sum(F.col("__s").cast("decimal(18,6)")).cast("double")
+         + F.lit(0.0)).alias("score"))
+    out = out.orderBy(F.desc("score"), F.asc(id_col))
+    return out.limit(top_k) if top_k is not None else out

@@ -1386,3 +1386,62 @@ def test_pmi_pairs_hand_computed(spark):
         pmi_pairs(df, min_pair_count=0)
     with pytest.raises(errors.Invalid):
         pmi_pairs(df, max_df=1)
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 against a from-the-formula python oracle on a 4-doc
+    corpus; ordering, top_k cut, and the n_terms hit count."""
+    import math
+
+    import pytest
+
+    from loudml_spark.pipeline.corpus import bm25_scores
+
+    texts = {
+        1: "spark spark table sort",
+        2: "spark window",
+        3: "merge merge merge window window table",
+        4: "sort table row",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    terms = ["spark", "window", "merge"]
+    got = {r["doc_id"]: r for r in
+           bm25_scores(df, terms, k1=1.2, b=0.75).collect()}
+
+    n = len(texts)
+    lens = {i: len(t.split()) for i, t in texts.items()}
+    avgdl = sum(lens.values()) / n
+    dfreq = {t: sum(1 for x in texts.values() if t in x.split())
+             for t in terms}
+
+    def score(doc):
+        toks = texts[doc].split()
+        s = 0.0
+        hits = 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0:
+                continue
+            hits += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += round(idf * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * lens[doc] / avgdl)), 6)
+        return hits, s
+
+    assert set(got) == {1, 2, 3}  # doc 4 hits no query term
+    for d in (1, 2, 3):
+        hits, s = score(d)
+        assert got[d]["n_terms"] == hits, d
+        assert got[d]["score"] == pytest.approx(s, abs=2e-6), d
+
+    top1 = bm25_scores(df, terms, top_k=1).collect()
+    assert len(top1) == 1
+    best = max((score(d)[1], -d) for d in (1, 2, 3))
+    assert top1[0]["doc_id"] == -best[1]
+
+    from loudml_spark import errors as lerr
+    with pytest.raises(lerr.Invalid):
+        bm25_scores(df, [])
+    with pytest.raises(lerr.Invalid):
+        bm25_scores(df, terms, b=1.5)
