@@ -1320,6 +1320,119 @@ LIMIT {BM25_TOP_K}
 """
 
 
+LM_ADD_K = 0.5
+DSIR_TARGET_LANG = "en"
+
+
+def q_lm_perplexity_docs(spark, sf_dir):
+    """Per-doc perplexity under the corpus's own add-½-smoothed
+    unigram LM (pipeline/corpus.py lm_perplexity) — the cheap
+    quality filter: corpus-typical docs score low, junk scores
+    high."""
+    from loudml_spark.pipeline.corpus import lm_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity(docs, add_k=LM_ADD_K)
+
+
+def _corpus_totals(sf_dir, where: str = "TRUE") -> tuple[int, int]:
+    """Exact (total_tokens, vocab_size) of the documents corpus via
+    DuckDB with the SAME tokenization — integers, so equality with
+    the Spark-side eager computation is guaranteed."""
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    t, v = con.execute(f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM read_parquet('{os.path.join(sf_dir, "documents.parquet")}')
+  WHERE {where}
+)
+SELECT COUNT(*), COUNT(DISTINCT token) FROM tok""").fetchone()
+    con.close()
+    return int(t), int(v)
+
+
+def _sql_lm_perplexity_docs(sf_dir=None) -> str:
+    t_total, v = _corpus_totals(sf_dir)
+    denom = t_total + LM_ADD_K * v
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+),
+cnt AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS c FROM per_doc GROUP BY 1
+),
+per_term AS (
+  SELECT p.doc_id, p.tf,
+         ROUND(p.tf * ln((c.c + {LM_ADD_K!r}) / {denom!r}), 6) AS s
+  FROM per_doc p JOIN cnt c USING (token)
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       ROUND(exp(-(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE))
+                 / SUM(tf)), 6) + 0.0 AS ppl
+FROM per_term GROUP BY doc_id
+"""
+
+
+def q_dsir_weights_docs(spark, sf_dir):
+    """DSIR-style importance weights of every document against the
+    English subset as target (pipeline/corpus.py
+    importance_weights): log p_en(doc)/p_corpus(doc) under smoothed
+    unigram models — sampling ∝ exp(weight) reproduces the paper's
+    importance resampling."""
+    from loudml_spark.pipeline.corpus import importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return importance_weights(
+        docs, F.col("lang") == DSIR_TARGET_LANG, add_k=LM_ADD_K)
+
+
+def _sql_dsir_weights_docs(sf_dir=None) -> str:
+    # joint vocab sizes: V from the whole corpus, Tt from the target
+    tt, _vt = _corpus_totals(
+        sf_dir, where=f"lang = '{DSIR_TARGET_LANG}'")
+    ts, v = _corpus_totals(sf_dir)
+    den_t = tt + LM_ADD_K * v
+    den_s = ts + LM_ADD_K * v
+    return f"""
+WITH tok AS (
+  SELECT doc_id, COALESCE(lang = '{DSIR_TARGET_LANG}', FALSE) AS tgt,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, tgt, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2, 3
+),
+cnt AS (
+  SELECT token,
+         CAST(COALESCE(SUM(CASE WHEN tgt THEN tf END), 0) AS BIGINT)
+           AS ct,
+         CAST(SUM(tf) AS BIGINT) AS cs
+  FROM per_doc GROUP BY 1
+),
+per_term AS (
+  SELECT p.doc_id, p.tf,
+         ROUND(p.tf * ln(((c.ct + {LM_ADD_K!r}) / {den_t!r})
+                         / ((c.cs + {LM_ADD_K!r}) / {den_s!r})), 6) AS s
+  FROM per_doc p JOIN cnt c USING (token)
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) + 0.0
+         AS log_weight
+FROM per_term GROUP BY doc_id
+"""
+
+
 # -------------------------------------------------------- tsmath ops
 
 
@@ -3533,6 +3646,12 @@ EXT_QUERIES: dict[str, dict] = {
     "bm25_top25_docs": {
         "fn": q_bm25_top25_docs,
         "oracle": SQL_BM25_TOP25_DOCS},
+    "lm_perplexity_docs": {
+        "fn": q_lm_perplexity_docs,
+        "oracle_fn": _sql_lm_perplexity_docs},
+    "dsir_weights_docs": {
+        "fn": q_dsir_weights_docs,
+        "oracle_fn": _sql_dsir_weights_docs},
     "vocab_top100": {
         "fn": q_vocab_top100,
         "oracle": SQL_VOCAB_TOP100,

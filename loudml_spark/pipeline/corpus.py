@@ -571,3 +571,128 @@ def bm25_scores(
          + F.lit(0.0)).alias("score"))
     out = out.orderBy(F.desc("score"), F.asc(id_col))
     return out.limit(top_k) if top_k is not None else out
+
+
+def lm_perplexity(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own add-k-smoothed
+    unigram language model — the classic cheap quality filter (a doc
+    whose words are corpus-typical scores low; gibberish and
+    boilerplate-with-rare-junk score high).  Returns
+    ``(id_col, n_tokens, ppl)`` with
+    ``ppl = exp(−Σ_t tf·ln p(t) / doc_len)`` and
+    ``p(t) = (C(t) + k) / (T + k·V)``.
+
+    Scale shape: ONE map-side-combined shuffle builds the per-doc
+    term frequencies; the corpus counts frame reduces to |vocab|
+    rows (sublinear in corpus size) and joins back on the token key
+    unhinted — AQE broadcasts it while it fits and shuffles at true
+    scale.  T and V are exact integers computed eagerly and inlined
+    as literals (a 1-row constant join would plan as
+    BroadcastNestedLoopJoin).
+
+    Cross-engine determinism: C, T, V, tf are exact integers; the
+    smoothed numerator/denominator are exact-representable doubles
+    (k = .5 halves), so ``ln`` sees bit-identical inputs; each
+    per-term contribution rounds at ``round_dp`` and sums as
+    DECIMAL, making the entropy addition-order-independent before
+    the final exp.
+    """
+    from loudml_spark import errors
+
+    if add_k <= 0:
+        raise errors.Invalid(f"add_k must be > 0, got {add_k}")
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    per_doc = t.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    cnt = per_doc.groupBy("token").agg(
+        F.sum("tf").cast("long").alias("c"))
+    stats = cnt.agg(
+        F.sum("c").cast("long").alias("t_total"),
+        F.count("*").alias("v")).first()
+    t_total, v = int(stats["t_total"]), int(stats["v"])
+    denom = t_total + add_k * v
+    ln_p = F.log((F.col("c") + F.lit(add_k)) / F.lit(denom))
+    per_term = per_doc.join(cnt, "token").select(
+        id_col, "tf",
+        F.round(F.col("tf") * ln_p, round_dp).alias("__s"))
+    return per_term.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.round(
+            F.exp(-(F.sum(F.col("__s").cast("decimal(18,6)"))
+                    .cast("double")) / F.sum("tf")),
+            round_dp) + F.lit(0.0)).alias("ppl"))
+
+
+def importance_weights(
+    df: DataFrame,
+    target,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Data-selection importance weights (DSIR-style, Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how target-like its word
+    distribution is,
+    ``log_weight = Σ_t tf·ln(p_target(t) / p_source(t))`` with add-k
+    smoothing over the JOINT vocabulary; ``target`` is a boolean
+    Column marking the target subset (e.g. ``F.col("lang") == "en"``
+    — NULLs count as non-target).  The source distribution is the
+    full corpus, per the paper's raw-vs-target formulation; sampling
+    ∝ exp(log_weight) reproduces DSIR's importance resampling.
+    Returns ``(id_col, n_tokens, log_weight)``.
+
+    Scale shape: identical to :func:`lm_perplexity` — one
+    map-side-combined tf shuffle, a |vocab|-row counts frame carrying
+    BOTH distributions (target leg is a conditional sum, not a second
+    pass), token-keyed join back, totals inlined as exact-integer
+    literals.
+
+    Cross-engine determinism: the log-ratio is evaluated as
+    ``ln(((ct+k)/denT) / ((cs+k)/denS))`` — three IEEE divisions on
+    exact-representable inputs, mirrored verbatim in the oracle SQL —
+    then per-term rounding + DECIMAL summing as everywhere else.
+    """
+    from loudml_spark import errors
+
+    if add_k <= 0:
+        raise errors.Invalid(f"add_k must be > 0, got {add_k}")
+    tgt = F.coalesce(target, F.lit(False))
+    toks = F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+    t = df.select(
+        F.col(id_col), tgt.alias("__tgt"),
+        F.explode(toks).alias("token"))
+    per_doc = t.groupBy(id_col, "__tgt", "token").agg(
+        F.count("*").alias("tf"))
+    cnt = per_doc.groupBy("token").agg(
+        F.coalesce(F.sum(F.when(F.col("__tgt"), F.col("tf"))), F.lit(0))
+        .cast("long").alias("ct"),
+        F.sum("tf").cast("long").alias("cs"))
+    stats = cnt.agg(
+        F.sum("ct").cast("long").alias("tt"),
+        F.sum("cs").cast("long").alias("ts"),
+        F.count("*").alias("v")).first()
+    tt, ts, v = int(stats["tt"]), int(stats["ts"]), int(stats["v"])
+    if tt == 0:
+        raise errors.Invalid("target subset matches no tokens")
+    den_t = tt + add_k * v
+    den_s = ts + add_k * v
+    lnr = F.log(
+        ((F.col("ct") + F.lit(add_k)) / F.lit(den_t))
+        / ((F.col("cs") + F.lit(add_k)) / F.lit(den_s)))
+    per_term = per_doc.join(cnt, "token").select(
+        id_col, "tf",
+        F.round(F.col("tf") * lnr, round_dp).alias("__s"))
+    return per_term.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        (F.sum(F.col("__s").cast("decimal(18,6)")).cast("double")
+         + F.lit(0.0)).alias("log_weight"))

@@ -1445,3 +1445,98 @@ def test_bm25_hand_computed(spark):
         bm25_scores(df, [])
     with pytest.raises(lerr.Invalid):
         bm25_scores(df, terms, b=1.5)
+
+
+def test_lm_perplexity_hand_computed(spark):
+    """Perplexity against a from-the-formula python oracle; the
+    repetitive doc must score lower (more corpus-typical) than the
+    rare-word doc."""
+    import math
+
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import lm_perplexity
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the the the the",
+        3: "zyx qwv",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_perplexity(df, add_k=0.5).collect()}
+
+    corpus = [w for t in texts.values() for w in t.split()]
+    total, vocab = len(corpus), len(set(corpus))
+
+    def ppl(doc):
+        toks = texts[doc].split()
+        s = 0.0
+        for w in set(toks):
+            p = (corpus.count(w) + 0.5) / (total + 0.5 * vocab)
+            s += round(toks.count(w) * math.log(p), 6)
+        return len(toks), math.exp(-s / len(toks))
+
+    assert set(got) == {1, 2, 3}
+    for d in texts:
+        n, expect = ppl(d)
+        assert got[d]["n_tokens"] == n, d
+        assert got[d]["ppl"] == pytest.approx(expect, rel=1e-5), d
+    assert got[2]["ppl"] < got[1]["ppl"] < got[3]["ppl"]
+
+    with pytest.raises(errors.Invalid):
+        lm_perplexity(df, add_k=0)
+
+
+def test_importance_weights_hand_computed(spark):
+    """DSIR unigram log-ratio against a python oracle; target-typical
+    docs must weigh above source-typical ones, and an empty target
+    raises."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import importance_weights
+
+    rows = [
+        (1, "alpha beta alpha", "en"),
+        (2, "beta gamma", "en"),
+        (3, "gamma gamma delta", "fr"),
+        (4, "alpha beta", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r for r in importance_weights(
+        df, F.col("lang") == "en", add_k=0.5).collect()}
+
+    tgt_corpus = [w for _, t, lang in rows if lang == "en"
+                  for w in t.split()]
+    src_corpus = [w for _, t, _ in rows for w in t.split()]
+    vocab = len(set(src_corpus))
+    den_t = len(tgt_corpus) + 0.5 * vocab
+    den_s = len(src_corpus) + 0.5 * vocab
+
+    def weight(doc):
+        toks = rows[doc - 1][1].split()
+        s = 0.0
+        for w in set(toks):
+            pt = (tgt_corpus.count(w) + 0.5) / den_t
+            ps = (src_corpus.count(w) + 0.5) / den_s
+            s += round(toks.count(w) * math.log(pt / ps), 6)
+        return len(toks), s
+
+    assert set(got) == {1, 2, 3, 4}
+    for d in (1, 2, 3, 4):
+        n, expect = weight(d)
+        assert got[d]["n_tokens"] == n, d
+        assert got[d]["log_weight"] == pytest.approx(expect, abs=2e-6), d
+    # the all-target-vocab doc outweighs the fr-heavy one
+    assert got[1]["log_weight"] > got[3]["log_weight"]
+
+    with pytest.raises(errors.Invalid):
+        importance_weights(df, F.lit(False))
+    with pytest.raises(errors.Invalid):
+        importance_weights(df, F.col("lang") == "en", add_k=-1)
