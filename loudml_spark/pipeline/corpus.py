@@ -584,7 +584,12 @@ def lm_perplexity(
     """Per-document perplexity under the corpus's own add-k-smoothed
     unigram language model — the classic cheap quality filter (a doc
     whose words are corpus-typical scores low; gibberish and
-    boilerplate-with-rare-junk score high).  Returns
+    boilerplate-with-rare-junk score high).  Complements
+    :func:`lm_score`: that one scores against a TRUNCATED top-V
+    model broadcast to executors (CCNet-style, OOV bucketed); this
+    one is exact full-vocabulary perplexity via a token-keyed join —
+    no vocabulary cut, the model never passes through the driver.
+    Returns
     ``(id_col, n_tokens, ppl)`` with
     ``ppl = exp(−Σ_t tf·ln p(t) / doc_len)`` and
     ``p(t) = (C(t) + k) / (T + k·V)``.
