@@ -1433,6 +1433,92 @@ FROM per_term GROUP BY doc_id
 """
 
 
+TEXTRANK_MAX_DOC = 200
+TEXTRANK_MIN_PAIR = 20
+TEXTRANK_DAMPING = 0.85
+TEXTRANK_ITER = 10
+TEXTRANK_TOP = 50
+
+_SQL_TEXTRANK_GRAPH = f"""
+WITH d AS (SELECT doc_id, text FROM documents
+           WHERE doc_id < {TEXTRANK_MAX_DOC}),
+t AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM d
+),
+pr AS (
+  SELECT a.token AS u, b.token AS v, COUNT(*) AS c
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2 HAVING COUNT(*) >= {TEXTRANK_MIN_PAIR}
+),
+ed AS (SELECT u, v, c FROM pr UNION ALL SELECT v, u, c FROM pr),
+ow AS (SELECT u, CAST(SUM(c) AS BIGINT) AS w FROM ed GROUP BY 1),
+e AS (
+  SELECT ed.u, ed.v, CAST(ed.c AS DOUBLE) / CAST(ow.w AS DOUBLE) AS p
+  FROM ed JOIN ow USING (u)
+)"""
+
+
+def q_textrank_keywords_docs(spark, sf_dir):
+    """TextRank keywords over a fixed 200-doc slice
+    (pipeline/corpus.py textrank_keywords): 10 distributed PageRank
+    iterations on the token co-occurrence graph, top-50 by score.
+    The oracle replays the SAME iteration schedule as generated
+    chained SQL CTEs — ranks stay bit-identical by the
+    round-then-DECIMAL-sum induction."""
+    from loudml_spark.pipeline.corpus import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < TEXTRANK_MAX_DOC) \
+        .select("doc_id", "text")
+    return textrank_keywords(
+        docs, damping=TEXTRANK_DAMPING, iterations=TEXTRANK_ITER,
+        min_pair_count=TEXTRANK_MIN_PAIR, top_k=TEXTRANK_TOP)
+
+
+def _sql_textrank_keywords_docs(sf_dir=None) -> str:
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('"
+        + os.path.join(sf_dir, "documents.parquet") + "')")
+    n = con.execute(
+        _SQL_TEXTRANK_GRAPH + "\nSELECT COUNT(DISTINCT u) FROM e"
+    ).fetchone()[0]
+    con.close()
+    n = int(n)
+    base = (1.0 - TEXTRANK_DAMPING) / n
+    # float literals go through CAST('<repr>' AS DOUBLE): strtod is
+    # correctly rounded, so both engines see bit-identical doubles
+    d_lit = f"CAST('{TEXTRANK_DAMPING!r}' AS DOUBLE)"
+    iters = [f",\nr0 AS (SELECT DISTINCT u AS token, "
+             f"CAST('{1.0 / n!r}' AS DOUBLE) AS r FROM e)"]
+    for i in range(1, TEXTRANK_ITER + 1):
+        iters.append(f""",
+r{i} AS (
+  SELECT e.v AS token,
+         ROUND(CAST('{base!r}' AS DOUBLE) + {d_lit}
+               * CAST(SUM(CAST(ROUND(r{i - 1}.r * e.p, 9)
+                               AS DECIMAL(28,9))) AS DOUBLE), 9) AS r
+  FROM e JOIN r{i - 1} ON r{i - 1}.token = e.u
+  GROUP BY e.v
+)""")
+    return (
+        _SQL_TEXTRANK_GRAPH + "".join(iters)
+        + f"""
+SELECT token, ROUND(r, 6) + 0.0 AS score
+FROM r{TEXTRANK_ITER}
+ORDER BY score DESC, token ASC
+LIMIT {TEXTRANK_TOP}
+""")
+
+
 # -------------------------------------------------------- tsmath ops
 
 
@@ -3652,6 +3738,9 @@ EXT_QUERIES: dict[str, dict] = {
     "dsir_weights_docs": {
         "fn": q_dsir_weights_docs,
         "oracle_fn": _sql_dsir_weights_docs},
+    "textrank_keywords_docs": {
+        "fn": q_textrank_keywords_docs,
+        "oracle_fn": _sql_textrank_keywords_docs},
     "vocab_top100": {
         "fn": q_vocab_top100,
         "oracle": SQL_VOCAB_TOP100,

@@ -13,8 +13,13 @@ from loudml_spark.pipeline.linkage import (  # noqa: F401
     fuzzy_self_pairs,
 )
 from loudml_spark.pipeline.corpus import (  # noqa: F401
+    bm25_scores,
+    cooccurrence_edges,
+    importance_weights,
+    lm_perplexity,
     pmi_pairs,
     sparse_cosine_pairs,
+    textrank_keywords,
 )
 from loudml_spark.pipeline.embeddings import (  # noqa: F401
     embedding_covariance,

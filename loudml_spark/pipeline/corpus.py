@@ -701,3 +701,120 @@ def importance_weights(
         F.sum("tf").cast("long").alias("n_tokens"),
         (F.sum(F.col("__s").cast("decimal(18,6)")).cast("double")
          + F.lit(0.0)).alias("log_weight"))
+
+
+def cooccurrence_edges(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_pair_count: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Undirected token co-occurrence graph: ``(u, v, c)`` with one
+    row PER DIRECTION (both (a,b) and (b,a)) and ``c`` = number of
+    documents where both tokens appear.  Same document-keyed
+    self-join shape as :func:`pmi_pairs` — cost is
+    Σ_doc (per-doc distinct tokens)², never vocab² — with the same
+    ``max_df`` stop-term cut.  This is the graph TextRank walks."""
+    from loudml_spark import errors
+
+    if min_pair_count < 1:
+        raise errors.Invalid("min_pair_count must be >= 1")
+    if max_df is not None and max_df < 2:
+        raise errors.Invalid("max_df must be >= 2")
+    t = tokens(df, text_col=text_col, id_col=id_col) \
+        .select(F.col(id_col).alias("id"), "token").distinct()
+    if max_df is not None:
+        dfreq = t.groupBy("token").agg(F.count("*").alias("df")) \
+            .filter(F.col("df") <= max_df)
+        t = t.join(dfreq.select("token"), "token")
+    a, b = t.alias("a"), t.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.id") == F.col("b.id"))
+               & (F.col("a.token") < F.col("b.token")))
+        .groupBy(F.col("a.token").alias("u"),
+                 F.col("b.token").alias("v"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .filter(F.col("c") >= min_pair_count))
+    return pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "c"))
+
+
+def textrank_keywords(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    damping: float = 0.85,
+    iterations: int = 10,
+    min_pair_count: int = 2,
+    max_df: int | None = None,
+    top_k: int | None = None,
+    round_dp: int = 9,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004,
+    "TextRank: Bringing Order into Texts"): PageRank over the token
+    co-occurrence graph — ``r(v) = (1−d)/N + d·Σ_u r(u)·c(u,v)/
+    out_w(u)`` for a fixed number of iterations.  Returns
+    ``(token, score)`` ordered (score desc, token asc), optionally
+    truncated to ``top_k`` (TakeOrderedAndProject).
+
+    This is the repo's iterative-graph-algorithm template alongside
+    large-star/small-star connected components: the edge frame is
+    built once and persisted (reused every iteration); the rank
+    frame is |vocab| rows — sublinear in corpus size — and is
+    ``localCheckpoint``-ed each iteration so the lineage stays flat
+    at any iteration count (the same truncation discipline as
+    ``pipeline/dedup.py`` CC).  The co-occurrence graph is
+    undirected, so there are no dangling nodes and every node
+    receives mass each round.
+
+    Cross-engine determinism (the oracle replays the SAME schedule
+    as generated chained SQL CTEs): edge counts and weighted degrees
+    are exact integers; the transition probability is one IEEE
+    division; each contribution ``r(u)·p(u,v)`` rounds at
+    ``round_dp`` and sums as DECIMAL(28,9) — order-independent — and
+    each new rank rounds at ``round_dp``, so ranks stay bit-identical
+    doubles by induction over iterations.  Final scores round at 6.
+    """
+    from pyspark import StorageLevel
+
+    from loudml_spark import errors
+
+    if not 0.0 < damping < 1.0:
+        raise errors.Invalid(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise errors.Invalid("iterations must be >= 1")
+    edges = cooccurrence_edges(
+        df, text_col=text_col, id_col=id_col,
+        min_pair_count=min_pair_count, max_df=max_df)
+    out_w = edges.groupBy("u").agg(F.sum("c").cast("long").alias("w"))
+    e = edges.join(out_w, "u").select(
+        "u", "v",
+        (F.col("c").cast("double") / F.col("w").cast("double"))
+        .alias("p")).persist(StorageLevel.MEMORY_AND_DISK)
+    n = e.select("u").distinct().count()
+    if n == 0:
+        e.unpersist()
+        raise errors.Invalid(
+            "co-occurrence graph is empty (corpus too small for "
+            f"min_pair_count={min_pair_count})")
+    base = (1.0 - damping) / n
+    ranks = e.select("u").distinct().select(
+        F.col("u").alias("token"), F.lit(1.0 / n).alias("r"))
+    for _ in range(iterations):
+        contrib = e.join(ranks, ranks.token == e.u).select(
+            F.col("v").alias("token"),
+            F.round(F.col("r") * F.col("p"), round_dp).alias("__c"))
+        ranks = contrib.groupBy("token").agg(
+            F.round(
+                F.lit(base) + F.lit(damping)
+                * F.sum(F.col("__c").cast("decimal(28,9)"))
+                .cast("double"),
+                round_dp).alias("r"))
+        ranks = ranks.localCheckpoint(eager=False)
+    out = ranks.select(
+        "token", (F.round(F.col("r"), 6) + F.lit(0.0)).alias("score"))
+    out = out.orderBy(F.desc("score"), F.asc("token"))
+    return out.limit(top_k) if top_k is not None else out

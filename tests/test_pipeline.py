@@ -1540,3 +1540,72 @@ def test_importance_weights_hand_computed(spark):
         importance_weights(df, F.lit(False))
     with pytest.raises(errors.Invalid):
         importance_weights(df, F.col("lang") == "en", add_k=-1)
+
+
+def test_textrank_hand_computed(spark):
+    """TextRank against a python PageRank replay with the same
+    quantize-then-sum schedule on a 3-doc corpus; also pins the
+    co-occurrence edge builder and validation errors."""
+    import pytest
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import (
+        cooccurrence_edges,
+        textrank_keywords,
+    )
+
+    texts = {
+        1: "alpha beta gamma",
+        2: "alpha beta delta",
+        3: "alpha gamma",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string")
+
+    edges = {(r["u"], r["v"]): r["c"] for r in
+             cooccurrence_edges(df, min_pair_count=1).collect()}
+    # co-occurrence counts: alpha-beta 2, alpha-gamma 2, alpha-delta 1,
+    # beta-gamma 1, beta-delta 1 — symmetric
+    assert edges[("alpha", "beta")] == 2 == edges[("beta", "alpha")]
+    assert edges[("alpha", "gamma")] == 2
+    assert edges[("beta", "delta")] == 1
+    assert ("gamma", "delta") not in edges
+
+    got = {r["token"]: r["score"] for r in textrank_keywords(
+        df, min_pair_count=1, iterations=5).collect()}
+
+    # python replay of the exact schedule
+    out_w = {}
+    for (u, _v), c in edges.items():
+        out_w[u] = out_w.get(u, 0) + c
+    n = len(out_w)
+    ranks = {u: 1.0 / n for u in out_w}
+    for _ in range(5):
+        incoming = {u: [] for u in out_w}
+        for (u, v), c in edges.items():
+            incoming[v].append(round(ranks[u] * (c / out_w[u]), 9))
+        # DECIMAL(28,9) sum == exact integer sum of 1e9-scaled terms
+        ranks = {
+            v: round(0.15 / n + 0.85
+                     * (sum(int(round(x * 1e9)) for x in xs) / 1e9), 9)
+            for v, xs in incoming.items()}
+
+    assert set(got) == set(ranks)
+    for t in ranks:
+        assert got[t] == pytest.approx(round(ranks[t], 6), abs=2e-6), t
+    # alpha co-occurs with everything — it must rank first
+    assert max(got, key=got.get) == "alpha"
+    # score mass is conserved up to rounding: Σr ≈ 1
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-3)
+
+    top2 = textrank_keywords(df, min_pair_count=1, iterations=5,
+                             top_k=2).collect()
+    assert len(top2) == 2 and top2[0]["token"] == "alpha"
+
+    with pytest.raises(errors.Invalid):
+        textrank_keywords(df, damping=1.5)
+    with pytest.raises(errors.Invalid):
+        textrank_keywords(df, iterations=0)
+    with pytest.raises(errors.Invalid):
+        # min_pair_count far above any count -> empty graph
+        textrank_keywords(df, min_pair_count=99)
