@@ -339,3 +339,75 @@ def merge_upsert(
         shutil.rmtree(keep, ignore_errors=True)
     return {"updated": n_upd, "inserted": n_ins,
             "rows_rewritten": n_affected - n_upd + n_updates}
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: Sequence[str],
+    n_buckets: int,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Write ``df`` as a BUCKETED table: rows are hash-clustered into
+    ``n_buckets`` files per the bucket columns, optionally sorted
+    within each bucket.  This is the co-located-join layout — two
+    tables bucketed by their join key with the same bucket count
+    join WITHOUT ANY EXCHANGE: each task zips bucket i with bucket i,
+    so the shuffle that dominates a 100 TB fact-fact join is paid
+    ONCE at write time and amortized over every later join/agg on
+    that key (``spark.sql.sources.bucketing.enabled``, on by
+    default).  ``sort_by`` additionally pre-sorts bucket files so
+    the sort-merge join skips its per-task sort.
+
+    Bucketing requires the session catalog (``saveAsTable``) — plain
+    ``save(path)`` silently drops bucket metadata, so this function
+    refuses path-like names.  Pick ``n_buckets`` so one bucket of the
+    LARGER table is a few hundred MB (buckets are not splittable:
+    too few buckets → giant tasks, too many → small files)."""
+    bucket_by = list(bucket_by)
+    if not bucket_by:
+        raise errors.Invalid("need at least one bucket column")
+    for col in [*bucket_by, *sort_by]:
+        if col not in df.columns:
+            raise errors.Invalid(f"missing bucket/sort column {col!r}")
+    if n_buckets < 1:
+        raise errors.Invalid("n_buckets must be >= 1")
+    if "/" in table:
+        raise errors.Invalid(
+            "bucketing metadata lives in the session catalog: pass a "
+            f"table name, not a path ({table!r})")
+    w = df.write.format(format).mode(mode).bucketBy(n_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)
+
+
+def colocated_join(
+    spark,
+    left_table: str,
+    right_table: str,
+    on: Sequence[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Join two bucketed tables on their bucket key.  Pure
+    convenience over ``spark.table(a).join(spark.table(b), on)`` —
+    the exchange-free plan comes from the TABLES' bucket layout, not
+    from this function — but it checks the precondition that makes
+    the plan co-located (both sides bucketed on the join columns)
+    and raises early instead of silently shuffling 100 TB."""
+    on = list(on)
+    cat = spark.sql
+    for t in (left_table, right_table):
+        desc = {r["col_name"]: r["data_type"]
+                for r in cat(f"DESCRIBE TABLE EXTENDED {t}").collect()}
+        bucket_cols = desc.get("Bucket Columns", "")
+        missing = [c for c in on if f"`{c}`" not in bucket_cols]
+        if missing:
+            raise errors.Invalid(
+                f"table {t} is not bucketed on {missing} (bucket "
+                f"columns: {bucket_cols or 'none'}) — the join would "
+                "shuffle; write it with write_bucketed first")
+    return spark.table(left_table).join(spark.table(right_table), on, how)

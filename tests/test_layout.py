@@ -273,3 +273,55 @@ def test_merge_upsert_unpartitioned_and_validation(spark, tmp_path):
         merge_upsert(spark, upd, path, key_cols=[])
     with pytest.raises(errors.Invalid):
         merge_upsert(spark, upd, path, key_cols=["nope"])
+
+
+def test_write_bucketed_colocated_join(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT any
+    exchange; results match the plain (shuffling) join; the guard
+    raises on non-bucketed inputs and bad args."""
+    from loudml_spark.sources.layout import colocated_join, write_bucketed
+
+    facts = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"))
+    dims = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("g"), (F.col("id") % 7).cast("string"))
+        .alias("grp"))
+    try:
+        write_bucketed(facts, "bkt_facts", bucket_by=["k"], n_buckets=4,
+                       sort_by=["k"])
+        write_bucketed(dims, "bkt_dims", bucket_by=["k"], n_buckets=4,
+                       sort_by=["k"])
+        # plain parquet table, NOT bucketed, for the guard check
+        dims.write.mode("overwrite").saveAsTable("plain_dims")
+
+        joined = colocated_join(spark, "bkt_facts", "bkt_dims", ["k"])
+        # disable auto-broadcast so the plan would otherwise shuffle
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            got = sorted((r["k"], r["v"], r["grp"])
+                         for r in joined.collect())
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        expect = sorted((r["k"], r["v"], r["grp"])
+                        for r in facts.join(dims, "k").collect())
+        assert got == expect and len(got) == 500
+
+        with pytest.raises(errors.Invalid, match="not bucketed"):
+            colocated_join(spark, "bkt_facts", "plain_dims", ["k"])
+        with pytest.raises(errors.Invalid):
+            write_bucketed(facts, "t", bucket_by=[], n_buckets=4)
+        with pytest.raises(errors.Invalid):
+            write_bucketed(facts, "t", bucket_by=["nope"], n_buckets=4)
+        with pytest.raises(errors.Invalid):
+            write_bucketed(facts, "t", bucket_by=["k"], n_buckets=0)
+        with pytest.raises(errors.Invalid, match="table name"):
+            write_bucketed(facts, str(tmp_path / "x"),
+                           bucket_by=["k"], n_buckets=4)
+    finally:
+        for t in ("bkt_facts", "bkt_dims", "plain_dims"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
