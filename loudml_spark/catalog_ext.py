@@ -2664,6 +2664,57 @@ FROM events WHERE user_id % 10 = 0
 """
 
 
+def q_streaming_cms_heavy_hitters(spark, sf_dir):
+    """The batch CMS heavy-hitters query executed THROUGH Structured
+    Streaming: documents staged as 3 files (maxFilesPerTrigger=1 →
+    3 micro-batches), the sketch maintained as streaming state
+    (streaming/job.py stream_cms_counters — depth×width state rows
+    however large the corpus), drained in complete mode.  CMS cells
+    add and the arithmetic is deterministic integers, so the
+    micro-batch-merged sketch is BIT-IDENTICAL to the batch sketch —
+    this query shares the batch query's SQL oracle verbatim, the
+    strongest batch↔streaming parity claim in the catalog."""
+    import tempfile
+
+    from loudml_spark.pipeline.corpus import cms_estimate, vocabulary
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_cms_counters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from loudml_spark.catalog import _CACHED_SERIES
+
+    skey = (spark.sparkContext.applicationId, sf_dir, "stage_cms")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        if skey not in _CACHED_SERIES:
+            tmp = tempfile.mkdtemp(prefix="lms_cms_stream_")
+            for i in range(3):
+                docs.filter(F.col("doc_id") % 3 == i).coalesce(1) \
+                    .write.mode("append").parquet(tmp)
+            _CACHED_SERIES[skey] = tmp
+        tmp = _CACHED_SERIES[skey]
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1).parquet(tmp)
+        )
+        counters = drain_stream_to_df(
+            stream_cms_counters(stream, depth=CMS_DEPTH, width=CMS_WIDTH),
+            ["d", "bucket", "n"],
+            output_mode="complete", prefix="stream_cms",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    top = vocabulary(docs, top_k=20).select("token", "tf")
+    est = cms_estimate(counters, top, depth=CMS_DEPTH, width=CMS_WIDTH)
+    return est.select(
+        "token", "tf", "cms_estimate",
+        (F.col("cms_estimate") >= F.col("tf")).alias("no_undercount"),
+    )
+
+
 
 def q_streaming_join_click_purchase(spark, sf_dir):
     """Click→purchase attribution as a STREAM-STREAM interval join:
@@ -3741,6 +3792,11 @@ EXT_QUERIES: dict[str, dict] = {
     "textrank_keywords_docs": {
         "fn": q_textrank_keywords_docs,
         "oracle_fn": _sql_textrank_keywords_docs},
+    "streaming_cms_heavy_hitters": {
+        "fn": q_streaming_cms_heavy_hitters,
+        # the BATCH sketch oracle verbatim: the streaming execution
+        # must reproduce it bit-for-bit (CMS = mergeable integers)
+        "oracle_fn": lambda sf_dir=None: _sql_cms_heavy_hitters()},
     "vocab_top100": {
         "fn": q_vocab_top100,
         "oracle": SQL_VOCAB_TOP100,

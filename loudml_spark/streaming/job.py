@@ -702,3 +702,35 @@ def stream_validate_sink(
                     f"rules: {bad}")
 
     return process
+
+
+def stream_cms_counters(
+    stream: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min sketch maintained ACROSS micro-batches: the
+    streaming form of ``pipeline/corpus.py cms_counters``.  CMS cells
+    add, so the running sketch is just a streaming
+    ``groupBy(d, bucket).count()`` — the state store holds
+    depth × width rows REGARDLESS of corpus or vocabulary size (the
+    whole point of sketches in streams: heavy-hitter state that
+    cannot grow).  Run in ``complete`` output mode; because the
+    sketch is deterministic integer arithmetic, the drained result is
+    bit-identical to the batch sketch over the same rows — the
+    catalog pairs the STREAMING execution against the BATCH SQL
+    oracle directly.
+    """
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import cms_counters
+
+    if not stream.isStreaming:
+        raise errors.Invalid(
+            "stream_cms_counters expects a streaming DataFrame; use "
+            "pipeline.corpus.cms_counters for batch input")
+    return cms_counters(
+        stream, text_col=text_col, id_col=id_col,
+        depth=depth, width=width)

@@ -729,3 +729,48 @@ def test_stream_validate_sink_audits_each_batch(spark, tmpdir):
                99)
     a99 = spark.read.parquet(audit_dir).filter("_batch_id = 99")
     assert a99.filter("NOT passed").count() == 1
+
+
+def test_stream_cms_counters_merges_across_batches(spark, tmpdir):
+    """The streaming CMS must equal the batch CMS over the union of
+    all micro-batches — written as 3 separate files with
+    maxFilesPerTrigger=1 so the merge happens in the STATE STORE,
+    not within one batch — and reject batch input."""
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import cms_counters
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_cms_counters,
+    )
+
+    src = f"{tmpdir}/src"
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "alpha beta alpha"), (2, "gamma beta")],
+        [(3, "alpha delta")],
+        [(4, "beta beta epsilon"), (5, "alpha")],
+    ]
+    for rows in batches:
+        _write_batch(spark, src, rows, schema)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = drain_stream_to_df(
+        stream_cms_counters(stream, depth=4, width=64),
+        ["d", "bucket", "n"], output_mode="complete",
+        prefix="t_cms",
+    )
+    all_rows = [r for b in batches for r in b]
+    expect = cms_counters(
+        spark.createDataFrame(all_rows, schema), depth=4, width=64)
+    got_m = {(r["d"], r["bucket"]): r["n"] for r in got.collect()}
+    exp_m = {(r["d"], r["bucket"]): r["n"] for r in expect.collect()}
+    assert got_m == exp_m
+    # total mass per depth row = total token count (11)
+    for d in range(4):
+        assert sum(n for (dd, _), n in got_m.items() if dd == d) == 11
+
+    with pytest.raises(errors.Invalid, match="streaming"):
+        stream_cms_counters(spark.createDataFrame(all_rows, schema))
