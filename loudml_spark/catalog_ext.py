@@ -855,6 +855,52 @@ JOIN part ON p_partkey = l_partkey AND (
 """
 
 
+def q_tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): aggregate view + scalar MAX —
+    quarterly revenue per supplier, keep the supplier(s) hitting the
+    maximum.  The max is computed eagerly from the revenue frame and
+    inlined as a literal (the q22 scalar pattern; a self-join on the
+    MAX would recompute the view anyway and a global window would
+    single-partition an SF-scaling frame).  The revenue frame
+    evaluates twice — both passes are the SAME pushdown-filtered
+    quarter scan, and Q15's own VIEW semantics imply
+    materialize-or-recompute.  Revenue is DECIMAL-exact cast to
+    double, so the equality against the max literal is deterministic
+    cross-engine.  Reference shape: TPC-H spec Q15."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
+               "l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+              * (F.lit(1).cast("decimal(3,2)")
+                 - F.col("l_discount").cast("decimal(4,2)")))
+        .cast("double").alias("total_revenue"))
+    top = float(rev.agg(F.max("total_revenue")).first()[0])
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name")
+    return (
+        rev.filter(F.col("total_revenue") == top)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue"))
+
+
+SQL_TPCH_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
 TPCH_Q22_CUTOFF = "2000-07-01 00:00:00"
 
 
@@ -3763,6 +3809,9 @@ EXT_QUERIES: dict[str, dict] = {
     "tpch_q17_small_qty_avg": {
         "fn": q_tpch_q17_small_qty_avg,
         "oracle": SQL_TPCH_Q17_SMALL_QTY_AVG},
+    "tpch_q15_top_supplier": {
+        "fn": q_tpch_q15_top_supplier,
+        "oracle": SQL_TPCH_Q15_TOP_SUPPLIER},
     "tpch_q18_large_orders": {
         "fn": q_tpch_q18_large_orders,
         "oracle": SQL_TPCH_Q18_LARGE_ORDERS},

