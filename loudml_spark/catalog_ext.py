@@ -607,348 +607,6 @@ GROUP BY 1
 """
 
 
-def q_tpch_q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6 shape (forecasting revenue change): scan-only
-    filter-aggregate — every predicate (shipdate range, discount
-    band, quantity cap) is a plain column comparison, so ALL of them
-    push to the parquet scan (PushedFilters) and only matching row
-    groups are read; no join, no pre-agg shuffle, one partial+final
-    aggregation.  At 100 TB this is the query shape where pushdown
-    is the whole ballgame.  Reference shape: TPC-H spec Q6."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
-               "l_shipdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'")
-        & F.col("l_discount").between(0.05, 0.07)
-        & (F.col("l_quantity") < 24))
-    return li.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-              * F.col("l_discount").cast("decimal(4,2)"))
-        .cast("double").alias("revenue"),
-        F.count("*").alias("n_lines"))
-
-
-SQL_TPCH_Q6_FORECAST_REVENUE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-         * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
-       COUNT(*) AS n_lines
-FROM lineitem
-WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-  AND l_discount BETWEEN 0.05 AND 0.07
-  AND l_quantity < 24
-"""
-
-
-def q_tpch_q13_order_counts(spark, sf_dir):
-    """TPC-H Q13 shape (customer order-count distribution): LEFT
-    OUTER join with a predicate ON THE JOIN CONDITION (non-urgent
-    orders only — moving it to WHERE would silently drop
-    zero-order customers), then two aggregations: orders-per-customer,
-    customers-per-count.  The outer join shuffles on the customer key;
-    the second groupBy runs on |customers| rows.  Adapted to this
-    testdata (no o_comment — priority filter stands in for the
-    NOT LIKE).  Reference shape: TPC-H spec Q13."""
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderpriority")
-    per_cust = (
-        cust.join(
-            orders,
-            (cust.c_custkey == orders.o_custkey)
-            & (orders.o_orderpriority != "1-URGENT"),
-            "left_outer")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count")))
-    return per_cust.groupBy("c_count").agg(
-        F.count("*").alias("n_customers"))
-
-
-SQL_TPCH_Q13_ORDER_COUNTS = """
-SELECT c_count, COUNT(*) AS n_customers
-FROM (
-  SELECT c_custkey, COUNT(o_orderkey) AS c_count
-  FROM customer
-  LEFT OUTER JOIN orders
-    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
-  GROUP BY c_custkey
-)
-GROUP BY c_count
-"""
-
-
-def q_tpch_q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14 shape (promotion effect): conditional aggregate
-    ratio — one lineitem↔part equi-join (part is dimension-small
-    relative to lineitem; AQE decides the strategy), both the PROMO
-    numerator and the total denominator computed in a SINGLE
-    aggregation pass as DECIMAL-exact sums, then one IEEE division
-    rounded at 6 dp (`+ 0.0` collapses -0.0).  Reference shape:
-    TPC-H spec Q14 (p_type here is a single word, so equality
-    replaces LIKE 'PROMO%')."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-09-01 00:00:00' AND "
-               "l_shipdate < TIMESTAMP_NTZ '1996-10-01 00:00:00'"))
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = (F.col("l_extendedprice").cast("decimal(18,2)")
-            * (F.lit(1).cast("decimal(3,2)")
-               - F.col("l_discount").cast("decimal(4,2)")))
-    agg = li.join(part, li.l_partkey == part.p_partkey).agg(
-        F.sum(F.when(F.col("p_type") == "PROMO", disc)
-              .otherwise(F.lit(0).cast("decimal(20,4)"))).alias("promo"),
-        F.sum(disc).alias("total"),
-        F.count("*").alias("n_lines"))
-    return agg.select(
-        (F.round(F.lit(100.0) * F.col("promo").cast("double")
-                 / F.col("total").cast("double"), 6)
-         + F.lit(0.0)).alias("promo_revenue_pct"),
-        "n_lines")
-
-
-SQL_TPCH_Q14_PROMO_REVENUE = """
-SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
-           THEN CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-           ELSE CAST(0 AS DECIMAL(20,4)) END) AS DOUBLE)
-         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-           AS DOUBLE), 6) + 0.0 AS promo_revenue_pct,
-       COUNT(*) AS n_lines
-FROM lineitem
-JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
-"""
-
-
-TPCH_Q17_BRAND = "Brand#23"
-
-
-def q_tpch_q17_small_qty_avg(spark, sf_dir):
-    """TPC-H Q17 shape (small-quantity-order revenue): correlated
-    scalar subquery — lines of one brand whose quantity is below 20%
-    of that PART's average quantity.  Spark formulation decorrelates
-    explicitly: per-part averages come from one groupBy over the
-    SAME brand-filtered join (never corpus-wide), then join back on
-    the part key; the oracle keeps the correlated form, pinning the
-    decorrelation equivalence.  The per-part average is
-    DECIMAL-exact sum / count so the 0.2·avg threshold is the same
-    double in both engines.  Reference shape: TPC-H spec Q17."""
-    part = load_table(spark, sf_dir, "part").filter(
-        F.col("p_brand") == TPCH_Q17_BRAND).select("p_partkey")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice")
-    brand_lines = li.join(part, li.l_partkey == part.p_partkey)
-    per_part = brand_lines.groupBy("l_partkey").agg(
-        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
-         / F.count("*")).alias("avg_qty"))
-    small = brand_lines.join(per_part, "l_partkey").filter(
-        F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-    return small.agg(
-        (F.round(
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("double") / F.lit(7.0), 6) + F.lit(0.0))
-        .alias("avg_yearly"),
-        F.count("*").alias("n_lines"))
-
-
-SQL_TPCH_Q17_SMALL_QTY_AVG = f"""
-SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-             / 7.0, 6) + 0.0 AS avg_yearly,
-       COUNT(*) AS n_lines
-FROM lineitem
-JOIN part ON p_partkey = l_partkey
-WHERE p_brand = '{TPCH_Q17_BRAND}'
-  AND l_quantity < 0.2 * (
-    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-           / COUNT(*)
-    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
-"""
-
-
-TPCH_Q18_QTY_THRESHOLD = 150
-
-
-def q_tpch_q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape (large-volume customers): HAVING subquery —
-    per-order quantity totals filtered above a threshold, then joined
-    to orders and customer for the report row.  The heavy groupBy is
-    map-side combined on the order key; the survivors frame is tiny
-    (top ~5% of orders) so AQE broadcasts it into the orders join
-    rather than shuffling the fact twice.  Quantities are
-    integral-valued doubles, so sums are exact in both engines.
-    Reference shape: TPC-H spec Q18."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_quantity")
-    big = li.groupBy("l_orderkey").agg(
-        F.sum("l_quantity").alias("sum_qty")).filter(
-        F.col("sum_qty") > TPCH_Q18_QTY_THRESHOLD)
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-    cust = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name")
-    return (
-        big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
-                "o_totalprice", "sum_qty"))
-
-
-SQL_TPCH_Q18_LARGE_ORDERS = f"""
-SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
-FROM (
-  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
-  FROM lineitem GROUP BY l_orderkey
-  HAVING SUM(l_quantity) > {TPCH_Q18_QTY_THRESHOLD}
-)
-JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-"""
-
-
-def q_tpch_q19_disjunctive(spark, sf_dir):
-    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
-    equi-join on the part key with an OR-of-ANDs residual — the
-    classic optimizer test that a disjunction over join-side columns
-    must NOT degrade the join to a nested loop.  Spark keeps the
-    hash join on `p_partkey = l_partkey` and evaluates the three
-    brand/size/quantity conjuncts as a post-join filter; the plan
-    gate asserts no BroadcastNestedLoopJoin catalog-wide.  Adapted
-    to this testdata (p_size/l_quantity bands replace
-    container/shipmode).  Reference shape: TPC-H spec Q19."""
-    part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_brand", "p_size")
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-    leg = (
-        ((F.col("p_brand") == "Brand#12")
-         & F.col("p_size").between(1, 5)
-         & F.col("l_quantity").between(1, 11))
-        | ((F.col("p_brand") == "Brand#23")
-           & F.col("p_size").between(1, 10)
-           & F.col("l_quantity").between(10, 20))
-        | ((F.col("p_brand") == "Brand#3")
-           & F.col("p_size").between(1, 15)
-           & F.col("l_quantity").between(20, 30)))
-    joined = li.join(
-        part, (li.l_partkey == part.p_partkey) & leg)
-    return joined.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-              * (F.lit(1).cast("decimal(3,2)")
-                 - F.col("l_discount").cast("decimal(4,2)")))
-        .cast("double").alias("revenue"),
-        F.count("*").alias("n_lines"))
-
-
-SQL_TPCH_Q19_DISJUNCTIVE = """
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-         * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-         AS DOUBLE) AS revenue,
-       COUNT(*) AS n_lines
-FROM lineitem
-JOIN part ON p_partkey = l_partkey AND (
-     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-      AND l_quantity BETWEEN 1 AND 11)
-  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-      AND l_quantity BETWEEN 10 AND 20)
-  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
-      AND l_quantity BETWEEN 20 AND 30))
-"""
-
-
-def q_tpch_q15_top_supplier(spark, sf_dir):
-    """TPC-H Q15 shape (top supplier): aggregate view + scalar MAX —
-    quarterly revenue per supplier, keep the supplier(s) hitting the
-    maximum.  The max is computed eagerly from the revenue frame and
-    inlined as a literal (the q22 scalar pattern; a self-join on the
-    MAX would recompute the view anyway and a global window would
-    single-partition an SF-scaling frame).  The revenue frame
-    evaluates twice — both passes are the SAME pushdown-filtered
-    quarter scan, and Q15's own VIEW semantics imply
-    materialize-or-recompute.  Revenue is DECIMAL-exact cast to
-    double, so the equality against the max literal is deterministic
-    cross-engine.  Reference shape: TPC-H spec Q15."""
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.expr("l_shipdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00' AND "
-               "l_shipdate < TIMESTAMP_NTZ '1996-04-01 00:00:00'"))
-    rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
-              * (F.lit(1).cast("decimal(3,2)")
-                 - F.col("l_discount").cast("decimal(4,2)")))
-        .cast("double").alias("total_revenue"))
-    top = float(rev.agg(F.max("total_revenue")).first()[0])
-    supp = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name")
-    return (
-        rev.filter(F.col("total_revenue") == top)
-        .join(supp, rev.l_suppkey == supp.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue"))
-
-
-SQL_TPCH_Q15_TOP_SUPPLIER = """
-WITH rev AS (
-  SELECT l_suppkey,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-              * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
-              AS DOUBLE) AS total_revenue
-  FROM lineitem
-  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
-  GROUP BY l_suppkey
-)
-SELECT s_suppkey, s_name, total_revenue
-FROM rev JOIN supplier ON l_suppkey = s_suppkey
-WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
-"""
-
-
-TPCH_Q22_CUTOFF = "2000-07-01 00:00:00"
-
-
-def q_tpch_q22_dormant_customers(spark, sf_dir):
-    """TPC-H Q22 shape (global sales opportunity): scalar subquery +
-    anti join — above-average-balance customers with NO order since
-    the cutoff, grouped by nation.  The global average balance is
-    computed eagerly (DECIMAL-exact sum / count) and inlined as a
-    literal — a 1-row scalar join would plan as
-    BroadcastNestedLoopJoin, breaking the catalog's no-nested-loop
-    invariant — and the anti join probes only the date-filtered
-    order keys.  Adapted to this testdata (c_nationkey stands in
-    for the phone-prefix country code; dormancy = no RECENT order,
-    since every customer here has some order).  Reference shape:
-    TPC-H spec Q22."""
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_acctbal") > 0)
-    stats = cust.agg(
-        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
-         / F.count("*")).alias("avg_bal")).first()
-    avg_bal = float(stats["avg_bal"])
-    recent = load_table(spark, sf_dir, "orders").filter(
-        F.expr(f"o_orderdate >= TIMESTAMP_NTZ '{TPCH_Q22_CUTOFF}'"))
-    rich = cust.filter(F.col("c_acctbal") > avg_bal)
-    dormant = rich.join(
-        recent, rich.c_custkey == recent.o_custkey, "left_anti")
-    return dormant.groupBy("c_nationkey").agg(
-        F.count("*").alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-        .cast("double").alias("total_acctbal"))
-
-
-SQL_TPCH_Q22_DORMANT_CUSTOMERS = f"""
-SELECT c_nationkey, COUNT(*) AS n_customers,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-         AS total_acctbal
-FROM customer
-WHERE c_acctbal > (
-    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-           / COUNT(*)
-    FROM customer c2 WHERE c2.c_acctbal > 0)
-  AND c_acctbal > 0
-  AND NOT EXISTS (
-    SELECT 1 FROM orders
-    WHERE o_custkey = c_custkey
-      AND o_orderdate >= TIMESTAMP '{TPCH_Q22_CUTOFF}')
-GROUP BY c_nationkey
-"""
 
 
 UNPIVOT_MAX_KEY = 200
@@ -2710,6 +2368,57 @@ FROM events WHERE user_id % 10 = 0
 """
 
 
+def q_benford_prices_by_flag(spark, sf_dir):
+    """Benford first-digit conformance of lineitem extended prices
+    per return flag (operators/validate.py benford_digits) — the
+    fabricated-numbers screen as ONE conditional-aggregation pass.
+    TPC-H prices are uniform-ish, so the χ² verdict is honestly
+    data-derived (both engines agree on the exact statistic, not
+    just the boolean)."""
+    from loudml_spark.operators.validate import benford_digits
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice")
+    return benford_digits(li, "l_extendedprice", by="l_returnflag")
+
+
+def _sql_benford_prices_by_flag(sf_dir=None) -> str:
+    from loudml_spark.operators.validate import (
+        BENFORD_CHI2_CRIT,
+        BENFORD_P,
+    )
+
+    digit = ("substring(printf('%.16e', abs(l_extendedprice)), 1, 1)")
+    counts = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN {digit} = '{d}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n{d}"
+        for d in range(1, 10))
+    terms = " + ".join(
+        f"CAST(ROUND((CAST(n{d} AS DOUBLE) - CAST(n AS DOUBLE) "
+        f"* CAST('{BENFORD_P[d - 1]!r}' AS DOUBLE)) "
+        f"* (CAST(n{d} AS DOUBLE) - CAST(n AS DOUBLE) "
+        f"* CAST('{BENFORD_P[d - 1]!r}' AS DOUBLE)) "
+        f"/ (CAST(n AS DOUBLE) * CAST('{BENFORD_P[d - 1]!r}' AS DOUBLE)), "
+        f"6) AS DECIMAL(28,6))"
+        for d in range(1, 10))
+    return f"""
+WITH agg AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {counts}
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice <> 0
+  GROUP BY l_returnflag
+),
+stat AS (
+  SELECT l_returnflag, n,
+         ROUND(CAST({terms} AS DOUBLE), 6) + 0.0 AS chi2
+  FROM agg
+)
+SELECT l_returnflag, n, chi2, chi2 <= {BENFORD_CHI2_CRIT} AS conforms
+FROM stat
+"""
+
+
 def q_streaming_cms_heavy_hitters(spark, sf_dir):
     """The batch CMS heavy-hitters query executed THROUGH Structured
     Streaming: documents staged as 3 files (maxFilesPerTrigger=1 →
@@ -3797,30 +3506,6 @@ EXT_QUERIES: dict[str, dict] = {
         "fn": q_tpch_q4_priority_semi,
         "oracle": SQL_TPCH_Q4_PRIORITY_SEMI,
     },
-    "tpch_q6_forecast_revenue": {
-        "fn": q_tpch_q6_forecast_revenue,
-        "oracle": SQL_TPCH_Q6_FORECAST_REVENUE},
-    "tpch_q13_order_counts": {
-        "fn": q_tpch_q13_order_counts,
-        "oracle": SQL_TPCH_Q13_ORDER_COUNTS},
-    "tpch_q14_promo_revenue": {
-        "fn": q_tpch_q14_promo_revenue,
-        "oracle": SQL_TPCH_Q14_PROMO_REVENUE},
-    "tpch_q17_small_qty_avg": {
-        "fn": q_tpch_q17_small_qty_avg,
-        "oracle": SQL_TPCH_Q17_SMALL_QTY_AVG},
-    "tpch_q15_top_supplier": {
-        "fn": q_tpch_q15_top_supplier,
-        "oracle": SQL_TPCH_Q15_TOP_SUPPLIER},
-    "tpch_q18_large_orders": {
-        "fn": q_tpch_q18_large_orders,
-        "oracle": SQL_TPCH_Q18_LARGE_ORDERS},
-    "tpch_q19_disjunctive": {
-        "fn": q_tpch_q19_disjunctive,
-        "oracle": SQL_TPCH_Q19_DISJUNCTIVE},
-    "tpch_q22_dormant_customers": {
-        "fn": q_tpch_q22_dormant_customers,
-        "oracle": SQL_TPCH_Q22_DORMANT_CUSTOMERS},
     "orders_no_late_lines_anti": {
         "fn": q_orders_no_late_lines_anti,
         "oracle": SQL_ORDERS_NO_LATE_LINES_ANTI,
@@ -3841,6 +3526,9 @@ EXT_QUERIES: dict[str, dict] = {
     "textrank_keywords_docs": {
         "fn": q_textrank_keywords_docs,
         "oracle_fn": _sql_textrank_keywords_docs},
+    "benford_prices_by_flag": {
+        "fn": q_benford_prices_by_flag,
+        "oracle_fn": _sql_benford_prices_by_flag},
     "streaming_cms_heavy_hitters": {
         "fn": q_streaming_cms_heavy_hitters,
         # the BATCH sketch oracle verbatim: the streaming execution

@@ -29,6 +29,7 @@ pipeline needs).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 from typing import Sequence
 
@@ -38,7 +39,7 @@ from pyspark.sql import functions as F
 from loudml_spark import errors
 
 __all__ = ["not_null", "unique", "in_range", "foreign_key", "expect",
-           "validate"]
+           "validate", "benford_digits"]
 
 
 @dataclass(frozen=True)
@@ -148,3 +149,72 @@ def validate(df: DataFrame, rules: Sequence[_Rule]) -> DataFrame:
         out = out.unionByName(f_)
     return out.withColumn(
         "passed", F.col("n_violations") == 0).orderBy("rule")
+
+
+# χ² 95th percentile, 8 degrees of freedom (9 digits − 1)
+BENFORD_CHI2_CRIT = 15.507
+# p(d) = log10(1 + 1/d), computed once so Spark lit() and the SQL
+# oracle inline the IDENTICAL doubles
+BENFORD_P = tuple(math.log10(1.0 + 1.0 / d) for d in range(1, 10))
+
+
+def benford_digits(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Benford's-law first-digit conformance — the classic
+    fabricated/corrupted-numbers screen (naturally occurring
+    multi-magnitude quantities put digit d first with probability
+    log10(1+1/d); fraud, unit mix-ups, and truncation bend that
+    curve).  Returns one row per ``by`` group:
+    ``(by?, n, chi2, conforms)`` where chi2 is Pearson's statistic
+    against the Benford expectation over digits 1–9 and ``conforms``
+    compares it to the χ²₈ 95% critical value.
+
+    Scale shape: ONE aggregation pass, no joins — the 9 digit counts
+    are conditional sums inside the same groupBy (adding a digit adds
+    a column, not a scan), so cost is a scan plus a |groups|-row
+    shuffle at any corpus size.
+
+    Cross-engine determinism: the first significant digit comes from
+    ``substring(format_string('%.16e', abs(v)), 1, 1)`` — at 17
+    significant digits the mantissa's first digit cannot be changed
+    by the formatter's rounding (the nearest double below a power of
+    ten is 2 ulps of mantissa away from all-nines), and the same
+    printf exists verbatim in DuckDB; digit counts and N are exact
+    integers, the Benford probabilities are shared literal doubles,
+    and each digit's χ² term rounds at ``round_dp`` before a
+    DECIMAL sum.  Zero and NULL values carry no first digit and are
+    excluded (they are not_null/in_range territory).
+    """
+    if value_col not in df.columns:
+        raise errors.Invalid(f"missing value column {value_col!r}")
+    if by is not None and by not in df.columns:
+        raise errors.Invalid(f"missing group column {by!r}")
+    v = F.col(value_col)
+    src = df.filter(v.isNotNull() & (v != 0))
+    digit = F.substring(F.format_string("%.16e", F.abs(v)), 1, 1)
+    keys = [by] if by else []
+    counts = [
+        F.sum(F.when(digit == str(d), 1).otherwise(0))
+        .cast("long").alias(f"__n{d}")
+        for d in range(1, 10)
+    ]
+    agg = src.groupBy(*keys).agg(F.count("*").alias("n"), *counts)
+    terms = []
+    for d in range(1, 10):
+        exp_n = F.col("n").cast("double") * F.lit(BENFORD_P[d - 1])
+        obs = F.col(f"__n{d}").cast("double")
+        terms.append(
+            F.round((obs - exp_n) * (obs - exp_n) / exp_n, round_dp)
+            .cast("decimal(28,6)"))
+    chi2 = (
+        F.round(
+            sum(terms[1:], terms[0]).cast("double"), round_dp)
+        + F.lit(0.0))
+    return agg.select(*keys, "n", chi2.alias("chi2")).select(
+        *keys, "n", "chi2",
+        (F.col("chi2") <= F.lit(BENFORD_CHI2_CRIT)).alias("conforms"))

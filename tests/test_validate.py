@@ -107,3 +107,58 @@ def test_multi_column_unique_and_fk(spark):
            ]).collect()}
     assert out["unique(k1,k2)"] == (3, 1)
     assert out["foreign_key(k1,k2->r1,r2)"] == (3, 1)
+
+
+def test_benford_digits_hand_computed(spark):
+    """Benford χ² against a from-the-formula python oracle; a
+    Benford-distributed sample conforms, a constant-first-digit one
+    does not; zero/NULL rows are excluded; errors on bad columns."""
+    import math
+
+    from loudml_spark.operators.validate import (
+        BENFORD_CHI2_CRIT,
+        BENFORD_P,
+        benford_digits,
+    )
+
+    # 100 values drawn to match Benford expectation closely
+    benford_vals = []
+    for d in range(1, 10):
+        n_d = round(100 * BENFORD_P[d - 1])
+        benford_vals += [d * 10.0 + 0.5 * i for i in range(n_d)]
+    # all values start with digit 7 -> wildly non-Benford
+    skew_vals = [7.0 + 0.001 * i for i in range(100)]
+    rows = ([("good", v) for v in benford_vals]
+            + [("bad", v) for v in skew_vals]
+            + [("good", 0.0), ("good", None)])  # excluded
+    df = spark.createDataFrame(rows, "grp string, v double")
+    got = {r["grp"]: r for r in
+           benford_digits(df, "v", by="grp").collect()}
+
+    def chi2(vals):
+        n = len(vals)
+        counts = [0] * 9
+        for v in vals:
+            counts[int(f"{abs(v):.16e}"[0]) - 1] += 1
+        s = 0.0
+        for d in range(9):
+            e = n * BENFORD_P[d]
+            s += round((counts[d] - e) ** 2 / e, 6)
+        return n, round(s, 6)
+
+    for grp, vals in (("good", benford_vals), ("bad", skew_vals)):
+        n, expect = chi2(vals)
+        assert got[grp]["n"] == n, grp
+        assert got[grp]["chi2"] == pytest.approx(expect, abs=2e-6), grp
+        assert got[grp]["conforms"] == (expect <= BENFORD_CHI2_CRIT)
+    assert got["good"]["conforms"] and not got["bad"]["conforms"]
+
+    # ungrouped form: one global row over all non-null non-zero values
+    glob = benford_digits(df, "v").collect()
+    assert len(glob) == 1
+    assert glob[0]["n"] == len(benford_vals) + len(skew_vals)
+
+    with pytest.raises(errors.Invalid):
+        benford_digits(df, "nope")
+    with pytest.raises(errors.Invalid):
+        benford_digits(df, "v", by="nope")
