@@ -342,6 +342,52 @@ FROM b
 """
 
 
+def q_group_split_docs(spark, sf_dir):
+    """Leakage-safe GROUP-level split (70/15/15 by source): every
+    document from the same source lands on the same side of the
+    train/val/test fence, so eval never shares a source with train —
+    the contamination-by-relatedness guard a row-level split can't
+    give.  The group's identity is the portable rolling hash of its
+    VALUE, so no groupBy is needed — zero shuffles, a map stage at
+    100 TB.  The hash is scrambled (one quadratic round) before
+    bucketing: short near-sequential source names hash to
+    near-consecutive values under the base-31 rolling hash and would
+    otherwise all land in one narrow split band.  See
+    pipeline/sampling.py group_split, pipeline/text.py scramble_col."""
+    from loudml_spark.pipeline.sampling import group_split, split_bucket
+    from loudml_spark.pipeline.text import rolling_hash_col, scramble_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source",
+        scramble_col(rolling_hash_col(F.col("source"))).alias("gh"),
+    )
+    out = group_split(
+        docs, group_key=F.col("gh"),
+        weights={"train": 0.7, "val": 0.15, "test": 0.15},
+    )
+    return out.select(
+        "doc_id", "source",
+        split_bucket(F.col("gh")).alias("src_bucket"),
+        "split",
+    )
+
+
+_SQL_GH_SOURCE = _sql_rh("source")
+
+SQL_GROUP_SPLIT_DOCS = f"""
+WITH r AS (SELECT doc_id, source, {_SQL_GH_SOURCE} AS h
+           FROM documents),
+f AS (SELECT doc_id, source, (h * h % {MOD} + h) % {MOD} AS gh
+      FROM r),
+b AS (SELECT doc_id, source, gh % 10000 AS src_bucket FROM f)
+SELECT doc_id, source, src_bucket,
+       CASE WHEN src_bucket < 7000 THEN 'train'
+            WHEN src_bucket < 8500 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_stratified_sample_docs(spark, sf_dir):
     """Per-stratum deterministic sampling (corpus mixing): keep 100%
     of 'en' docs, 50% of 'fr', 20% of everything else, decided by
@@ -2481,6 +2527,8 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_streaming_detect_1h, "oracle_fn": _sql_streaming_detect},
     "split_docs_80_10_10": {
         "fn": q_split_docs_80_10_10, "oracle": SQL_SPLIT_DOCS_80_10_10},
+    "group_split_docs": {
+        "fn": q_group_split_docs, "oracle": SQL_GROUP_SPLIT_DOCS},
     "quality_gate_docs": {
         "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
     "winnow_fingerprints_docs": {

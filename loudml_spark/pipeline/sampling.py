@@ -326,3 +326,62 @@ def pack_sequences(
         .withColumn("tok_end", piece_end - F.col("__start"))
         .drop("__start", "__end")
     )
+
+
+def group_split(
+    df: DataFrame,
+    *,
+    group_key: Column,
+    weights: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every row sharing
+    ``group_key`` (domain, source, author, near-dup cluster id) lands
+    on the SAME side of the fence, so evaluation never sees a group
+    that also feeds training — the standard guard against
+    contamination-by-relatedness that a row-level split cannot give.
+
+    The group key hashes once per row (``group_key`` is typically a
+    portable string/int64 hash column such as
+    ``pipeline.text.rolling_hash_col(F.col("source"))``); assignment
+    reuses :func:`hash_split`'s cumulative-threshold rule, so the
+    split is a pure function of group CONTENT — stable under re-runs,
+    repartitions, engines, and unrelated row churn.  Zero shuffles:
+    at 100 TB this is still a map stage folded into the scan
+    projection (no groupBy — the hash of the group VALUE is the
+    group's identity; rows never need to meet)."""
+    return hash_split(df, key=group_key, weights=weights,
+                      split_col=split_col)
+
+
+def weighted_keep(
+    df: DataFrame,
+    *,
+    key: Column,
+    weight: Column,
+    scale: float,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Per-row weighted Bernoulli (Poisson) sampling: row i survives
+    with probability ``min(1, weight_i · scale)`` — importance
+    RESAMPLING, the second half of DSIR-style data selection (compute
+    importance weights, then keep rows proportionally to them).
+
+    The coin is the caller's deterministic hash ``key`` against a
+    per-row threshold, so the decision is (a) reproducible across
+    runs/partitionings/engines, (b) independent across rows (no
+    global normalization pass), and (c) pure Column arithmetic —
+    zero shuffles, a 100 TB resample is a map stage.  Adds
+    ``keep_col`` (boolean) rather than filtering, so one frame serves
+    the sample and its audit.  NULL weights never survive (their
+    threshold is NULL → keep = false)."""
+    if scale <= 0:
+        raise errors.Invalid("scale must be positive")
+    # least() SKIPS nulls (least(1.0, NULL) = 1.0), which would turn a
+    # NULL weight into certain survival — gate on non-null explicitly
+    thresh = F.when(
+        weight.isNotNull(),
+        F.least(F.lit(1.0), weight * F.lit(float(scale)))
+        * F.lit(SPLIT_MOD))
+    return df.withColumn(
+        keep_col, F.coalesce(split_bucket(key) < thresh, F.lit(False)))

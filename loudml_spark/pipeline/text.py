@@ -68,6 +68,19 @@ def rolling_hash_col(s: Column, prefix: int = FP_PREFIX) -> Column:
     )
 
 
+def scramble_col(h: Column) -> Column:
+    """One quadratic round ``(h² mod p + h) mod p`` over an int64 hash
+    in [0, p): breaks the LINEARITY of the base-31 rolling hash.
+    Short near-sequential keys ("src0".."src19") hash to
+    near-consecutive values, so any affine post-map keeps them inside
+    a narrow band mod a split modulus (measured: 20 sources all
+    landed in buckets [7795, 8645] of 10000); squaring turns the
+    constant inter-key delta into ~2h ≈ 10⁹-scale steps that
+    equidistribute.  Pure int64 arithmetic (h² < 2⁶³ since h < p ≈
+    2³⁰) — portable to any engine, no bit ops."""
+    return (h * h % F.lit(HASH_MOD) + h) % F.lit(HASH_MOD)
+
+
 def word_occurrences_col(text: Column, word: str) -> Column:
     return F.size(F.filter(words_col(text), lambda w: w == F.lit(word)))
 

@@ -1609,3 +1609,52 @@ def test_textrank_hand_computed(spark):
     with pytest.raises(errors.Invalid):
         # min_pair_count far above any count -> empty graph
         textrank_keywords(df, min_pair_count=99)
+
+
+def test_group_split_leakage_safety(spark):
+    from loudml_spark.pipeline.sampling import group_split
+    from loudml_spark.pipeline.text import rolling_hash_col, scramble_col
+
+    # 200 groups x 5 rows: every row of a group must share its split
+    rows = [(g * 5 + i, f"dom{g}") for g in range(200) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string")
+    out = group_split(
+        df, group_key=scramble_col(rolling_hash_col(F.col("grp"))),
+        weights={"train": 0.7, "val": 0.15, "test": 0.15})
+    per_grp = out.groupBy("grp").agg(
+        F.countDistinct("split").alias("n_splits")).collect()
+    assert len(per_grp) == 200
+    assert all(r["n_splits"] == 1 for r in per_grp)
+    # hand-check one group end-to-end: dom0's scrambled hash + bucket
+    h = 0
+    for c in "dom0":
+        h = (h * 31 + ord(c)) % 1_000_000_007
+    h = (h * h % 1_000_000_007 + h) % 1_000_000_007
+    expect = ("train" if h % 10000 < 7000
+              else "val" if h % 10000 < 8500 else "test")
+    got = {r["split"] for r in out.filter("grp = 'dom0'").collect()}
+    assert got == {expect}
+    # all three splits are populated across 200 groups
+    assert out.select("split").distinct().count() == 3
+
+
+def test_weighted_keep_threshold_and_nulls(spark):
+    from loudml_spark.pipeline.sampling import weighted_keep
+    from loudml_spark import errors
+
+    rows = [(i, None if w is None else float(w)) for i, w in
+            enumerate([0.0, 10_000.0, 50.0, None, 200.0])]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    out = {r["doc_id"]: r["keep"] for r in weighted_keep(
+        df, key=F.col("doc_id") * 2654435761, weight=F.col("w"),
+        scale=0.001).collect()}
+    assert out[0] is False          # weight 0 never survives
+    assert out[1] is True           # min(1, 10) = 1 -> always kept
+    assert out[3] is False          # NULL weight -> threshold NULL
+    # doc 2: prob 0.05 -> bucket < 500; doc 4: prob 0.2 -> bucket < 2000
+    for doc, prob in ((2, 0.05), (4, 0.2)):
+        bucket = (doc * 2654435761) % 10000
+        assert out[doc] == (bucket < prob * 10000)
+    with pytest.raises(errors.Invalid):
+        weighted_keep(df, key=F.col("doc_id"), weight=F.col("w"),
+                      scale=0.0)
