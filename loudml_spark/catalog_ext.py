@@ -850,6 +850,101 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+ZIPF_TOP_K = 1000
+
+
+def q_zipf_fit_vocab(spark, sf_dir):
+    """Zipf's-law fit over the documents vocabulary (top-1000 tokens):
+    OLS of ln(tf) on ln(rank) — slope ≈ −1 for healthy natural text;
+    collapsed/steepened slopes flag boilerplate floods or vocabulary
+    collapse.  The rank window runs on the vocab-bounded top-k frame
+    only.  ln() values quantize at 6 dp into DECIMAL before the
+    moment sums, so the fit hashes identically across engines.  See
+    pipeline/corpus.py zipf_fit."""
+    from loudml_spark.pipeline.corpus import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_k=ZIPF_TOP_K)
+
+
+SQL_ZIPF_FIT_VOCAB = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+  ORDER BY tf DESC, token ASC LIMIT {ZIPF_TOP_K}
+),
+ranked AS (
+  SELECT tf,
+         row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
+  FROM vocab
+),
+xy AS (
+  SELECT CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(tf), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+  FROM xy
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(syy AS DOUBLE) AS syy
+  FROM m
+)
+SELECT n,
+  ROUND((nd*sxy - sx*sy) / NULLIF(nd*sxx - sx*sx, 0), 6) + 0.0
+    AS slope,
+  ROUND((sy - ((nd*sxy - sx*sy) / NULLIF(nd*sxx - sx*sx, 0)) * sx)
+        / NULLIF(nd, 0), 6) + 0.0 AS intercept,
+  ROUND((nd*sxy - sx*sy) * (nd*sxy - sx*sy)
+        / NULLIF((nd*sxx - sx*sx) * (nd*syy - sy*sy), 0), 6) + 0.0
+    AS r2
+FROM d
+"""
+
+
+BPE_TOP_K = 50
+
+
+def q_bpe_pairs_docs(spark, sf_dir):
+    """BPE-trainer pair statistics over `documents`: adjacent
+    character-pair frequencies, weighted by word frequency — the top
+    row is the next BPE merge.  Occurrences reduce to the vocab-sized
+    word-frequency table BEFORE the pair explode, so the pair stage
+    scales with |vocab|, not corpus tokens; top-k lowers to
+    TakeOrderedAndProject.  See pipeline/corpus.py bpe_pair_counts."""
+    from loudml_spark.pipeline.corpus import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, top_k=BPE_TOP_K)
+
+
+SQL_BPE_PAIRS_DOCS = f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+wf AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY 1),
+pr AS (
+  SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, c
+  FROM wf, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(c) AS BIGINT) AS n
+FROM pr GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
 def q_inverted_index_docs(spark, sf_dir):
     """Posting lists over `documents` (min_df=2): token → sorted
     doc-id array + document frequency.  Two map-side-combined
@@ -1134,6 +1229,56 @@ SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
        CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) + 0.0
          AS log_weight
 FROM per_term GROUP BY doc_id
+"""
+
+
+DSIR_KEY_A = 1299721
+DSIR_KEY_B = 15485863
+DSIR_TEMP = 200.0
+
+
+def q_dsir_resample_docs(spark, sf_dir):
+    """The second half of DSIR (Xie et al. 2023): importance
+    RESAMPLING — keep each document with probability
+    min(1, exp(T · log_weight / n_tokens)), i.e. ∝ a TEMPERED
+    per-token target-likeness ratio.  The per-token mean keeps exp()
+    bounded (the raw sum saturates to keep-all/drop-all for long
+    documents); the temperature T={DSIR_TEMP} sharpens the near-1
+    ratios a homogeneous corpus produces into a usable keep gradient
+    (importance tempering, standard practice when weights are
+    low-variance).  The coin is the portable affine hash of doc_id
+    against the probability threshold, so the selection is
+    reproducible across runs/partitionings/engines, and the whole
+    resample stays a map stage after the weight computation.  exp()
+    quantizes at 6 dp before the threshold compare (the repo's
+    transcendental-parity rule).  See pipeline/sampling.py
+    weighted_keep."""
+    from loudml_spark.pipeline.corpus import importance_weights
+    from loudml_spark.pipeline.sampling import weighted_keep
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = importance_weights(
+        docs, F.col("lang") == DSIR_TARGET_LANG, add_k=LM_ADD_K)
+    key = (F.col("doc_id") * F.lit(DSIR_KEY_A) + F.lit(DSIR_KEY_B)) \
+        % F.lit(1_000_000_007)
+    prob = F.round(
+        F.exp(F.lit(DSIR_TEMP) * F.col("log_weight")
+              / F.col("n_tokens")), 6)
+    return weighted_keep(w, key=key, weight=prob, scale=1.0)
+
+
+def _sql_dsir_resample_docs(sf_dir=None) -> str:
+    return f"""
+WITH dw AS ({_sql_dsir_weights_docs(sf_dir)})
+SELECT doc_id, n_tokens, log_weight,
+       COALESCE(
+         (doc_id * {DSIR_KEY_A} + {DSIR_KEY_B}) % 1000000007 % 10000
+           < LEAST(1.0,
+                   ROUND(exp({DSIR_TEMP!r} * log_weight / n_tokens),
+                         6) * 1.0)
+             * 10000,
+         FALSE) AS keep
+FROM dw
 """
 
 
@@ -3523,6 +3668,9 @@ EXT_QUERIES: dict[str, dict] = {
     "dsir_weights_docs": {
         "fn": q_dsir_weights_docs,
         "oracle_fn": _sql_dsir_weights_docs},
+    "dsir_resample_docs": {
+        "fn": q_dsir_resample_docs,
+        "oracle_fn": _sql_dsir_resample_docs},
     "textrank_keywords_docs": {
         "fn": q_textrank_keywords_docs,
         "oracle_fn": _sql_textrank_keywords_docs},
@@ -3534,6 +3682,10 @@ EXT_QUERIES: dict[str, dict] = {
         # the BATCH sketch oracle verbatim: the streaming execution
         # must reproduce it bit-for-bit (CMS = mergeable integers)
         "oracle_fn": lambda sf_dir=None: _sql_cms_heavy_hitters()},
+    "bpe_pairs_docs": {
+        "fn": q_bpe_pairs_docs, "oracle": SQL_BPE_PAIRS_DOCS},
+    "zipf_fit_vocab": {
+        "fn": q_zipf_fit_vocab, "oracle": SQL_ZIPF_FIT_VOCAB},
     "vocab_top100": {
         "fn": q_vocab_top100,
         "oracle": SQL_VOCAB_TOP100,

@@ -119,6 +119,108 @@ def vocabulary(
     return vocab.limit(top_k) if top_k is not None else vocab
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the core
+    statistic of a BPE tokenizer trainer: each merge step takes the
+    argmax pair, so the top row IS the next merge and the ranked
+    table is the trainer's priority queue for this iteration.
+
+    Two-level aggregation, the trick every real BPE trainer uses:
+    occurrences reduce to a WORD-FREQUENCY table first (vocab-sized,
+    map-side combined), and only distinct words explode into their
+    character pairs (weight = word count) — pair fan-out scales with
+    |vocab|·avg_len, not corpus tokens, so a 100 TB corpus pays one
+    token-shuffle and the pair stage is sublinear.  Pure Column math:
+    substring over a sequence index, no Python.  Output: ``pair``
+    (2-char string), ``n`` (total weighted occurrences),
+    deterministically ordered by (n desc, pair asc); single-char
+    words contribute nothing."""
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    wf = t.groupBy("token").agg(F.count("*").alias("c"))
+    w = F.col("token")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.length(w) - 1),
+        lambda i: F.substring(w, i, F.lit(2)),
+    )
+    out = (
+        wf.filter(F.length(w) >= 2)
+        .select(F.explode(pairs).alias("pair"), "c")
+        .groupBy("pair").agg(F.sum("c").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+    )
+    return out.limit(top_k) if top_k is not None else out
+
+
+def zipf_fit(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(tf) on
+    ln(rank) for the ``top_k`` most frequent tokens.  A healthy
+    natural-language corpus fits slope ≈ −1; a collapsed slope flags
+    boilerplate/template floods, a steepened one vocabulary collapse
+    (e.g. deduplication gone wrong) — a one-row corpus-health gauge.
+
+    Returns one row: ``n`` (tokens fitted), ``slope``, ``intercept``,
+    ``r2``.  The rank window is a single-partition sort but runs on
+    the vocab-bounded top-k frame (TakeOrderedAndProject feeds it),
+    never the corpus.  Float parity discipline: ln() values quantize
+    at 6 dp into DECIMAL(18,6) BEFORE the moment sums (exact decimal
+    arithmetic), so the fit is bit-identical across engines and
+    partitionings; final stats round at 6 dp (+0.0 collapses −0.0).
+    Degenerate fits (n < 2 or zero x-variance) yield NULL slope via
+    try_divide semantics instead of an ANSI divide-by-zero."""
+    from pyspark.sql import Window
+
+    from loudml_spark import errors
+
+    if top_k < 1:
+        raise errors.Invalid("top_k must be positive")
+    vocab = vocabulary(df, text_col=text_col, id_col=id_col,
+                       top_k=top_k)
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("tf"), F.asc("token")))
+    q = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    xy = vocab.select(
+        q(F.log(rank.cast("double"))).alias("x"),
+        q(F.log(F.col("tf").cast("double"))).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    # exact decimal sums cast to double once, then IEEE arithmetic —
+    # deterministic and portable (only ln() above is transcendental)
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double")
+    syy = F.col("syy").cast("double")
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    cov = n * sxy - sx * sy
+    slope = F.try_divide(cov, vx)
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return m.select(
+        F.col("n"),
+        r6(slope).alias("slope"),
+        r6(F.try_divide(sy - slope * sx, n)).alias("intercept"),
+        r6(F.try_divide(cov * cov, vx * vy)).alias("r2"),
+    )
+
+
 def inverted_index(
     df: DataFrame,
     *,

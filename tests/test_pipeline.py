@@ -1658,3 +1658,51 @@ def test_weighted_keep_threshold_and_nulls(spark):
     with pytest.raises(errors.Invalid):
         weighted_keep(df, key=F.col("doc_id"), weight=F.col("w"),
                       scale=0.0)
+
+
+def test_bpe_pair_counts_hand_example(spark):
+    from loudml_spark.pipeline.corpus import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "low low lower a"), (2, "Lowest LOW!")],
+        "doc_id long, text string")
+    # word freqs: low x3, lower x1, lowest x1, a x1 (single char -> none)
+    out = {r["pair"]: r["n"] for r in bpe_pair_counts(df).collect()}
+    assert out["lo"] == 5 and out["ow"] == 5   # in every low* word
+    assert out["we"] == 2                       # lower + lowest
+    assert out["er"] == 1 and out["st"] == 1 and out["es"] == 1
+    assert "a" not in out and len(out) == 6
+    # top-1 is the next BPE merge: a deterministic tie-break on pair
+    top = bpe_pair_counts(df, top_k=1).collect()
+    assert (top[0]["pair"], top[0]["n"]) == ("lo", 5)
+    # plan: top-k lowers to TakeOrderedAndProject, no global sort
+    plan = bpe_pair_counts(df, top_k=5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    import numpy as np
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import zipf_fit
+
+    df = spark.createDataFrame(
+        [(1, "a a a a a a a a b b b b c c d")], "doc_id long, text string")
+    row = zipf_fit(df).collect()[0]
+    tf = np.array([8.0, 4.0, 2.0, 1.0])
+    x = np.round(np.log(np.arange(1, 5)), 6)
+    y = np.round(np.log(tf), 6)
+    slope, intercept = np.linalg.lstsq(
+        np.vstack([x, np.ones(4)]).T, y, rcond=None)[0]
+    r2 = np.corrcoef(x, y)[0, 1] ** 2
+    assert row["n"] == 4
+    assert row["slope"] == round(float(slope), 6)
+    assert row["intercept"] == round(float(intercept), 6)
+    assert row["r2"] == round(float(r2), 6)
+    # degenerate: single token -> zero x-variance -> NULL fit, not ANSI error
+    one = spark.createDataFrame([(1, "solo solo")], "doc_id long, text string")
+    row = zipf_fit(one).collect()[0]
+    assert row["n"] == 1 and row["slope"] is None and row["r2"] is None
+    with pytest.raises(errors.Invalid):
+        zipf_fit(df, top_k=0)
