@@ -3231,6 +3231,71 @@ FROM lastrow l CROSS JOIN h
 """
 
 
+HW_PERIOD = 7
+HW_HORIZON = 7
+HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2
+
+
+def q_hw_forecast_daily(spark, sf_dir):
+    """Additive Holt–Winters (level + trend + weekly seasonal)
+    7-day forecast of the daily mean per event_type — the seasonal
+    classical forecaster completing the ladder naive → drift → Brown
+    → Holt-Winters → learned models (operators/tsmath.py
+    holt_winters_forecast).  The recurrence is keyed applyInPandas
+    (genuinely sequential state); the oracle REPLAYS the identical
+    shared numpy recurrence on the DuckDB-computed (bit-identical,
+    DECIMAL-exact) daily series and inlines the forecasts as
+    literals, proving the distributed execution reproduces the
+    sequential semantics."""
+    from loudml_spark.operators.tsmath import holt_winters_forecast
+
+    return holt_winters_forecast(
+        _daily_mean_by_type(spark, sf_dir), interval=86400,
+        period=HW_PERIOD, horizon=HW_HORIZON, alpha=HW_ALPHA,
+        beta=HW_BETA, gamma=HW_GAMMA, by=["event_type"])
+
+
+def _sql_hw_forecast_daily(sf_dir=None) -> str:
+    import os
+
+    import duckdb
+
+    from loudml_spark.operators.tsmath import hw_fit_forecast
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+
+    sf = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf, 'events.parquet')}')")
+    rows = con.execute(f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE}
+SELECT event_type, bucket_ts, value FROM daily
+ORDER BY event_type, bucket_ts
+""").fetchall()
+    con.close()
+    series: dict = {}
+    for et, ts, v in rows:
+        series.setdefault(et, []).append((int(ts), float(v)))
+    vals = []
+    for et in sorted(series):
+        pts = series[et]
+        if len(pts) < 2 * HW_PERIOD:
+            continue
+        yh = hw_fit_forecast(
+            [v for _, v in pts], period=HW_PERIOD,
+            horizon=HW_HORIZON, alpha=HW_ALPHA, beta=HW_BETA,
+            gamma=HW_GAMMA)
+        last_ts = pts[-1][0]
+        for h, f in enumerate(yh, 1):
+            vals.append(
+                f"('{et}', {h}, {last_ts + h * 86400}, "
+                f"CAST({f!r} AS DOUBLE))")
+    return ("SELECT * FROM (VALUES "
+            + ", ".join(vals)
+            + ") AS t(event_type, h, forecast_ts, yhat)")
+
+
 def q_ts_strength_by_type(spark, sf_dir):
     """Hyndman trend/seasonal strength (FPP3 §4.3) of each
     event_type's hourly series, from the keyed additive
@@ -3476,6 +3541,9 @@ EXT_QUERIES: dict[str, dict] = {
     "brown_forecast_daily": {
         "fn": q_brown_forecast_daily,
         "oracle_fn": _sql_brown_forecast_daily},
+    "hw_forecast_daily": {
+        "fn": q_hw_forecast_daily,
+        "oracle_fn": _sql_hw_forecast_daily},
     "acf_hourly_clicks": {
         "fn": q_acf_hourly_clicks,
         "oracle": SQL_ACF_HOURLY_CLICKS},

@@ -5,6 +5,7 @@ from loudml_spark.operators.tsmath import (  # noqa: F401
     changepoint_mean,
     cross_correlation,
     forecast_backtest,
+    holt_winters_forecast,
     naive_forecast,
     theil_sen,
     winsorize,

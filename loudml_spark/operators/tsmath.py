@@ -866,6 +866,139 @@ def brown_forecast(
         .alias("yhat"))
 
 
+def hw_fit_forecast(
+    values,
+    *,
+    period: int,
+    horizon: int,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    round_dp: int = 6,
+):
+    """Pure-numpy additive Holt–Winters recurrence, SHARED by the
+    distributed operator and its replay oracle so both execute the
+    identical float sequence (only +−·/ — IEEE-deterministic, no
+    transcendentals, so Spark executors and the oracle replay agree
+    bit-for-bit on identical input series).
+
+    Classical initialization (Hyndman FPP3 §8.3): level = mean of the
+    first cycle, trend = cycle-over-cycle mean difference / period,
+    seasonals = first-cycle deviations; then for t ∈ [period, n):
+
+        l_t = α(y_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(y_t − l_t) + (1−γ)s_{t−m}
+
+    Forecast: ŷ(T+h) = l_T + h·b_T + s_{phase(T+h)} with the most
+    recent seasonal for that phase.  Returns a list of ``horizon``
+    floats rounded at ``round_dp`` (+0.0 collapses −0.0)."""
+    import numpy as np
+
+    y = np.asarray(values, dtype=np.float64)
+    n = int(y.size)
+    m = int(period)
+    if n < 2 * m:
+        raise errors.Invalid(
+            f"holt-winters needs >= 2*period points, got {n} < {2 * m}")
+    if np.isnan(y).any():
+        raise errors.Invalid(
+            "holt-winters input has NaN buckets - fill gaps upstream")
+    level = float(y[:m].mean())
+    trend = (float(y[m:2 * m].mean()) - level) / m
+    season = [float(v) - level for v in y[:m]]
+    for t in range(m, n):
+        si = season[t % m]
+        new_level = (alpha * (float(y[t]) - si)
+                     + (1.0 - alpha) * (level + trend))
+        trend = beta * (new_level - level) + (1.0 - beta) * trend
+        season[t % m] = (gamma * (float(y[t]) - new_level)
+                         + (1.0 - gamma) * si)
+        level = new_level
+    return [
+        round(level + h * trend + season[(n - 1 + h) % m], round_dp)
+        + 0.0
+        for h in range(1, horizon + 1)
+    ]
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    interval: int,
+    period: int,
+    horizon: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    ts_col: str = "bucket_ts",
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Additive Holt–Winters (triple exponential smoothing) forecast
+    per key — the seasonal step up from :func:`brown_forecast`
+    (level+trend) and the classical companion to the learned models:
+    level, trend, AND a ``period``-cycle seasonal state, fitted by
+    the standard recurrence and extrapolated ``horizon`` buckets.
+
+    The recurrence is genuinely sequential (each state feeds the
+    next; no window/prefix closed form exists once the seasonal
+    array interacts with level), so this is the keyed-applyInPandas
+    discipline used by ``ml/detect.py``: one shuffle on ``by``,
+    thousands of independent series in parallel, each series'
+    bucket list bounded by time-range/interval — not data volume.
+    Keys with fewer than ``2·period`` buckets emit NO rows (a short
+    key must not kill a 100 TB job); count them upstream if that is
+    a data-quality signal.  Null/NaN buckets raise — fill gaps
+    first (the fill/interpolate operators exist for exactly that).
+
+    Output: (by..., h, forecast_ts, yhat), bit-reproducible across
+    partitionings and engines (see :func:`hw_fit_forecast`)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if interval <= 0:
+        raise errors.Invalid(f"interval must be > 0, got {interval}")
+    if horizon < 1:
+        raise errors.Invalid(f"horizon must be >= 1, got {horizon}")
+    if period < 2:
+        raise errors.Invalid(f"period must be >= 2, got {period}")
+    for name, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not (0.0 < v < 1.0):
+            raise errors.Invalid(f"{name} must be in (0, 1), got {v}")
+    base = df if by else df.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    by_fields = [f for f in base.schema.fields if f.name in gb]
+    schema = T.StructType(
+        by_fields
+        + [T.StructField("h", T.IntegerType()),
+           T.StructField("forecast_ts", T.LongType()),
+           T.StructField("yhat", T.DoubleType())]
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col)
+        y = pdf[value_col].to_numpy(dtype="float64")
+        if y.size < 2 * period:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        yh = hw_fit_forecast(
+            y, period=period, horizon=horizon, alpha=alpha,
+            beta=beta, gamma=gamma, round_dp=round_dp)
+        last_ts = int(pdf[ts_col].iloc[-1])
+        out = {k: [pdf[k].iloc[0]] * horizon for k in gb}
+        out["h"] = list(range(1, horizon + 1))
+        out["forecast_ts"] = [last_ts + h * interval
+                              for h in out["h"]]
+        out["yhat"] = yh
+        return pd.DataFrame(out)
+
+    res = base.groupBy(*gb).applyInPandas(fit, schema=schema)
+    return res.drop("__k") if not by else res
+
+
 def mann_kendall(
     df: DataFrame,
     *,

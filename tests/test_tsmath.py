@@ -770,3 +770,66 @@ def test_ljung_box_white_vs_autocorrelated(spark):
     from loudml_spark import errors as lerr
     with pytest.raises(lerr.Invalid):
         ljung_box(df, by=["k"], interval=10, max_lag=0)
+
+
+def test_holt_winters_perfect_seasonal_and_trend(spark):
+    from loudml_spark.operators.tsmath import (
+        holt_winters_forecast,
+        hw_fit_forecast,
+    )
+
+    # perfectly periodic series: the recurrence is a fixed point, so
+    # the forecast reproduces the cycle exactly at any h
+    rows = [(t * 10, 10.0 if t % 2 == 0 else 20.0, "a")
+            for t in range(8)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double, k string")
+    out = holt_winters_forecast(
+        df, interval=10, period=2, horizon=4, by=["k"])
+    got = {r["h"]: (r["forecast_ts"], r["yhat"])
+           for r in out.collect()}
+    assert got == {1: (80, 10.0), 2: (90, 20.0),
+                   3: (100, 10.0), 4: (110, 20.0)}
+    # linear series: forecast continues the trend (approximately -
+    # HW needs burn-in; assert monotone continuation above the last y)
+    lin = hw_fit_forecast([float(i) for i in range(1, 13)],
+                          period=2, horizon=3,
+                          alpha=0.5, beta=0.3, gamma=0.1)
+    assert lin[0] > 11.0 and lin[0] < lin[1] < lin[2]
+    # unkeyed variant + determinism under repartition
+    df2 = df.drop("k")
+    a = sorted(holt_winters_forecast(
+        df2, interval=10, period=2, horizon=2).collect())
+    b = sorted(holt_winters_forecast(
+        df2.repartition(7), interval=10, period=2, horizon=2).collect())
+    assert a == b and len(a) == 2
+
+
+def test_holt_winters_guards(spark):
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import (
+        holt_winters_forecast,
+        hw_fit_forecast,
+    )
+
+    # short keys emit no rows instead of failing the job
+    rows = [(t, float(t), "long8") for t in range(8)] + \
+           [(t, float(t), "short3") for t in range(3)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double, k string")
+    out = holt_winters_forecast(
+        df, interval=1, period=2, horizon=1, by=["k"])
+    ks = {r["k"] for r in out.collect()}
+    assert ks == {"long8"}
+    with _pt.raises(errors.Invalid):
+        hw_fit_forecast([1.0, 2.0, 3.0], period=2, horizon=1,
+                        alpha=0.3, beta=0.1, gamma=0.2)
+    with _pt.raises(errors.Invalid):
+        hw_fit_forecast([1.0, float("nan"), 3.0, 4.0], period=2,
+                        horizon=1, alpha=0.3, beta=0.1, gamma=0.2)
+    with _pt.raises(errors.Invalid):
+        holt_winters_forecast(df, interval=1, period=2, horizon=1,
+                              alpha=1.5, by=["k"])
+    with _pt.raises(errors.Invalid):
+        holt_winters_forecast(df, interval=1, period=1, horizon=1,
+                              by=["k"])
