@@ -3231,6 +3231,61 @@ FROM lastrow l CROSS JOIN h
 """
 
 
+def q_conformal_naive_daily(spark, sf_dir):
+    """Split-conformal prediction intervals for the naive daily
+    forecaster per event_type (operators/tsmath.py conformal_naive):
+    the band half-width at horizon h is the ⌈(n+1)(1−α)⌉-th smallest
+    historical h-step absolute error — an order statistic, so the
+    ≥ 90% coverage guarantee is distribution-free and finite-sample
+    (the modern counterpart to the reference's Gaussian ±3σ bands).
+    The rank computes in exact integer arithmetic; the scores are
+    plain differences of the DECIMAL-exact series — no rounding
+    schedule needed."""
+    from loudml_spark.operators.tsmath import conformal_naive
+
+    return conformal_naive(
+        _daily_mean_by_type(spark, sf_dir), interval=86400,
+        horizon=7, alpha_num=1, alpha_den=10, by=["event_type"])
+
+
+SQL_CONFORMAL_NAIVE_DAILY = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+h AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS h),
+res AS (
+  SELECT a.event_type, h.h, ABS(b.value - a.value) AS r
+  FROM daily a CROSS JOIN h
+  JOIN daily b ON b.event_type = a.event_type
+              AND b.bucket_ts = a.bucket_ts + h.h * 86400
+),
+ranked AS (
+  SELECT event_type, h, r,
+         row_number() OVER (PARTITION BY event_type, h ORDER BY r)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, h) AS n
+  FROM res
+),
+qv AS (
+  SELECT event_type, h,
+         MAX(CASE WHEN rn = ((n + 1) * 9 + 9) // 10 THEN r END) AS q,
+         MAX(n) AS n_cal
+  FROM ranked GROUP BY 1, 2
+),
+lastrow AS (
+  SELECT event_type, bucket_ts AS xt, value AS yt FROM daily
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY bucket_ts DESC) = 1
+)
+SELECT qv.event_type AS event_type, qv.h AS h,
+       l.xt + qv.h * 86400 AS forecast_ts,
+       ROUND(l.yt, 6) + 0.0 AS yhat,
+       ROUND(qv.q, 6) + 0.0 AS q,
+       ROUND(l.yt - qv.q, 6) + 0.0 AS lower,
+       ROUND(l.yt + qv.q, 6) + 0.0 AS upper,
+       CAST(qv.n_cal AS BIGINT) AS n_cal
+FROM qv JOIN lastrow l USING (event_type)
+"""
+
+
 HW_PERIOD = 7
 HW_HORIZON = 7
 HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2
@@ -3544,6 +3599,9 @@ EXT_QUERIES: dict[str, dict] = {
     "hw_forecast_daily": {
         "fn": q_hw_forecast_daily,
         "oracle_fn": _sql_hw_forecast_daily},
+    "conformal_naive_daily": {
+        "fn": q_conformal_naive_daily,
+        "oracle": SQL_CONFORMAL_NAIVE_DAILY},
     "acf_hourly_clicks": {
         "fn": q_acf_hourly_clicks,
         "oracle": SQL_ACF_HOURLY_CLICKS},

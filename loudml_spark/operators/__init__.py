@@ -3,6 +3,7 @@ from loudml_spark.operators.align import align_features  # noqa: F401
 from loudml_spark.operators.tsmath import (  # noqa: F401
     brown_forecast,
     changepoint_mean,
+    conformal_naive,
     cross_correlation,
     forecast_backtest,
     holt_winters_forecast,

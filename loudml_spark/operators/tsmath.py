@@ -866,6 +866,99 @@ def brown_forecast(
         .alias("yhat"))
 
 
+def conformal_naive(
+    df: DataFrame,
+    *,
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    interval: int,
+    horizon: int,
+    alpha_num: int = 1,
+    alpha_den: int = 10,
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction intervals for the naive forecaster
+    — DISTRIBUTION-FREE bands with a finite-sample coverage
+    guarantee (Vovk et al.; the modern replacement for the Gaussian
+    ±3σ convention the reference's bands assume): for each horizon
+    h, the calibration scores are the historical h-step-ahead
+    absolute errors |y_t − y_{t−h}|, and the band half-width is
+    their ⌈(n_h+1)·(1−α)⌉-th smallest value — an ORDER STATISTIC,
+    not an interpolated quantile, which is what makes the ≥ 1−α
+    coverage exact for exchangeable errors.
+
+    α is the rational ``alpha_num/alpha_den`` so the rank k computes
+    in exact integer arithmetic (``⌈(n+1)(1−α)⌉`` via integer DIV —
+    a float ⌈(n+1)·0.9⌉ can land on the wrong side of an exact
+    integer in ways that differ from exact math); k > n_h (too few
+    calibration points for the requested coverage) yields a NULL
+    band rather than silently under-covering.
+
+    Shape: the h-step residuals come from ONE equi-join of the
+    series against itself shifted by h·interval (h exploded from a
+    literal array — fan-out H per row, no window over h); per-(key,
+    h) rank selection is a window over the bounded residual set; the
+    last-value forecast joins back per key.  All arithmetic is
+    differences and order statistics of the input doubles —
+    bit-portable with no quantization schedule.  Output: (by..., h,
+    forecast_ts, yhat, q, lower, upper, n_cal)."""
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if interval <= 0:
+        raise errors.Invalid(f"interval must be > 0, got {interval}")
+    if horizon < 1:
+        raise errors.Invalid(f"horizon must be >= 1, got {horizon}")
+    if not (0 < alpha_num < alpha_den):
+        raise errors.Invalid(
+            f"alpha must be in (0,1), got {alpha_num}/{alpha_den}")
+    base = df.select(
+        *by, F.col(ts_col).alias("__x"), F.col(value_col).alias("__y"))
+    if not by:
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    hs = F.explode(F.array(
+        *[F.lit(h) for h in range(1, horizon + 1)])).alias("h")
+    lagged = base.select(*gb, "__x", "__y", hs).withColumn(
+        "__xj", F.col("__x") + F.col("h").cast("long") * interval)
+    cur = base.select(
+        *gb, F.col("__x").alias("__xj"), F.col("__y").alias("__yc"))
+    res = lagged.join(cur, on=[*gb, "__xj"]).select(
+        *gb, "h", F.abs(F.col("__yc") - F.col("__y")).alias("__r"))
+    w = Window.partitionBy(*gb, "h").orderBy("__r")
+    ranked = res.withColumn("__rn", F.row_number().over(w)) \
+        .withColumn("__n", F.count("*").over(
+            Window.partitionBy(*gb, "h")))
+    # k = ceil((n+1)(1-alpha)) in exact integers:
+    #     ((n+1)(den-num) + den - 1) DIV den
+    k = ((F.col("__n") + 1) * (alpha_den - alpha_num)
+         + (alpha_den - 1)).cast("long")
+    kq = F.floor(k / F.lit(alpha_den)).cast("long")
+    qs = ranked.withColumn("__kq", kq).groupBy(*gb, "h").agg(
+        F.max(F.when(F.col("__rn") == F.col("__kq"), F.col("__r")))
+        .alias("q"),
+        F.max("__n").alias("n_cal"),
+    )
+    wlast = (Window.partitionBy(*gb).orderBy(F.desc("__x")))
+    last = base.withColumn("__rn", F.row_number().over(wlast)) \
+        .filter(F.col("__rn") == 1) \
+        .select(*gb, F.col("__x").alias("__xT"),
+                F.col("__y").alias("__yT"))
+    out = qs.join(last, on=gb)
+    r6 = lambda c: F.round(c, round_dp) + F.lit(0.0)  # noqa: E731
+    out = out.select(
+        *gb, "h",
+        (F.col("__xT") + F.col("h").cast("long") * interval)
+        .alias("forecast_ts"),
+        r6(F.col("__yT")).alias("yhat"),
+        r6(F.col("q")).alias("q"),
+        r6(F.col("__yT") - F.col("q")).alias("lower"),
+        r6(F.col("__yT") + F.col("q")).alias("upper"),
+        "n_cal",
+    )
+    return out.drop("__k") if not by else out
+
+
 def hw_fit_forecast(
     values,
     *,

@@ -833,3 +833,46 @@ def test_holt_winters_guards(spark):
     with _pt.raises(errors.Invalid):
         holt_winters_forecast(df, interval=1, period=1, horizon=1,
                               by=["k"])
+
+
+def test_conformal_naive_order_statistic_bands(spark):
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import conformal_naive
+
+    # linear series: h-step |errors| are all exactly h, so q_h = h and
+    # the band is yhat +/- h at every horizon
+    rows = [(t, float(t), "a") for t in range(30)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double, k string")
+    out = {r["h"]: r for r in conformal_naive(
+        df, interval=1, horizon=3, by=["k"]).collect()}
+    for h in (1, 2, 3):
+        r = out[h]
+        assert (r["yhat"], r["q"]) == (29.0, float(h))
+        assert (r["lower"], r["upper"]) == (29.0 - h, 29.0 + h)
+        assert r["n_cal"] == 30 - h and r["forecast_ts"] == 29 + h
+    # rank k = ceil((n+1)*0.9) is an ORDER STATISTIC: with n=29 ->
+    # k=27; craft residuals {1..29} shuffled in time -> q = 27
+    import random
+    rng = random.Random(7)
+    vals, acc = [0.0], 0.0
+    steps = [float(s) for s in range(1, 30)]
+    rng.shuffle(steps)
+    for s in steps:
+        acc += s * rng.choice([1.0, -1.0])
+        vals.append(acc)
+    df2 = spark.createDataFrame(
+        [(t, v) for t, v in enumerate(vals)], "bucket_ts long, value double")
+    r1 = {r["h"]: r for r in conformal_naive(
+        df2, interval=1, horizon=1).collect()}[1]
+    assert r1["q"] == 27.0 and r1["n_cal"] == 29
+    # too few calibration points for 90% coverage -> NULL band
+    short = spark.createDataFrame(
+        [(t, float(t)) for t in range(4)], "bucket_ts long, value double")
+    r = conformal_naive(short, interval=1, horizon=1).collect()[0]
+    assert r["q"] is None and r["lower"] is None and r["upper"] is None
+    assert r["n_cal"] == 3   # k = ceil(4*0.9) = 4 > 3
+    with _pt.raises(errors.Invalid):
+        conformal_naive(df, interval=1, horizon=1, alpha_num=10,
+                        alpha_den=10, by=["k"])
