@@ -487,6 +487,76 @@ FROM b
 """
 
 
+ISO_BIN_DP = 2
+
+
+def q_isotonic_calibration_docs(spark, sf_dir):
+    """Isotonic (PAV) calibration of the heuristic quality score
+    against the lang='en' label: the monotone fitted curve is the
+    calibrated P(en | quality) — the standard step before a raw
+    score gates a pipeline (operators/calibrate.py).  Binned
+    aggregation first (map-side combined; the PAV pass sees #bins
+    rows, never the corpus); all pooling in exact integer
+    arithmetic.  Oracle: DuckDB computes the identical bins, the
+    SAME pav_fit replays, literals inline."""
+    from loudml_spark.operators.calibrate import isotonic_calibrate
+    from loudml_spark.pipeline.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_stats(docs).select(
+        F.col("quality").alias("score"),
+        (F.col("lang") == "en").alias("is_en"))
+    return isotonic_calibrate(
+        scored, score_col="score", label_col="is_en",
+        bin_dp=ISO_BIN_DP)
+
+
+def _sql_isotonic_calibration_docs(sf_dir=None) -> str:
+    import duckdb
+
+    from loudml_spark.operators.calibrate import pav_fit
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         ({_SQL_STOP_HITS}) AS stop_hits
+  FROM read_parquet('{sf_dir}/documents.parquet')
+),
+s AS (
+  SELECT lang,
+         LEAST(1.0, n_tokens / 100.0) * 0.5
+           + (1.0 - stop_hits / n_tokens) * 0.3
+           + LEAST(1.0, ((n_chars_calc - (n_tokens - 1)) / n_tokens)
+                   / 8.0) * 0.2 AS quality
+  FROM base
+)
+SELECT FLOOR(quality * {10 ** ISO_BIN_DP}) / {10 ** ISO_BIN_DP} AS bin,
+       COUNT(*) AS n,
+       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS pos
+FROM s
+WHERE quality IS NOT NULL AND (lang = 'en') IS NOT NULL
+GROUP BY 1 ORDER BY 1
+""").fetchall()
+    con.close()
+    pos = [int(r[2]) for r in rows]
+    n = [int(r[1]) for r in rows]
+    fitted = pav_fit(pos, n)
+    vals = ", ".join(
+        f"(CAST({b!r} AS DOUBLE), {c}, {p}, "
+        f"CAST({round(p / c, 6) + 0.0!r} AS DOUBLE), "
+        f"CAST({round(f, 6) + 0.0!r} AS DOUBLE))"
+        for (b, c, p), f in zip(
+            ((float(r[0]), int(r[1]), int(r[2])) for r in rows),
+            fitted))
+    return ("SELECT * FROM (VALUES " + vals
+            + ") AS t(bin, n, pos, rate, fitted)")
+
+
 def q_sample_16_per_lang(spark, sf_dir):
     """EXACTLY-16-per-language deterministic sample (eval-set
     carving): rows rank by (fingerprint bucket, doc_id) within each
@@ -2529,6 +2599,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_split_docs_80_10_10, "oracle": SQL_SPLIT_DOCS_80_10_10},
     "group_split_docs": {
         "fn": q_group_split_docs, "oracle": SQL_GROUP_SPLIT_DOCS},
+    "isotonic_calibration_docs": {
+        "fn": q_isotonic_calibration_docs,
+        "oracle_fn": _sql_isotonic_calibration_docs},
     "quality_gate_docs": {
         "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
     "winnow_fingerprints_docs": {

@@ -1,0 +1,141 @@
+"""Isotonic (PAV) score calibration — mapping a raw model/heuristic
+score to a MONOTONE probability of a label, the standard calibration
+step before a score gates a pipeline (quality → P(keep), anomaly
+score → P(incident), LM perplexity → P(human-quality)).
+
+Spark-first shape: calibration never needs row-level data — it needs
+the (score-bin → positives, count) table, which is one map-side-
+combined aggregation; the pool-adjacent-violators pass then runs on
+the BOUNDED bin sequence (10^bin_dp · score-range rows, independent
+of corpus size).  That bounded sequential pass is the same
+keyed-applyInPandas discipline as Holt–Winters: per calibration key,
+O(bins) state, thousands of keys in parallel.
+
+Exactness: positives and counts are integers, so PAV's violator
+comparison is done in EXACT integer cross-multiplication
+(pos_a·n_b > pos_b·n_a) — no float accumulates anywhere until the
+single final division per pooled block.  The fitted curve is
+therefore bit-identical across partitionings and engines, and the
+oracle replays the identical function on the DuckDB-aggregated bins.
+
+No counterpart in the reference (loudml's scores are used raw); this
+is §2-EXT pipeline surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+
+
+def pav_fit(pos: Sequence[int], n: Sequence[int]) -> list[float]:
+    """Weighted pool-adjacent-violators over binned Bernoulli data:
+    given per-bin positive counts ``pos`` and totals ``n`` in
+    ascending score order, return the non-decreasing fitted rate per
+    bin.  All pooling and violator checks are exact integer
+    arithmetic; each output is one division of pooled integers."""
+    if len(pos) != len(n):
+        raise errors.Invalid("pos and n must have equal length")
+    if any(c <= 0 for c in n):
+        raise errors.Invalid("bin counts must be positive")
+    if any(p < 0 or p > c for p, c in zip(pos, n)):
+        raise errors.Invalid("positives must be within [0, count]")
+    # blocks of (pooled_pos, pooled_n, span)
+    blocks: list[list[int]] = []
+    for p, c in zip(pos, n):
+        blocks.append([int(p), int(c), 1])
+        # merge while the previous block's rate exceeds the last's:
+        # pos_a/n_a > pos_b/n_b  <=>  pos_a*n_b > pos_b*n_a (n > 0)
+        while len(blocks) > 1 and (
+                blocks[-2][0] * blocks[-1][1]
+                > blocks[-1][0] * blocks[-2][1]):
+            p2, c2, s2 = blocks.pop()
+            blocks[-1][0] += p2
+            blocks[-1][1] += c2
+            blocks[-1][2] += s2
+    out: list[float] = []
+    for p, c, s in blocks:
+        out.extend([p / c] * s)
+    return out
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    bin_dp: int = 2,
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Fit an isotonic calibration curve of ``label_col`` (boolean)
+    against ``score_col`` per ``by`` key.  Scores bin at ``bin_dp``
+    decimals (the binning IS the scale story: the PAV pass sees
+    #bins rows, never the corpus); NULL scores and NULL labels are
+    excluded from the fit (count them upstream if that is a signal).
+
+    Output per (key, bin): ``n``, ``pos``, ``rate`` (raw pos/n) and
+    ``fitted`` (the monotone calibrated probability).  ``fitted`` is
+    non-decreasing in ``bin`` within every key — the defining
+    property, pinned by tests.
+
+    Binning is ``floor(score·10^dp)/10^dp``, NOT round: ROUND's
+    half-way tie rule differs between engines (Spark HALF_UP vs
+    DuckDB's multiply-based rounding) and a single tied score moves
+    a row across bins, changing n/pos/fitted — measured at sf0.1.
+    floor of the identical IEEE product is bit-portable."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    for c in (score_col, label_col, *by):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    if bin_dp < 0:
+        raise errors.Invalid("bin_dp must be >= 0")
+    by = list(by)
+    scale = 10 ** bin_dp
+    base = (
+        df.filter(F.col(score_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+        .select(*by,
+                (F.floor(F.col(score_col) * F.lit(float(scale)))
+                 / F.lit(float(scale))).alias("bin"),
+                F.col(label_col).cast("int").alias("__y"))
+    )
+    if not by:
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    bins = base.groupBy(*gb, "bin").agg(
+        F.count("*").alias("n"),
+        F.sum("__y").alias("pos"),
+    )
+    by_fields = [f for f in bins.schema.fields if f.name in gb]
+    schema = T.StructType(
+        by_fields
+        + [T.StructField("bin", T.DoubleType()),
+           T.StructField("n", T.LongType()),
+           T.StructField("pos", T.LongType()),
+           T.StructField("rate", T.DoubleType()),
+           T.StructField("fitted", T.DoubleType())]
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        pos = [int(v) for v in pdf["pos"]]
+        n = [int(v) for v in pdf["n"]]
+        fitted = pav_fit(pos, n)
+        out = {k: pdf[k] for k in gb}
+        out["bin"] = pdf["bin"]
+        out["n"] = pdf["n"]
+        out["pos"] = pdf["pos"]
+        out["rate"] = [round(p / c, round_dp) + 0.0
+                       for p, c in zip(pos, n)]
+        out["fitted"] = [round(v, round_dp) + 0.0 for v in fitted]
+        return pd.DataFrame(out)
+
+    res = bins.groupBy(*gb).applyInPandas(fit, schema=schema)
+    return res.drop("__k") if not by else res

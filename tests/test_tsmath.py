@@ -876,3 +876,46 @@ def test_conformal_naive_order_statistic_bands(spark):
     with _pt.raises(errors.Invalid):
         conformal_naive(df, interval=1, horizon=1, alpha_num=10,
                         alpha_den=10, by=["k"])
+
+
+def test_isotonic_calibrate_pav(spark):
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.calibrate import (
+        isotonic_calibrate,
+        pav_fit,
+    )
+
+    # classic violator: rates [.5, .75, .25, 1] -> PAV pools the
+    # middle pair to (3+1)/(4+4) = .5
+    assert pav_fit([1, 3, 1, 4], [2, 4, 4, 4]) == [0.5, 0.5, 0.5, 1.0]
+    # already monotone input is untouched
+    assert pav_fit([0, 1, 2], [2, 2, 2]) == [0.0, 0.5, 1.0]
+    with _pt.raises(errors.Invalid):
+        pav_fit([1], [0])
+    with _pt.raises(errors.Invalid):
+        pav_fit([3], [2])
+
+    data = [(0.10, False), (0.1, False), (0.2, True), (0.2, False),
+            (0.3, False), (0.3, True), (0.4, True), (0.4, True),
+            (0.5, True), (0.5, False), (None, True), (0.6, None)]
+    df = spark.createDataFrame(data, "score double, label boolean")
+    out = sorted(isotonic_calibrate(
+        df, score_col="score", label_col="label").collect(),
+        key=lambda r: r["bin"])
+    # null score / null label rows excluded -> 10 rows in 5 bins
+    assert [r["n"] for r in out] == [2, 2, 2, 2, 2]
+    assert [r["rate"] for r in out] == [0.0, 0.5, 0.5, 1.0, 0.5]
+    fitted = [r["fitted"] for r in out]
+    assert fitted == [0.0, 0.5, 0.5, 0.75, 0.75]
+    # defining property: non-decreasing
+    assert all(a <= b for a, b in zip(fitted, fitted[1:]))
+    # keyed variant: independent fits per key
+    df2 = df.withColumn("g", F.lit("x")).union(
+        df.withColumn("g", F.lit("y")))
+    out2 = isotonic_calibrate(
+        df2, score_col="score", label_col="label", by=["g"]).collect()
+    assert len(out2) == 10 and {r["g"] for r in out2} == {"x", "y"}
+    with _pt.raises(errors.Invalid):
+        isotonic_calibrate(df, score_col="nope", label_col="label")
