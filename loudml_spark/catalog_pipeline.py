@@ -557,6 +557,72 @@ GROUP BY 1 ORDER BY 1
             + ") AS t(bin, n, pos, rate, fitted)")
 
 
+def q_auc_quality_by_source(spark, sf_dir):
+    """Exact ROC-AUC of the quality score against the lang='en'
+    label, per source — the evaluation companion to the isotonic
+    calibration: does the score actually rank target docs above the
+    rest, and does that hold per slice?  Mann–Whitney rank identity
+    over the (distinct score → count, positives) table; every
+    intermediate is an integer (tie-averaged ranks enter as
+    2·rank = 2·cum_before + c + 1), only the final ratio divides —
+    bit-portable with no rounding schedule.  See
+    operators/calibrate.py binary_auc."""
+    from loudml_spark.operators.calibrate import binary_auc
+    from loudml_spark.pipeline.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_stats(docs).select(
+        "source",
+        F.col("quality").alias("score"),
+        (F.col("lang") == "en").alias("is_en"))
+    return binary_auc(
+        scored, score_col="score", label_col="is_en", by=["source"])
+
+
+SQL_AUC_QUALITY_BY_SOURCE = f"""
+WITH base AS (
+  SELECT source, lang,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         ({_SQL_STOP_HITS}) AS stop_hits
+  FROM documents
+),
+s AS (
+  SELECT source,
+         LEAST(1.0, n_tokens / 100.0) * 0.5
+           + (1.0 - stop_hits / n_tokens) * 0.3
+           + LEAST(1.0, ((n_chars_calc - (n_tokens - 1)) / n_tokens)
+                   / 8.0) * 0.2 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM base
+  WHERE lang IS NOT NULL
+),
+g AS (
+  SELECT source, score, COUNT(*) AS c, CAST(SUM(y) AS BIGINT) AS p
+  FROM s WHERE score IS NOT NULL GROUP BY 1, 2
+),
+o AS (
+  SELECT source, c, p,
+         COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS cb
+  FROM g
+),
+agg AS (
+  SELECT source,
+         CAST(SUM(p) AS BIGINT) AS n_pos,
+         CAST(SUM(c) - SUM(p) AS BIGINT) AS n_neg,
+         CAST(SUM(p * (2 * cb + c + 1)) AS BIGINT) AS two_rank_pos
+  FROM o GROUP BY 1
+)
+SELECT source, n_pos, n_neg,
+       ROUND(CAST(two_rank_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / NULLIF(CAST(2 * n_pos * n_neg AS DOUBLE), 0), 6)
+         + 0.0 AS auc
+FROM agg
+"""
+
+
 def q_sample_16_per_lang(spark, sf_dir):
     """EXACTLY-16-per-language deterministic sample (eval-set
     carving): rows rank by (fingerprint bucket, doc_id) within each
@@ -2602,6 +2668,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "isotonic_calibration_docs": {
         "fn": q_isotonic_calibration_docs,
         "oracle_fn": _sql_isotonic_calibration_docs},
+    "auc_quality_by_source": {
+        "fn": q_auc_quality_by_source,
+        "oracle": SQL_AUC_QUALITY_BY_SOURCE},
     "quality_gate_docs": {
         "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
     "winnow_fingerprints_docs": {

@@ -139,3 +139,75 @@ def isotonic_calibrate(
 
     res = bins.groupBy(*gb).applyInPandas(fit, schema=schema)
     return res.drop("__k") if not by else res
+
+
+def binary_auc(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    by: Sequence[str] = (),
+    bin_dp: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC of ``score_col`` against boolean ``label_col``
+    per key, via the Mann–Whitney rank identity with tie-averaged
+    ranks:
+
+        AUC = (Σ_{i∈pos} rank_i − P(P+1)/2) / (P·N)
+
+    computed over the (distinct score → count, positives) table so
+    every intermediate is an INTEGER: the tie-averaged rank of a
+    distinct-score group enters as 2·rank = 2·cum_before + c + 1,
+    and only the final ratio divides.  Bit-portable by construction
+    — no float comparison, no interpolation.
+
+    Scale: the rank prefix-sum is a window over DISTINCT scores per
+    key.  Heuristic scores with bounded granularity (integer-count
+    ratios, binned probabilities) keep that small; for continuous
+    scores pass ``bin_dp`` to floor-bin first (documented
+    approximation — AUC of the binned score), which bounds the
+    window at 10^bin_dp·range rows.  NULL scores/labels are
+    excluded.  Output per key: (n_pos, n_neg, auc); degenerate keys
+    (no positives or no negatives) yield NULL auc via try_divide."""
+    from pyspark.sql import Window
+
+    for c in (score_col, label_col, *by):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    by = list(by)
+    score = F.col(score_col)
+    if bin_dp is not None:
+        if bin_dp < 0:
+            raise errors.Invalid("bin_dp must be >= 0")
+        scale = float(10 ** bin_dp)
+        score = F.floor(score * F.lit(scale)) / F.lit(scale)
+    base = (
+        df.filter(F.col(score_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+        .select(*by, score.alias("__s"),
+                F.col(label_col).cast("long").alias("__y"))
+    )
+    if not by:
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    g = base.groupBy(*gb, "__s").agg(
+        F.count("*").alias("__c"), F.sum("__y").alias("__p"))
+    w = Window.partitionBy(*gb).orderBy("__s") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    o = g.withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0)))
+    agg = o.groupBy(*gb).agg(
+        F.sum("__p").alias("n_pos"),
+        (F.sum("__c") - F.sum("__p")).alias("n_neg"),
+        F.sum(F.col("__p")
+              * (2 * F.col("__cb") + F.col("__c") + 1))
+        .alias("__2rp"),
+    )
+    auc = F.try_divide(
+        (F.col("__2rp") - F.col("n_pos") * (F.col("n_pos") + 1))
+        .cast("double"),
+        (2 * F.col("n_pos") * F.col("n_neg")).cast("double"))
+    out = agg.select(
+        *gb, "n_pos", "n_neg",
+        (F.round(auc, round_dp) + F.lit(0.0)).alias("auc"))
+    return out.drop("__k") if not by else out

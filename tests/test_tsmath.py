@@ -919,3 +919,42 @@ def test_isotonic_calibrate_pav(spark):
     assert len(out2) == 10 and {r["g"] for r in out2} == {"x", "y"}
     with _pt.raises(errors.Invalid):
         isotonic_calibrate(df, score_col="nope", label_col="label")
+
+
+def test_binary_auc_rank_identity(spark):
+    import itertools
+
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.calibrate import binary_auc
+
+    data = [(0.9, True), (0.8, True), (0.2, False), (0.1, False),
+            (0.5, True), (0.5, False), (None, True), (0.7, None)]
+    df = spark.createDataFrame(data, "score double, label boolean")
+    r = binary_auc(df, score_col="score", label_col="label").collect()[0]
+    pos, neg = [0.9, 0.8, 0.5], [0.2, 0.1, 0.5]
+    want = sum(1.0 if p > n else 0.5 if p == n else 0.0
+               for p, n in itertools.product(pos, neg)) / 9
+    assert (r["n_pos"], r["n_neg"]) == (3, 3)
+    assert r["auc"] == round(want, 6)
+    # perfect separation / reversal
+    sep = spark.createDataFrame(
+        [(1.0, True), (0.9, True), (0.1, False)], "score double, label boolean")
+    assert binary_auc(sep, score_col="score",
+                      label_col="label").collect()[0]["auc"] == 1.0
+    rev = spark.createDataFrame(
+        [(0.1, True), (0.9, False)], "score double, label boolean")
+    assert binary_auc(rev, score_col="score",
+                      label_col="label").collect()[0]["auc"] == 0.0
+    # degenerate: single-class key -> NULL auc, not an error
+    one = spark.createDataFrame(
+        [(0.5, True), (0.6, True)], "score double, label boolean")
+    r = binary_auc(one, score_col="score", label_col="label").collect()[0]
+    assert r["auc"] is None and r["n_neg"] == 0
+    # keyed + binned variants execute
+    k = df.withColumn("g", F.lit("x"))
+    assert binary_auc(k, score_col="score", label_col="label",
+                      by=["g"], bin_dp=1).collect()[0]["g"] == "x"
+    with _pt.raises(errors.Invalid):
+        binary_auc(df, score_col="score", label_col="label", bin_dp=-1)
