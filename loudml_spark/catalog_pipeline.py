@@ -623,6 +623,61 @@ FROM agg
 """
 
 
+def q_calibration_error_docs(spark, sf_dir):
+    """Expected / maximum calibration error of the quality score as
+    a P(en) probability, per source — closes the evaluation trio
+    (calibrate → rank quality (AUC) → calibration gap).  Scores
+    quantize to integer micro-units so ECE/MCE are exact-integer up
+    to one final division (operators/calibrate.py
+    calibration_error)."""
+    from loudml_spark.operators.calibrate import calibration_error
+    from loudml_spark.pipeline.text import text_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text_stats(docs).select(
+        "source",
+        F.col("quality").alias("score"),
+        (F.col("lang") == "en").alias("is_en"))
+    return calibration_error(
+        scored, score_col="score", label_col="is_en", bin_dp=1,
+        by=["source"])
+
+
+SQL_CALIBRATION_ERROR_DOCS = f"""
+WITH base AS (
+  SELECT source, lang,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         ({_SQL_STOP_HITS}) AS stop_hits
+  FROM documents
+),
+s AS (
+  SELECT source,
+         LEAST(1.0, n_tokens / 100.0) * 0.5
+           + (1.0 - stop_hits / n_tokens) * 0.3
+           + LEAST(1.0, ((n_chars_calc - (n_tokens - 1)) / n_tokens)
+                   / 8.0) * 0.2 AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM base WHERE lang IS NOT NULL
+),
+b AS (
+  SELECT source, FLOOR(score * 10) / 10 AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS p,
+         CAST(SUM(CAST(FLOOR(score * 1000000) AS BIGINT)) AS BIGINT)
+           AS sm
+  FROM s WHERE score IS NOT NULL GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n,
+       ROUND(CAST(SUM(ABS(p * 1000000 - sm)) AS DOUBLE)
+             / (SUM(n) * 1000000.0), 6) + 0.0 AS ece,
+       ROUND(MAX(ABS(p * 1000000 - sm) / (n * 1000000.0)), 6) + 0.0
+         AS mce
+FROM b GROUP BY 1
+"""
+
+
 def q_sample_16_per_lang(spark, sf_dir):
     """EXACTLY-16-per-language deterministic sample (eval-set
     carving): rows rank by (fingerprint bucket, doc_id) within each
@@ -2671,6 +2726,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "auc_quality_by_source": {
         "fn": q_auc_quality_by_source,
         "oracle": SQL_AUC_QUALITY_BY_SOURCE},
+    "calibration_error_docs": {
+        "fn": q_calibration_error_docs,
+        "oracle": SQL_CALIBRATION_ERROR_DOCS},
     "quality_gate_docs": {
         "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
     "winnow_fingerprints_docs": {

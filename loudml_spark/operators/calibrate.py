@@ -211,3 +211,68 @@ def binary_auc(
         *gb, "n_pos", "n_neg",
         (F.round(auc, round_dp) + F.lit(0.0)).alias("auc"))
     return out.drop("__k") if not by else out
+
+
+def calibration_error(
+    df: DataFrame,
+    *,
+    score_col: str,
+    label_col: str,
+    bin_dp: int = 1,
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Expected / maximum calibration error of a probability-like
+    score against a boolean label:
+
+        ECE = Σ_b (n_b/N) · |rate_b − mean_score_b|
+        MCE = max_b       |rate_b − mean_score_b|
+
+    over ``bin_dp``-decimal floor bins.  Everything is exact integer
+    arithmetic until one final division: scores quantize to
+    MICRO-UNITS (floor(score·10⁶), an int64), so
+    |rate_b − mean_score_b|·n_b = |pos_b·10⁶ − Σ micro_b| / 10⁶ is an
+    integer numerator — no float accumulation, bit-portable across
+    engines and partitionings.  The 10⁻⁶ quantization bias is two
+    orders below the reported precision.  NULL scores/labels are
+    excluded.  Output per key: (n, ece, mce)."""
+    for c in (score_col, label_col, *by):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    if bin_dp < 0:
+        raise errors.Invalid("bin_dp must be >= 0")
+    by = list(by)
+    scale = float(10 ** bin_dp)
+    micro = F.floor(F.col(score_col) * F.lit(1_000_000.0))
+    base = (
+        df.filter(F.col(score_col).isNotNull()
+                  & F.col(label_col).isNotNull())
+        .select(*by,
+                (F.floor(F.col(score_col) * F.lit(scale))
+                 / F.lit(scale)).alias("__b"),
+                micro.alias("__m"),
+                F.col(label_col).cast("long").alias("__y"))
+    )
+    if not by:
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    bins = base.groupBy(*gb, "__b").agg(
+        F.count("*").alias("__n"),
+        F.sum("__y").alias("__p"),
+        F.sum("__m").alias("__sm"),
+    )
+    gap = F.abs(F.col("__p") * F.lit(1_000_000) - F.col("__sm"))
+    agg = bins.groupBy(*gb).agg(
+        F.sum("__n").alias("n"),
+        F.sum(gap).alias("__gapsum"),
+        F.max(gap / (F.col("__n") * F.lit(1_000_000.0)))
+        .alias("__mce"),
+    )
+    r6 = lambda c: F.round(c, round_dp) + F.lit(0.0)  # noqa: E731
+    out = agg.select(
+        *gb, "n",
+        r6(F.col("__gapsum")
+           / (F.col("n") * F.lit(1_000_000.0))).alias("ece"),
+        r6(F.col("__mce")).alias("mce"),
+    )
+    return out.drop("__k") if not by else out

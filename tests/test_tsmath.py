@@ -958,3 +958,35 @@ def test_binary_auc_rank_identity(spark):
                       by=["g"], bin_dp=1).collect()[0]["g"] == "x"
     with _pt.raises(errors.Invalid):
         binary_auc(df, score_col="score", label_col="label", bin_dp=-1)
+
+
+def test_calibration_error_exact_micro_units(spark):
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.calibrate import calibration_error
+
+    # bin-level perfectly calibrated -> 0; fully miscalibrated -> .9
+    good = [(0.2, i < 1) for i in range(5)] + \
+           [(0.8, i < 4) for i in range(5)]
+    df = spark.createDataFrame(
+        [(float(s), bool(y)) for s, y in good], "score double, label boolean")
+    r = calibration_error(df, score_col="score", label_col="label") \
+        .collect()[0]
+    assert (r["n"], r["ece"], r["mce"]) == (10, 0.0, 0.0)
+    bad = spark.createDataFrame(
+        [(0.9, False)] * 4, "score double, label boolean")
+    r = calibration_error(bad, score_col="score", label_col="label") \
+        .collect()[0]
+    assert (r["ece"], r["mce"]) == (0.9, 0.9)
+    # hand-computed mixed case: bin .2 has rate 1.0 (gap .8), bin .8
+    # has rate .5 (gap .3): ece = (2*.8 + 2*.3)/4 = .55, mce = .8
+    mix = spark.createDataFrame(
+        [(0.2, True), (0.2, True), (0.8, True), (0.8, False)],
+        "score double, label boolean")
+    r = calibration_error(mix, score_col="score", label_col="label") \
+        .collect()[0]
+    assert (r["ece"], r["mce"]) == (0.55, 0.8)
+    with _pt.raises(errors.Invalid):
+        calibration_error(df, score_col="score", label_col="label",
+                          bin_dp=-1)
