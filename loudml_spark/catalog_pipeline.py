@@ -1085,6 +1085,58 @@ def q_dedup_clusters_docs(spark, sf_dir):
     return _clusters_cached(spark, sf_dir)
 
 
+CLUSTER_SPLIT_A = 1299721
+CLUSTER_SPLIT_B = 15485863
+
+
+def q_cluster_split_docs(spark, sf_dir):
+    """Near-dup-aware train/val/test split (80/10/10): the group key
+    is the NEAR-DUP CLUSTER id, so two near-duplicate documents can
+    never straddle the train/eval fence — the contamination a
+    row-level (or even source-level) split misses, and the reason
+    dedup must run before splitting in a real pipeline.  Composition:
+    dedup_clusters ∘ group_split; the cluster id hashes affine→
+    quadratic-scramble (small sequential ids would otherwise band).
+    The shared cluster frame is cached across the three dedup
+    queries."""
+    from loudml_spark.pipeline.sampling import group_split, split_bucket
+    from loudml_spark.pipeline.text import HASH_MOD, scramble_col
+
+    clusters = _clusters_cached(spark, sf_dir)
+    gh = scramble_col(
+        (F.col("cluster_id") * F.lit(CLUSTER_SPLIT_A)
+         + F.lit(CLUSTER_SPLIT_B)) % F.lit(HASH_MOD))
+    out = group_split(
+        clusters.withColumn("gh", gh), group_key=F.col("gh"),
+        weights={"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return out.select(
+        "doc_id", "cluster_id",
+        split_bucket(F.col("gh")).alias("cluster_bucket"), "split")
+
+
+SQL_CLUSTER_SPLIT_DOCS = f"""
+WITH c AS ({SQL_DEDUP_CLUSTERS_DOCS}),
+g AS (
+  SELECT doc_id, cluster_id,
+         (cluster_id * {CLUSTER_SPLIT_A} + {CLUSTER_SPLIT_B})
+           % 1000000007 AS h
+  FROM c
+),
+b AS (
+  SELECT doc_id, cluster_id,
+         ((h * h % 1000000007 + h) % 1000000007) % 10000
+           AS cluster_bucket
+  FROM g
+)
+SELECT doc_id, cluster_id, cluster_bucket,
+       CASE WHEN cluster_bucket < 8000 THEN 'train'
+            WHEN cluster_bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_dedup_survivors_docs(spark, sf_dir):
     """Survivorship policy on top of near-dup clustering: per cluster
     keep the LONGEST document (tie → lowest doc_id) instead of the
@@ -2694,6 +2746,8 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "oracle": SQL_NGRAM_JACCARD_PAIRS_DOCS},
     "dedup_clusters_docs": {
         "fn": q_dedup_clusters_docs, "oracle": SQL_DEDUP_CLUSTERS_DOCS},
+    "cluster_split_docs": {
+        "fn": q_cluster_split_docs, "oracle": SQL_CLUSTER_SPLIT_DOCS},
     "dedup_survivors_docs": {
         "fn": q_dedup_survivors_docs, "oracle": SQL_DEDUP_SURVIVORS_DOCS},
     "simhash_docs": {"fn": q_simhash_docs, "oracle": SQL_SIMHASH_DOCS},

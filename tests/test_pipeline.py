@@ -1706,3 +1706,23 @@ def test_zipf_fit_matches_numpy_ols(spark):
     assert row["n"] == 1 and row["slope"] is None and row["r2"] is None
     with pytest.raises(errors.Invalid):
         zipf_fit(df, top_k=0)
+
+
+def test_cluster_split_no_near_dup_straddles(spark):
+    from loudml_spark.catalog_pipeline import q_cluster_split_docs
+
+    out = q_cluster_split_docs(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    # every member of a cluster shares its split (the leakage guard)
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per.values())
+    # multi-member clusters exist in the fixture (else the test is vacuous)
+    from collections import Counter
+    sizes = Counter()
+    for r in rows:
+        sizes[r["cluster_id"]] += 1
+    assert max(sizes.values()) >= 2
+    # all three splits populated
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
