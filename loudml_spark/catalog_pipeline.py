@@ -911,6 +911,81 @@ LEFT JOIN comp ON comp.doc_id = d.doc_id
 """
 
 
+CDC_MAX_DOC = 300
+
+
+def q_cdc_chunks_docs(spark, sf_dir):
+    """Content-defined chunking of documents (doc_id < {max_doc}):
+    rolling-window-hash boundaries make chunk ids EDIT-ROBUST — an
+    insertion only changes the chunk containing it, every later
+    chunk re-aligns (the storage-dedup trick fixed-size and
+    whole-doc hashing lack).  Map-only, exact integer hashing; the
+    oracle replays the identical shared cdc_boundaries on the same
+    texts.  See pipeline/dedup.py cdc_chunks."""
+    from loudml_spark.pipeline.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < CDC_MAX_DOC)
+    return cdc_chunks(docs)
+
+
+def q_cdc_dup_chunks_docs(spark, sf_dir):
+    """Cross-document duplicate CDC chunks: the dedup signal itself —
+    chunk hashes appearing in ≥ 2 documents, with occurrence counts.
+    One map-side-combined groupBy on the chunk hash (the ONLY
+    exchange of a CDC-dedup pipeline)."""
+    from loudml_spark.pipeline.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < CDC_MAX_DOC)
+    ch = cdc_chunks(docs)
+    return (
+        ch.groupBy("chunk_hash", "length")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"),
+             F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def _cdc_values(sf_dir=None) -> str:
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    from loudml_spark.pipeline.dedup import cdc_boundaries
+
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') "
+        f"WHERE doc_id < {CDC_MAX_DOC} AND text IS NOT NULL "
+        f"ORDER BY doc_id").fetchall()
+    con.close()
+    vals = []
+    for doc_id, text in rows:
+        for cid, (s, ln, h) in enumerate(cdc_boundaries(text)):
+            vals.append(f"({int(doc_id)}, {cid}, {s}, {ln}, {h})")
+    return ("(VALUES " + ", ".join(vals)
+            + ") AS t(doc_id, chunk_id, start, length, chunk_hash)")
+
+
+def _sql_cdc_chunks_docs(sf_dir=None) -> str:
+    return f"SELECT * FROM {_cdc_values(sf_dir)}"
+
+
+def _sql_cdc_dup_chunks_docs(sf_dir=None) -> str:
+    return f"""
+SELECT chunk_hash, length,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM {_cdc_values(sf_dir)}
+GROUP BY chunk_hash, length
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
 CORPUS_SPLIT_ID = 400  # doc_id < 400 = existing corpus, rest = delta
 
 
@@ -2748,6 +2823,11 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_dedup_clusters_docs, "oracle": SQL_DEDUP_CLUSTERS_DOCS},
     "cluster_split_docs": {
         "fn": q_cluster_split_docs, "oracle": SQL_CLUSTER_SPLIT_DOCS},
+    "cdc_chunks_docs": {
+        "fn": q_cdc_chunks_docs, "oracle_fn": _sql_cdc_chunks_docs},
+    "cdc_dup_chunks_docs": {
+        "fn": q_cdc_dup_chunks_docs,
+        "oracle_fn": _sql_cdc_dup_chunks_docs},
     "dedup_survivors_docs": {
         "fn": q_dedup_survivors_docs, "oracle": SQL_DEDUP_SURVIVORS_DOCS},
     "simhash_docs": {"fn": q_simhash_docs, "oracle": SQL_SIMHASH_DOCS},

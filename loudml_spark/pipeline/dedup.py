@@ -1417,3 +1417,107 @@ def ngram_containment_pairs(
     return out.filter(
         (F.col("containment_a") >= threshold)
         | (F.col("containment_b") >= threshold))
+
+
+# --- content-defined chunking (CDC) ---------------------------------
+# The storage-dedup trick applied to corpus curation: cut each text
+# where a ROLLING WINDOW hash of the stream hits a boundary value, so
+# an insertion/deletion only moves the boundaries NEAR the edit and
+# every other chunk re-aligns — chunk-level exact dedup then catches
+# shared content that whole-document hashing (shifted by one char)
+# misses and winnowing only fingerprints.
+
+CDC_WINDOW = 16
+CDC_DIVISOR = 64
+CDC_MIN_LEN = 32
+CDC_MAX_LEN = 256
+
+
+def cdc_boundaries(
+    text: str,
+    *,
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    min_len: int = CDC_MIN_LEN,
+    max_len: int = CDC_MAX_LEN,
+) -> list[tuple[int, int, int]]:
+    """Pure-integer CDC over one text, SHARED by the distributed
+    operator and its replay oracle: returns (start, length,
+    chunk_hash) triples.  Position i (1-based end of a window) is a
+    cut when the window's polynomial rolling hash ≡ 0 (mod
+    ``divisor``) and the current chunk has ≥ ``min_len`` chars; a
+    chunk is force-cut at ``max_len``.  The window hash derives from
+    prefix hashes mod 1e9+7 (exact Python ints, engine-independent);
+    ``chunk_hash`` is the same polynomial hash of the chunk text, so
+    identical chunk CONTENT gets identical ids anywhere it appears."""
+    p = HASH_MOD
+    n = len(text)
+    codes = [ord(c) for c in text]
+    prefix = [0] * (n + 1)
+    for i, c in enumerate(codes):
+        prefix[i + 1] = (prefix[i] * 31 + c) % p
+    pw = pow(31, window, p)
+    out = []
+    start = 0
+    for i in range(1, n + 1):
+        cut = False
+        if i - start >= max_len:
+            cut = True
+        elif i - start >= min_len and i >= window:
+            wh = (prefix[i] - prefix[i - window] * pw) % p
+            cut = wh % divisor == 0
+        if cut:
+            out.append((start, i - start,
+                        (prefix[i] - prefix[start]
+                         * pow(31, i - start, p)) % p))
+            start = i
+    if start < n:
+        out.append((start, n - start,
+                    (prefix[n] - prefix[start]
+                     * pow(31, n - start, p)) % p))
+    return out
+
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+    min_len: int = CDC_MIN_LEN,
+    max_len: int = CDC_MAX_LEN,
+) -> DataFrame:
+    """Content-defined chunking of every document: one row per chunk
+    (``id_col``, chunk_id, start, length, chunk_hash).  Map-only —
+    an Arrow-batched UDF computes boundaries per text (O(len), exact
+    integer hashing) and posexplode scalarizes; no shuffle, so a
+    100 TB corpus chunks in one pass and the chunk-hash groupBy that
+    follows is the only exchange of a CDC-dedup pipeline.  NULL
+    texts emit no rows."""
+    from loudml_spark import errors
+
+    if not (0 < window <= min_len <= max_len):
+        raise errors.Invalid(
+            "need 0 < window <= min_len <= max_len, got "
+            f"{window}/{min_len}/{max_len}")
+    if divisor < 2:
+        raise errors.Invalid("divisor must be >= 2")
+
+    @F.pandas_udf("array<struct<start:long,length:long,h:long>>")
+    def chunk(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None else [
+                {"start": s, "length": ln, "h": h}
+                for s, ln, h in cdc_boundaries(
+                    t, window=window, divisor=divisor,
+                    min_len=min_len, max_len=max_len)])
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(chunk(F.col(text_col))).alias("chunk_id", "c"))
+    return ex.select(
+        id_col, "chunk_id",
+        F.col("c.start").alias("start"),
+        F.col("c.length").alias("length"),
+        F.col("c.h").alias("chunk_hash"))

@@ -1726,3 +1726,41 @@ def test_cluster_split_no_near_dup_straddles(spark):
     assert max(sizes.values()) >= 2
     # all three splits populated
     assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_cdc_chunks_edit_robust_and_tiling(spark):
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.dedup import cdc_boundaries, cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    edited = "XY" + base  # 2-char insertion at the front
+    # chunks tile [0, n) with min/max respected (except the tail)
+    ch = cdc_boundaries(base)
+    assert ch[0][0] == 0
+    assert all(a[0] + a[1] == b[0] for a, b in zip(ch, ch[1:]))
+    assert ch[-1][0] + ch[-1][1] == len(base)
+    assert all(32 <= ln <= 256 for _, ln, _ in ch[:-1])
+    # identical content -> identical hash wherever it appears
+    texts = {s: base[s:s + ln] for s, ln, _ in ch}
+    hs = {base[s:s + ln]: h for s, ln, h in ch}
+    assert len(hs) < len(ch) or len(set(texts.values())) == len(ch)
+    # edit robustness: the insertion only changes the first chunk
+    df = spark.createDataFrame([(1, base), (2, edited), (3, None)],
+                               "doc_id long, text string")
+    out = cdc_chunks(df)
+    h1 = [r["chunk_hash"] for r in
+          out.filter("doc_id=1").orderBy("chunk_id").collect()]
+    h2 = [r["chunk_hash"] for r in
+          out.filter("doc_id=2").orderBy("chunk_id").collect()]
+    assert len(h1) == len(h2) and h1[1:] == h2[1:] and h1[0] != h2[0]
+    # NULL text emits no rows
+    assert out.filter("doc_id=3").count() == 0
+    # short text -> one whole-text chunk
+    one = cdc_boundaries("tiny")
+    assert one == [(0, 4, one[0][2])]
+    with _pt.raises(errors.Invalid):
+        cdc_chunks(df, window=64, min_len=32)
+    with _pt.raises(errors.Invalid):
+        cdc_chunks(df, divisor=1)
