@@ -3286,6 +3286,73 @@ FROM qv JOIN lastrow l USING (event_type)
 """
 
 
+SR_MA_WINDOW = 3
+SR_THRESHOLD = 3.0
+
+
+def q_spectral_residual_daily(spark, sf_dir):
+    """Spectral Residual saliency (Ren et al., KDD 2019) of the
+    daily mean per event_type — the modern non-learned anomaly
+    detector beside the learned Donut band: one FFT per series, no
+    training, saliency relative to the series' own spectral
+    background (operators/tsmath.py spectral_residual).  Oracle
+    replays the identical shared numpy function on the
+    DuckDB-computed DECIMAL-exact series; scores round at 6 dp (FFT
+    transcendentals — the repo's parity rule)."""
+    from loudml_spark.operators.tsmath import spectral_residual
+
+    return spectral_residual(
+        _daily_mean_by_type(spark, sf_dir), ma_window=SR_MA_WINDOW,
+        threshold=SR_THRESHOLD, by=["event_type"])
+
+
+def _sql_spectral_residual_daily(sf_dir=None) -> str:
+    import os
+
+    import duckdb
+
+    from loudml_spark.operators.tsmath import spectral_residual_scores
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+
+    sf = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf, 'events.parquet')}')")
+    rows = con.execute(f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE}
+SELECT event_type, bucket_ts, value FROM daily
+ORDER BY event_type, bucket_ts
+""").fetchall()
+    con.close()
+    series: dict = {}
+    for et, ts, v in rows:
+        series.setdefault(et, []).append((int(ts), float(v)))
+    vals = []
+    for et in sorted(series):
+        pts = series[et]
+        sal = spectral_residual_scores(
+            [v for _, v in pts], ma_window=SR_MA_WINDOW)
+        for (ts, _v), s in zip(pts, sal):
+            vals.append(
+                f"('{et}', {ts}, CAST({s!r} AS DOUBLE), "
+                f"{str(s > SR_THRESHOLD).upper()})")
+    # `value` joins back from the DECIMAL-exact SQL expression (a
+    # python-float literal does not round-trip DuckDB's decimal
+    # literal parser bit-exactly — measured one-ulp drift)
+    return f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+sal(event_type, bucket_ts, saliency, is_anomaly) AS (VALUES
+  {", ".join(vals)})
+SELECT d.event_type AS event_type, d.bucket_ts AS bucket_ts,
+       d.value AS value, s.saliency AS saliency,
+       s.is_anomaly AS is_anomaly
+FROM daily d
+JOIN sal s ON s.event_type = d.event_type
+          AND s.bucket_ts = d.bucket_ts
+"""
+
+
 HW_PERIOD = 7
 HW_HORIZON = 7
 HW_ALPHA, HW_BETA, HW_GAMMA = 0.3, 0.1, 0.2
@@ -3602,6 +3669,9 @@ EXT_QUERIES: dict[str, dict] = {
     "conformal_naive_daily": {
         "fn": q_conformal_naive_daily,
         "oracle": SQL_CONFORMAL_NAIVE_DAILY},
+    "spectral_residual_daily": {
+        "fn": q_spectral_residual_daily,
+        "oracle_fn": _sql_spectral_residual_daily},
     "acf_hourly_clicks": {
         "fn": q_acf_hourly_clicks,
         "oracle": SQL_ACF_HOURLY_CLICKS},

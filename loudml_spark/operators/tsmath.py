@@ -1346,3 +1346,108 @@ def ljung_box(
         (F.round(q, round_dp) + F.lit(0.0)).alias("q_stat"),
         (F.round(q_crit, round_dp) + F.lit(0.0)).alias("q_crit"))
     return out.withColumn("white", F.col("q_stat") <= F.col("q_crit"))
+
+
+def spectral_residual_scores(
+    values,
+    *,
+    ma_window: int = 3,
+    round_dp: int = 6,
+):
+    """Spectral Residual saliency (Ren et al., KDD 2019 — the
+    SR half of SR-CNN, usable standalone): log-amplitude spectrum
+    minus its moving average isolates the part of the spectrum that
+    makes this series UNUSUAL relative to its own smooth background;
+    transforming back yields a time-domain saliency map whose peaks
+    are the anomalies.  Shared by the distributed operator and its
+    replay oracle; the FFT's transcendentals make bit-equality
+    across *machines* unguaranteed, so scores round at ``round_dp``
+    (the repo's transcendental-parity rule).
+
+    Returns the normalized saliency (S − mean(S)) / mean(S) per
+    point, rounded."""
+    import numpy as np
+
+    x = np.asarray(values, dtype=np.float64)
+    n = int(x.size)
+    if n < 4:
+        raise errors.Invalid(f"spectral residual needs >= 4 points, got {n}")
+    if ma_window < 1:
+        raise errors.Invalid("ma_window must be >= 1")
+    if np.isnan(x).any():
+        raise errors.Invalid(
+            "spectral residual input has NaN buckets - fill gaps first")
+    spec = np.fft.fft(x)
+    amp = np.abs(spec)
+    # zero amplitudes (constant series) would take log(0): clamp to a
+    # tiny epsilon — their residual is then constant and saliency flat
+    log_amp = np.log(np.maximum(amp, 1e-12))
+    kernel = np.ones(ma_window) / ma_window
+    # centered moving average with edge padding (same length)
+    pad = ma_window // 2
+    padded = np.concatenate([
+        np.full(pad, log_amp[0]), log_amp,
+        np.full(ma_window - 1 - pad, log_amp[-1])])
+    ma = np.convolve(padded, kernel, mode="valid")
+    residual = log_amp - ma
+    phase = np.angle(spec)
+    sal = np.abs(np.fft.ifft(np.exp(residual + 1j * phase)))
+    mean_sal = float(sal.mean())
+    if mean_sal <= 0.0:
+        return [0.0] * n
+    score = (sal - mean_sal) / mean_sal
+    return [round(float(s), round_dp) + 0.0 for s in score]
+
+
+def spectral_residual(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    ts_col: str = "bucket_ts",
+    ma_window: int = 3,
+    threshold: float = 3.0,
+    by: Sequence[str] = (),
+    round_dp: int = 6,
+) -> DataFrame:
+    """Spectral Residual saliency per key over a bucketized series —
+    the modern NON-learned anomaly detector beside the learned Donut
+    band: no training, one FFT per series, catches point anomalies
+    that a global z-score dilutes because saliency is relative to
+    the series' own spectral background.
+
+    Keyed applyInPandas (the series is FFT'd whole — bounded by
+    time-range/interval, never data volume; same discipline as
+    Holt–Winters).  Output: (by..., ts, value, saliency, is_anomaly
+    = saliency > threshold)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if threshold <= 0:
+        raise errors.Invalid("threshold must be positive")
+    base = df if by else df.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    by_fields = [f for f in base.schema.fields if f.name in gb]
+    ts_field = [f for f in base.schema.fields if f.name == ts_col]
+    val_field = [f for f in base.schema.fields if f.name == value_col]
+    schema = T.StructType(
+        by_fields + ts_field + val_field
+        + [T.StructField("saliency", T.DoubleType()),
+           T.StructField("is_anomaly", T.BooleanType())]
+    )
+
+    def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        sal = spectral_residual_scores(
+            pdf[value_col].to_numpy(dtype="float64"),
+            ma_window=ma_window, round_dp=round_dp)
+        out = {k: pdf[k] for k in gb}
+        out[ts_col] = pdf[ts_col]
+        out[value_col] = pdf[value_col]
+        out["saliency"] = sal
+        out["is_anomaly"] = [s > threshold for s in sal]
+        return pd.DataFrame(out)
+
+    res = base.groupBy(*gb).applyInPandas(score, schema=schema)
+    return res.drop("__k") if not by else res

@@ -990,3 +990,38 @@ def test_calibration_error_exact_micro_units(spark):
     with _pt.raises(errors.Invalid):
         calibration_error(df, score_col="score", label_col="label",
                           bin_dp=-1)
+
+
+def test_spectral_residual_flags_spike(spark):
+    import math
+
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import (
+        spectral_residual,
+        spectral_residual_scores,
+    )
+
+    rows = [(t, 10.0 + math.sin(t / 4.0) + (25.0 if t == 40 else 0.0),
+             "a") for t in range(64)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double, k string")
+    out = spectral_residual(df, by=["k"], threshold=3.0)
+    flagged = [r["bucket_ts"] for r in out.filter("is_anomaly").collect()]
+    assert flagged == [40]
+    top = out.orderBy(F.desc("saliency")).first()
+    assert top["bucket_ts"] == 40 and top["saliency"] > 10
+    # constant series: near-flat saliency (DC bleed into eps-clamped
+    # empty bins leaves ~1e-4 ripple), far below any flag threshold
+    flat = spectral_residual_scores([5.0] * 16)
+    assert all(abs(s) < 0.01 for s in flat)
+    # determinism under repartition
+    a = sorted(spectral_residual(df.repartition(7), by=["k"]).collect())
+    b = sorted(spectral_residual(df, by=["k"]).collect())
+    assert a == b
+    with _pt.raises(errors.Invalid):
+        spectral_residual_scores([1.0, 2.0, 3.0])
+    with _pt.raises(errors.Invalid):
+        spectral_residual_scores([1.0, float("nan"), 3.0, 4.0])
+    with _pt.raises(errors.Invalid):
+        spectral_residual(df, by=["k"], threshold=0.0)
