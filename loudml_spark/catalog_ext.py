@@ -3286,6 +3286,65 @@ FROM qv JOIN lastrow l USING (event_type)
 """
 
 
+def q_ks_click_vs_view(spark, sf_dir):
+    """Two-sample KS drift test between the value distributions of
+    click and view events — the binning-free companion to the PSI
+    monitor (operators/tsmath.py ks_two_sample).  D and the α=0.05
+    verdict are exact integer arithmetic (cross-multiplied ECDF
+    fractions; squared critical-value compare in DECIMAL(38,0) /
+    HUGEINT) — no sqrt, no float boundary anywhere."""
+    from loudml_spark.operators.tsmath import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.col("value").cast("decimal(18,2)")
+        .cast("double").alias("v"))
+    return ks_two_sample(
+        ev, value_col="v", group_col="event_type",
+        group_a="click", group_b="view")
+
+
+SQL_KS_CLICK_VS_VIEW = """
+WITH base AS (
+  SELECT CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v,
+         event_type AS g
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+),
+d AS (
+  SELECT v,
+         SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY v
+),
+c AS (
+  SELECT SUM(ca) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cuma,
+         SUM(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cumb,
+         SUM(ca) OVER () AS na,
+         SUM(cb) OVER () AS nb
+  FROM d
+),
+agg AS (
+  SELECT CAST(MAX(na) AS BIGINT) AS n_a,
+         CAST(MAX(nb) AS BIGINT) AS n_b,
+         CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS dnum
+  FROM c
+)
+SELECT n_a, n_b,
+       ROUND(CAST(dnum AS DOUBLE)
+             / NULLIF(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0),
+             6) + 0.0 AS d,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         CAST(dnum AS HUGEINT) * CAST(dnum AS HUGEINT) * 100000000
+           > CAST(184443561 AS HUGEINT) * (n_a + n_b) * n_a * n_b
+       END AS reject
+FROM agg
+"""
+
+
 SR_MA_WINDOW = 3
 SR_THRESHOLD = 3.0
 
@@ -3672,6 +3731,8 @@ EXT_QUERIES: dict[str, dict] = {
     "spectral_residual_daily": {
         "fn": q_spectral_residual_daily,
         "oracle_fn": _sql_spectral_residual_daily},
+    "ks_click_vs_view": {
+        "fn": q_ks_click_vs_view, "oracle": SQL_KS_CLICK_VS_VIEW},
     "acf_hourly_clicks": {
         "fn": q_acf_hourly_clicks,
         "oracle": SQL_ACF_HOURLY_CLICKS},

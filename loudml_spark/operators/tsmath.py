@@ -1451,3 +1451,85 @@ def spectral_residual(
 
     res = base.groupBy(*gb).applyInPandas(score, schema=schema)
     return res.drop("__k") if not by else res
+
+def ks_two_sample(
+    df: DataFrame,
+    *,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    alpha_c2_e8: int = 184_443_561,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test between the
+    ``value_col`` distributions of two groups — the binning-free
+    companion to the PSI drift monitor (PSI needs bins and misses
+    what falls between them; KS is sensitive to ANY ECDF gap).
+
+        D = max_v |ECDF_a(v) − ECDF_b(v)|
+
+    computed EXACTLY: per distinct value, the gap numerator
+    |cum_a·n_b − cum_b·n_a| is an integer (cross-multiplied
+    fractions), and the α-level verdict compares
+    D > c(α)·√((n_a+n_b)/(n_a·n_b)) in SQUARED form with c²(α)
+    scaled integral (default 1.3581²·10⁸ for α = 0.05):
+
+        D_num² · 10⁸  >  c²ₑ₈ · (n_a+n_b) · n_a · n_b
+
+    — no sqrt, no float boundary; the products exceed int64 so they
+    compute in DECIMAL(38,0) (HUGEINT in the DuckDB oracle).
+
+    Scale: one map-side-combined groupBy on distinct values, then
+    cumulative windows over the DISTINCT-VALUE frame (bounded by
+    value granularity, not row count — the single-partition-window
+    case documented in SCALE.md; quantize heavy-tailed continuous
+    values upstream if distinct cardinality is unbounded).  Output:
+    one row (n_a, n_b, d, reject); ``d`` is rounded for display, the
+    decision never rounds.  Empty groups yield NULL d/reject."""
+    from pyspark.sql import Window
+
+    _need(df, value_col, group_col)
+    if alpha_c2_e8 <= 0:
+        raise errors.Invalid("alpha_c2_e8 must be positive")
+    base = df.filter(
+        F.col(value_col).isNotNull()
+        & F.col(group_col).isin([group_a, group_b]))
+    g = base.groupBy(value_col).agg(
+        F.sum(F.when(F.col(group_col) == group_a, 1)
+              .otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col(group_col) == group_b, 1)
+              .otherwise(0)).alias("__cb"),
+    )
+    wcum = Window.orderBy(value_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    o = g.select(
+        F.sum("__ca").over(wcum).alias("__cuma"),
+        F.sum("__cb").over(wcum).alias("__cumb"),
+        F.sum("__ca").over(wall).alias("__na"),
+        F.sum("__cb").over(wall).alias("__nb"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    res = o.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.max(F.abs(F.col("__cuma") * F.col("__nb")
+                    - F.col("__cumb") * F.col("__na")))
+        .alias("__dnum"),
+    )
+    d = F.try_divide(
+        F.col("__dnum").cast("double"),
+        (F.col("n_a") * F.col("n_b")).cast("double"))
+    lhs = (dec(F.col("__dnum")) * dec(F.col("__dnum"))
+           * F.lit(100_000_000).cast("decimal(38,0)"))
+    rhs = (F.lit(int(alpha_c2_e8)).cast("decimal(38,0)")
+           * dec(F.col("n_a") + F.col("n_b"))
+           * dec(F.col("n_a")) * dec(F.col("n_b")))
+    return res.select(
+        "n_a", "n_b",
+        (F.round(d, round_dp) + F.lit(0.0)).alias("d"),
+        F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), lhs > rhs)
+        .alias("reject"),
+    )

@@ -1025,3 +1025,43 @@ def test_spectral_residual_flags_spike(spark):
         spectral_residual_scores([1.0, float("nan"), 3.0, 4.0])
     with _pt.raises(errors.Invalid):
         spectral_residual(df, by=["k"], threshold=0.0)
+
+
+def test_ks_two_sample_exact_decision(spark):
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import ks_two_sample
+
+    # identical discrete distributions: D = 0, no reject
+    rows = [(float(i % 10), "a") for i in range(200)] + \
+           [(float(i % 10), "b") for i in range(200)]
+    df = spark.createDataFrame(rows, "v double, g string")
+    r = ks_two_sample(df, value_col="v", group_col="g",
+                      group_a="a", group_b="b").collect()[0]
+    assert (r["n_a"], r["n_b"], r["d"], r["reject"]) == \
+        (200, 200, 0.0, False)
+    # shift by 3 over support {0..9}: D = exactly 0.3, reject at 5%
+    # (critical value 1.3581*sqrt(400/40000) = 0.136)
+    rows2 = [(float(i % 10), "a") for i in range(200)] + \
+            [(float(i % 10) + 3.0, "b") for i in range(200)]
+    df2 = spark.createDataFrame(rows2, "v double, g string")
+    r = ks_two_sample(df2, value_col="v", group_col="g",
+                      group_a="a", group_b="b").collect()[0]
+    assert (r["d"], r["reject"]) == (0.3, True)
+    # small-sample boundary: n=5 each, D=0.2 -> crit = 1.3581*sqrt(.4)
+    # = 0.859 -> NOT rejected (exact integer compare, no sqrt)
+    small = spark.createDataFrame(
+        [(float(i), "a") for i in range(5)]
+        + [(float(i) + 1.0, "b") for i in range(5)], "v double, g string")
+    r = ks_two_sample(small, value_col="v", group_col="g",
+                      group_a="a", group_b="b").collect()[0]
+    assert (r["d"], r["reject"]) == (0.2, False)
+    # missing group -> NULL verdict, not a crash
+    r = ks_two_sample(df.filter("g = 'a'"), value_col="v",
+                      group_col="g", group_a="a",
+                      group_b="b").collect()[0]
+    assert r["reject"] is None
+    with _pt.raises(errors.Invalid):
+        ks_two_sample(df, value_col="v", group_col="g",
+                      group_a="a", group_b="b", alpha_c2_e8=0)
