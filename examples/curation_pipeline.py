@@ -189,6 +189,42 @@ def main(sf_dir: str) -> None:
     for r in train_vocab.collect():
         print(f"  {r['token']:>12}  tf={r['tf']}  df={r['df']}")
 
+    # 9b. CDC dup-chunk audit: after whole-document dedup, how much
+    #     EDIT-SHIFTED shared content remains?  (content-defined
+    #     chunking re-aligns after insertions, so cross-doc duplicate
+    #     chunks surface what whole-doc hashes miss)
+    from loudml_spark.pipeline.dedup import cdc_chunks
+
+    chunks = cdc_chunks(split.select("doc_id", "text"))
+    dup_chunks = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter("n_docs >= 2").count())
+    print(f"cdc audit: {dup_chunks} chunk hashes shared across docs")
+
+    # 9c. score evaluation: is the quality heuristic actually
+    #     informative about the target language, and is it calibrated
+    #     as a probability?  (calibrate -> rank via AUC -> gap)
+    from loudml_spark.operators.calibrate import (
+        binary_auc, calibration_error, isotonic_calibrate,
+    )
+    from loudml_spark.pipeline.text import text_stats
+
+    scored = text_stats(split.select("doc_id", "text", "lang")).select(
+        F.col("quality").alias("score"),
+        (F.col("lang") == "en").alias("is_en"))
+    auc = binary_auc(scored, score_col="score",
+                     label_col="is_en").collect()[0]
+    err = calibration_error(scored, score_col="score",
+                            label_col="is_en").collect()[0]
+    iso = isotonic_calibrate(scored, score_col="score",
+                             label_col="is_en")
+    n_bins = iso.count()
+    print(f"quality-score eval: auc={auc['auc']} "
+          f"(pos={auc['n_pos']} neg={auc['n_neg']})  "
+          f"ece={err['ece']} mce={err['mce']}  "
+          f"isotonic bins={n_bins}")
+
     # 10. SemDeDup over the embeddings table: coarse-quantizer cells
     #     bound the within-cell cosine comparison; one exemplar per
     #     semantic-duplicate component survives
