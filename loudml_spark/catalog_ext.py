@@ -3286,6 +3286,61 @@ FROM qv JOIN lastrow l USING (event_type)
 """
 
 
+PH_DELTA = 0.5
+PH_LAM = 30.0
+
+
+def q_page_hinkley_daily(spark, sf_dir):
+    """Page–Hinkley sequential drift test on the daily mean per
+    event_type — the reference-level-free companion to the CUSUM
+    query: deviations accumulate against the RUNNING mean, alarm
+    when the statistic exceeds its running minimum by λ
+    (operators/tsmath.py page_hinkley; prefix closed form, pure
+    window algebra).  ph rounds at 6 for display; the decision is on
+    the raw statistic — the CUSUM query's convention."""
+    from loudml_spark.operators.tsmath import page_hinkley
+
+    out = page_hinkley(
+        _daily_mean_by_type(spark, sf_dir), value_col="value",
+        delta=PH_DELTA, lam=PH_LAM, by=["event_type"])
+    return out.select(
+        "event_type", "bucket_ts", "value",
+        (F.round(F.col("ph"), 6) + F.lit(0.0)).alias("ph"),
+        "is_change")
+
+
+SQL_PAGE_HINKLEY_DAILY = f"""
+WITH {_SQL_DAILY_MEAN_BY_TYPE},
+s AS (
+  SELECT event_type, bucket_ts, value,
+         value - AVG(value) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - {PH_DELTA!r} AS dev
+  FROM daily
+),
+m AS (
+  SELECT event_type, bucket_ts, value,
+         SUM(dev) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mt
+  FROM s
+),
+g AS (
+  SELECT event_type, bucket_ts, value,
+         COALESCE(mt - LEAST(MIN(mt) OVER (
+           PARTITION BY event_type ORDER BY bucket_ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0),
+           0.0) AS raw_ph
+  FROM m
+)
+SELECT event_type, bucket_ts, value,
+       ROUND(raw_ph, 6) + 0.0 AS ph,
+       raw_ph > {PH_LAM!r} AS is_change
+FROM g
+"""
+
+
 def q_ks_click_vs_view(spark, sf_dir):
     """Two-sample KS drift test between the value distributions of
     click and view events — the binning-free companion to the PSI
@@ -3733,6 +3788,8 @@ EXT_QUERIES: dict[str, dict] = {
         "oracle_fn": _sql_spectral_residual_daily},
     "ks_click_vs_view": {
         "fn": q_ks_click_vs_view, "oracle": SQL_KS_CLICK_VS_VIEW},
+    "page_hinkley_daily": {
+        "fn": q_page_hinkley_daily, "oracle": SQL_PAGE_HINKLEY_DAILY},
     "acf_hourly_clicks": {
         "fn": q_acf_hourly_clicks,
         "oracle": SQL_ACF_HOURLY_CLICKS},

@@ -172,6 +172,43 @@ def cusum(
     return out
 
 
+def page_hinkley(
+    df: DataFrame,
+    *,
+    value_col: str,
+    delta: float,
+    lam: float,
+    ts_col: str = "bucket_ts",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Page–Hinkley sequential drift test per key — the
+    mean-shift companion to :func:`cusum` that needs NO reference
+    level: each point deviates from the RUNNING mean,
+    ``m_t = Σ_{i≤t} (x_i − x̄_i − δ)`` with x̄_i the prefix mean at i,
+    and drift is flagged when ``m_t − min_{i≤t} m_i > λ``.  Like
+    CUSUM, the textbook recursion has a prefix closed form: one
+    cumulative avg, one cumulative sum over the deviations, one
+    cumulative min — window algebra, no recursion, no Python.
+
+    δ absorbs tolerated magnitude drift; λ is the alarm threshold.
+    Null values contribute nothing (avg and sum skip them) but still
+    emit a row.  Output adds ``ph`` (the m_t − min gap) and
+    ``is_change``."""
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if lam <= 0:
+        raise errors.Invalid(f"lam must be positive, got {lam}")
+    base = (Window.partitionBy(*by) if by else Window.partitionBy())
+    w = base.orderBy(ts_col).rowsBetween(Window.unboundedPreceding, 0)
+    dev = (F.col(value_col) - F.avg(value_col).over(w)
+           - F.lit(float(delta)))
+    step = df.withColumn("__dev", dev)
+    m = F.sum("__dev").over(w)
+    gap = m - F.least(F.min(m).over(w), F.lit(0.0))
+    out = step.withColumn("ph", F.coalesce(gap, F.lit(0.0)))         .drop("__dev")
+    return out.withColumn("is_change", F.col("ph") > F.lit(float(lam)))
+
+
 def ewma_weights(n_lags: int, *, alpha: float | None = None,
                  halflife: float | None = None) -> list[float]:
     """Normalizable truncated-EWMA weights (1-α)^j, j = 0..n_lags-1.

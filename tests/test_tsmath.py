@@ -1065,3 +1065,36 @@ def test_ks_two_sample_exact_decision(spark):
     with _pt.raises(errors.Invalid):
         ks_two_sample(df, value_col="v", group_col="g",
                       group_a="a", group_b="b", alpha_c2_e8=0)
+
+
+def test_page_hinkley_matches_recursion_and_alarms(spark):
+    import numpy as np
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import page_hinkley
+
+    rng = np.random.default_rng(7)
+    vals = list(50 + rng.normal(0, 2, 40)) + list(60 + rng.normal(0, 2, 20))
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "bucket_ts long, value double")
+    out = page_hinkley(df, value_col="value", delta=0.5, lam=20.0) \
+        .orderBy("bucket_ts").collect()
+    # reference recursion: m_t = m_{t-1} + (x_t - mean_t - delta)
+    m, mn, s, cnt = 0.0, 0.0, 0.0, 0
+    for i, r in enumerate(out):
+        s += vals[i]; cnt += 1
+        m += vals[i] - s / cnt - 0.5
+        mn = min(mn, m)
+        assert r["ph"] == _pt.approx(m - mn, abs=1e-9), i
+    # the level shift at t=40 must alarm shortly after, never before
+    flagged = [r["bucket_ts"] for r in out if r["is_change"]]
+    assert flagged and 40 <= min(flagged) <= 45
+    # null rows pass through without contributing drift
+    with_null = spark.createDataFrame(
+        [(0, 10.0), (1, None), (2, 10.0)], "bucket_ts long, value double")
+    got = page_hinkley(with_null, value_col="value",
+                       delta=0.0, lam=5.0).orderBy("bucket_ts").collect()
+    assert [r["ph"] for r in got] == [0.0, 0.0, 0.0]
+    with _pt.raises(errors.Invalid):
+        page_hinkley(df, value_col="value", delta=0.5, lam=0.0)
