@@ -3341,6 +3341,57 @@ FROM g
 """
 
 
+def q_streaming_page_hinkley_daily(spark, sf_dir):
+    """The batch Page–Hinkley query executed THROUGH Structured
+    Streaming: the daily series staged as 2 ts-range files (→ 2
+    micro-batches), the drift statistic carried across batches as
+    O(1)-per-key state (streaming/job.py stream_page_hinkley).  The
+    state update is the same arithmetic sequence as the batch
+    cumulative windows, so the drained rows are bit-identical and
+    this query shares the batch query's SQL oracle VERBATIM — the
+    CMS-style strongest batch↔streaming parity claim, now for a
+    sequential statistic (order matters, not just commutativity)."""
+    import tempfile
+
+    from loudml_spark.catalog import _CACHED_SERIES
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_page_hinkley,
+    )
+
+    daily = _daily_mean_by_type(spark, sf_dir)
+    skey = (spark.sparkContext.applicationId, sf_dir, "stage_ph")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        if skey not in _CACHED_SERIES:
+            tmp = tempfile.mkdtemp(prefix="lms_ph_stream_")
+            cut = daily.agg(
+                F.expr("percentile(bucket_ts, 0.5)")).first()[0]
+            for part in (daily.filter(F.col("bucket_ts") <= cut),
+                         daily.filter(F.col("bucket_ts") > cut)):
+                part.coalesce(1).write.mode("append").parquet(tmp)
+            _CACHED_SERIES[skey] = tmp
+        tmp = _CACHED_SERIES[skey]
+        stream = (
+            spark.readStream
+            .schema("event_type string, bucket_ts bigint, value double")
+            .option("maxFilesPerTrigger", 1).parquet(tmp)
+        )
+        out = drain_stream_to_df(
+            stream_page_hinkley(
+                stream, delta=PH_DELTA, lam=PH_LAM),
+            ["event_type", "bucket_ts", "value", "ph", "is_change"],
+            output_mode="append", prefix="stream_ph",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.select(
+        "event_type", "bucket_ts", "value",
+        (F.round(F.col("ph"), 6) + F.lit(0.0)).alias("ph"),
+        "is_change")
+
+
 def q_ks_click_vs_view(spark, sf_dir):
     """Two-sample KS drift test between the value distributions of
     click and view events — the binning-free companion to the PSI
@@ -3790,6 +3841,9 @@ EXT_QUERIES: dict[str, dict] = {
         "fn": q_ks_click_vs_view, "oracle": SQL_KS_CLICK_VS_VIEW},
     "page_hinkley_daily": {
         "fn": q_page_hinkley_daily, "oracle": SQL_PAGE_HINKLEY_DAILY},
+    "streaming_page_hinkley_daily": {
+        "fn": q_streaming_page_hinkley_daily,
+        "oracle": SQL_PAGE_HINKLEY_DAILY},
     "acf_hourly_clicks": {
         "fn": q_acf_hourly_clicks,
         "oracle": SQL_ACF_HOURLY_CLICKS},

@@ -734,3 +734,87 @@ def stream_cms_counters(
     return cms_counters(
         stream, text_col=text_col, id_col=id_col,
         depth=depth, width=width)
+
+
+def stream_page_hinkley(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    delta: float = 0.5,
+    lam: float = 30.0,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming Page–Hinkley drift detection whose statistic
+    survives micro-batch boundaries: per-key state is exactly the
+    recursion's four scalars (count, running sum, m, min m) — O(1)
+    per key regardless of stream length, the textbook example of why
+    sequential drift tests suit streams.
+
+    The update is the SAME arithmetic sequence the batch closed form
+    executes (cumulative avg/sum/min in ts order), so the drained
+    append output is BIT-IDENTICAL to operators/tsmath.page_hinkley
+    over the same rows and the catalog pairs this streaming
+    execution against the batch SQL oracle verbatim.  Rows are
+    processed in ts order within each batch (one global sort over
+    the key's concatenated chunks); cross-batch ordering assumes
+    in-order arrival — stage/replay guards upstream, as with
+    stream_counter_increase.  Null values leave the statistic
+    unchanged but still emit a row (the batch semantics)."""
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField(ts_col, T.LongType()),
+        T.StructField(value_col, T.DoubleType()),
+        T.StructField("ph", T.DoubleType()),
+        T.StructField("is_change", T.BooleanType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("cnt", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+        T.StructField("min_m", T.DoubleType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            cnt, total, m, min_m = state.get
+        else:
+            cnt, total, m, min_m = 0, 0.0, 0.0, 0.0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((cnt, total, m, min_m))
+            out = pd.DataFrame(columns=[ts_col, value_col, "ph",
+                                        "is_change"])
+            out.insert(0, key_col, key[0])
+            yield out
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        phs, flags, started = [], [], cnt > 0
+        for x in pdf[value_col]:
+            if x is not None and not pd.isna(x):
+                cnt += 1
+                total += float(x)
+                m += float(x) - total / cnt - delta
+                min_m = min(min_m, m)
+                started = True
+            raw = (m - min(min_m, 0.0)) if started else 0.0
+            phs.append(raw)
+            flags.append(raw > lam)
+        state.update((cnt, total, m, min_m))
+        out = pd.DataFrame({
+            ts_col: pdf[ts_col].to_numpy(),
+            value_col: pdf[value_col].to_numpy(dtype=float),
+            "ph": phs,
+            "is_change": flags,
+        })
+        out.insert(0, key_col, key[0])
+        yield out
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

@@ -774,3 +774,38 @@ def test_stream_cms_counters_merges_across_batches(spark, tmpdir):
 
     with pytest.raises(errors.Invalid, match="streaming"):
         stream_cms_counters(spark.createDataFrame(all_rows, schema))
+
+
+def test_stream_page_hinkley_state_crosses_batches(spark, tmpdir):
+    from loudml_spark.operators.tsmath import page_hinkley
+    from loudml_spark.streaming.job import stream_page_hinkley
+
+    src = f"{tmpdir}/ph"
+    schema = "event_type string, bucket_ts long, value double"
+    vals = [50.0, 51.0, 49.0, 50.0, 62.0, 63.0, 61.0, 62.0]
+    rows = [("a", BASE + i * 60, v) for i, v in enumerate(vals)]
+    # the level shift sits in batch 2: the statistic must carry the
+    # batch-1 mean state across the boundary to see it
+    _write_batch(spark, src, rows[:4], schema)
+    _write_batch(spark, src, rows[4:], schema)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    out = stream_page_hinkley(stream, key_col="event_type",
+                              delta=0.5, lam=10.0)
+    q = (out.writeStream.format("memory").queryName("ph_test")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+
+    got = {r["bucket_ts"]: (r["ph"], r["is_change"])
+           for r in spark.sql("select * from ph_test").collect()}
+    # bit-identical to the batch closed form over the same rows
+    df = spark.createDataFrame(rows, schema)
+    want = {r["bucket_ts"]: (r["ph"], r["is_change"])
+            for r in page_hinkley(df, value_col="value", delta=0.5,
+                                  lam=10.0, by=["event_type"]).collect()}
+    assert got == want
+    # and the shift actually alarms (in batch 2 only)
+    flagged = [ts for ts, (_, ch) in got.items() if ch]
+    assert flagged and min(flagged) >= BASE + 4 * 60
