@@ -678,6 +678,42 @@ FROM b GROUP BY 1
 """
 
 
+def q_gini_chars_by_source(spark, sf_dir):
+    """Gini concentration of character mass per source — the
+    corpus-balance audit before trusting per-source sampling rates:
+    G → 1 means one document hoards the source's mass.  Exact
+    integer rank-weighted sums, one final division
+    (operators/profile.py gini_concentration)."""
+    from loudml_spark.operators.profile import gini_concentration
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gini_concentration(
+        docs, value_col="n_chars", by=["source"],
+        order_col="doc_id")
+
+
+SQL_GINI_CHARS_BY_SOURCE = """
+WITH r AS (
+  SELECT source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS i
+  FROM documents WHERE n_chars IS NOT NULL
+),
+a AS (
+  SELECT source, COUNT(*) AS n,
+         CAST(SUM(n_chars) AS BIGINT) AS total,
+         CAST(SUM(i * n_chars) AS BIGINT) AS s
+  FROM r GROUP BY 1
+)
+SELECT source, n, total,
+       CASE WHEN n > 1 THEN
+         ROUND(CAST(2 * s - (n + 1) * total AS DOUBLE)
+               / NULLIF(CAST(n * total AS DOUBLE), 0), 6) + 0.0
+       END AS gini
+FROM a
+"""
+
+
 def q_sample_16_per_lang(spark, sf_dir):
     """EXACTLY-16-per-language deterministic sample (eval-set
     carving): rows rank by (fingerprint bucket, doc_id) within each
@@ -2863,6 +2899,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "calibration_error_docs": {
         "fn": q_calibration_error_docs,
         "oracle": SQL_CALIBRATION_ERROR_DOCS},
+    "gini_chars_by_source": {
+        "fn": q_gini_chars_by_source,
+        "oracle": SQL_GINI_CHARS_BY_SOURCE},
     "quality_gate_docs": {
         "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
     "winnow_fingerprints_docs": {

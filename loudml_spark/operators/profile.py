@@ -174,3 +174,69 @@ def profile(
         order.append("approx_ok")
     order += ["min_value", "max_value", "mean_value", "min_len", "max_len"]
     return out.select(*order)
+
+
+def gini_concentration(
+    df: DataFrame,
+    *,
+    value_col: str,
+    by: Sequence[str] = (),
+    order_col: str | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Gini coefficient of ``value_col`` mass per key — the
+    corpus-balance audit: is one document hoarding a source's token
+    mass (G → 1), or is the mass spread evenly (G → 0)?  The answer
+    decides whether per-source sampling rates can be trusted.
+
+    Uses the rank-weighted closed form over the ascending sort,
+
+        G = 2·Σ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n
+
+    where for integer values every accumulation is an INTEGER
+    (rank·value sums), so the statistic is bit-portable with one
+    final division: G = (2·S − (n+1)·T) / (n·T) with S = Σ i·x₍ᵢ₎,
+    T = Σx.  Equal values make tie order irrelevant to S (equal x
+    swaps ranks without changing Σ i·x), so any deterministic
+    tie-break gives the same G; ``order_col`` (default the value
+    itself) pins it anyway.  Negative values are invalid (Gini is
+    defined on non-negative quantities) and raise at runtime via
+    an assert column.  Output per key: (n, total, gini); n = 1 or
+    T = 0 yields NULL via try_divide."""
+    from pyspark.sql import Window
+
+    for c in (value_col, *by, *((order_col,) if order_col else ())):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    by = list(by)
+    extra = [order_col] if order_col else []
+    # the guard lives INSIDE the value expression — a separate
+    # assert_true column would be pruned away as unused by the
+    # optimizer and never evaluated (measured)
+    guarded = F.when(
+        F.col(value_col) < 0,
+        F.raise_error(F.lit(
+            f"gini_concentration: negative {value_col}")),
+    ).otherwise(F.col(value_col))
+    base = df.filter(F.col(value_col).isNotNull()).select(
+        *by, *extra, guarded.alias("__x"))
+    if not by:
+        base = base.withColumn("__k", F.lit(1))
+    gb = by if by else ["__k"]
+    w = Window.partitionBy(*gb).orderBy(
+        "__x", *( [order_col] if order_col else [] ))
+    ranked = base.withColumn("__i", F.row_number().over(w))
+    agg = ranked.groupBy(*gb).agg(
+        F.count("*").alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__s"),
+    )
+    g = F.try_divide(
+        (2 * F.col("__s") - (F.col("n") + 1) * F.col("total"))
+        .cast("double"),
+        (F.col("n") * F.col("total")).cast("double"))
+    out = agg.select(
+        *gb, "n", "total",
+        F.when(F.col("n") > 1,
+               F.round(g, round_dp) + F.lit(0.0)).alias("gini"))
+    return out.drop("__k") if not by else out

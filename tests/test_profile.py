@@ -76,3 +76,33 @@ def test_profile_all_null_column_exact_distincts(spark):
     assert rows["b"]["n_nulls"] == 2
     assert rows["b"]["approx_ok"] is True
     assert rows["a"]["n_distinct"] == 2
+
+
+def test_gini_concentration_closed_form(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from loudml_spark import errors
+    from loudml_spark.operators.profile import gini_concentration
+
+    rows = ([(i, 10, "eq") for i in range(5)]
+            + [(i, 100 if i == 0 else 0, "hoard") for i in range(5)]
+            + [(0, 7, "single")])
+    df = spark.createDataFrame(rows, "doc_id long, toks long, src string")
+    got = {r["src"]: r for r in gini_concentration(
+        df, value_col="toks", by=["src"], order_col="doc_id").collect()}
+    assert got["eq"]["gini"] == 0.0              # perfectly even
+    assert got["hoard"]["gini"] == 0.8           # (n-1)/n, one hoarder
+    assert got["single"]["gini"] is None         # undefined at n=1
+    assert (got["hoard"]["n"], got["hoard"]["total"]) == (5, 100)
+    # hand case: values 1,2,3,4 -> G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    h = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                              "doc_id long, v long")
+    r = gini_concentration(h, value_col="v").collect()[0]
+    assert r["gini"] == 0.25
+    # negative values are a hard error (assert_true), not a wrong G
+    neg = spark.createDataFrame([(0, -1), (1, 2)], "doc_id long, v long")
+    with _pt.raises(Exception):
+        gini_concentration(neg, value_col="v").collect()
+    with _pt.raises(errors.Invalid):
+        gini_concentration(df, value_col="nope")
