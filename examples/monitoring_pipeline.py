@@ -135,6 +135,35 @@ def main(sf_dir: str) -> None:
         by=["event_type"])
     print("baseline forecast rows (next 24 h):", fc.count())
 
+    # 8c. uncertainty the distribution-free way: split-conformal
+    #     bands around the naive forecast — half-width = the
+    #     ceil((n+1)·0.9)-th smallest historical h-step |error|, so
+    #     the 90% coverage holds with no Gaussian assumption
+    from loudml_spark.operators.tsmath import conformal_naive
+
+    bands = conformal_naive(
+        series, interval=3600, horizon=6, by=["event_type"])
+    print("== 90% conformal bands (h=1) ==")
+    bands.filter("h = 1").select(
+        "event_type", "yhat", "q", "lower", "upper", "n_cal"
+    ).orderBy("event_type").show()
+
+    # 8d. reference-free drift + spectral anomalies on the raw
+    #     hourly series: Page–Hinkley needs no target level (CUSUM
+    #     above does), Spectral Residual needs no training (Donut
+    #     does) — the zero-config first responders
+    from loudml_spark.operators.tsmath import (
+        page_hinkley, spectral_residual,
+    )
+
+    ph = page_hinkley(series, value_col="value", delta=0.5,
+                      lam=30.0, by=["event_type"])
+    sal = spectral_residual(series, by=["event_type"], threshold=3.0)
+    print("page-hinkley alarm buckets:",
+          ph.filter("is_change").count(),
+          "  spectral-residual anomalies:",
+          sal.filter("is_anomaly").count())
+
     # 9. SCD2 user-tier history — join-ready for as-of enrichment
     tiers = scd2_from_changelog(
         ev.select(

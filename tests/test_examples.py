@@ -31,3 +31,19 @@ def test_curation_pipeline_example_e2e():
     assert m, text[-2000:]
     ns = [int(g) for g in m.groups()]
     assert all(a >= b for a, b in zip(ns, ns[1:]))
+
+
+def test_monitoring_pipeline_example_e2e():
+    out = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "examples", "monitoring_pipeline.py"),
+         "/root/testdata/sf0.001"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-3000:]
+    text = out.stdout
+    for marker in ("drift alarm buckets:", "90% conformal bands",
+                   "page-hinkley alarm buckets:",
+                   "spectral-residual anomalies:",
+                   "backtest MAE", "tier versions:",
+                   "stream rate rows:", "heartbeat alerts:"):
+        assert marker in text, (marker, text[-2000:])
