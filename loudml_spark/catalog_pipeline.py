@@ -678,6 +678,83 @@ FROM b GROUP BY 1
 """
 
 
+LB_BATCH = 16
+
+
+def q_length_batch_waste(spark, sf_dir):
+    """Length-bucketed batching audit per language: padding tokens
+    burned when batches of {batch} pad to their max length, sorted-
+    by-length batching vs arrival-order batching (the dataloader
+    efficiency decision, quantified).  Both audits are exact integer
+    arithmetic (waste = Σ n·max − Σlen); one shuffle each, rank
+    windows riding the stratum keys.  See pipeline/sampling.py
+    length_batches / padding_waste."""
+    from loudml_spark.pipeline.sampling import (
+        length_batches,
+        padding_waste,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars")
+    sb = padding_waste(
+        length_batches(docs, token_col="n_chars",
+                       batch_size=LB_BATCH, by=["lang"]),
+        token_col="n_chars", by=["lang"])
+    ab = padding_waste(
+        length_batches(docs, token_col="n_chars",
+                       batch_size=LB_BATCH, by=["lang"],
+                       sort_by_length=False),
+        token_col="n_chars", by=["lang"])
+    return (
+        sb.select("lang", "n_batches", "n_docs", "real_tokens",
+                  F.col("pad_tokens").alias("pad_sorted"))
+        .join(ab.select("lang",
+                        F.col("pad_tokens").alias("pad_arrival")),
+              "lang")
+    )
+
+
+SQL_LENGTH_BATCH_WASTE = f"""
+WITH s AS (
+  SELECT lang, n_chars,
+         (row_number() OVER (PARTITION BY lang
+                             ORDER BY n_chars, doc_id) - 1)
+           // {LB_BATCH} AS batch
+  FROM documents
+),
+a AS (
+  SELECT lang, n_chars,
+         (row_number() OVER (PARTITION BY lang ORDER BY doc_id) - 1)
+           // {LB_BATCH} AS batch
+  FROM documents
+),
+sb AS (
+  SELECT lang, batch, COUNT(*) AS n, MAX(n_chars) AS mx,
+         SUM(n_chars) AS sm
+  FROM s GROUP BY 1, 2
+),
+ab AS (
+  SELECT lang, batch, COUNT(*) AS n, MAX(n_chars) AS mx,
+         SUM(n_chars) AS sm
+  FROM a GROUP BY 1, 2
+),
+sagg AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_batches,
+         CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(sm) AS BIGINT) AS real_tokens,
+         CAST(SUM(n * mx - sm) AS BIGINT) AS pad_sorted
+  FROM sb GROUP BY 1
+),
+aagg AS (
+  SELECT lang, CAST(SUM(n * mx - sm) AS BIGINT) AS pad_arrival
+  FROM ab GROUP BY 1
+)
+SELECT sagg.lang AS lang, n_batches, n_docs, real_tokens,
+       pad_sorted, pad_arrival
+FROM sagg JOIN aagg ON aagg.lang = sagg.lang
+"""
+
+
 def q_gini_chars_by_source(spark, sf_dir):
     """Gini concentration of character mass per source — the
     corpus-balance audit before trusting per-source sampling rates:
@@ -2902,6 +2979,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "gini_chars_by_source": {
         "fn": q_gini_chars_by_source,
         "oracle": SQL_GINI_CHARS_BY_SOURCE},
+    "length_batch_waste": {
+        "fn": q_length_batch_waste,
+        "oracle": SQL_LENGTH_BATCH_WASTE},
     "quality_gate_docs": {
         "fn": q_quality_gate_docs, "oracle": SQL_QUALITY_GATE_DOCS},
     "winnow_fingerprints_docs": {

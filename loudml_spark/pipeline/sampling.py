@@ -385,3 +385,67 @@ def weighted_keep(
         * F.lit(SPLIT_MOD))
     return df.withColumn(
         keep_col, F.coalesce(split_bucket(key) < thresh, F.lit(False)))
+
+
+def length_batches(
+    df: DataFrame,
+    *,
+    token_col: str,
+    batch_size: int,
+    by: "tuple[str, ...] | list[str]" = (),
+    order_col: str = "doc_id",
+    sort_by_length: bool = True,
+    batch_col: str = "batch",
+) -> DataFrame:
+    """Length-bucketed batching — the padding-minimization step of a
+    training dataloader: documents sort by token count within each
+    stratum and cut into ``batch_size`` groups, so every batch holds
+    near-equal lengths and pads almost nothing (a batch's cost is
+    n·max(len); mixed lengths burn the gap as pad tokens).
+
+    ``sort_by_length=False`` batches in ``order_col`` (arrival)
+    order instead — the baseline whose padding waste quantifies what
+    length-sorting saves; both orderings tie-break on ``order_col``
+    so batches are deterministic.  Adds ``batch_col``; the per-batch
+    padding audit is exact integer arithmetic downstream
+    (waste = n·max − Σlen).  One shuffle on the stratum keys; the
+    rank window rides it (per-stratum series bounded by corpus/|strata|
+    — sort within strata, the pack_shards discipline)."""
+    from pyspark.sql import Window
+
+    if batch_size <= 0:
+        raise errors.Invalid("batch_size must be positive")
+    order = ([F.col(token_col), F.col(order_col)] if sort_by_length
+             else [F.col(order_col)])
+    w = (Window.partitionBy(*by) if by else Window.partitionBy()) \
+        .orderBy(*order)
+    rn = F.row_number().over(w)
+    return df.withColumn(
+        batch_col,
+        F.floor((rn - F.lit(1)) / F.lit(int(batch_size)))
+        .cast("long"))
+
+
+def padding_waste(
+    df: DataFrame,
+    *,
+    token_col: str,
+    by: "tuple[str, ...] | list[str]" = (),
+    batch_col: str = "batch",
+) -> DataFrame:
+    """Per-stratum padding audit of batched documents: every batch
+    pads to its max length, so waste = Σ_batches (n·max − Σlen) —
+    exact integers.  Output per ``by`` key: (n_batches, n_docs,
+    pad_tokens, real_tokens)."""
+    per_batch = df.groupBy(*by, batch_col).agg(
+        F.count("*").alias("__n"),
+        F.max(token_col).alias("__mx"),
+        F.sum(token_col).alias("__sum"),
+    )
+    return per_batch.groupBy(*by).agg(
+        F.count("*").alias("n_batches"),
+        F.sum("__n").alias("n_docs"),
+        F.sum(F.col("__n") * F.col("__mx") - F.col("__sum"))
+        .alias("pad_tokens"),
+        F.sum("__sum").alias("real_tokens"),
+    )

@@ -1764,3 +1764,41 @@ def test_cdc_chunks_edit_robust_and_tiling(spark):
         cdc_chunks(df, window=64, min_len=32)
     with _pt.raises(errors.Invalid):
         cdc_chunks(df, divisor=1)
+
+
+def test_length_batches_padding_waste(spark):
+    import pytest as _pt
+
+    from loudml_spark import errors
+    from loudml_spark.pipeline.sampling import (
+        length_batches,
+        padding_waste,
+    )
+
+    # alternating short/long docs: arrival batches mix lengths and
+    # burn ~the gap per short doc; sorted batches are homogeneous
+    lens = [10, 500, 12, 480, 9, 520, 11, 490]
+    df = spark.createDataFrame(
+        [(i, lens[i]) for i in range(8)], "doc_id long, n long")
+    srt = padding_waste(
+        length_batches(df, token_col="n", batch_size=4),
+        token_col="n").collect()[0]
+    arr = padding_waste(
+        length_batches(df, token_col="n", batch_size=4,
+                       sort_by_length=False),
+        token_col="n").collect()[0]
+    # hand-computed: sorted batches {9,10,11,12} + {480,490,500,520}
+    # waste (12*4-42) + (520*4-1990) = 6 + 90 = 96; arrival batches
+    # each pad three short+long mixes to ~max
+    assert (srt["n_batches"], srt["n_docs"]) == (2, 8)
+    assert srt["pad_tokens"] == 96
+    assert arr["pad_tokens"] == (500 * 4 - 1002) + (520 * 4 - 1030)
+    assert srt["real_tokens"] == arr["real_tokens"] == sum(lens)
+    assert srt["pad_tokens"] < arr["pad_tokens"] / 10
+    # determinism under repartition
+    again = padding_waste(
+        length_batches(df.repartition(5), token_col="n", batch_size=4),
+        token_col="n").collect()[0]
+    assert again["pad_tokens"] == 96
+    with _pt.raises(errors.Invalid):
+        length_batches(df, token_col="n", batch_size=0)
