@@ -562,3 +562,116 @@ def test_textrank_mass_conservation(spark, docs, iters):
         assume(False)
     assert all(r["score"] > 0 for r in got)
     assert sum(r["score"] for r in got) == pytest.approx(1.0, abs=1e-3)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 50)),
+        min_size=1, max_size=60,
+    ).map(lambda xs: [(min(p, n), n) for p, n in xs]),
+)
+def test_pav_fit_properties(bins):
+    """pool-adjacent-violators invariants on arbitrary binned
+    Bernoulli data: the fit is (a) non-decreasing, (b) mass
+    preserving (Σ fitted·n = Σ pos exactly — PAV pools means, never
+    moves mass), (c) bounded by [0, 1], and (d) idempotent on its
+    own rounded output when already monotone."""
+    from fractions import Fraction
+
+    from loudml_spark.operators.calibrate import pav_fit
+
+    pos = [p for p, _ in bins]
+    n = [c for _, c in bins]
+    fitted = pav_fit(pos, n)
+    assert all(a <= b for a, b in zip(fitted, fitted[1:]))
+    assert all(0.0 <= v <= 1.0 for v in fitted)
+    # mass preservation in exact rationals (fitted = pooled p/c)
+    total = sum(Fraction(v).limit_denominator(10**12) * c
+                for v, c in zip(fitted, n))
+    assert total == sum(pos)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(1, 10**6), min_size=2, max_size=80),
+    scale=st.integers(1, 1000),
+)
+def test_gini_rank_form_scale_invariant_and_bounded(vals, scale):
+    """The integer rank-weighted Gini closed form: scaling every
+    value by a positive constant cannot change G (S and T scale
+    together), and G is bounded by [0, (n-1)/n]."""
+    def gini(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        t = sum(xs)
+        s = sum((i + 1) * x for i, x in enumerate(xs))
+        return (2 * s - (n + 1) * t), (n * t)
+
+    num1, den1 = gini(vals)
+    num2, den2 = gini([v * scale for v in vals])
+    assert num1 * den2 == num2 * den1          # exact equality
+    n = len(vals)
+    assert 0 <= num1 * n <= (n - 1) * den1     # 0 <= G <= (n-1)/n
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 1),
+                  st.integers(0, 30)),
+        min_size=4, max_size=60,
+    ),
+)
+def test_auc_invariant_under_monotone_score_transform(spark, pts):
+    """ROC-AUC is a rank statistic: any strictly increasing affine
+    transform of the scores leaves (n_pos, n_neg, auc) identical —
+    including through the distinct-score tie handling."""
+    from loudml_spark.operators.calibrate import binary_auc
+
+    from pyspark.sql import functions as F
+
+    rows = [(float(s), bool(y)) for y, s in pts]
+    df = spark.createDataFrame(rows, "score double, label boolean")
+    a = binary_auc(df, score_col="score", label_col="label").collect()[0]
+    df2 = df.withColumn("score", F.col("score") * 7 + 3)
+    b = binary_auc(df2, score_col="score", label_col="label").collect()[0]
+    assert (a["n_pos"], a["n_neg"], a["auc"]) == \
+        (b["n_pos"], b["n_neg"], b["auc"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 20)),
+        min_size=4, max_size=80,
+    ).filter(lambda xs: {g for g, _ in xs} == {"a", "b"}),
+)
+def test_ks_invariant_under_monotone_transform_and_bounded(spark, pts):
+    """KS D is an ECDF statistic: strictly increasing affine
+    transforms of the values change nothing, and 0 <= D <= 1 with
+    D = 0 iff the two samples have identical value multisets."""
+    from loudml_spark.operators.tsmath import ks_two_sample
+
+    from pyspark.sql import functions as F
+
+    rows = [(g, float(v)) for g, v in pts]
+    df = spark.createDataFrame(rows, "g string, v double")
+    a = ks_two_sample(df, value_col="v", group_col="g",
+                      group_a="a", group_b="b").collect()[0]
+    df2 = df.withColumn("v", F.col("v") * 5 - 11)
+    b = ks_two_sample(df2, value_col="v", group_col="g",
+                      group_a="a", group_b="b").collect()[0]
+    assert (a["d"], a["reject"]) == (b["d"], b["reject"])
+    assert 0.0 <= a["d"] <= 1.0
+    # D = 0 iff the NORMALIZED distributions coincide (multisets may
+    # differ in size: {0,0,0} vs {0} both have ECDF == 1 at 0)
+    from collections import Counter
+    from fractions import Fraction
+    ca = Counter(v for g, v in pts if g == "a")
+    cb = Counter(v for g, v in pts if g == "b")
+    na, nb = sum(ca.values()), sum(cb.values())
+    same_dist = (
+        {v: Fraction(c, na) for v, c in ca.items()}
+        == {v: Fraction(c, nb) for v, c in cb.items()})
+    assert (a["d"] == 0.0) == same_dist
