@@ -1099,6 +1099,58 @@ HAVING COUNT(DISTINCT doc_id) >= 2
 """
 
 
+CDC_CORPUS_ID = 200  # doc_id < 200 = standing corpus, 200..300 = delta
+
+
+def q_incremental_cdc_docs(spark, sf_dir):
+    """Incremental-ingestion dedup through the EDIT-ROBUST detector:
+    which delta documents share CDC chunks with the standing corpus?
+    Catches the daily-delta case the exact and LSH incremental
+    queries miss — a re-crawled page with one inserted sentence
+    shares every chunk but the edited one.  One equi-join of the
+    delta's chunk hashes against the corpus' distinct hashes (the
+    corpus text never re-chunks per delta at scale: persist its
+    chunk-hash table once, append-only).  Output per delta doc:
+    n_chunks, n_shared, is_near_dup (≥ half the chunks shared)."""
+    from loudml_spark.pipeline.dedup import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .filter(F.col("doc_id") < CDC_MAX_DOC)
+    ch = cdc_chunks(docs)
+    corpus_h = ch.filter(F.col("doc_id") < CDC_CORPUS_ID) \
+        .select("chunk_hash").distinct() \
+        .withColumn("__hit", F.lit(1))
+    delta = ch.filter(F.col("doc_id") >= CDC_CORPUS_ID)
+    return (
+        delta.join(corpus_h, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .alias("n_shared"))
+        .withColumn(
+            "is_near_dup",
+            F.col("n_shared") * 2 >= F.col("n_chunks"))
+    )
+
+
+def _sql_incremental_cdc_docs(sf_dir=None) -> str:
+    return f"""
+WITH t AS (SELECT * FROM {_cdc_values(sf_dir)}),
+c AS (SELECT DISTINCT chunk_hash FROM t
+      WHERE doc_id < {CDC_CORPUS_ID}),
+d AS (SELECT doc_id, chunk_hash FROM t
+      WHERE doc_id >= {CDC_CORPUS_ID})
+SELECT d.doc_id AS doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN c.chunk_hash IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shared,
+       SUM(CASE WHEN c.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) * 2
+         >= COUNT(*) AS is_near_dup
+FROM d LEFT JOIN c ON c.chunk_hash = d.chunk_hash
+GROUP BY d.doc_id
+"""
+
+
 CORPUS_SPLIT_ID = 400  # doc_id < 400 = existing corpus, rest = delta
 
 
@@ -2941,6 +2993,9 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "cdc_dup_chunks_docs": {
         "fn": q_cdc_dup_chunks_docs,
         "oracle_fn": _sql_cdc_dup_chunks_docs},
+    "incremental_cdc_docs": {
+        "fn": q_incremental_cdc_docs,
+        "oracle_fn": _sql_incremental_cdc_docs},
     "dedup_survivors_docs": {
         "fn": q_dedup_survivors_docs, "oracle": SQL_DEDUP_SURVIVORS_DOCS},
     "simhash_docs": {"fn": q_simhash_docs, "oracle": SQL_SIMHASH_DOCS},

@@ -1802,3 +1802,36 @@ def test_length_batches_padding_waste(spark):
     assert again["pad_tokens"] == 96
     with _pt.raises(errors.Invalid):
         length_batches(df, token_col="n", batch_size=0)
+
+
+def test_incremental_cdc_near_dup_detection(spark):
+    from loudml_spark.catalog_pipeline import q_incremental_cdc_docs
+    from loudml_spark.pipeline.dedup import cdc_chunks
+
+    # synthetic: a delta doc that is a corpus doc with one insertion
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [(0, base), (250, "XY" + base), (251, "entirely different " * 20)],
+        "doc_id long, text string")
+    ch = cdc_chunks(docs)
+    corpus_h = ch.filter("doc_id < 200").select("chunk_hash") \
+        .distinct().withColumn("__hit", F.lit(1))
+    delta = ch.filter("doc_id >= 200")
+    got = {r["doc_id"]: r for r in (
+        delta.join(corpus_h, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+             .alias("n_shared"))
+        .withColumn("is_near_dup",
+                    F.col("n_shared") * 2 >= F.col("n_chunks"))
+    ).collect()}
+    # edited re-crawl: all but the first chunk re-align -> near-dup
+    r = got[250]
+    assert r["is_near_dup"] and r["n_shared"] == r["n_chunks"] - 1
+    # unrelated doc shares nothing
+    assert got[251]["n_shared"] == 0 and not got[251]["is_near_dup"]
+    # and the catalog query runs on real data with sane invariants
+    rows = q_incremental_cdc_docs(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 100
+    assert all(0 <= x["n_shared"] <= x["n_chunks"] for x in rows)
