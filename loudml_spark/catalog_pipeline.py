@@ -1222,7 +1222,12 @@ def q_ngram_jaccard_pairs_docs(spark, sf_dir):
     from loudml_spark.pipeline.dedup import ngram_jaccard_pairs_indexed
 
     docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
-    return ngram_jaccard_pairs_indexed(docs, n=1, threshold=0.8)
+    # max_df=100: with ≤100 docs and per-doc-distinct shingles, no
+    # document frequency can exceed 100, so the cut is provably a
+    # no-op here (exactness preserved at every SF) while exercising
+    # the posting-list bound a 100 TB run relies on for skew safety
+    return ngram_jaccard_pairs_indexed(
+        docs, n=1, threshold=0.8, max_df=100)
 
 
 SQL_NGRAM_JACCARD_PAIRS_DOCS = f"""

@@ -692,6 +692,7 @@ def ngram_jaccard_pairs_indexed(
     *,
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram Jaccard pairs via a prefix-filtered inverted-index
     join — the scale path replacing :func:`ngram_jaccard_pairs`'
@@ -708,9 +709,22 @@ def ngram_jaccard_pairs_indexed(
        prefix shingles has full recall — and because prefixes are
        rare-first, stop-word shingles never become join keys: the
        hot-key blowup of a naive inverted index is designed out;
-    3. candidate pairs (deduped) pull both full shingle arrays and
+    3. the indexed prefix entries group into per-shingle POSTING
+       LISTS (one shuffle on the shingle key), and candidate pairs
+       explode map-side from each list — so the prefix subtree is
+       computed ONCE, not twice as a self-join would;
+    4. candidate pairs (deduped) pull both full shingle arrays and
        verify exact Jaccard — identical int/int arithmetic to the
        naive path and the DuckDB oracle.
+
+    ``max_df`` caps the posting-list length: index entries whose
+    shingle document-frequency exceeds it are dropped BEFORE pair
+    explosion, bounding the per-key quadratic at (max_df²)/2.  Recall
+    contract: exact as long as every qualifying pair shares ≥ 1
+    prefix shingle with df ≤ max_df — guaranteed when max_df is set
+    at or above the corpus's observed maximum df (the catalog's
+    usage; the knob exists so a 100 TB run can bound worst-case skew
+    explicitly instead of discovering it in a straggler).
 
     Requires ``threshold > 0`` (a zero threshold would include
     zero-overlap pairs, which no index can enumerate without a cross
@@ -747,14 +761,28 @@ def ngram_jaccard_pairs_indexed(
         )
         .filter(F.col("pos")
                 <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-        .select("id", "s")
+    )
+    if max_df is not None:
+        pfx = pfx.filter(F.col("df") <= F.lit(max_df))
+    # posting-list pair explosion instead of a pfx⋈pfx self-join: the
+    # self-join would evaluate the whole vocab-rank/window subtree
+    # TWICE (Spark has no cross-join common-subplan reuse) and add a
+    # join shuffle; grouping to (shingle → id list) is one shuffle and
+    # the per-list pair expansion is map-side.  least/greatest
+    # canonicalizes so collect_list order (nondeterministic) never
+    # leaks into the output.
+    plist = (
+        pfx.select("id", "s")
+        .groupBy("s").agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
     cand = (
-        pfx.alias("a")
-        .join(pfx.alias("b"),
-              (F.col("a.s") == F.col("b.s"))
-              & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        plist.select(F.explode(F.expr(
+            "flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)), b ->"
+            "  struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))"
+        )).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
     verified = (
@@ -1241,10 +1269,22 @@ def bloom_probe_col(h: Column, words: list[int], *, m_bits: int,
     exact hash-set that would be unbounded).  Bit extraction is
     floor-div arithmetic on <2^32 word values — exact in doubles, no
     shift builtins needed inside higher-order-function lambdas."""
-    bits_lit = F.lit(words).cast("array<long>")
+    # ONE string literal split+cast, constant-folded by Catalyst into
+    # a single array literal.  `F.lit(words)` on a 2048-long python
+    # list builds a CreateArray expression with 2048 Literal children
+    # on the PYTHON side — measured 1.6–5.7 s of driver-side Column
+    # construction per query build, which made the Bloom path slower
+    # than the exact operator it prunes for (round-7 perf-weak item).
+    # The split form builds in ~30 ms and folds to the identical
+    # literal before codegen.
+    bits_lit = F.split(
+        F.lit(",".join(map(str, words))), ","
+    ).cast("array<long>")
     # 32-entry power-of-two lookup: a transcendental pow() per bit
     # test tripled the probe cost at sf0.1 — element_at is O(1)
-    pow2_lit = F.lit([1 << b for b in range(32)]).cast("array<long>")
+    pow2_lit = F.split(
+        F.lit(",".join(str(1 << b) for b in range(32))), ","
+    ).cast("array<long>")
     h1 = h % F.lit(m_bits)
     h2 = F.lit(1) + (h % F.lit(m_bits - 1))
     cond = F.lit(True)
@@ -1318,22 +1358,30 @@ def benchmark_overlap_bloom(
         words = build_bloom_words(
             benchmark, text_col=text_col, n=n, tokenizer=tokenizer,
             m_bits=m_bits, k=k)
-    # ONE Arrow shingle pass: the same projection feeds the Bloom
-    # prune AND the verification explode (filter + explode collapse
-    # into a single ArrowEvalPython stage); the final re-attach joins
-    # the UDF-FREE corpus id scan, so no second pass exists anywhere
-    grams = df.withColumn("__sh", sh(F.col(text_col)))
-    n_pass = F.size(F.filter(
-        F.col("__sh"),
-        lambda h: bloom_probe_col(h, words, m_bits=m_bits, k=k),
-    ))
+    # ONE Arrow shingle pass feeds the probe; the probe runs exactly
+    # once per gram (its own select stage, referenced by column in the
+    # next), and — the load-bearing trick — only the grams that PASS
+    # the Bloom test are exploded into the verification join.  Bloom
+    # has no false negatives, so a failing gram is in NO benchmark
+    # document and contributes zero to every (doc, bench) overlap
+    # count: the exact count over passing grams equals the exact count
+    # over all grams.  The join input therefore shrinks from |grams|
+    # to |true overlaps| + |false positives| (≈ FP-rate · |grams|),
+    # not merely from |grams| to |grams of candidate docs|.
+    passing = df.withColumn("__sh", sh(F.col(text_col))).select(
+        F.col(id_col),
+        F.filter(
+            F.col("__sh"),
+            lambda h: bloom_probe_col(h, words, m_bits=m_bits, k=k),
+        ).alias("__pass"),
+    )
     # prune-by-emptying instead of filter-then-explode: one projection
-    # → Catalyst keeps a single ArrowEvalPython stage for the shingle
-    # UDF instead of re-evaluating it on each side of the filter
-    doc_sh = grams.select(
+    # keeps a single evaluation of the passing array
+    doc_sh = passing.select(
         F.col(id_col),
         F.explode(
-            F.when(n_pass >= F.lit(min_overlap), F.col("__sh"))
+            F.when(F.size("__pass") >= F.lit(min_overlap),
+                   F.col("__pass"))
             .otherwise(F.array().cast("array<long>"))
         ).alias("__h"),
     )
