@@ -405,6 +405,12 @@ class Engine:
     def delete_bucket(self, name: str) -> None:
         self.buckets.remove(name)
 
+    def patch_bucket(self, name: str, data: Mapping[str, Any]):
+        """PATCH /buckets/<n> (server.py:1105-1114): merge the partial
+        settings into the stored ones and rebuild the bucket; an
+        invalid patch leaves the bucket untouched."""
+        return self.buckets.patch(name, dict(data))
+
     def clear_bucket(self, name: str) -> None:
         """POST /buckets/<n>/_clear (server.py:1144-1150)."""
         self.buckets.get(name).drop()
@@ -447,6 +453,22 @@ class Engine:
         if model is None:
             raise errors.ModelNotFound(name)
         return model
+
+    def patch_model(self, name: str, data: Mapping[str, Any]):
+        """PATCH /models/<n> (server.py:790-829): settings-only
+        update — the trained state survives, mirroring the reference's
+        ``save_model(model, save_state=False)``.  The patched model is
+        validated by a full rebuild BEFORE it replaces the old one."""
+        from loudml_spark.ml.models import make_model
+
+        model = self.get_model(name)
+        merged = {**model.settings(), **dict(data), "name": name}
+        new = make_model(merged)
+        new.state = model.state
+        self._models[name] = new
+        if self.storage is not None:
+            self.storage.save_settings(new)
+        return new
 
     def list_models(self) -> list[str]:
         names = set(self._models)
@@ -725,3 +747,35 @@ class Engine:
     def stop_periodic_eval(self, model_name: str) -> None:
         """POST /models/<n>/_stop."""
         self.scheduled.remove(f"eval[{model_name}]")
+
+    # ---- scheduled jobs over HTTP (server.py:1302-1402) -----------------
+    def add_scheduled(self, desc: Mapping[str, Any]) -> list:
+        """POST /scheduled_jobs (server.py:1340-1344): same URL
+        validation and ``{{ model_name }}`` template fan-out as
+        config-file boot.  Returns the created ScheduledJobs."""
+        from loudml_spark import errors
+
+        desc = dict(desc)
+        url = desc.get("relative_url", "")
+        if not url.endswith("/_eval"):
+            raise errors.Invalid(
+                f"unsupported scheduled-job url: {url!r} "
+                "(only /models/<name>/_eval specs are executable)")
+        return self.scheduled.add_template(
+            desc, self.list_models(),
+            fn=lambda d: self._run_scheduled(d))
+
+    def delete_scheduled(self, names=None) -> None:
+        """DELETE /scheduled_jobs[/<ids>] (server.py:1346-1351,
+        1390-1397): no names → clear all; with names → remove each,
+        unknown names ignored (the reference pops with a default)."""
+        from loudml_spark import errors
+
+        if names is None:
+            self.scheduled.clear()
+            return
+        for n in names:
+            try:
+                self.scheduled.remove(n)
+            except errors.LoudMLSparkError:
+                pass

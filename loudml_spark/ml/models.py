@@ -672,6 +672,15 @@ class ModelStorage:
     def _dir(self, name):
         return os.path.join(self.root, name)
 
+    def save_settings(self, model: BaseModel) -> None:
+        """Settings-only write (no new state checkpoint) — the
+        reference's ``save_model(save_state=False)`` used by PATCH
+        /models/<n> (server.py:790-829)."""
+        d = self._dir(model.name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "settings.json"), "w") as f:
+            json.dump(model.settings(), f, indent=2)
+
     def save(self, model: BaseModel) -> int:
         d = self._dir(model.name)
         os.makedirs(d, exist_ok=True)

@@ -245,5 +245,18 @@ class ScheduledJobRegistry:
             raise errors.LoudMLSparkError(f"unknown scheduled job: {name}")
         del self._scheduled[name]
 
+    def clear(self) -> None:
+        """Drop every scheduled job — DELETE /scheduled_jobs parity
+        (reference server.py:1346-1351)."""
+        self._scheduled.clear()
+
+    def names(self) -> list[str]:
+        return sorted(self._scheduled)
+
+    def describe(self, name: str) -> dict:
+        if name not in self._scheduled:
+            raise errors.LoudMLSparkError(f"unknown scheduled job: {name}")
+        return self._scheduled[name].describe()
+
     def list_scheduled(self) -> list[dict]:
         return [sj.describe() for sj in self._scheduled.values()]

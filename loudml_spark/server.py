@@ -20,9 +20,13 @@ Routes:
   POST /buckets/<name>/_read?from&to&bucket_interval&features=a;b
   POST /buckets/<name>/_write          → rows JSON [{...}]
   POST /buckets/<name>/_clear
+  HEAD /buckets/<a;b>                  → 200 iff every name exists
+  PATCH /buckets/<a;b>                 → merge partial settings (204)
   GET  /models                         → names
   POST /models                         → create (settings JSON)
   DELETE /models/<name>
+  HEAD /models/<a;b>                   → 200 iff every name exists
+  PATCH /models/<a;b>                  → settings-only update (204)
   POST /models/<name>/_train?from&to&bucket=<b>&features=<f>&bg
   POST /models/<name>/_eval?from&to&bucket=<b>&features=<f>
   POST /models/<name>/_forecast?from&to&constraint=&percent_interval=
@@ -31,8 +35,14 @@ Routes:
   POST /models/<name>/_stop
   GET  /jobs                           → job descriptions
   GET  /jobs/<id>
+  HEAD /jobs/<a;b>                     → 200 iff every id exists
   POST /jobs/<id>/_cancel
   GET  /scheduled_jobs
+  POST /scheduled_jobs                 → create (desc JSON, 201)
+  DELETE /scheduled_jobs               → clear all (204)
+  GET  /scheduled_jobs/<a;b>           → descs of the found ids
+  HEAD /scheduled_jobs/<a;b>           → 200 iff every id exists
+  DELETE /scheduled_jobs/<a;b>         → remove (missing ok, 204)
 """
 
 from __future__ import annotations
@@ -40,7 +50,7 @@ from __future__ import annotations
 import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, urlsplit
 
 from loudml_spark import errors
 
@@ -64,7 +74,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
-        self.wfile.write(body)
+        # HEAD answers with GET's headers and status but NO body
+        # (RFC 9110 §9.3.2); routes shared between GET and HEAD rely
+        # on this rather than duplicating logic
+        if self.command != "HEAD":
+            self.wfile.write(body)
+
+    def _status(self, code: int) -> None:
+        """Body-less response — 204s and HEAD existence probes."""
+        self.send_response(code)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
 
     def _body(self):
         n = int(self.headers.get("Content-Length") or 0)
@@ -73,7 +93,10 @@ class _Handler(BaseHTTPRequestHandler):
         return json.loads(self.rfile.read(n))
 
     def _route(self, method: str) -> None:
-        url = urlparse(self.path)
+        # urlsplit, NOT urlparse: urlparse carves `;params` off the
+        # last path segment, silently truncating the reference's
+        # semicolon-multi ids (/buckets/a;b)
+        url = urlsplit(self.path)
         parts = [p for p in url.path.split("/") if p]
         q = {k: v[0] for k, v in parse_qs(url.query).items()}
         try:
@@ -104,9 +127,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self):  # noqa: N802
         self._route("DELETE")
 
+    def do_PATCH(self):  # noqa: N802
+        self._route("PATCH")
+
+    def do_HEAD(self):  # noqa: N802
+        self._route("HEAD")
+
     # -- routing ----------------------------------------------------------
     def _dispatch(self, method, parts, q):
-        eng = self.engine
         if not parts:
             return self._json(200, VERSION)
 
@@ -117,8 +145,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._models(method, parts[1:], q)
         if head == "jobs":
             return self._jobs(method, parts[1:], q)
-        if head == "scheduled_jobs" and method == "GET":
-            return self._json(200, eng.scheduled.list_scheduled())
+        if head == "scheduled_jobs":
+            return self._scheduled_jobs(method, parts[1:], q)
         if head == "_nodes" and method == "GET":
             return self._nodes(parts[1:])
         return self._json(404, {"error": f"no route: {'/'.join(parts)}"})
@@ -157,7 +185,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _buckets(self, method, rest, q):
         eng = self.engine
         if not rest:
-            if method == "GET":
+            if method in ("GET", "HEAD"):
                 return self._json(200, eng.list_buckets())
             if method == "POST":
                 body = self._body()
@@ -172,6 +200,19 @@ class _Handler(BaseHTTPRequestHandler):
             if method == "DELETE":
                 eng.delete_bucket(name)
                 return self._json(200, {"ok": True})
+            if method == "HEAD":
+                # multi-name existence probe (a;b) — 200 iff ALL exist
+                # (reference server.py:1122-1134)
+                known = set(eng.list_buckets())
+                ok = set(name.split(";")) <= known
+                return self._status(200 if ok else 404)
+            if method == "PATCH":
+                # partial-settings update, multi-name (a;b) — 204
+                # (reference server.py:1105-1114)
+                data = self._body() or {}
+                for n in name.split(";"):
+                    eng.patch_bucket(n, data)
+                return self._status(204)
             if method == "GET":
                 bucket = eng.buckets.get(name)
                 return self._json(
@@ -202,7 +243,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _models(self, method, rest, q):
         eng = self.engine
         if not rest:
-            if method == "GET":
+            if method in ("GET", "HEAD"):
                 return self._json(200, eng.list_models())
             if method == "POST":
                 body = self._body()
@@ -217,6 +258,19 @@ class _Handler(BaseHTTPRequestHandler):
             if method == "DELETE":
                 eng.delete_model(name)
                 return self._json(200, {"ok": True})
+            if method == "HEAD":
+                # 200 iff every listed model exists
+                # (reference server.py:776-787)
+                known = set(eng.list_models())
+                ok = set(name.split(";")) <= known
+                return self._status(200 if ok else 404)
+            if method == "PATCH":
+                # settings-only update, trained state survives — 204
+                # (reference server.py:790-829)
+                data = self._body() or {}
+                for n in name.split(";"):
+                    eng.patch_model(n, data)
+                return self._status(204)
             if method == "GET":
                 return self._json(200, eng.get_model(name).settings())
             return self._json(405, {"error": f"{method} not allowed"})
@@ -284,12 +338,55 @@ class _Handler(BaseHTTPRequestHandler):
         if not rest:
             return self._json(200, eng.jobs.list_jobs())
         job_id = rest[0]
+        if len(rest) == 1 and method == "HEAD":
+            # 200 iff every listed job id exists
+            # (reference server.py:1280-1291)
+            known = {j["id"] for j in eng.jobs.list_jobs()}
+            ok = set(job_id.split(";")) <= known
+            return self._status(200 if ok else 404)
         if len(rest) == 1 and method == "GET":
             return self._json(200, eng.jobs.get(job_id).describe())
         if len(rest) == 2 and rest[1] == "_cancel":
             eng.jobs.cancel(job_id)
             return self._json(200, {"ok": True})
         return self._json(404, {"error": "no job route"})
+
+    def _scheduled_jobs(self, method, rest, q):
+        """/scheduled_jobs CRUD (reference server.py:1302-1402):
+        collection GET/POST/DELETE + per-id GET/HEAD/DELETE with
+        semicolon-multi ids."""
+        eng = self.engine
+        if not rest:
+            if method in ("GET", "HEAD"):
+                return self._json(200, eng.scheduled.list_scheduled())
+            if method == "POST":
+                body = self._body()
+                if not body:
+                    return self._json(
+                        400, {"error": "scheduled-job body required"})
+                created = eng.add_scheduled(body)
+                return self._json(
+                    201, {"names": [sj.name for sj in created]})
+            if method == "DELETE":
+                eng.delete_scheduled()
+                return self._status(204)
+            return self._json(405, {"error": f"{method} not allowed"})
+        ids = rest[0].split(";")
+        if len(rest) == 1:
+            known = set(eng.scheduled.names())
+            if method == "HEAD":
+                return self._status(200 if set(ids) <= known else 404)
+            if method == "GET":
+                found = [eng.scheduled.describe(i)
+                         for i in ids if i in known]
+                if not found:
+                    return self._json(
+                        404, {"error": "job(s) not found"})
+                return self._json(200, found)
+            if method == "DELETE":
+                eng.delete_scheduled(ids)
+                return self._status(204)
+        return self._json(404, {"error": "no scheduled-job route"})
 
 
 def make_server(engine, host: str = "127.0.0.1",

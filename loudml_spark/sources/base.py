@@ -245,19 +245,48 @@ class BucketRegistry:
 
     def __init__(self):
         self._buckets: dict[str, Bucket] = {}
+        self._settings: dict[str, dict] = {}
 
     def register(self, bucket: Bucket) -> Bucket:
         self._buckets[bucket.name] = bucket
         return bucket
 
-    def add(self, settings: dict) -> Bucket:
+    @staticmethod
+    def _build(settings: dict) -> Bucket:
         settings = dict(settings)
         name = settings.pop("name")
         btype = settings.pop("type")
         cls = _BUCKET_TYPES.get(btype)
         if cls is None:
             raise errors.Invalid(f"unknown bucket type: {btype}")
-        return self.register(cls(name, **settings))
+        return cls(name, **settings)
+
+    def add(self, settings: dict) -> Bucket:
+        bucket = self._build(settings)
+        self._settings[bucket.name] = dict(settings)
+        return self.register(bucket)
+
+    def patch(self, name: str, data: dict) -> Bucket:
+        """Merge partial settings into the stored ones and rebuild —
+        PATCH /buckets/<n> parity (reference server.py:1105-1114).
+        The new bucket is built BEFORE the old one is replaced, so an
+        invalid patch leaves the bucket untouched."""
+        if name not in self._buckets:
+            raise errors.BucketNotFound(name)
+        old = self._settings.get(name)
+        if old is None:
+            raise errors.Invalid(
+                f"bucket {name!r} was registered directly and has no "
+                "stored settings to patch")
+        merged = {**old, **dict(data), "name": name}
+        bucket = self._build(merged)
+        self._settings[name] = merged
+        return self.register(bucket)
+
+    def settings_of(self, name: str) -> dict:
+        if name not in self._buckets:
+            raise errors.BucketNotFound(name)
+        return dict(self._settings.get(name) or {})
 
     def get(self, name: str) -> Bucket:
         bucket = self._buckets.get(name)
@@ -269,6 +298,7 @@ class BucketRegistry:
         if name not in self._buckets:
             raise errors.BucketNotFound(name)
         del self._buckets[name]
+        self._settings.pop(name, None)
 
     def names(self):
         return sorted(self._buckets)

@@ -149,6 +149,110 @@ def test_malformed_requests_get_json_errors(srv):
     json.loads(ei.value.read())  # body is JSON
 
 
+def _req(url, method, body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(url, data=data, method=method)
+    if data is not None:
+        req.add_header("Content-Type", "application/json")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.read()
+
+
+def test_head_existence_probes(srv):
+    # reference verb shape: HEAD /buckets/<a;b> → 200 iff ALL exist,
+    # 404 otherwise, never a body (server.py:1122-1134, 776-787)
+    code, body = _req(srv + "/buckets/events", "HEAD")
+    assert code == 200 and body == b""
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv + "/buckets/events;ghost", "HEAD")
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv + "/models/never-created", "HEAD")
+    assert ei.value.code == 404
+    # HEAD on a GET route answers with GET's status and no body
+    code, body = _req(srv + "/buckets", "HEAD")
+    assert code == 200 and body == b""
+
+
+def test_patch_bucket_merges_settings(srv):
+    # PATCH changes one key, keeps the rest (server.py:1105-1114);
+    # invalid patches must leave the bucket untouched
+    code, body = _req(srv + "/buckets/events", "PATCH",
+                      {"max_series_per_request": 7})
+    assert code == 204 and body == b""
+    code, out = _get(srv + "/buckets/events")
+    assert code == 200 and out["name"] == "events"
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv + "/buckets/events", "PATCH", {"type": "no-such-type"})
+    assert ei.value.code == 400
+    code, _ = _req(srv + "/buckets/events", "HEAD")  # still there
+    assert code == 200
+
+
+def test_patch_model_keeps_trained_state(srv):
+    _post(srv + "/models", {
+        "name": "mpatch", "type": "seasonal_naive",
+        "bucket_interval": 3600,
+    })
+    _post(srv + f"/models/mpatch/_train?bucket=events&from={BASE}"
+          f"&to={BASE + 10 * 86400}&features=avg(value)&ts_col=ts")
+    code, body = _req(srv + "/models/mpatch", "PATCH",
+                      {"grace_period": 42})
+    assert code == 204 and body == b""
+    code, settings = _get(srv + "/models/mpatch")
+    assert settings["grace_period"] == 42
+    # trained state survived: eval still works without retraining
+    code, rows = _post(
+        srv + f"/models/mpatch/_eval?bucket=events&from={BASE}"
+        f"&to={BASE + 86400}&features=avg(value)&ts_col=ts")
+    assert code == 200 and len(rows) > 0
+
+
+def test_scheduled_jobs_rest_crud(srv):
+    # POST validates the url shape like config boot (400 on junk)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv + "/scheduled_jobs", {
+            "name": "bad", "relative_url": "/models/x/_destroy",
+            "every": {"count": 1, "unit": "hours"},
+        })
+    assert ei.value.code == 400
+    code, out = _post(srv + "/scheduled_jobs", {
+        "name": "nightly", "method": "post",
+        "relative_url": "/models/mpatch/_eval",
+        "params": {"bucket": "events"},
+        "every": {"count": 1, "unit": "hours"},
+    })
+    assert code == 201 and out["names"] == ["nightly"]
+    code, listing = _get(srv + "/scheduled_jobs")
+    names = {j["name"] for j in listing}
+    assert "nightly" in names
+    # per-id routes: GET, HEAD, DELETE (missing ids tolerated)
+    code, got = _get(srv + "/scheduled_jobs/nightly")
+    assert code == 200 and got[0]["name"] == "nightly"
+    code, _ = _req(srv + "/scheduled_jobs/nightly", "HEAD")
+    assert code == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv + "/scheduled_jobs/nightly;ghost", "HEAD")
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv + "/scheduled_jobs/ghost")
+    assert ei.value.code == 404
+    code, body = _req(srv + "/scheduled_jobs/nightly;ghost", "DELETE")
+    assert code == 204 and body == b""
+    code, listing = _get(srv + "/scheduled_jobs")
+    assert "nightly" not in {j["name"] for j in listing}
+    # collection DELETE clears everything
+    _post(srv + "/scheduled_jobs", {
+        "name": "n2", "relative_url": "/models/mpatch/_eval",
+        "params": {"bucket": "events"},
+        "every": {"count": 2, "unit": "hours"},
+    })
+    code, body = _req(srv + "/scheduled_jobs", "DELETE")
+    assert code == 204
+    code, listing = _get(srv + "/scheduled_jobs")
+    assert listing == []
+
+
 def test_nodes_endpoint(srv):
     code, body = _get(f"{srv}/_nodes")
     assert code == 200
