@@ -2254,24 +2254,26 @@ def q_winnow_overlap_pairs(spark, sf_dir):
     corpus boilerplate, and no two grams repeat; member b's remainder
     is the reversed text).  The winnowing guarantee
     (shared substring >= k+w-1 = 11 chars -> >= 1 shared fingerprint)
-    makes all 60 seeded pairs present in the answer — pinned by a unit
+    makes every seeded pair present in the answer — pinned by a unit
     test; additional pairs are GENUINE >= 11-char overlaps in the
     word-soup corpus.  Fingerprints appearing in more than 4 documents
     are dropped first (stop-gram cut — the same document-frequency
     bound that keeps LSH band buckets from exploding on boilerplate),
     then pairs form by fingerprint EQUI-join and keep >= 2 shared
     prints.  At 100 TB the df cut is what bounds the self-join
-    fan-out."""
+    fan-out.  Slice: doc_id < 500 = the FULL table at the sf0.01
+    correctness gate (500 seeded pairs there), a bounded bench input
+    at sf0.1 — r8, lifted from the r7 doc_id < 60 demo slice."""
     from loudml_spark.pipeline.text import winnow_fingerprints
 
     base = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
-        .filter(F.col("doc_id") < 60).select("doc_id", "text")
+        .filter(F.col("doc_id") < 500).select("doc_id", "text")
     did = F.col("doc_id").cast("string")
     seg = F.concat(F.lit("zq"), did, F.lit("avq"), did, F.lit("bwq"),
                    did, F.lit("cxq"), did, F.lit("dyq "))
     a = base.select("doc_id", F.concat(seg, F.col("text")).alias("text"))
     b = base.select(
-        (F.col("doc_id") + 1000).alias("doc_id"),
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.concat(seg, F.reverse(F.col("text"))).alias("text"))
     fps = winnow_fingerprints(a.unionByName(b), k=8, w=4) \
         .select("doc_id", "fp").distinct()
@@ -2297,14 +2299,14 @@ def _sql_winnow_overlap_pairs(sf_dir=None) -> str:
               || CAST(doc_id AS VARCHAR) || 'bwq'
               || CAST(doc_id AS VARCHAR) || 'cxq'
               || CAST(doc_id AS VARCHAR) || 'dyq ' || text AS text
-  FROM documents WHERE doc_id < 60
+  FROM documents WHERE doc_id < 500
   UNION ALL
-  SELECT doc_id + 1000,
+  SELECT doc_id + 10000000,
          'zq' || CAST(doc_id AS VARCHAR) || 'avq'
               || CAST(doc_id AS VARCHAR) || 'bwq'
               || CAST(doc_id AS VARCHAR) || 'cxq'
               || CAST(doc_id AS VARCHAR) || 'dyq ' || reverse(text)
-  FROM documents WHERE doc_id < 60"""
+  FROM documents WHERE doc_id < 500"""
     return _winnow_sql_cte(seeded) + """,
 u AS (SELECT DISTINCT doc_id, fp FROM fps),
 rare AS (
@@ -2658,18 +2660,21 @@ JOIN n nb ON nb.label = d.grp_b
 
 def q_containment_pairs_docs(spark, sf_dir):
     """Asymmetric near-dup: n-gram CONTAINMENT |A∩B|/|A| on a seeded
-    corpus — each excerpt doc (id+3000) is the first 200 chars of its
-    base (id < 40), so containment(excerpt→base) ≈ 1 while symmetric
+    corpus — each excerpt doc (id+10M) is the first 200 chars of its
+    base, so containment(excerpt→base) ≈ 1 while symmetric
     Jaccard would dilute toward the size ratio.  Candidates come from
     the shared-gram equi-join under a df ≤ 8 stop-gram cut (the
     LSH-band df-bound); counts are exact ints, containments single
-    IEEE divisions.  See pipeline/dedup.py ngram_containment_pairs."""
+    IEEE divisions.  See pipeline/dedup.py ngram_containment_pairs.
+    Slice: doc_id < 500 = the FULL table at the sf0.01 correctness
+    gate, bounded at sf0.1 — r8, lifted from the r7 doc_id < 40
+    demo slice; the df cut is what keeps the lifted join safe."""
     from loudml_spark.pipeline.dedup import ngram_containment_pairs
 
     base = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
-        .filter(F.col("doc_id") < 40).select("doc_id", "text")
+        .filter(F.col("doc_id") < 500).select("doc_id", "text")
     exc = base.select(
-        (F.col("doc_id") + 3000).alias("doc_id"),
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
         F.substring("text", 1, 200).alias("text"))
     corpus = base.unionByName(exc)
     return ngram_containment_pairs(
@@ -2678,10 +2683,10 @@ def q_containment_pairs_docs(spark, sf_dir):
 
 SQL_CONTAINMENT_PAIRS_DOCS = f"""
 WITH d AS (
-  SELECT doc_id, text FROM documents WHERE doc_id < 40
+  SELECT doc_id, text FROM documents WHERE doc_id < 500
   UNION ALL
-  SELECT doc_id + 3000, substr(text, 1, 200)
-  FROM documents WHERE doc_id < 40
+  SELECT doc_id + 10000000, substr(text, 1, 200)
+  FROM documents WHERE doc_id < 500
 ),
 w AS (SELECT doc_id, {{words}} AS words FROM d),
 s AS (SELECT doc_id, {{gh}} AS sh FROM w),
@@ -2839,22 +2844,26 @@ FROM proj GROUP BY vec_id
 
 
 def q_sparse_cosine_pairs_docs(spark, sf_dir):
-    """Exact TF-IDF cosine all-pairs >= 0.8 on a fixed 100-doc slice
+    """Exact TF-IDF cosine all-pairs >= 0.8 on a fixed 300-doc slice
     (one token equi-join computes candidates AND dot products; see
     pipeline/corpus.py sparse_cosine_pairs).  The synthetic corpus
-    draws from a 31-word pool, so every token is a hot term and the
-    slice bound plays the role the max_df cut plays on a real
-    Zipfian corpus — the operator's scale lever is exercised by the
-    max_df unit tests instead."""
+    draws from a 31-word pool, so EVERY token is a hot term: a max_df
+    cut would empty the vectors (unlike prefix filtering, cosine
+    cannot drop hot terms without changing the answer), so the slice
+    bound plays max_df's role here — the operator's scale lever is
+    exercised by the max_df unit tests on a Zipfian corpus instead.
+    r8: raised 100 → 300 docs (9× the pair volume) to show headroom;
+    deliberately NOT full-table, which on this degenerate vocabulary
+    is a true all-pairs quadratic."""
     from loudml_spark.pipeline.corpus import sparse_cosine_pairs
 
     docs = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
-        .filter(F.col("doc_id") < 100).select("doc_id", "text")
-    return sparse_cosine_pairs(docs, threshold=0.8, n_docs=100)
+        .filter(F.col("doc_id") < 300).select("doc_id", "text")
+    return sparse_cosine_pairs(docs, threshold=0.8, n_docs=300)
 
 
 SQL_SPARSE_COSINE_PAIRS_DOCS = """
-WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
 tok AS (
   SELECT doc_id,
          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
@@ -2868,7 +2877,7 @@ dfreq AS (SELECT token, COUNT(*) AS df FROM per_doc GROUP BY 1),
 w AS (
   SELECT p.doc_id, p.token,
          (CAST(p.tf AS DOUBLE) / l.doc_len)
-         * (ln((1.0 + 100) / (1.0 + f.df)) + 1.0) AS wt
+         * (ln((1.0 + 300) / (1.0 + f.df)) + 1.0) AS wt
   FROM per_doc p JOIN lens l USING (doc_id) JOIN dfreq f USING (token)
 ),
 nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nrm FROM w GROUP BY 1),
