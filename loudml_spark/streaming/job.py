@@ -156,6 +156,22 @@ def stream_dedupe(
     ).dropDuplicatesWithinWatermark(keys)
 
 
+#: State-store metrics of the most recent drain — one dict per
+#: stateful operator from StreamingQueryProgress.stateOperators
+#: (numRowsTotal, stateMemory/customMetrics incl. RocksDB SST sizes).
+#: Inspection hook: catalog runs and tests read it to assert the
+#: state size a query carried, the number SCALE.md §streaming's
+#: bounded-state claims are about.
+last_state_metrics: list[dict] = []
+
+_STATE_STORE_PROVIDERS = {
+    "rocksdb": ("org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider"),
+    "hdfs": ("org.apache.spark.sql.execution.streaming."
+             "state.HDFSBackedStateStoreProvider"),
+}
+
+
 def drain_stream_to_df(
     out_stream: DataFrame,
     columns: Sequence[str],
@@ -163,6 +179,7 @@ def drain_stream_to_df(
     output_mode: str = "append",
     timeout: int = 300,
     prefix: str = "drain",
+    state_store: str | None = "rocksdb",
 ) -> DataFrame:
     """Run a BOUNDED streaming plan to completion and hand back the
     result as a regular DataFrame: memory sink + availableNow
@@ -173,6 +190,17 @@ def drain_stream_to_df(
     the checkpointed blocks are freed by the ContextCleaner once the
     returned frame is unreferenced.
 
+    ``state_store`` (default ``"rocksdb"``) picks the state-store
+    provider for the drained query — the RocksDB provider is the
+    production recommendation for large key cardinality (state spills
+    to local SST files instead of executor heap), so the catalog's
+    streaming queries run what SCALE.md recommends rather than a
+    test-only default; pass ``"hdfs"`` for the in-memory provider or
+    ``None`` to leave the session setting untouched.  The provider
+    conf is session-global but only read at query START, so it is
+    set just before ``start()`` and restored after.  Each drain also
+    records its stateful-operator metrics in ``last_state_metrics``.
+
     This is the batch↔streaming parity harness the oracle-paired
     streaming catalog queries share (streaming_detect_1h,
     streaming_sessionize_30m): the caller stages a bounded source,
@@ -182,19 +210,37 @@ def drain_stream_to_df(
 
     spark = out_stream.sparkSession
     name = prefix + "_" + uuid.uuid4().hex[:8]
-    q = (
-        out_stream.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True).start()
-    )
-    finished = q.awaitTermination(timeout)
-    if not finished:
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    if state_store is not None:
+        provider = _STATE_STORE_PROVIDERS.get(state_store)
+        if provider is None:
+            raise errors.Invalid(
+                f"unknown state store {state_store!r} "
+                f"(one of {sorted(_STATE_STORE_PROVIDERS)} or None)")
+        spark.conf.set(key, provider)
+    try:
+        q = (
+            out_stream.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True).start()
+        )
+        finished = q.awaitTermination(timeout)
+        progress = q.lastProgress or {}
         q.stop()
+    finally:
+        if state_store is not None:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+    global last_state_metrics
+    last_state_metrics = list(progress.get("stateOperators") or [])
+    if not finished:
         spark.catalog.dropTempView(name)
         raise errors.LoudMLSparkError(
             f"stream drain timed out after {timeout}s; refusing to "
             "return a partial frame")
-    q.stop()
     out = spark.table(name).select(*columns).localCheckpoint(eager=True)
     spark.catalog.dropTempView(name)
     return out

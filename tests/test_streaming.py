@@ -623,6 +623,30 @@ def test_streaming_sessionize_query_tz_independent(spark):
     assert tuple(base) == tuple(tokyo)
 
 
+def test_drain_defaults_rocksdb_and_exposes_state_metrics(spark):
+    """The catalog's streaming queries run through drain_stream_to_df,
+    which (r8) defaults to the RocksDB state-store provider — the
+    SCALE.md production recommendation — and records the drained
+    query's stateful-operator metrics.  Asserted on a real stateful
+    catalog query: the dedup state rows are visible and non-zero, and
+    the session's provider conf is restored afterwards."""
+    from loudml_spark.catalog import QUERIES
+    from loudml_spark.streaming import job as sjob
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    out = QUERIES["streaming_dedup_events"]["fn"](
+        spark, "/root/testdata/sf0.001")
+    assert out.count() > 0
+    ops = sjob.last_state_metrics
+    assert ops, "stateful drain exposed no state-operator metrics"
+    assert any(op.get("numRowsTotal", 0) > 0 for op in ops), ops
+    # dropDuplicatesWithinWatermark is the operator under test
+    names = {op.get("operatorName") for op in ops}
+    assert any("dedupe" in (n or "").lower() for n in names), names
+    assert spark.conf.get(key, None) == prev  # conf restored
+
+
 def test_stream_interval_join_cross_batch(spark, tmpdir):
     """Stream-stream interval join: a (click, purchase) pair split
     ACROSS micro-batches must still match through the join state
