@@ -25,9 +25,11 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
 def sf_of(path: str) -> float:
+    # ".../sf0.1" and ".../testdata_sf1" both parse: take everything
+    # after the LAST "sf" in the basename
     base = os.path.basename(path.rstrip("/"))
     try:
-        return float(base.replace("sf", ""))
+        return float(base[base.rfind("sf") + 2:])
     except ValueError:
         return -1.0
 

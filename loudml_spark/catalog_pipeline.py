@@ -2411,9 +2411,17 @@ def _semdedup_pairs_cached(spark, sf_dir):
 
     key = (spark.sparkContext.applicationId, sf_dir, "semdedup_pairs")
     if key not in _CACHED_SERIES:
+        from loudml_spark.pipeline.similarity import semdedup_n_centroids
+
         corpus = _semdedup_corpus(spark, sf_dir)
+        # scale the CELL COUNT with the corpus so cell SIZE stays
+        # ~constant (the r8 scale audit measured 16 fixed cells going
+        # quadratic: 3.9 s → 58 s for 10× vectors at constant output).
+        # All driver SFs still resolve to 16, so oracles are unchanged;
+        # the oracle generator applies the same rule to the same count.
+        n_cells = semdedup_n_centroids(corpus.count())
         _CACHED_SERIES[key] = semdedup_pairs(
-            corpus, threshold=0.9, n_centroids=16).cache()
+            corpus, threshold=0.9, n_centroids=n_cells).cache()
     return _CACHED_SERIES[key]
 
 
@@ -2476,8 +2484,12 @@ def _sql_semdedup_cte(sf_dir) -> str:
     Xp[:, 32:] = (Xp[:, 32:] * np.float32(0.5))
     ids_c = np.concatenate([ids, ids[m] + 10000])
     X_c = np.concatenate([X, Xp]).astype(np.float64)
+    from loudml_spark.pipeline.similarity import semdedup_n_centroids
+
+    # same corpus-size → cell-count rule as the Spark side
     C = train_ivf_centroids_from_arrays(
-        ids_c, X_c, n_centroids=16, seed=42)
+        ids_c, X_c, n_centroids=semdedup_n_centroids(len(ids_c)),
+        seed=42)
     values = ", ".join(
         "(" + str(j) + ", ["
         + ", ".join(repr(float(x)) for x in row) + "])"

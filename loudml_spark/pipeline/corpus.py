@@ -36,13 +36,18 @@ def tokens(
     toks = F.regexp_extract_all(
         F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
     if n > 1:
-        toks = F.when(
-            F.size(toks) >= n,
+        from loudml_spark.pipeline.text import let_col
+
+        # let-bind the token array: referenced inside the per-index
+        # lambda, where codegen would otherwise re-run the regex
+        # extraction per gram (O(len²) per row — see let_col)
+        toks = let_col(toks, lambda t: F.when(
+            F.size(t) >= n,
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                F.sequence(F.lit(0), F.size(t) - n),
+                lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
             ),
-        ).otherwise(F.array().cast("array<string>"))
+        ).otherwise(F.array().cast("array<string>")))
     return df.select(
         F.col(id_col),
         F.explode(toks).alias("token"),

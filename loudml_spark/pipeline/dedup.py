@@ -34,6 +34,7 @@ from pyspark.storagelevel import StorageLevel
 from loudml_spark.pipeline.text import (
     HASH_MOD,
     TOKEN_RE,
+    let_col,
     rolling_hash_col,
     words_col,
 )
@@ -91,15 +92,19 @@ def release_persisted() -> None:
 
 
 def shingles_col(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram strings."""
-    w = words_col(text)
-    return F.array_distinct(
-        F.transform(
-            _shingle_index_col(w, n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
-            ),
-        )
+    """Distinct word n-gram strings.  The let-binding matters: without
+    it the split re-runs per gram index (O(words²) per row — see
+    let_col)."""
+    return let_col(
+        words_col(text),
+        lambda w: F.array_distinct(
+            F.transform(
+                _shingle_index_col(w, n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
     )
 
 
@@ -580,15 +585,8 @@ def ngram_jaccard_pairs(
     corpus path at scale is minhash_lsh_pairs."""
     sets = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.transform(  # shingle strings (not hashes): exact verify
-                _shingle_index_col(words_col(F.col(text_col)), n),
-                lambda i: F.concat_ws(" ", *[
-                    F.element_at(words_col(F.col(text_col)), i + j + 1)
-                    for j in range(n)
-                ]),
-            )
-        ).alias("sh"),
+        # shingle strings (not hashes): exact verify
+        shingles_col(F.col(text_col), n).alias("sh"),
     )
     a, b = sets.alias("a"), sets.alias("b")
     return (

@@ -163,6 +163,22 @@ def train_ivf_centroids(
     return kmeans_spherical_np(X, n_centroids, iters=iters, seed=seed)
 
 
+def semdedup_n_centroids(n_vectors: int, *, target_cell: int = 128,
+                         floor: int = 16, cap: int = 4096) -> int:
+    """Cell-count sizing rule shared by the Spark SemDeDup operator
+    and the DuckDB oracle generator: ~``target_cell`` vectors per
+    cell.  The within-cell cosine join does Σ|cell|²/2 work, so a
+    FIXED cell count degrades quadratically as the corpus grows
+    (measured in SCALE_AUDIT.json r8: 16 cells took 3.9 s at 2.1k
+    vectors but 58 s at 20.1k with the SAME ~90-pair output);
+    holding cell SIZE constant instead makes total work ≈
+    n·target_cell/2 — linear in the corpus, the scaling SemDeDup's
+    coarse quantizer exists to provide.  ``floor`` pins small corpora
+    at the historical 16 so every driver-SF oracle is unchanged;
+    ``cap`` bounds the centroid literal/broadcast size."""
+    return max(floor, min(cap, n_vectors // target_cell))
+
+
 def train_ivf_centroids_from_arrays(
     ids: np.ndarray,
     X: np.ndarray,
@@ -501,7 +517,9 @@ def semdedup_pairs(
     cosine ≥ ``threshold`` (rounded to ``round_to`` dp BEFORE the
     threshold so the pair set is engine-exact).
     """
-    from loudml_spark.pipeline.dedup import cosine_col
+    from pyspark import StorageLevel
+
+    from loudml_spark.pipeline.dedup import _persist_bounded, cosine_col
 
     C = train_ivf_centroids(
         corpus, n_centroids, vec_col=vec_col, seed=seed
@@ -511,6 +529,18 @@ def semdedup_pairs(
         F.col(id_col), F.col(vec_col),
         F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
     )
+    # persist the assigned frame: it feeds BOTH sides of the cell
+    # self-join, and without it each side re-runs the corpus scan +
+    # Arrow assignment UDF.  The count() is load-bearing: a lazy
+    # persist materializes only when the join's single action runs,
+    # and within ONE action both join subtrees compute concurrently —
+    # the second side does NOT wait for the first side's blocks, so
+    # the double Arrow pass survives a lazy persist (measured at 20k
+    # vectors / 157 cells: lazy persist saved ~nothing, eager cut the
+    # query ~40%).  One bounded extra job in exchange.
+    cells = cells.persist(StorageLevel.MEMORY_AND_DISK)
+    _persist_bounded(cells)
+    cells.count()
     a = cells.select(
         F.col("cell"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("__va"))

@@ -913,21 +913,22 @@ def test_winnow_fingerprints_guarantee_and_window_coverage(spark):
 
 
 def test_winnow_overlap_pairs_seeded_recall(spark):
-    """Every seeded (i, i+1000) pair — members sharing only the
+    """Every seeded (i, i+10M) pair — members sharing only the
     injected doc-unique segment — appears in the catalog query's
-    output: the detection side of the winnowing guarantee."""
+    output: the detection side of the winnowing guarantee.  (r8: the
+    catalog slice lifted to doc_id < 500 with a +10M member offset.)"""
     from loudml_spark.catalog_pipeline import q_winnow_overlap_pairs
     from loudml_spark.sources.tables import load_table
 
     sf_dir = "/root/testdata/sf0.001"
     base_ids = {
         r[0] for r in load_table(spark, sf_dir, "documents")
-        .filter("doc_id < 60").select("doc_id").collect()
+        .filter("doc_id < 500").select("doc_id").collect()
     }
     pairs = {(r["doc_a"], r["doc_b"])
              for r in q_winnow_overlap_pairs(spark, sf_dir).collect()}
-    missing = {(i, i + 1000) for i in base_ids} - pairs
-    assert not missing, missing
+    missing = {(i, i + 10_000_000) for i in base_ids} - pairs
+    assert not missing, sorted(missing)[:10]
 
 
 def test_lm_score_hand_computed(spark):
@@ -1140,14 +1141,15 @@ def test_containment_pairs_seeded_excerpts(spark):
     rows = q_containment_pairs_docs(spark, sf_dir).collect()
     pairs = {(r["id_a"], r["id_b"]): r for r in rows}
     assert pairs, "seeded corpus must produce containment pairs"
-    # every seeded (base, base+3000) pair present (extras are GENUINE
-    # >=0.6 containments inside the word-soup corpus)
+    # every seeded (base, base+10M) pair present (extras are GENUINE
+    # >=0.6 containments inside the word-soup corpus; r8: the catalog
+    # slice lifted to doc_id < 500 with a +10M excerpt offset)
     from loudml_spark.sources.tables import load_table as _lt
-    seeded = {(i, i + 3000)
+    seeded = {(i, i + 10_000_000)
               for (i,) in _lt(spark, sf_dir, "documents")
-              .filter("doc_id < 40").select("doc_id").collect()}
+              .filter("doc_id < 500").select("doc_id").collect()}
     missing = seeded - set(pairs)
-    assert not missing, missing
+    assert not missing, sorted(missing)[:10]
     for (a, b), r in pairs.items():
         ex_side = max(r["containment_a"], r["containment_b"])
         assert ex_side >= 0.6

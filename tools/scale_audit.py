@@ -1,0 +1,129 @@
+"""Scale-growth audit: run the pair/join-heavy catalog queries at
+several scale factors, record wall-time AND output rows, and fit the
+wall-time growth exponent between the two largest SFs.
+
+The bench proves correctness-SF performance; this audit is the
+measured evidence behind SCALE.md's "designed for 100 TB" claims —
+a pair-generating operator whose wall-time grows superlinearly
+(exponent > ~1.2 per input decade) needs its mitigation knob named.
+
+Usage:
+  python tools/scale_audit.py [out.json] [sf_dir ...]
+Defaults: SCALE_AUDIT.json over sf0.01, sf0.1 (driver data) and
+testdata_sf1 (tools/make_scale_data.py output, 10x sf0.1).
+
+Queries that run on fixed doc_id/vec_id slices are constant-input by
+design (the slice IS their documented bound); they are included as
+controls and marked "bounded" — flat curves there are correct, not
+suspicious.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+# (query, input_kind): "full" input scales with SF; "bounded" input is
+# a documented fixed slice/split and should stay ~flat.
+AUDIT = [
+    ("exact_dedup_fp", "full"),
+    ("minhash_signatures_docs", "full"),
+    ("minhash_lsh_pairs_docs", "full"),
+    ("incremental_lsh_pairs_docs", "full"),
+    ("simhash_docs", "full"),
+    ("simhash_pairs_docs", "full"),
+    ("dedup_clusters_docs", "full"),
+    ("dedup_survivors_docs", "full"),
+    ("dedup_lines_docs", "full"),
+    ("decontaminate_docs", "full"),
+    ("bloom_decontaminate_docs", "full"),
+    ("fuzzy_pairs_customers", "full"),
+    ("fuzzy_match_parts", "full"),
+    ("semdedup_pairs_emb", "full"),
+    ("semdedup_survivors_emb", "full"),
+    ("ann_cosine_topk", "full"),
+    ("ann_ivf_topk", "full"),
+    ("ann_lsh_topk", "full"),
+    ("ann_pq_topk", "full"),
+    ("pack_sequences_docs", "full"),
+    ("winnow_fingerprints_docs", "full"),
+    ("cdc_dup_chunks_docs", "bounded"),
+    ("incremental_cdc_docs", "bounded"),
+    ("ngram_jaccard_pairs_docs", "bounded"),
+    ("containment_pairs_docs", "bounded"),
+    ("winnow_overlap_pairs", "bounded"),
+    ("sparse_cosine_pairs_docs", "bounded"),
+    ("embedding_cosine_pairs", "bounded"),
+    ("simhash_pairs_blocked", "bounded"),
+]
+
+
+def main():
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_AUDIT.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sf_dirs = sys.argv[2:] or [
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        os.path.join(repo, "testdata_sf1"),
+    ]
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .appName("scale-audit")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "32g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from loudml_spark.catalog import QUERIES, release_caches
+
+    spark.range(1000).selectExpr("sum(id)").collect()
+    results: dict[str, dict] = {}
+    for name, kind in AUDIT:
+        results[name] = {"kind": kind, "sf": {}}
+        for d in sf_dirs:
+            label = os.path.basename(d.rstrip("/"))
+            try:
+                t0 = time.perf_counter()
+                rows = QUERIES[name]["fn"](spark, d).count()
+                wall = round(time.perf_counter() - t0, 3)
+                results[name]["sf"][label] = {
+                    "sec": wall, "rows": rows}
+                print(f"{name:32s} {label:14s} {wall:8.2f}s {rows:>10d} rows",
+                      flush=True)
+            except Exception as e:  # keep auditing the rest
+                results[name]["sf"][label] = {"error": str(e)[:200]}
+                print(f"{name:32s} {label:14s} ERROR {str(e)[:120]}",
+                      flush=True)
+    release_caches()
+
+    # growth exponent between the two largest SFs (input grows 10x):
+    # g = log10(t_big / t_small); 1.0 = linear, >1.2 flagged
+    labels = [os.path.basename(d.rstrip("/")) for d in sf_dirs]
+    if len(labels) >= 2:
+        a, b = labels[-2], labels[-1]
+        for name, rec in results.items():
+            ta = rec["sf"].get(a, {}).get("sec")
+            tb = rec["sf"].get(b, {}).get("sec")
+            if ta and tb and ta > 0:
+                import math
+
+                rec["wall_growth_exp"] = round(
+                    math.log10(tb / ta), 3)
+    with open(out_path, "w") as f:
+        json.dump({"sf_dirs": sf_dirs, "results": results}, f, indent=1)
+    print(f"\nwrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()
