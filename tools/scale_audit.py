@@ -88,23 +88,46 @@ def main():
     from loudml_spark.catalog import QUERIES, release_caches
 
     spark.range(1000).selectExpr("sum(id)").collect()
+    # host wall-clock swings up to 10× per-query under ambient VM
+    # contention (same code, same data — see bench.py); each cell
+    # therefore runs SPARK_GRAFT_REPS times and reports the MIN, and
+    # reps run as full passes so a multi-second host stall lands on
+    # different cells each pass
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "2")))
+    samples: dict[tuple, list] = {}
+    rows_of: dict[tuple, int] = {}
+    errs: dict[tuple, str] = {}
+    for r in range(reps):
+        for name, kind in AUDIT:
+            for d in sf_dirs:
+                label = os.path.basename(d.rstrip("/"))
+                key = (name, label)
+                if key in errs:
+                    continue
+                try:
+                    t0 = time.perf_counter()
+                    rows = QUERIES[name]["fn"](spark, d).count()
+                    wall = round(time.perf_counter() - t0, 3)
+                    samples.setdefault(key, []).append(wall)
+                    rows_of[key] = rows
+                    print(f"r{r} {name:32s} {label:14s} {wall:8.2f}s "
+                          f"{rows:>10d} rows", flush=True)
+                except Exception as e:  # keep auditing the rest
+                    errs[key] = str(e)[:200]
+                    print(f"r{r} {name:32s} {label:14s} ERROR "
+                          f"{str(e)[:120]}", flush=True)
     results: dict[str, dict] = {}
     for name, kind in AUDIT:
         results[name] = {"kind": kind, "sf": {}}
         for d in sf_dirs:
             label = os.path.basename(d.rstrip("/"))
-            try:
-                t0 = time.perf_counter()
-                rows = QUERIES[name]["fn"](spark, d).count()
-                wall = round(time.perf_counter() - t0, 3)
+            key = (name, label)
+            if key in errs:
+                results[name]["sf"][label] = {"error": errs[key]}
+            elif key in samples:
                 results[name]["sf"][label] = {
-                    "sec": wall, "rows": rows}
-                print(f"{name:32s} {label:14s} {wall:8.2f}s {rows:>10d} rows",
-                      flush=True)
-            except Exception as e:  # keep auditing the rest
-                results[name]["sf"][label] = {"error": str(e)[:200]}
-                print(f"{name:32s} {label:14s} ERROR {str(e)[:120]}",
-                      flush=True)
+                    "sec": min(samples[key]), "rows": rows_of[key],
+                    "samples": samples[key]}
     release_caches()
 
     # growth exponent between the two largest SFs (input grows 10x):
