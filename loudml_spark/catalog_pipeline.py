@@ -2949,6 +2949,196 @@ WHERE a.pid < b.pid AND levenshtein(a.p_name, b.p_name) <= 2
 """
 
 
+# --------------------------------------------- span-level decontamination
+
+
+def q_contamination_spans_docs(spark, sf_dir):
+    """WHERE the benchmark leak lives, not just which docs carry it:
+    for each contaminated doc (same corpus/bench split as
+    decontaminate_docs) the inclusive token span covering every gram
+    shared with its best-matching bench doc — the GPT-3/Pile-style
+    span surgery input (pipeline/dedup.py benchmark_overlap_spans)."""
+    from loudml_spark.pipeline.dedup import benchmark_overlap_spans
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20").select(
+        F.col("doc_id").alias("bench_id"), "text")
+    return benchmark_overlap_spans(
+        corpus, bench, n=3, min_overlap=8)
+
+
+SQL_CONTAMINATION_SPANS_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM w
+),
+pg AS (
+  SELECT doc_id,
+         unnest(grams) AS s,
+         generate_subscripts(grams, 1) - 1 AS pos
+  FROM g WHERE doc_id >= 20
+),
+ph AS (SELECT doc_id, pos, {_sql_rh('s')} AS h FROM pg),
+bg AS (
+  SELECT DISTINCT doc_id AS bid, {_sql_rh('s')} AS h
+  FROM (SELECT doc_id, unnest(grams) AS s FROM g WHERE doc_id < 20)
+),
+agg AS (
+  SELECT ph.doc_id, bg.bid,
+         COUNT(DISTINCT ph.h) AS n_overlap,
+         MIN(ph.pos) AS span_start,
+         MAX(ph.pos) + 2 AS span_end
+  FROM ph JOIN bg ON ph.h = bg.h
+  GROUP BY ph.doc_id, bg.bid
+  HAVING COUNT(DISTINCT ph.h) >= 8
+)
+SELECT doc_id, bid AS matched_bench,
+       CAST(n_overlap AS BIGINT) AS n_overlap,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end
+FROM agg
+QUALIFY ROW_NUMBER() OVER (
+  PARTITION BY doc_id ORDER BY n_overlap DESC, bid ASC) = 1
+"""
+
+
+# --------------------------------------------------- ANN recall@k eval
+
+
+def q_ann_recall_ivf(spark, sf_dir):
+    """Recall@5 of the IVF index against exact brute-force top-5 —
+    the acceptance gate an approximate index must pass before it
+    replaces the exact scan (pipeline/similarity.py ann_recall).
+    Composes the two existing catalog queries, so the oracle is the
+    same composition of their (already centroid-replayed) SQL."""
+    from loudml_spark.pipeline.similarity import ann_recall
+
+    return ann_recall(
+        q_ann_ivf_topk(spark, sf_dir),
+        q_ann_cosine_topk(spark, sf_dir),
+    )
+
+
+def _sql_ann_recall_ivf(sf_dir=None) -> str:
+    return f"""
+WITH ivf AS (
+  SELECT query_id, neighbor_id FROM ({_sql_ann_ivf_topk(sf_dir)}) t
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK}) t
+),
+h AS (
+  SELECT query_id, COUNT(*) AS c
+  FROM ivf JOIN ex USING (query_id, neighbor_id)
+  GROUP BY query_id
+),
+b AS (SELECT query_id, COUNT(*) AS n FROM ex GROUP BY query_id)
+SELECT b.query_id,
+       CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hits,
+       CAST(b.n AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.c, 0) AS DOUBLE) / b.n AS recall
+FROM b LEFT JOIN h USING (query_id)
+"""
+
+
+# ------------------------------------------- classifier quality filter
+
+CLASSIFIER_SAMPLE = 500
+CLASSIFIER_BUCKETS = 4096
+
+
+def _classifier_weights(spark, sf_dir):
+    """Train the hashed-logistic quality model once per (app, sf) on
+    the portably-ordered 500-doc sample; label = (lang = 'en') — a
+    deterministic in-table stand-in for a human 'good corpus' label.
+    The oracle generator retrains the identical model from the same
+    parquet (same sample key, same numpy), so weights match bit-for-
+    bit and inference is an exact integer replay on both engines."""
+    from loudml_spark.catalog import _CACHED_SERIES
+    from loudml_spark.pipeline.classify import train_quality_classifier
+    from loudml_spark.pipeline.similarity import sample_order_key_expr
+
+    key = (spark.sparkContext.applicationId, sf_dir, "quality_clf")
+    if key not in _CACHED_SERIES:
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text", "lang")
+            .orderBy(F.expr(sample_order_key_expr("doc_id")),
+                     F.col("doc_id"))
+            .limit(CLASSIFIER_SAMPLE)
+            .collect()
+        )
+        texts = [r["text"] for r in rows]
+        labels = [1 if r["lang"] == "en" else 0 for r in rows]
+        _CACHED_SERIES[key] = train_quality_classifier(
+            texts, labels, n_buckets=CLASSIFIER_BUCKETS)
+    return _CACHED_SERIES[key]
+
+
+def q_classifier_quality_docs(spark, sf_dir):
+    """fastText-style model-based quality filter (CCNet → LLaMA
+    pipeline stage): hashed bag-of-words logistic classifier, trained
+    driver-side on a bounded portable sample, scored JVM-side as ONE
+    explode + literal-array weight lookup + one groupBy(id) of exact
+    int64 micro-units (see pipeline/classify.py).  Keeps documents
+    the model calls in-distribution; complements the heuristic
+    quality_gate_docs."""
+    from loudml_spark.pipeline.classify import classifier_score
+
+    w, b = _classifier_weights(spark, sf_dir)
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return classifier_score(docs, w, b)
+
+
+def _sql_classifier_quality_docs(sf_dir=None) -> str:
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    from loudml_spark.pipeline.classify import train_quality_classifier
+
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT text, lang FROM read_parquet(
+            '{os.path.join(sf_dir, 'documents.parquet')}')
+        ORDER BY ((doc_id + 42) * 1299721 + 15485863) % 1000000007,
+                 doc_id
+        LIMIT {CLASSIFIER_SAMPLE}
+    """).fetchall()
+    con.close()
+    w, b = train_quality_classifier(
+        [t for t, _ in rows],
+        [1 if lang == "en" else 0 for _, lang in rows],
+        n_buckets=CLASSIFIER_BUCKETS)
+    wlist = "[" + ", ".join(str(x) for x in w) + "]"
+    rh = _sql_rh("t")
+    return f"""
+WITH wt AS (SELECT CAST({wlist} AS BIGINT[]) AS v),
+tok AS (
+  SELECT doc_id, unnest({_SQL_WORDS}) AS t FROM documents
+),
+lg AS (
+  SELECT doc_id,
+         CAST(SUM(wt.v[CAST(({rh}) % {CLASSIFIER_BUCKETS} AS INTEGER)
+                       + 1]) + {int(b)} AS BIGINT) AS logit_micro
+  FROM tok CROSS JOIN wt
+  GROUP BY doc_id
+)
+SELECT doc_id, logit_micro,
+       ROUND(1.0 / (1.0 + exp(-(logit_micro / 1000000.0))), 6) + 0.0
+         AS quality_prob
+FROM lg ORDER BY doc_id
+"""
+
+
 PIPELINE_QUERIES: dict[str, dict] = {
     "dedup_lines_docs": {
         "fn": q_dedup_lines_docs, "oracle": SQL_DEDUP_LINES_DOCS},
@@ -3108,4 +3298,13 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "fuzzy_match_parts": {
         "fn": q_fuzzy_match_parts,
         "oracle": SQL_FUZZY_MATCH_PARTS},
+    "classifier_quality_docs": {
+        "fn": q_classifier_quality_docs,
+        "oracle_fn": _sql_classifier_quality_docs},
+    "ann_recall_ivf": {
+        "fn": q_ann_recall_ivf,
+        "oracle_fn": _sql_ann_recall_ivf},
+    "contamination_spans_docs": {
+        "fn": q_contamination_spans_docs,
+        "oracle": SQL_CONTAMINATION_SPANS_DOCS},
 }

@@ -649,6 +649,93 @@ def benchmark_overlap(
     return _attach_contamination(df.select(id_col), best, id_col)
 
 
+def positional_shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram strings WITH duplicates in document order — the
+    positional sibling of :func:`shingles_col` (posexplode over it
+    yields the gram's 0-based start-token index, which span-level
+    decontamination needs; the distinct form cannot carry it)."""
+    return let_col(
+        words_col(text),
+        lambda w: F.transform(
+            _shingle_index_col(w, n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j + 1) for j in range(n)]
+            ),
+        ),
+    )
+
+
+def benchmark_overlap_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 3,
+    min_overlap: int = 8,
+) -> DataFrame:
+    """Span-level decontamination: for every contaminated document,
+    WHERE the leak lives — the token span covering all grams shared
+    with the best-matching benchmark doc — so the pipeline can excise
+    the span instead of dropping the whole document (the GPT-3 /
+    Pile-style n-gram surgery; :func:`benchmark_overlap` only answers
+    drop-or-keep).
+
+    Shape: posexplode positional grams (map-side), equi-join the
+    broadcast benchmark gram set, per-(doc, bench) DISTINCT-gram
+    count (identical n_overlap semantics to benchmark_overlap) with
+    min/max matched gram position, best bench doc by (count desc, id
+    asc).  Output: one row per CONTAMINATED doc — (id_col,
+    matched_bench, n_overlap, span_start, span_end) where span_end =
+    last matched gram's start + n − 1 (inclusive token indices).
+    Both sides hash through the same base-31 Horner chain, so the
+    DuckDB oracle replays everything.
+    """
+    from pyspark.sql import Window
+
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+
+    def gram_hash(col):
+        return F.aggregate(
+            F.split(col, ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+        )
+
+    doc_g = df.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles_col(F.col(text_col), n))
+        .alias("pos", "__s"),
+    ).select(id_col, "pos", gram_hash(F.col("__s")).alias("__h"))
+    bench_g = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.explode(positional_shingles_col(F.col(text_col), n))
+        .alias("__s"),
+    ).select("__bid", gram_hash(F.col("__s")).alias("__h")).distinct()
+    agg = (
+        doc_g.join(F.broadcast(bench_g), "__h")
+        .groupBy(id_col, "__bid")
+        .agg(
+            F.countDistinct("__h").alias("n_overlap"),
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+        )
+        .filter(F.col("n_overlap") >= min_overlap)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("n_overlap"), F.asc("__bid"))
+    return (
+        agg.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col("__bid").alias("matched_bench"),
+                "n_overlap",
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"))
+    )
+
+
 def _benchmark_best(doc_sh, bench_sh, id_col, min_overlap):
     """Shared core: exploded (id, gram-hash) vs broadcast bench grams
     → per-doc best match ≥ min_overlap (count desc, bench id asc)."""

@@ -258,6 +258,45 @@ def ivf_cosine_topk(
     )
 
 
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k evaluation of an ANN index against the exact top-k —
+    the acceptance metric every approximate-index deployment needs
+    before it replaces brute force (FAISS-style recall sweep, as a
+    relational operator).
+
+    Inputs are two (query, neighbor) result frames (ranks/cosines
+    ignored); output one row per query in the EXACT result:
+    ``n_hits`` = |approx ∩ exact|, ``n_exact`` = |exact| (= k except
+    at corpus edges), ``recall`` = n_hits / n_exact (exact ints to
+    one IEEE division — engine-portable).  Queries the index missed
+    entirely score 0, not dropped.  Shape: one equi-join on
+    (query, neighbor) + two grouped counts — no plan hazards at any
+    corpus size (result frames are |queries|·k rows)."""
+    a = approx.select(query_col, neighbor_col)
+    e = exact.select(query_col, neighbor_col)
+    hits = (
+        a.join(e, [query_col, neighbor_col])
+        .groupBy(query_col).agg(F.count("*").alias("n_hits"))
+    )
+    base = e.groupBy(query_col).agg(F.count("*").alias("n_exact"))
+    return (
+        base.join(hits, query_col, "left")
+        .select(
+            query_col,
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double")
+             / F.col("n_exact")).alias("recall"),
+        )
+    )
+
+
 def lsh_cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,

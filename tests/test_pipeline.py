@@ -1837,3 +1837,83 @@ def test_incremental_cdc_near_dup_detection(spark):
     rows = q_incremental_cdc_docs(spark, "/root/testdata/sf0.001").collect()
     assert len(rows) == 100
     assert all(0 <= x["n_shared"] <= x["n_chunks"] for x in rows)
+
+
+def test_classifier_score_matches_numpy(spark):
+    """The JVM-side hashed-logistic inference reproduces the trained
+    numpy model's logit exactly (integer micro-units) and its
+    probability to 6 dp — on a corpus the model separates."""
+    import numpy as np
+
+    from loudml_spark.pipeline.classify import (
+        _hash_token,
+        classifier_score,
+        train_quality_classifier,
+    )
+
+    good = ["clean prose with words " * 3 + f"v{i}" for i in range(12)]
+    bad = ["zz qq xx junk spam " * 3 + f"u{i}" for i in range(12)]
+    texts = [t for pair in zip(good, bad) for t in pair]
+    labels = [1, 0] * 12
+    w, b = train_quality_classifier(texts, labels, n_buckets=512)
+    assert len(w) == 512 and any(w)
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           classifier_score(df, w, b, id_col="doc_id").collect()}
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        logit = sum(w[_hash_token(tok, 512)] for tok in t.split(" ")) + b
+        assert got[i]["logit_micro"] == logit, (i, t)
+        p = round(1.0 / (1.0 + np.exp(-(logit / 1e6))), 6) + 0.0
+        assert got[i]["quality_prob"] == p, (i, p)
+    # the model learned the split: good docs score above bad docs
+    gscore = np.mean([got[i]["quality_prob"] for i in range(0, 24, 2)])
+    bscore = np.mean([got[i]["quality_prob"] for i in range(1, 24, 2)])
+    assert gscore > bscore + 0.2, (gscore, bscore)
+
+
+def test_benchmark_overlap_spans_hand_computed(spark):
+    """Span surgery on a constructed leak: a corpus doc embeds a
+    bench doc's 12-token run in its middle; the reported span must
+    cover exactly the leaked grams' token range."""
+    from loudml_spark.pipeline.dedup import benchmark_overlap_spans
+
+    leak = " ".join(f"L{i}" for i in range(12))        # 12 tokens
+    pre = " ".join(f"p{i}" for i in range(5))          # tokens 0-4
+    post = " ".join(f"q{i}" for i in range(4))
+    corpus = spark.createDataFrame(
+        [(100, f"{pre} {leak} {post}"),
+         (101, "totally unrelated words only here")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, leak), (2, "other bench content entirely")],
+        "bench_id long, text string")
+    rows = {r["doc_id"]: r for r in benchmark_overlap_spans(
+        corpus, bench, n=3, min_overlap=8).collect()}
+    assert set(rows) == {100}            # only the leaking doc
+    r = rows[100]
+    assert r["matched_bench"] == 1
+    assert r["n_overlap"] == 10          # 12 tokens -> 10 trigrams
+    assert r["span_start"] == 5          # leak starts after 5-token pre
+    assert r["span_end"] == 5 + 12 - 1   # inclusive last leaked token
+
+
+def test_ann_recall_hand_computed(spark):
+    """recall@k arithmetic: hits counted per query against the exact
+    set; queries the index misses entirely score 0, not dropped."""
+    from loudml_spark.pipeline.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21), (3, 30)],
+        "query_id long, neighbor_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 12), (1, 99), (2, 77), (2, 88)],
+        "query_id long, neighbor_id long")
+    got = {r["query_id"]: r for r in
+           ann_recall(approx, exact).collect()}
+    assert got[1]["n_hits"] == 2 and got[1]["n_exact"] == 3
+    assert got[1]["recall"] == 2 / 3
+    assert got[2]["n_hits"] == 0 and got[2]["recall"] == 0.0
+    assert got[3]["n_hits"] == 0 and got[3]["n_exact"] == 1
