@@ -3010,6 +3010,44 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_excise_contamination_docs(spark, sf_dir):
+    """The surgery applied: contaminated corpus docs lose exactly
+    their leaked token span (pipeline/dedup.py excise_spans over the
+    benchmark_overlap_spans output); clean docs pass through
+    byte-identical.  The whole composition is one extra broadcast-able
+    left join on top of the span query — corpus text shuffles only
+    through that join."""
+    from loudml_spark.pipeline.dedup import excise_spans
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter("doc_id >= 20")
+    return excise_spans(
+        corpus, q_contamination_spans_docs(spark, sf_dir))
+
+
+SQL_EXCISE_CONTAMINATION_DOCS = f"""
+WITH sp AS ({SQL_CONTAMINATION_SPANS_DOCS}),
+d AS (
+  SELECT doc_id, text, {_SQL_WORDS} AS ws
+  FROM documents WHERE doc_id >= 20
+)
+SELECT d.doc_id,
+       CASE WHEN sp.span_start IS NULL THEN d.text
+            -- COALESCE: a fully-leaked doc excises to the empty
+            -- string (Spark concat_ws never yields null; DuckDB
+            -- array_to_string of an empty list does)
+            ELSE COALESCE(array_to_string(
+              d.ws[1:sp.span_start]
+                || d.ws[sp.span_end + 2:len(d.ws)], ' '), '')
+       END AS text,
+       CAST(CASE WHEN sp.span_start IS NULL THEN 0
+                 ELSE sp.span_end - sp.span_start + 1 END
+            AS BIGINT) AS n_tokens_removed,
+       sp.span_start IS NOT NULL AS was_contaminated
+FROM d LEFT JOIN sp USING (doc_id)
+"""
+
+
 # --------------------------------------------------- ANN recall@k eval
 
 
@@ -3307,4 +3345,7 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "contamination_spans_docs": {
         "fn": q_contamination_spans_docs,
         "oracle": SQL_CONTAMINATION_SPANS_DOCS},
+    "excise_contamination_docs": {
+        "fn": q_excise_contamination_docs,
+        "oracle": SQL_EXCISE_CONTAMINATION_DOCS},
 }

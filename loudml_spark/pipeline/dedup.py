@@ -736,6 +736,48 @@ def benchmark_overlap_spans(
     )
 
 
+def excise_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply span surgery: remove the inclusive token span
+    ``[span_start, span_end]`` (0-based token indices, the
+    :func:`benchmark_overlap_spans` output) from each flagged
+    document; unflagged documents pass through untouched.
+
+    Shape: one left join of the (small — contaminated docs only)
+    span frame onto the corpus, then map-side token filtering with
+    the index-aware array filter — no explode, no shuffle of the
+    text beyond the join.  Output: (id_col, text_col cleaned,
+    n_tokens_removed, was_contaminated)."""
+    sp = spans.select(id_col, "span_start", "span_end")
+    joined = df.select(id_col, text_col).join(sp, id_col, "left")
+    kept = let_col(
+        words_col(F.col(text_col)),
+        # index-aware filter (0-based i): keep tokens outside the span
+        lambda w: F.filter(
+            w,
+            lambda x, i: (i < F.col("span_start"))
+            | (i > F.col("span_end")),
+        ),
+    )
+    clean = F.when(
+        F.col("span_start").isNull(), F.col(text_col)
+    ).otherwise(F.concat_ws(" ", kept))
+    removed = F.when(
+        F.col("span_start").isNull(), F.lit(0)
+    ).otherwise(F.col("span_end") - F.col("span_start") + 1)
+    return joined.select(
+        id_col,
+        clean.alias(text_col),
+        removed.cast("long").alias("n_tokens_removed"),
+        F.col("span_start").isNotNull().alias("was_contaminated"),
+    )
+
+
 def _benchmark_best(doc_sh, bench_sh, id_col, min_overlap):
     """Shared core: exploded (id, gram-hash) vs broadcast bench grams
     → per-doc best match ≥ min_overlap (count desc, bench id asc)."""

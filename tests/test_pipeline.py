@@ -1917,3 +1917,22 @@ def test_ann_recall_hand_computed(spark):
     assert got[1]["recall"] == 2 / 3
     assert got[2]["n_hits"] == 0 and got[2]["recall"] == 0.0
     assert got[3]["n_hits"] == 0 and got[3]["n_exact"] == 1
+
+
+def test_excise_spans_hand_computed(spark):
+    """Span surgery output: flagged doc loses exactly the inclusive
+    token span; unflagged docs pass through byte-identical."""
+    from loudml_spark.pipeline.dedup import excise_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "keep all of this")],
+        "doc_id long, text string")
+    spans = spark.createDataFrame(
+        [(1, 2, 4)], "doc_id long, span_start long, span_end long")
+    got = {r["doc_id"]: r for r in excise_spans(docs, spans).collect()}
+    assert got[1]["text"] == "a b f g"
+    assert got[1]["n_tokens_removed"] == 3
+    assert got[1]["was_contaminated"] is True
+    assert got[2]["text"] == "keep all of this"
+    assert got[2]["n_tokens_removed"] == 0
+    assert got[2]["was_contaminated"] is False
