@@ -3,11 +3,13 @@
     fingerprint → exact dedup → near-dup LSH pairs → connected
     components → keep canonicals → boilerplate line dedup →
     quality + repetition gates → unigram-LM quality scoring →
-    PII redaction → Bloom-prefiltered benchmark decontamination →
+    fastText-style classifier quality filter → PII redaction →
+    Bloom-prefiltered benchmark decontamination (+ span-surgery
+    alternative: locate and excise the leaked token span) →
     stratified corpus mix → deterministic train/val/test split →
     token-budget shard packing → fixed-window sequence packing →
-    corpus stats on the training slice (+ a SemDeDup pass over the
-    embeddings table).
+    corpus stats on the training slice (+ a SemDeDup pass and an
+    ANN recall@5 acceptance gate over the embeddings table).
 
 Run:  python examples/curation_pipeline.py [sf_dir]
 (defaults to /root/testdata/sf0.001)
@@ -120,6 +122,29 @@ def main(sf_dir: str) -> None:
         "doc_id")
     n3b = quality.count()
 
+    # 3c. model-based quality filter (fastText-style classifier, r8):
+    #     train a hashed-BoW logistic model on a portably-ordered
+    #     sample (lang=='en' as the stand-in 'good corpus' label),
+    #     score every doc JVM-side; reported as an audit here —
+    #     production wires `quality_prob >= τ` into the funnel
+    from loudml_spark.pipeline.classify import (
+        classifier_score, train_quality_classifier,
+    )
+    from loudml_spark.pipeline.similarity import sample_order_key_expr
+
+    sample = (
+        docs.select("doc_id", "text", "lang")
+        .orderBy(F.expr(sample_order_key_expr("doc_id")), "doc_id")
+        .limit(200).collect()
+    )
+    wgt, bias = train_quality_classifier(
+        [r["text"] for r in sample],
+        [1 if r["lang"] == "en" else 0 for r in sample],
+        n_buckets=1024)
+    clf = classifier_score(quality, wgt, bias)
+    n_lowq = clf.filter("quality_prob < 0.5").count()
+    print(f"classifier filter: {n_lowq} docs below 0.5")
+
     # 4. PII scrub (map-only regex; counts audit what was removed)
     red = redact_pii(quality)
     n_pii = red.agg(F.sum(
@@ -139,6 +164,23 @@ def main(sf_dir: str) -> None:
     clean = quality.join(
         flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id")
     n4 = clean.count()
+
+    # 5b. span surgery (r8): the excision alternative to dropping —
+    #     locate each contaminated doc's leaked token span and remove
+    #     exactly that, keeping the remainder (audit print; swap
+    #     `clean` for `excised` to adopt surgery over drops)
+    from loudml_spark.pipeline.dedup import (
+        benchmark_overlap_spans, excise_spans,
+    )
+
+    spans = benchmark_overlap_spans(
+        quality.filter("doc_id >= 10"), bench, n=3, min_overlap=8)
+    excised = excise_spans(quality.filter("doc_id >= 10"), spans)
+    surg = excised.agg(
+        F.sum(F.col("was_contaminated").cast("long")),
+        F.sum("n_tokens_removed")).first()
+    print(f"span surgery: {surg[0]} docs excised, "
+          f"{surg[1]} tokens removed")
 
     # 6. stratified corpus mix (keep all EN, half of everything else)
     mixed = stratified_sample(
@@ -235,6 +277,19 @@ def main(sf_dir: str) -> None:
     n_vec = sem.count()
     n_keep = sem.filter("is_canonical").count()
     print(f"semdedup(embeddings): {n_vec} vectors → {n_keep} kept")
+
+    # 10b. ANN acceptance gate (r8): before the IVF index replaces
+    #      brute force anywhere, measure its recall@5 against exact
+    from loudml_spark.pipeline.similarity import (
+        ann_recall, cosine_topk, ivf_cosine_topk,
+    )
+
+    q10 = emb.filter("vec_id < 10")
+    rec = ann_recall(
+        ivf_cosine_topk(q10, emb, k=5, n_centroids=16, n_probe=4),
+        cosine_topk(q10, emb, k=5))
+    mean_rec = rec.agg(F.avg("recall")).first()[0]
+    print(f"ann recall@5 (ivf vs exact): {mean_rec:.3f}")
 
 
 if __name__ == "__main__":

@@ -20,7 +20,8 @@ def test_curation_pipeline_example_e2e():
     text = out.stdout
     for marker in ("intake audit", "docs: ", "splits: ",
                    "cdc audit: ", "quality-score eval: auc=",
-                   "semdedup(embeddings): "):
+                   "semdedup(embeddings): ", "classifier filter: ",
+                   "span surgery: ", "ann recall@5 (ivf vs exact): "):
         assert marker in text, (marker, text[-2000:])
     # the funnel counts must be monotone non-increasing
     import re

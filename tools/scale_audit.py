@@ -53,6 +53,10 @@ AUDIT = [
     ("ann_pq_topk", "full"),
     ("pack_sequences_docs", "full"),
     ("winnow_fingerprints_docs", "full"),
+    ("classifier_quality_docs", "full"),
+    ("contamination_spans_docs", "full"),
+    ("excise_contamination_docs", "full"),
+    ("ann_recall_ivf", "full"),
     ("cdc_dup_chunks_docs", "bounded"),
     ("incremental_cdc_docs", "bounded"),
     ("ngram_jaccard_pairs_docs", "bounded"),
