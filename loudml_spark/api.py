@@ -462,12 +462,30 @@ class Engine:
         from loudml_spark.ml.models import make_model
 
         model = self.get_model(name)
-        merged = {**model.settings(), **dict(data), "name": name}
+        old_settings = model.settings()
+        merged = {**old_settings, **dict(data), "name": name}
         new = make_model(merged)
         new.state = model.state
         self._models[name] = new
         if self.storage is not None:
             self.storage.save_settings(new)
+        # reference changes-loop parity (server.py:808-826): if the
+        # patch changed the model's eval cadence (`interval`) and a
+        # periodic eval job is live, re-create it at the new cadence —
+        # otherwise the running job keeps firing on the stale interval
+        if merged.get("interval") != old_settings.get("interval") \
+                and merged.get("interval") is not None:
+            job_name = f"eval[{name}]"
+            sj = self.scheduled.find(job_name)
+            if sj is not None:
+                from loudml_spark.timeutil import parse_timedelta
+
+                seconds = parse_timedelta(merged["interval"])
+                self.scheduled.remove(job_name)
+                self.scheduled.add(
+                    {"name": job_name,
+                     "every": {"count": seconds, "unit": "seconds"}},
+                    sj.fn)
         return new
 
     def list_models(self) -> list[str]:
@@ -704,6 +722,39 @@ class Engine:
     def delete_hook(self, model_name: str, hook_name: str) -> None:
         hs = self.hooks.get(model_name, [])
         self.hooks[model_name] = [h for h in hs if h.name != hook_name]
+
+    def set_hook(self, model_name: str, desc: Mapping[str, Any]):
+        """POST /models/<n>/hooks[/<h>] body ``{type, name, config}``
+        (server.py:945-976, 988-1008): resolve the type from the hook
+        registry, validate the config, create-or-replace by name."""
+        from loudml_spark import errors
+        from loudml_spark.ml.hooks import load_hook_type
+
+        hook_type = desc.get("type")
+        if hook_type is None:
+            raise errors.Invalid("type is missing")
+        hook_name = desc.get("name")
+        if hook_name is None:
+            raise errors.Invalid("name is missing")
+        cls = load_hook_type(hook_type)
+        if cls is None:
+            raise errors.ModelNotFound(f"unknown hook type: {hook_type}")
+        config = desc.get("config")
+        cls.validate(config)
+        self.get_model(model_name)  # 404 on unknown model
+        hook = cls(hook_name, config)
+        self.delete_hook(model_name, hook_name)
+        self.add_hook(model_name, hook)
+        return hook
+
+    def get_hook(self, model_name: str, hook_name: str) -> dict:
+        from loudml_spark import errors
+
+        for h in self.hooks.get(model_name, []):
+            if h.name == hook_name:
+                return h.describe()
+        raise errors.ModelNotFound(
+            f"no hook {hook_name} on model {model_name}")
 
     def test_hook(self, model_name: str, hook_name: str | None = None,
                   now: float | None = None) -> int:

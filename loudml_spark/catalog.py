@@ -1498,18 +1498,33 @@ QUERIES: dict[str, dict] = {
 # training-data pipeline operators (dedup / similarity / text)
 from loudml_spark.catalog_pipeline import PIPELINE_QUERIES  # noqa: E402
 
-QUERIES.update(PIPELINE_QUERIES)
-
 # TPC-H completion: the 15 query patterns beyond q1/q3/q4/q5/q7/q8/q10
 from loudml_spark.catalog_tpch import TPCH_QUERIES  # noqa: E402
-
-QUERIES.update(TPCH_QUERIES)
 
 # relational/time-series extensions (sessionize / range join / rollup /
 # corpus vocabulary + TF-IDF)
 from loudml_spark.catalog_ext import EXT_QUERIES  # noqa: E402
 
-QUERIES.update(EXT_QUERIES)
+
+def _merge_disjoint(base, *parts):
+    """dict.update is last-write-wins, so a name collision between
+    catalog modules would silently shadow a query AND its oracle while
+    every downstream gate stayed green (it would only ever see the
+    survivor).  Fail loudly at import time instead."""
+    for name, extra in parts:
+        dup = base.keys() & extra.keys()
+        if dup:
+            raise RuntimeError(
+                "catalog registry collision from %s: %s" % (name, sorted(dup)))
+        base.update(extra)
+
+
+_merge_disjoint(
+    QUERIES,
+    ("catalog_pipeline", PIPELINE_QUERIES),
+    ("catalog_tpch", TPCH_QUERIES),
+    ("catalog_ext", EXT_QUERIES),
+)
 
 
 def queries():

@@ -23,9 +23,23 @@ class Hook:
     """Subclass and override; config dict mirrors the reference's
     per-hook config blob."""
 
+    hook_type = "hook"
+
     def __init__(self, name: str, config: dict | None = None):
         self.name = name
         self.config = config or {}
+
+    @classmethod
+    def validate(cls, config):
+        """Reject a bad config at registration time (the reference
+        validates through each hook's voluptuous schema,
+        server.py:963-974).  Base rule: config must be a mapping."""
+        if config is not None and not isinstance(config, dict):
+            raise ValueError("hook config must be an object")
+
+    def describe(self) -> dict:
+        return {"name": self.name, "type": self.hook_type,
+                "config": self.config}
 
     def on_anomaly_start(self, model: str, start_ts: float, score: float,
                          **kw):
@@ -33,6 +47,24 @@ class Hook:
 
     def on_anomaly_end(self, model: str, end_ts: float, score: float, **kw):
         pass
+
+
+class LoggingHook(Hook):
+    """Built-in notification hook: logs episode open/close.  The
+    reference ships hook implementations as plugins resolved through
+    the ``loudml.hooks`` entry point (server.py:969); this is the
+    in-tree equivalent registered under type ``logging``, and
+    :func:`register_hook_type` is the extension point."""
+
+    hook_type = "logging"
+
+    def on_anomaly_start(self, model, start_ts, score, **kw):
+        log.warning("[%s] anomaly START ts=%s score=%.1f",
+                    model, start_ts, score)
+
+    def on_anomaly_end(self, model, end_ts, score, **kw):
+        log.warning("[%s] anomaly END ts=%s score=%.1f",
+                    model, end_ts, score)
 
 
 class AnnotationHook(Hook):
@@ -44,11 +76,28 @@ class AnnotationHook(Hook):
         self.store = store
         self.model = model
 
+    hook_type = "annotation"
+
     def on_anomaly_end(self, model, end_ts, score, start_ts=None, **kw):
         self.store.insert(
             start_ts if start_ts is not None else end_ts, end_ts,
             text=f"anomaly score={score:.1f}", model=model or self.model,
         )
+
+
+# -- hook-type registry (≙ the reference's `loudml.hooks` entry-point
+#    lookup, server.py:969 `loudml.load_entry_point`) -------------------
+HOOK_TYPES: dict[str, type] = {"logging": LoggingHook}
+
+
+def register_hook_type(name: str, cls: type) -> None:
+    HOOK_TYPES[name] = cls
+
+
+def load_hook_type(name: str):
+    """None for an unknown type — the caller maps that to HTTP 404
+    exactly like the reference (server.py:970-971)."""
+    return HOOK_TYPES.get(name)
 
 
 def fire_hooks(

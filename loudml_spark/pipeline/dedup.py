@@ -67,6 +67,36 @@ _PERSISTED: list = []
 _PERSIST_CAP = 2
 
 
+def posting_pairs(plist: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """Explode a posting-list frame (one array-of-ids row per key)
+    into canonicalized candidate pairs ``(id_a, id_b)``.
+
+    Two-level explosion: the first ``posexplode`` streams one row per
+    anchor element, the second builds only THAT anchor's pairs — so
+    peak per-row memory is O(|ids|), never the O(|ids|²/2) struct
+    array a single flatten-then-explode row would materialize (an
+    executor-OOM hazard on a hot key when no df cut is configured).
+    Both explodes are generators inside one whole-stage-codegen span:
+    pairs stream through the pipeline, total work is unchanged, and
+    the upstream posting subtree still evaluates exactly once (the
+    reason this shape beats a posting⋈posting self-join — measured
+    22 s → 8 s at 150k keys / 3.3M pairs).
+
+    ``least/greatest`` canonicalizes because collect_list order is
+    nondeterministic.  Callers dedupe downstream (a pair can share
+    several keys)."""
+    return (
+        plist
+        .select(F.col(ids_col).alias("__ids"),
+                F.posexplode(ids_col).alias("__i", "__a"))
+        .select(F.explode(F.expr(
+            "transform(slice(__ids, __i + 2, size(__ids)), b ->"
+            " struct(least(__a, b) AS id_a, greatest(__a, b) AS id_b))"
+        )).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+
+
 def _persist_bounded(df) -> None:
     _PERSISTED.append(df)
     while len(_PERSISTED) > _PERSIST_CAP:
@@ -895,23 +925,15 @@ def ngram_jaccard_pairs_indexed(
     # self-join would evaluate the whole vocab-rank/window subtree
     # TWICE (Spark has no cross-join common-subplan reuse) and add a
     # join shuffle; grouping to (shingle → id list) is one shuffle and
-    # the per-list pair expansion is map-side.  least/greatest
-    # canonicalizes so collect_list order (nondeterministic) never
-    # leaks into the output.
+    # the per-list pair expansion is map-side (streamed two-level
+    # explosion — see posting_pairs — so a hot shingle under
+    # max_df=None costs time, never a single quadratic row).
     plist = (
         pfx.select("id", "s")
         .groupBy("s").agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    cand = (
-        plist.select(F.explode(F.expr(
-            "flatten(transform(ids, (a, i) ->"
-            " transform(slice(ids, i + 2, size(ids)), b ->"
-            "  struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))"
-        )).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    cand = posting_pairs(plist).dropDuplicates(["id_a", "id_b"])
     verified = (
         cand.join(sets.select(F.col("id").alias("id_a"),
                               F.col("sh").alias("sh_a")), "id_a")

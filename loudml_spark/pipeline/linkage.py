@@ -140,18 +140,14 @@ def fuzzy_self_pairs(
     # (measured at 150k keys / 3.3M output pairs: 22 s → 8 s).  Hot
     # variants mean genuinely dense clusters (triangle through the
     # shared variant bounds the cluster's diameter at 2d), so the
-    # per-list quadratic is output-bound; max_variant_df caps it.
+    # per-list quadratic is output-bound; max_variant_df caps it, and
+    # the streamed two-level explosion (posting_pairs) bounds per-row
+    # memory at O(|ids|) even without the cap.
+    from loudml_spark.pipeline.dedup import posting_pairs
+
     plist = posting.groupBy("vh").agg(
         F.collect_list("id").alias("ids")).filter(F.size("ids") >= 2)
-    cand = (
-        plist.select(F.explode(F.expr(
-            "flatten(transform(ids, (a, i) ->"
-            " transform(slice(ids, i + 2, size(ids)), b ->"
-            "  struct(least(a, b) AS id_a, greatest(a, b) AS id_b))))"
-        )).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cand = posting_pairs(plist).distinct()
     names = df.select(F.col(id_col).alias("__id"),
                       F.col(text_col).alias("__t"))
     dist = F.levenshtein(

@@ -250,6 +250,12 @@ class ScheduledJobRegistry:
         (reference server.py:1346-1351)."""
         self._scheduled.clear()
 
+    def find(self, name: str):
+        """The ScheduledJob or None — lets callers rebind a live job
+        (e.g. PATCH /models re-cadencing eval[<model>]) without going
+        through the HTTP 404 path."""
+        return self._scheduled.get(name)
+
     def names(self) -> list[str]:
         return sorted(self._scheduled)
 

@@ -275,6 +275,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(200, eng.get_model(name).settings())
             return self._json(405, {"error": f"{method} not allowed"})
         action = rest[1]
+        if action == "hooks":
+            return self._model_hooks(method, name, rest[2:])
         kw = {}
         if "ts_col" in q:
             kw["ts_col"] = q["ts_col"]
@@ -332,6 +334,41 @@ class _Handler(BaseHTTPRequestHandler):
             eng.stop_periodic_eval(name)
             return self._json(200, {"ok": True})
         return self._json(404, {"error": f"no model action {action}"})
+
+    def _model_hooks(self, method, name, rest):
+        """/models/<n>/hooks CRUD + /hooks/<h>/_test (reference
+        server.py:939-1028): collection GET lists hook names, POST
+        creates (201); per-hook GET describes, POST updates in place,
+        DELETE removes; _test drives the fake prediction through the
+        real detect path and fires the hook."""
+        eng = self.engine
+        if not rest:
+            if method in ("GET", "HEAD"):
+                eng.get_model(name)  # 404 on unknown model
+                return self._json(200, eng.list_hooks(name))
+            if method == "POST":
+                eng.set_hook(name, self._body() or {})
+                return self._json(201, {"ok": True})
+            return self._json(405, {"error": f"{method} not allowed"})
+        hook_name = rest[0]
+        if len(rest) == 1:
+            if method == "GET":
+                return self._json(200, eng.get_hook(name, hook_name))
+            if method == "POST":
+                body = dict(self._body() or {})
+                body.setdefault("name", hook_name)
+                eng.set_hook(name, body)
+                return self._json(200, {"ok": True})
+            if method == "DELETE":
+                eng.get_hook(name, hook_name)  # 404 on unknown hook
+                eng.delete_hook(name, hook_name)
+                return self._json(200, {"ok": True})
+            return self._json(405, {"error": f"{method} not allowed"})
+        if len(rest) == 2 and rest[1] == "_test" and method == "POST":
+            eng.get_hook(name, hook_name)  # 404 on unknown hook
+            eng.test_hook(name, hook_name)
+            return self._json(200, {"ok": True})
+        return self._json(404, {"error": "no hook route"})
 
     def _jobs(self, method, rest, q):
         eng = self.engine

@@ -49,6 +49,13 @@ class Bucket(ABC):
         (loudml/influx.py:430-439, server.py:1144-1150)."""
         raise errors.Invalid(f"bucket {self.name} cannot be dropped")
 
+    def adopt_state(self, old: "Bucket") -> None:
+        """Carry mutable runtime state across a PATCH rebuild.  The
+        reference's buckets front external TSDBs, so its PATCH cannot
+        lose data (server.py:1105-1114); any bucket type here that
+        holds data in-process must override this or a PATCH would
+        silently discard everything written so far."""
+
     def get_times_data(self, spark, features, from_date, to_date,
                        bucket_interval, ts_col="ts", **kw):
         """Bucketized aggregation — the reference's core read API
@@ -111,6 +118,15 @@ class MemBucket(Bucket):
 
     def insert_times_data(self, point: dict):
         self.rows.append(point)
+
+    def adopt_state(self, old: "Bucket") -> None:
+        # PATCH rebuilds the bucket from merged settings; unlike the
+        # reference (whose buckets front external TSDBs) our rows live
+        # on the instance — carry them into the rebuilt bucket, and
+        # keep the old inferred schema unless the patch set a new one
+        self.rows = list(getattr(old, "rows", []))
+        if self.schema is None:
+            self.schema = getattr(old, "schema", None)
 
     def read(self, spark):
         if not self.rows:
@@ -280,6 +296,7 @@ class BucketRegistry:
                 "stored settings to patch")
         merged = {**old, **dict(data), "name": name}
         bucket = self._build(merged)
+        bucket.adopt_state(self._buckets[name])
         self._settings[name] = merged
         return self.register(bucket)
 

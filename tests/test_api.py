@@ -129,3 +129,20 @@ def test_max_series_per_request_guard(spark, simple_df, tmp_path):
     with pytest.raises(errors.Invalid):
         eng.add_bucket({"name": "bad", "type": "parquet", "path": path,
                         "max_series_per_request": 0})
+
+
+def test_patch_mem_bucket_keeps_rows(spark):
+    # PATCH rebuilds the bucket from merged settings; a MemBucket holds
+    # its rows in-process, so the rebuilt instance must adopt them (the
+    # reference's PATCH cannot lose data — its buckets are external
+    # TSDBs, server.py:1105-1114)
+    from loudml_spark.sources.base import BucketRegistry
+
+    reg = BucketRegistry()
+    reg.add({"name": "m", "type": "mem"})
+    reg.get("m").insert_times_data({"ts": 1, "value": 2.0})
+    reg.get("m").insert_times_data({"ts": 2, "value": 3.0})
+    patched = reg.patch("m", {"max_series_per_request": 7})
+    assert patched.max_series_per_request == 7
+    assert [r["value"] for r in patched.rows] == [2.0, 3.0]
+    assert patched.read(spark).count() == 2

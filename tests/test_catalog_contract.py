@@ -141,3 +141,25 @@ def test_every_query_is_oracle_paired():
     the query, not later."""
     qs, os_ = entry.queries(), entry.oracle_sql()
     assert set(qs) == set(os_), sorted(set(qs) - set(os_))
+
+
+def test_registry_rejects_name_collisions():
+    """The catalog registry is assembled from four module dicts;
+    dict.update is last-write-wins, so a collision would silently
+    shadow a query and its oracle (round-7 incident: 4 TPC-H keys
+    shadowed).  ``_merge_disjoint`` must raise on a duplicate key
+    and the live assembly must itself be collision-free."""
+    from loudml_spark import catalog
+
+    with pytest.raises(RuntimeError, match="collision.*dup_q"):
+        catalog._merge_disjoint(
+            {"dup_q": {}}, ("fake_module", {"dup_q": {}, "other": {}}))
+
+    # live registry: the union of the four module dicts equals the
+    # merged size, i.e. no key was ever shadowed
+    from loudml_spark.catalog_ext import EXT_QUERIES
+    from loudml_spark.catalog_pipeline import PIPELINE_QUERIES
+    from loudml_spark.catalog_tpch import TPCH_QUERIES
+    sizes = [len(PIPELINE_QUERIES), len(TPCH_QUERIES), len(EXT_QUERIES)]
+    base = len(catalog.QUERIES) - sum(sizes)
+    assert base > 0 and len(entry.queries()) == base + sum(sizes)

@@ -145,6 +145,33 @@ def test_periodic_eval_schedule(engine):
     assert not engine.scheduled.list_scheduled()
 
 
+def test_patch_model_recadences_periodic_eval(engine):
+    # reference PATCH changes-loop (server.py:808-826): an interval
+    # change must re-create a live eval[<model>] job at the new
+    # cadence; the rebound job keeps the original fire fn
+    engine.create_model({
+        "name": "p2", "type": "gaussian", "bucket_interval": 3600,
+        "interval": 30,
+    })
+    engine.train("p2", "events", BASE, BASE + 7 * 86400,
+                 "avg(value)", ts_col="ts")
+    engine.start_periodic_eval(
+        "p2", "events", "avg(value)",
+        {"count": 30, "unit": "seconds"}, now=float(BASE), ts_col="ts")
+    old_fn = engine.scheduled.find("eval[p2]").fn
+    engine.patch_model("p2", {"interval": "2m"})
+    sj = engine.scheduled.find("eval[p2]")
+    assert sj is not None and sj.fn is old_fn
+    assert sj.desc["every"] == {"count": 120.0, "unit": "seconds"}
+    # unrelated patches leave the job alone; patch with no live job
+    # is a no-op
+    engine.patch_model("p2", {"max_threshold": 99.0})
+    assert engine.scheduled.find("eval[p2]") is sj
+    engine.stop_periodic_eval("p2")
+    engine.patch_model("p2", {"interval": "5m"})
+    assert engine.scheduled.find("eval[p2]") is None
+
+
 def test_model_versions_and_restore(engine):
     engine.create_model({
         "name": "ver", "type": "gaussian", "bucket_interval": 3600,

@@ -268,3 +268,74 @@ def test_nodes_endpoint(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(f"{srv}/_nodes/nope")
     assert ei.value.code == 404
+
+
+def test_hooks_rest_crud_and_test(srv):
+    # reference server.py:939-1028: hooks CRUD under /models/<n>/hooks
+    # plus POST .../hooks/<h>/_test firing the fake prediction through
+    # the real detect path
+    from loudml_spark.ml.hooks import Hook, register_hook_type
+
+    fired = []
+
+    class Rec(Hook):
+        hook_type = "rec"
+
+        def on_anomaly_start(self, model, start_ts, score, **kw):
+            fired.append((model, start_ts, score))
+
+    register_hook_type("rec", Rec)
+
+    code, _ = _post(srv + "/models", {
+        "name": "hooked", "type": "gaussian", "bucket_interval": 60,
+    })
+    assert code == 201
+    code, body = _get(srv + "/models/hooked/hooks")
+    assert code == 200 and body == []
+    # missing type / name → 400; unknown type → 404 (server.py:951-971)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv + "/models/hooked/hooks", {"name": "n1"})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv + "/models/hooked/hooks", {"type": "rec"})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv + "/models/hooked/hooks",
+              {"type": "ghost-type", "name": "n1"})
+    assert ei.value.code == 404
+    # create (201), describe, update-in-place, built-in logging type
+    code, _ = _post(srv + "/models/hooked/hooks",
+                    {"type": "rec", "name": "n1", "config": {"k": 1}})
+    assert code == 201
+    code, _ = _post(srv + "/models/hooked/hooks",
+                    {"type": "logging", "name": "n2"})
+    assert code == 201
+    code, body = _get(srv + "/models/hooked/hooks")
+    assert code == 200 and body == ["n1", "n2"]
+    code, body = _get(srv + "/models/hooked/hooks/n1")
+    assert code == 200 and body == {
+        "name": "n1", "type": "rec", "config": {"k": 1}}
+    code, _ = _req(srv + "/models/hooked/hooks/n1", "POST",
+                   {"type": "rec", "config": {"k": 2}})
+    assert code == 200
+    _, body = _get(srv + "/models/hooked/hooks/n1")
+    assert body["config"] == {"k": 2}
+    # _test drives the fake prediction into the recording hook
+    code, _ = _post(srv + "/models/hooked/hooks/n1/_test")
+    assert code == 200
+    assert fired and all(m == "hooked" for m, _, _ in fired)
+    # delete, then 404 on the gone hook and on _test against it
+    code, _ = _req(srv + "/models/hooked/hooks/n1", "DELETE")
+    assert code == 200
+    _, body = _get(srv + "/models/hooked/hooks")
+    assert body == ["n2"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv + "/models/hooked/hooks/n1")
+    assert ei.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(srv + "/models/hooked/hooks/n1/_test")
+    assert ei.value.code == 404
+    # unknown model → 404 on the collection route
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(srv + "/models/ghost/hooks")
+    assert ei.value.code == 404
