@@ -3048,6 +3048,123 @@ FROM d LEFT JOIN sp USING (doc_id)
 """
 
 
+def q_leak_spans_docs(spark, sf_dir):
+    """PER-LEAK surgery input (vs contamination_spans_docs' one-hull-
+    per-doc): matched gram positions from ALL qualifying bench docs,
+    merged and split into gap-separated runs — two separated leaks in
+    one doc come back as two disjoint spans, so excision keeps the
+    clean text between them (pipeline/dedup.py
+    benchmark_leak_spans)."""
+    from loudml_spark.pipeline.dedup import benchmark_leak_spans
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter("doc_id >= 20")
+    bench = docs.filter("doc_id < 20").select(
+        F.col("doc_id").alias("bench_id"), "text")
+    return benchmark_leak_spans(corpus, bench, n=3, min_overlap=8)
+
+
+SQL_LEAK_SPANS_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM w
+),
+pg AS (
+  SELECT doc_id,
+         unnest(grams) AS s,
+         generate_subscripts(grams, 1) - 1 AS pos
+  FROM g WHERE doc_id >= 20
+),
+ph AS (SELECT doc_id, pos, {_sql_rh('s')} AS h FROM pg),
+bg AS (
+  SELECT DISTINCT doc_id AS bid, {_sql_rh('s')} AS h
+  FROM (SELECT doc_id, unnest(grams) AS s FROM g WHERE doc_id < 20)
+),
+qual AS (
+  SELECT ph.doc_id, bg.bid
+  FROM ph JOIN bg ON ph.h = bg.h
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT ph.h) >= 8
+),
+mpos AS (
+  SELECT DISTINCT ph.doc_id, ph.pos
+  FROM ph JOIN bg ON ph.h = bg.h
+  JOIN qual ON qual.doc_id = ph.doc_id AND qual.bid = bg.bid
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 3
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM mpos)
+)
+SELECT doc_id, CAST(run AS BIGINT) AS run,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 2 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_grams
+FROM runs GROUP BY doc_id, run
+"""
+
+
+def q_excise_leaks_docs(spark, sf_dir):
+    """Multi-span surgery applied: every leak run from
+    leak_spans_docs excises individually (pipeline/dedup.py
+    excise_spans over an array of disjoint spans per doc); clean
+    text between two leaks — and every clean doc — passes through
+    byte-identical."""
+    from loudml_spark.pipeline.dedup import excise_spans
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    corpus = docs.filter("doc_id >= 20")
+    return excise_spans(corpus, q_leak_spans_docs(spark, sf_dir))
+
+
+SQL_EXCISE_LEAKS_DOCS = f"""
+WITH sp AS ({SQL_LEAK_SPANS_DOCS}),
+d AS (
+  SELECT doc_id, text, {_SQL_WORDS} AS ws
+  FROM documents WHERE doc_id >= 20
+),
+tok AS (
+  SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) - 1 AS idx
+  FROM d
+),
+-- one row per token, cut=1 when ANY span covers it (spans are
+-- disjoint by construction, the MAX is belt-and-braces)
+mark AS (
+  SELECT tok.doc_id, tok.idx, any_value(tok.t) AS t,
+         MAX(CASE WHEN sp.span_start IS NOT NULL THEN 1 ELSE 0 END)
+           AS cut
+  FROM tok LEFT JOIN sp ON sp.doc_id = tok.doc_id
+       AND tok.idx BETWEEN sp.span_start AND sp.span_end
+  GROUP BY tok.doc_id, tok.idx
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(t, ' ' ORDER BY idx)
+                  FILTER (WHERE cut = 0), '') AS ctext,
+         SUM(cut) AS removed
+  FROM mark GROUP BY doc_id
+),
+flag AS (SELECT DISTINCT doc_id FROM sp)
+SELECT d.doc_id,
+       CASE WHEN f.doc_id IS NULL THEN d.text ELSE a.ctext END AS text,
+       CAST(CASE WHEN f.doc_id IS NULL THEN 0 ELSE a.removed END
+            AS BIGINT) AS n_tokens_removed,
+       f.doc_id IS NOT NULL AS was_contaminated
+FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN flag f USING (doc_id)
+"""
+
+
 # --------------------------------------------------- ANN recall@k eval
 
 
@@ -3348,4 +3465,10 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "excise_contamination_docs": {
         "fn": q_excise_contamination_docs,
         "oracle": SQL_EXCISE_CONTAMINATION_DOCS},
+    "leak_spans_docs": {
+        "fn": q_leak_spans_docs,
+        "oracle": SQL_LEAK_SPANS_DOCS},
+    "excise_leaks_docs": {
+        "fn": q_excise_leaks_docs,
+        "oracle": SQL_EXCISE_LEAKS_DOCS},
 }

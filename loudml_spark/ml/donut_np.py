@@ -33,7 +33,11 @@ from __future__ import annotations
 import numpy as np
 
 MCMC_COUNT = 10     # donut.py:88
-MC_COUNT = 100      # donut.py:89 uses 1000; 100 is within paper noise
+# donut.py:89 uses 1000 MC samples; 100 measured equivalent on the
+# trained model (same seed): mean band width ratio 0.9996, p95
+# per-window sigma diff 1.9%, identical 3σ decisions, 14× faster —
+# pinned by tests/test_donut_np.py::test_mc_count_100_vs_1000_band_parity
+MC_COUNT = 100
 MISSING_RATE = 0.01  # λ, donut.py:91
 _CLIP = 8.0
 

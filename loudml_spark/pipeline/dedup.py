@@ -679,6 +679,16 @@ def benchmark_overlap(
     return _attach_contamination(df.select(id_col), best, id_col)
 
 
+def _gram_hash(col: Column) -> Column:
+    """Base-31 Horner hash of a gram string — the same chain the
+    DuckDB oracles replay character-for-character."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
+    )
+
+
 def positional_shingles_col(text: Column, n: int = 3) -> Column:
     """Word n-gram strings WITH duplicates in document order — the
     positional sibling of :func:`shingles_col` (posexplode over it
@@ -727,23 +737,16 @@ def benchmark_overlap_spans(
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
 
-    def gram_hash(col):
-        return F.aggregate(
-            F.split(col, ""),
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * 31 + F.ascii(c)) % HASH_MOD,
-        )
-
     doc_g = df.select(
         F.col(id_col),
         F.posexplode(positional_shingles_col(F.col(text_col), n))
         .alias("pos", "__s"),
-    ).select(id_col, "pos", gram_hash(F.col("__s")).alias("__h"))
+    ).select(id_col, "pos", _gram_hash(F.col("__s")).alias("__h"))
     bench_g = benchmark.select(
         F.col(bench_id_col).alias("__bid"),
         F.explode(positional_shingles_col(F.col(text_col), n))
         .alias("__s"),
-    ).select("__bid", gram_hash(F.col("__s")).alias("__h")).distinct()
+    ).select("__bid", _gram_hash(F.col("__s")).alias("__h")).distinct()
     agg = (
         doc_g.join(F.broadcast(bench_g), "__h")
         .groupBy(id_col, "__bid")
@@ -766,6 +769,87 @@ def benchmark_overlap_spans(
     )
 
 
+def benchmark_leak_spans(
+    df: DataFrame,
+    benchmark: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_id_col: str = "bench_id",
+    n: int = 3,
+    min_overlap: int = 8,
+    gap: int | None = None,
+) -> DataFrame:
+    """PER-LEAK span decontamination: one row per contiguous leaked
+    region, unlike :func:`benchmark_overlap_spans` which hulls every
+    match from the single best bench doc into one span (excising all
+    clean text between two separated leaks, and missing leaks from
+    the second-best bench entirely).  This is the real GPT-3 /
+    Pile-style surgery input: matched gram positions from ALL
+    qualifying bench docs are merged, then split into gap-separated
+    runs so each leak excises individually.
+
+    Semantics: a (doc, bench) pair qualifies when it shares ≥
+    ``min_overlap`` distinct grams (identical to benchmark_overlap);
+    the distinct matched gram start positions of all qualifying pairs
+    merge per doc and split where consecutive positions are more than
+    ``gap`` tokens apart (default ``n``: runs whose matched gram
+    windows overlap or abut stay together, so runs are pairwise
+    disjoint token spans — span_end(run k) < span_start(run k+1)).
+
+    Scale shape: same as benchmark_overlap_spans — one positional
+    gram pass over the corpus, broadcast bench gram set, ONE
+    aggregation per (doc, bench) carrying both the distinct-gram
+    count and the matched position set (collect_set bounded by doc
+    length, so the corpus gram subtree evaluates once), then a
+    per-doc window over positions (bounded by doc length, properly
+    partitioned).  Output: (id_col, run, span_start, span_end,
+    n_matched_grams) for contaminated docs only; run is 1-based in
+    position order."""
+    from pyspark.sql import Window
+
+    if min_overlap < 1:
+        raise ValueError("min_overlap must be >= 1")
+    gap = n if gap is None else gap
+
+    doc_g = df.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles_col(F.col(text_col), n))
+        .alias("pos", "__s"),
+    ).select(id_col, "pos", _gram_hash(F.col("__s")).alias("__h"))
+    bench_g = benchmark.select(
+        F.col(bench_id_col).alias("__bid"),
+        F.explode(positional_shingles_col(F.col(text_col), n))
+        .alias("__s"),
+    ).select("__bid", _gram_hash(F.col("__s")).alias("__h")).distinct()
+    pos = (
+        doc_g.join(F.broadcast(bench_g), "__h")
+        .groupBy(id_col, "__bid")
+        .agg(F.countDistinct("__h").alias("__n"),
+             F.collect_set("pos").alias("__poss"))
+        .filter(F.col("__n") >= min_overlap)
+        .select(id_col, F.explode("__poss").alias("pos"))
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = pos.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > gap, 1)
+        .otherwise(F.lit(0)),
+    ).withColumn("run", F.sum("__new").over(w) + 1)
+    return (
+        runs.groupBy(id_col, "run")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+             F.count("*").alias("n_matched_grams"))
+        .select(id_col, F.col("run").cast("long").alias("run"),
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"),
+                F.col("n_matched_grams").cast("long")
+                .alias("n_matched_grams"))
+    )
+
+
 def excise_spans(
     df: DataFrame,
     spans: DataFrame,
@@ -773,38 +857,62 @@ def excise_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Apply span surgery: remove the inclusive token span
-    ``[span_start, span_end]`` (0-based token indices, the
-    :func:`benchmark_overlap_spans` output) from each flagged
-    document; unflagged documents pass through untouched.
+    """Apply span surgery: remove every inclusive token span
+    ``[span_start, span_end]`` (0-based token indices) listed for a
+    document; unflagged documents pass through untouched.  Accepts
+    one span per doc (:func:`benchmark_overlap_spans`) or many
+    (:func:`benchmark_leak_spans`) — clean text BETWEEN two leaks
+    survives, which is the point of per-leak surgery.
 
-    Shape: one left join of the (small — contaminated docs only)
-    span frame onto the corpus, then map-side token filtering with
-    the index-aware array filter — no explode, no shuffle of the
-    text beyond the join.  Output: (id_col, text_col cleaned,
-    n_tokens_removed, was_contaminated)."""
-    sp = spans.select(id_col, "span_start", "span_end")
+    Shape: the span frame (small — contaminated docs only) groups to
+    one array-of-spans row per doc, one left join onto the corpus,
+    then map-side token filtering with the index-aware array filter
+    (per-token `exists` over the doc's spans — spans per doc are a
+    handful, tokens are bounded by doc length) — no explode, no
+    shuffle of the text beyond the join.  Output: (id_col, text_col
+    cleaned, n_tokens_removed, was_contaminated).
+    ``n_tokens_removed`` counts tokens actually dropped, so it is
+    correct even for overlapping input spans."""
+    sp = (
+        spans.select(id_col, "span_start", "span_end")
+        .groupBy(id_col)
+        .agg(F.collect_list(
+            F.struct(F.col("span_start").alias("s"),
+                     F.col("span_end").alias("e"))).alias("__spans"))
+    )
     joined = df.select(id_col, text_col).join(sp, id_col, "left")
-    kept = let_col(
-        words_col(F.col(text_col)),
-        # index-aware filter (0-based i): keep tokens outside the span
-        lambda w: F.filter(
+
+    def keep(w):
+        # index-aware filter (0-based i): keep tokens inside no span
+        return F.filter(
             w,
-            lambda x, i: (i < F.col("span_start"))
-            | (i > F.col("span_end")),
+            lambda x, i: ~F.exists(
+                F.col("__spans"),
+                lambda s: (i >= s["s"]) & (i <= s["e"])),
+        )
+
+    # double let-binding: the token array AND the filtered array each
+    # evaluate once per row (keep() is O(tokens × spans) — without the
+    # inner binding it would run twice, once per struct field)
+    cleaned = let_col(
+        words_col(F.col(text_col)),
+        lambda w: let_col(
+            keep(w),
+            lambda k: F.struct(
+                F.concat_ws(" ", k).alias("text"),
+                (F.size(w) - F.size(k)).alias("removed"),
+            ),
         ),
     )
-    clean = F.when(
-        F.col("span_start").isNull(), F.col(text_col)
-    ).otherwise(F.concat_ws(" ", kept))
-    removed = F.when(
-        F.col("span_start").isNull(), F.lit(0)
-    ).otherwise(F.col("span_end") - F.col("span_start") + 1)
-    return joined.select(
+    out = joined.withColumn("__c", cleaned)
+    contaminated = F.col("__spans").isNotNull()
+    return out.select(
         id_col,
-        clean.alias(text_col),
-        removed.cast("long").alias("n_tokens_removed"),
-        F.col("span_start").isNotNull().alias("was_contaminated"),
+        F.when(contaminated, F.col("__c.text"))
+        .otherwise(F.col(text_col)).alias(text_col),
+        F.when(contaminated, F.col("__c.removed"))
+        .otherwise(F.lit(0)).cast("long").alias("n_tokens_removed"),
+        contaminated.alias("was_contaminated"),
     )
 
 

