@@ -65,9 +65,17 @@ def main():
     # query) so a multi-second host stall lands on different queries
     # in each pass and the per-query min survives it.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_REPS", "3")))
+    # SPARK_GRAFT_ONLY: comma-separated name prefixes — bench a slice
+    # of the catalog (e.g. "tpch_" for the TPC-H-at-sf1 artifact runs)
+    only = [p for p in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if p]
+    bench_queries = {
+        name: spec for name, spec in QUERIES.items()
+        if not only or any(name.startswith(p) for p in only)
+    }
     samples: dict[str, list[float]] = {}
     for _ in range(reps):
-        for name, spec in QUERIES.items():
+        for name, spec in bench_queries.items():
             t0 = time.perf_counter()
             df = spec["fn"](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
@@ -106,8 +114,11 @@ def main():
     # Also persist the complete per-query detail next to this script so
     # it stays readable after the detail line scrolls out of the tail.
     try:
+        # a filtered run must not clobber the full-catalog artifact
+        out_name = "BENCH_FULL.json" if not only else (
+            "BENCH_ONLY_" + "_".join(p.strip("_") for p in only) + ".json")
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_FULL.json"), "w") as f:
+                               out_name), "w") as f:
             json.dump({"sf": sf_of(SF_DIR), "reps": reps, **full}, f,
                       indent=1)
     except OSError:

@@ -1605,6 +1605,18 @@ def benchmark_overlap_bloom(
     The filter itself is built on the driver from the (by definition
     small) benchmark side and rides the plan as a literal word array
     — m_bits/32 longs, 8 KB at the default m=2^16 / k=3.
+
+    WHEN TO USE (measured, r9 — SCALE.md §bloom): the win regime is
+    MEMORY, not wall-time.  At every eval-set size whose exact gram
+    set fits the broadcast budget (≲10⁷ grams), prefer
+    :func:`benchmark_overlap` — the k modular probes cost more per
+    gram than one broadcast-hash-join lookup (measured: exact 11.0 s
+    vs bloom 16.4 s at a 2,000-doc bench / 48k-doc corpus / zero hit
+    rate; parity ±0.2 s at the 20-doc bench across 480→50k corpus
+    docs).  Reach for this operator only when the eval suite's exact
+    gram set cannot ship (10⁸–10¹⁰ grams: a multi-GB broadcast hash
+    set vs a 12 MB–1 GB filter literal), where the exact path is an
+    executor OOM rather than a slower plan.
     """
     sh = _shingle_hashes_udf(n, tokenizer)
     if words is None:

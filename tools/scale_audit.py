@@ -65,6 +65,37 @@ AUDIT = [
     ("sparse_cosine_pairs_docs", "bounded"),
     ("embedding_cosine_pairs", "bounded"),
     ("simhash_pairs_blocked", "bounded"),
+    # r9 extension (judge directive): the next-most-expensive queries
+    # beyond the pair operators — streaming drains, keyed ML fleets,
+    # funnel/session/rollup, corpus/LM scoring, calibration.
+    ("streaming_join_click_purchase", "full"),
+    ("streaming_detect_1h", "full"),
+    ("streaming_cms_heavy_hitters", "full"),
+    ("streaming_sessionize_30m", "full"),
+    ("streaming_page_hinkley_daily", "full"),
+    ("streaming_dedup_events", "full"),
+    ("ar_fleet_predict_6h", "full"),
+    ("donut_fleet_6h", "full"),
+    ("forecast_donut_fleet_6h", "full"),
+    ("keyed_anomaly_detect_6h", "full"),
+    ("anomaly_detect_1h", "bounded"),     # single series: bucket-count-bound
+    ("donut_predict_1h", "bounded"),      # single series: bucket-count-bound
+    ("funnel_view_click_purchase", "full"),
+    ("funnel_latency_vcp", "full"),
+    ("sessionize_users_30m", "full"),
+    ("rollup_1h_6h_1d", "full"),
+    ("profile_events", "full"),
+    ("textrank_keywords_docs", "full"),
+    ("isotonic_calibration_docs", "full"),
+    ("calibration_error_docs", "full"),
+    ("auc_quality_by_source", "full"),
+    ("lm_score_docs", "full"),
+    ("lm_perplexity_docs", "full"),
+    ("bm25_top25_docs", "full"),
+    ("dsir_weights_docs", "full"),
+    ("pmi_pairs_docs", "full"),
+    ("leak_spans_docs", "full"),
+    ("excise_leaks_docs", "full"),
 ]
 
 
