@@ -3165,6 +3165,156 @@ FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN flag f USING (doc_id)
 """
 
 
+def _seeded_multileak(spark, sf_dir):
+    """Deterministic MULTI-leak corpus, SQL-replayable: every corpus
+    doc is book-ended by two DIFFERENT bench docs (bench ``doc_id %
+    20`` prepended, ``(doc_id + 7) % 20`` appended) with the original
+    text between them — so every doc carries two separated leaks and
+    the run-splitting semantics of benchmark_leak_spans is exercised
+    by the ORACLE, not just the unit suite (the natural contamination
+    in `documents` is single-run at every SF)."""
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    bench = docs.filter("doc_id < 20").select(
+        F.col("doc_id").alias("bench_id"), "text")
+    corpus = docs.filter("doc_id >= 20")
+    b1 = bench.select(F.col("bench_id").alias("__b1"),
+                      F.col("text").alias("__t1"))
+    b2 = bench.select(F.col("bench_id").alias("__b2"),
+                      F.col("text").alias("__t2"))
+    seeded = (
+        corpus
+        .join(b1, F.col("doc_id") % 20 == F.col("__b1"))
+        .join(b2, (F.col("doc_id") + 7) % 20 == F.col("__b2"))
+        .select("doc_id",
+                F.concat_ws(" ", "__t1", "text", "__t2").alias("text"))
+    )
+    return seeded, bench
+
+
+_SQL_SEEDED = """
+bench AS (SELECT doc_id AS bid, text FROM documents WHERE doc_id < 20),
+seeded AS (
+  SELECT c.doc_id, b1.text || ' ' || c.text || ' ' || b2.text AS text
+  FROM documents c
+  JOIN bench b1 ON b1.bid = c.doc_id % 20
+  JOIN bench b2 ON b2.bid = (c.doc_id + 7) % 20
+  WHERE c.doc_id >= 20
+)"""
+
+
+def q_leak_spans_seeded(spark, sf_dir):
+    """Per-leak span detection on the seeded multi-leak corpus: every
+    doc must report ≥ 2 gap-separated runs (one per planted bench
+    doc), proving the run split against the oracle on data where it
+    actually fires."""
+    from loudml_spark.pipeline.dedup import benchmark_leak_spans
+
+    seeded, bench = _seeded_multileak(spark, sf_dir)
+    return benchmark_leak_spans(seeded, bench, n=3, min_overlap=8)
+
+
+SQL_LEAK_SPANS_SEEDED = f"""
+WITH {_SQL_SEEDED},
+w AS (SELECT doc_id, {_SQL_WORDS} AS ws FROM seeded),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM w
+),
+bw AS (SELECT bid, {_SQL_WORDS} AS ws FROM bench),
+bg0 AS (
+  SELECT bid,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(generate_series(1, len(ws) - 2),
+                          i -> array_to_string(ws[i:i+2], ' '))
+         ELSE [] END AS grams
+  FROM bw
+),
+pg AS (
+  SELECT doc_id,
+         unnest(grams) AS s,
+         generate_subscripts(grams, 1) - 1 AS pos
+  FROM g
+),
+ph AS (SELECT doc_id, pos, {_sql_rh('s')} AS h FROM pg),
+bg AS (
+  SELECT DISTINCT bid, {_sql_rh('s')} AS h
+  FROM (SELECT bid, unnest(grams) AS s FROM bg0)
+),
+qual AS (
+  SELECT ph.doc_id, bg.bid
+  FROM ph JOIN bg ON ph.h = bg.h
+  GROUP BY 1, 2
+  HAVING COUNT(DISTINCT ph.h) >= 8
+),
+mpos AS (
+  SELECT DISTINCT ph.doc_id, ph.pos
+  FROM ph JOIN bg ON ph.h = bg.h
+  JOIN qual ON qual.doc_id = ph.doc_id AND qual.bid = bg.bid
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 3
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM mpos)
+)
+SELECT doc_id, CAST(run AS BIGINT) AS run,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 2 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_grams
+FROM runs GROUP BY doc_id, run
+"""
+
+
+def q_excise_leaks_seeded(spark, sf_dir):
+    """Multi-span excision on the seeded corpus: both planted leaks
+    are removed per doc and the ORIGINAL text between them survives —
+    the oracle-checked version of the multi-leak unit test."""
+    from loudml_spark.pipeline.dedup import excise_spans
+
+    seeded, _ = _seeded_multileak(spark, sf_dir)
+    return excise_spans(seeded, q_leak_spans_seeded(spark, sf_dir))
+
+
+SQL_EXCISE_LEAKS_SEEDED = f"""
+WITH sp AS ({SQL_LEAK_SPANS_SEEDED}),
+{_SQL_SEEDED.lstrip()},
+d AS (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM seeded),
+tok AS (
+  SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) - 1 AS idx
+  FROM d
+),
+mark AS (
+  SELECT tok.doc_id, tok.idx, any_value(tok.t) AS t,
+         MAX(CASE WHEN sp.span_start IS NOT NULL THEN 1 ELSE 0 END)
+           AS cut
+  FROM tok LEFT JOIN sp ON sp.doc_id = tok.doc_id
+       AND tok.idx BETWEEN sp.span_start AND sp.span_end
+  GROUP BY tok.doc_id, tok.idx
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(t, ' ' ORDER BY idx)
+                  FILTER (WHERE cut = 0), '') AS ctext,
+         SUM(cut) AS removed
+  FROM mark GROUP BY doc_id
+),
+flag AS (SELECT DISTINCT doc_id FROM sp)
+SELECT d.doc_id,
+       CASE WHEN f.doc_id IS NULL THEN d.text ELSE a.ctext END AS text,
+       CAST(CASE WHEN f.doc_id IS NULL THEN 0 ELSE a.removed END
+            AS BIGINT) AS n_tokens_removed,
+       f.doc_id IS NOT NULL AS was_contaminated
+FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN flag f USING (doc_id)
+"""
+
+
 # --------------------------------------------------- ANN recall@k eval
 
 
@@ -3471,4 +3621,10 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "excise_leaks_docs": {
         "fn": q_excise_leaks_docs,
         "oracle": SQL_EXCISE_LEAKS_DOCS},
+    "leak_spans_seeded": {
+        "fn": q_leak_spans_seeded,
+        "oracle": SQL_LEAK_SPANS_SEEDED},
+    "excise_leaks_seeded": {
+        "fn": q_excise_leaks_seeded,
+        "oracle": SQL_EXCISE_LEAKS_SEEDED},
 }

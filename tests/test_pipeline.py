@@ -1986,3 +1986,37 @@ def test_benchmark_leak_spans_multi_leak(spark):
     assert spans2.count() == 2
     assert excise_spans(corpus, spans2).filter(
         "doc_id = 100").first()["text"] == f"{pre} {mid} {post}"
+
+
+def test_seeded_multileak_catalog_exercises_run_split(spark):
+    """The natural contamination in `documents` is single-run at every
+    SF, so the run-splitting semantics would only ever be exercised by
+    unit fixtures; the seeded catalog pair (leak_spans_seeded /
+    excise_leaks_seeded) plants two bench docs around every corpus doc
+    — assert the split fires on the real table and the surgery returns
+    the original body between the leaks."""
+    from loudml_spark.catalog_pipeline import (
+        q_excise_leaks_seeded,
+        q_leak_spans_seeded,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spans = q_leak_spans_seeded(spark, sf).collect()
+    per_doc = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    multi = {d for d, rs in per_doc.items() if len(rs) >= 2}
+    # nearly every doc splits (a few have natural overlap bridging)
+    assert len(multi) >= 400, len(multi)
+
+    from loudml_spark.sources.tables import load_table
+    orig = {r["doc_id"]: r["text"]
+            for r in load_table(spark, sf, "documents")
+            .filter("doc_id >= 20").collect()}
+    cleaned = {r["doc_id"]: r["text"]
+               for r in q_excise_leaks_seeded(spark, sf).collect()}
+    exact = sum(1 for d in multi
+                if len(per_doc[d]) == 2 and cleaned[d] == orig[d])
+    # the clean text BETWEEN the two leaks survives byte-identical for
+    # the docs whose body carries no natural contamination of its own
+    assert exact >= 300, exact
