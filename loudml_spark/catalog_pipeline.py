@@ -3315,6 +3315,156 @@ FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN flag f USING (doc_id)
 """
 
 
+def q_repeated_spans_docs(spark, sf_dir):
+    """ExactSubstr-style INTRA-corpus dedup (Lee et al., arXiv
+    2107.06499) at 10-gram resolution: token spans whose grams occur
+    ≥ 2× across the whole documents table, merged into per-doc runs
+    (pipeline/dedup.py repeated_spans) — catches boilerplate and
+    templated text duplicated across docs that are not near-dups of
+    each other.  Complements dedup_lines (line granularity)."""
+    from loudml_spark.pipeline.dedup import repeated_spans
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return repeated_spans(docs, n=10, min_count=2)
+
+
+SQL_REPEATED_SPANS_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 10 THEN
+           list_transform(generate_series(1, len(ws) - 9),
+                          i -> array_to_string(ws[i:i+9], ' '))
+         ELSE [] END AS grams
+  FROM w
+),
+pg AS (
+  SELECT doc_id,
+         unnest(grams) AS s,
+         generate_subscripts(grams, 1) - 1 AS pos
+  FROM g
+),
+ph AS (SELECT doc_id, pos, {_sql_rh('s')} AS h FROM pg),
+hot AS (SELECT h FROM ph GROUP BY h HAVING COUNT(*) >= 2),
+mpos AS (SELECT doc_id, pos FROM ph JOIN hot USING (h)),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 10
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM mpos)
+)
+SELECT doc_id, CAST(run AS BIGINT) AS run,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_grams
+FROM runs GROUP BY doc_id, run
+"""
+
+
+def q_trim_repeated_docs(spark, sf_dir):
+    """The trim applied: every repeated span excised via the shared
+    multi-span surgery; docs with no corpus-wide repeats pass through
+    byte-identical."""
+    from loudml_spark.pipeline.dedup import excise_spans
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return excise_spans(docs, q_repeated_spans_docs(spark, sf_dir))
+
+
+SQL_TRIM_REPEATED_DOCS = f"""
+WITH sp AS ({SQL_REPEATED_SPANS_DOCS}),
+d AS (SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents),
+tok AS (
+  SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) - 1 AS idx
+  FROM d
+),
+mark AS (
+  SELECT tok.doc_id, tok.idx, any_value(tok.t) AS t,
+         MAX(CASE WHEN sp.span_start IS NOT NULL THEN 1 ELSE 0 END)
+           AS cut
+  FROM tok LEFT JOIN sp ON sp.doc_id = tok.doc_id
+       AND tok.idx BETWEEN sp.span_start AND sp.span_end
+  GROUP BY tok.doc_id, tok.idx
+),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(t, ' ' ORDER BY idx)
+                  FILTER (WHERE cut = 0), '') AS ctext,
+         SUM(cut) AS removed
+  FROM mark GROUP BY doc_id
+),
+flag AS (SELECT DISTINCT doc_id FROM sp)
+SELECT d.doc_id,
+       CASE WHEN f.doc_id IS NULL THEN d.text ELSE a.ctext END AS text,
+       CAST(CASE WHEN f.doc_id IS NULL THEN 0 ELSE a.removed END
+            AS BIGINT) AS n_tokens_removed,
+       f.doc_id IS NOT NULL AS was_contaminated
+FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN flag f USING (doc_id)
+"""
+
+
+def q_repeated_spans_keep_one_docs(spark, sf_dir):
+    """Lee et al.'s keep-one contract: the globally-first occurrence
+    (smallest (doc_id, pos)) of every repeated gram is canonical and
+    survives; only the other occurrences become excisable spans
+    (pipeline/dedup.py repeated_spans_keep_one) — boilerplate keeps
+    exactly one instance corpus-wide instead of vanishing."""
+    from loudml_spark.pipeline.dedup import repeated_spans_keep_one
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return repeated_spans_keep_one(docs, n=10, min_count=2)
+
+
+SQL_REPEATED_SPANS_KEEP_ONE = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) >= 10 THEN
+           list_transform(generate_series(1, len(ws) - 9),
+                          i -> array_to_string(ws[i:i+9], ' '))
+         ELSE [] END AS grams
+  FROM w
+),
+pg AS (
+  SELECT doc_id,
+         unnest(grams) AS s,
+         generate_subscripts(grams, 1) - 1 AS pos
+  FROM g
+),
+ph AS (SELECT doc_id, pos, {_sql_rh('s')} AS h FROM pg),
+ranked AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS c
+  FROM ph
+),
+mpos AS (
+  SELECT DISTINCT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1
+),
+runs AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > 10
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS run
+  FROM (SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM mpos)
+)
+SELECT doc_id, CAST(run AS BIGINT) AS run,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + 9 AS BIGINT) AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_matched_grams
+FROM runs GROUP BY doc_id, run
+"""
+
+
 # --------------------------------------------------- ANN recall@k eval
 
 
@@ -3627,4 +3777,13 @@ PIPELINE_QUERIES: dict[str, dict] = {
     "excise_leaks_seeded": {
         "fn": q_excise_leaks_seeded,
         "oracle": SQL_EXCISE_LEAKS_SEEDED},
+    "repeated_spans_docs": {
+        "fn": q_repeated_spans_docs,
+        "oracle": SQL_REPEATED_SPANS_DOCS},
+    "trim_repeated_docs": {
+        "fn": q_trim_repeated_docs,
+        "oracle": SQL_TRIM_REPEATED_DOCS},
+    "repeated_spans_keep_one_docs": {
+        "fn": q_repeated_spans_keep_one_docs,
+        "oracle": SQL_REPEATED_SPANS_KEEP_ONE},
 }

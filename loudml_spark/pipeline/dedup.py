@@ -769,6 +769,35 @@ def benchmark_overlap_spans(
     )
 
 
+def _position_runs(pos_df: DataFrame, id_col: str, *, n: int,
+                   gap: int) -> DataFrame:
+    """(id, pos) matched-gram start positions → disjoint span runs:
+    consecutive positions more than ``gap`` apart start a new run;
+    span_end = last position + n − 1.  The window is per-doc
+    (bounded by doc length), never global.  Output: (id_col, run,
+    span_start, span_end, n_matched_grams), run 1-based in position
+    order; runs are pairwise disjoint token spans."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    runs = pos_df.withColumn(
+        "__new",
+        F.when(F.col("pos") - F.lag("pos").over(w) > gap, 1)
+        .otherwise(F.lit(0)),
+    ).withColumn("run", F.sum("__new").over(w) + 1)
+    return (
+        runs.groupBy(id_col, "run")
+        .agg(F.min("pos").alias("span_start"),
+             (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+             F.count("*").alias("n_matched_grams"))
+        .select(id_col, F.col("run").cast("long").alias("run"),
+                F.col("span_start").cast("long").alias("span_start"),
+                F.col("span_end").cast("long").alias("span_end"),
+                F.col("n_matched_grams").cast("long")
+                .alias("n_matched_grams"))
+    )
+
+
 def benchmark_leak_spans(
     df: DataFrame,
     benchmark: DataFrame,
@@ -806,8 +835,6 @@ def benchmark_leak_spans(
     partitioned).  Output: (id_col, run, span_start, span_end,
     n_matched_grams) for contaminated docs only; run is 1-based in
     position order."""
-    from pyspark.sql import Window
-
     if min_overlap < 1:
         raise ValueError("min_overlap must be >= 1")
     gap = n if gap is None else gap
@@ -831,23 +858,105 @@ def benchmark_leak_spans(
         .select(id_col, F.explode("__poss").alias("pos"))
         .distinct()
     )
-    w = Window.partitionBy(id_col).orderBy("pos")
-    runs = pos.withColumn(
-        "__new",
-        F.when(F.col("pos") - F.lag("pos").over(w) > gap, 1)
-        .otherwise(F.lit(0)),
-    ).withColumn("run", F.sum("__new").over(w) + 1)
-    return (
-        runs.groupBy(id_col, "run")
-        .agg(F.min("pos").alias("span_start"),
-             (F.max("pos") + F.lit(n - 1)).alias("span_end"),
-             F.count("*").alias("n_matched_grams"))
-        .select(id_col, F.col("run").cast("long").alias("run"),
-                F.col("span_start").cast("long").alias("span_start"),
-                F.col("span_end").cast("long").alias("span_end"),
-                F.col("n_matched_grams").cast("long")
-                .alias("n_matched_grams"))
+    return _position_runs(pos, id_col, n=n, gap=gap)
+
+
+def repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 10,
+    min_count: int = 2,
+    gap: int | None = None,
+) -> DataFrame:
+    """INTRA-corpus repeated-span detection — the ExactSubstr-style
+    dedup of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv 2107.06499), at word-n-gram resolution: find every token span whose ``n``-grams occur ≥
+    ``min_count`` times ACROSS THE CORPUS (within-doc repeats
+    included), merged into gap-separated runs per doc.  Complements
+    `dedup_lines` (C4 line granularity) and `benchmark_overlap_*`
+    (cross-corpus leaks): this is the operator that catches boilerplate
+    headers, licence blocks and templated text duplicated across
+    documents that are NOT near-duplicates of each other.
+
+    Scale shape: one positional gram projection (pure Column math, no
+    Python), a corpus-wide occurrence count per gram hash (one
+    shuffle with map-side combine — the same vocabulary-aggregate
+    shape as the PPJoin prefix index), an equi-join of grams to the
+    surviving hashes, then the per-doc position-run window.  The gram
+    subtree evaluates twice (count + join) exactly like the jaccard
+    prefix index; both are plain scans.  A hot gram (appearing in
+    every doc) costs join rows linear in its occurrences — no
+    quadratic anywhere, no pair explosion at all.
+
+    Output: (id_col, run, span_start, span_end, n_matched_grams).
+    Feed to :func:`excise_spans` to trim.  NOTE the contract
+    deviation from Lee et al.: ALL occurrences of a repeated span are
+    excised (their suffix-array pipeline keeps one canonical copy);
+    keeping-one requires a global per-gram tie-break that costs a
+    second shuffle — callers that need it can anti-join one keeper
+    doc per span hash upstream."""
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 matches everything)")
+    gap = n if gap is None else gap
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles_col(F.col(text_col), n))
+        .alias("pos", "__s"),
+    ).select(id_col, "pos", _gram_hash(F.col("__s")).alias("__h"))
+    hot = (
+        g.groupBy("__h").agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__h")
     )
+    pos = g.join(hot, "__h").select(id_col, "pos")
+    return _position_runs(pos, id_col, n=n, gap=gap)
+
+
+def repeated_spans_keep_one(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = 10,
+    min_count: int = 2,
+    gap: int | None = None,
+) -> DataFrame:
+    """:func:`repeated_spans` with Lee et al.'s KEEP-ONE contract:
+    for every repeated gram, the globally-first occurrence (smallest
+    ``(id, pos)``) is the canonical copy and survives; every other
+    occurrence is excisable.  So corpus-wide boilerplate keeps exactly
+    one instance instead of vanishing entirely — the semantics a
+    training corpus actually wants (ExactSubstr removes all-but-one).
+
+    Shape: the occurrence rank is one window over the gram table
+    partitioned by gram hash (rank 1 = keeper) — properly partitioned,
+    hot grams bound each partition's sort at their occurrence count;
+    ranks > 1 feed the same per-doc run window as the drop-all
+    variant.  The DuckDB oracle replays the identical
+    ``row_number() OVER (PARTITION BY h ORDER BY id, pos)`` rule, so
+    keeper choice is engine-portable (total order, no ties)."""
+    from pyspark.sql import Window
+
+    if min_count < 2:
+        raise ValueError("min_count must be >= 2 (1 matches everything)")
+    gap = n if gap is None else gap
+    g = df.select(
+        F.col(id_col),
+        F.posexplode(positional_shingles_col(F.col(text_col), n))
+        .alias("pos", "__s"),
+    ).select(id_col, "pos", _gram_hash(F.col("__s")).alias("__h"))
+    w = Window.partitionBy("__h").orderBy(F.asc(id_col), F.asc("pos"))
+    ranked = g.select(
+        id_col, "pos", "__h",
+        F.row_number().over(w).alias("__rn"),
+        F.count("*").over(Window.partitionBy("__h")).alias("__c"),
+    )
+    pos = ranked.filter(
+        (F.col("__c") >= min_count) & (F.col("__rn") > 1)
+    ).select(id_col, "pos").distinct()
+    return _position_runs(pos, id_col, n=n, gap=gap)
 
 
 def excise_spans(

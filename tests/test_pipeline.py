@@ -2020,3 +2020,61 @@ def test_seeded_multileak_catalog_exercises_run_split(spark):
     # the clean text BETWEEN the two leaks survives byte-identical for
     # the docs whose body carries no natural contamination of its own
     assert exact >= 300, exact
+
+
+def test_repeated_spans_excises_boilerplate(spark):
+    """ExactSubstr-style intra-corpus dedup: a boilerplate sentence
+    shared by three docs (twice in one of them) is excised from every
+    occurrence — including both copies within one doc, keeping the
+    text between them — while a unique doc passes byte-identical."""
+    from loudml_spark.pipeline.dedup import excise_spans, repeated_spans
+
+    boiler = ("this content is provided as is without any warranty "
+              "of any kind")
+    docs = spark.createDataFrame(
+        [(1, f"alpha one two three {boiler} tail x"),
+         (2, f"beta four five six seven {boiler} tail x"),
+         (3, f"gamma {boiler} middle text {boiler} end"),
+         (4, "entirely unique content nothing shared here at all")],
+        "doc_id long, text string")
+    sp = repeated_spans(docs, n=5, min_count=2)
+    per_doc = {}
+    for r in sp.collect():
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(per_doc) == {1, 2, 3}
+    assert len(per_doc[3]) == 2          # two separate runs in doc 3
+
+    got = {r["doc_id"]: r for r in excise_spans(docs, sp).collect()}
+    # "tail x" follows the boilerplate in docs 1 AND 2, so grams
+    # spanning the seam repeat too and the span rightly extends
+    assert got[1]["text"] == "alpha one two three"
+    assert got[2]["text"] == "beta four five six seven"
+    assert got[3]["text"] == "gamma middle text end"
+    assert got[4]["text"].startswith("entirely unique")
+    assert got[4]["n_tokens_removed"] == 0
+
+
+def test_repeated_spans_keep_one_keeps_canonical(spark):
+    """Keep-one contract: the smallest (doc_id, pos) occurrence of
+    every repeated gram survives; all other occurrences excise —
+    boilerplate keeps exactly one corpus-wide instance."""
+    from loudml_spark.pipeline.dedup import (
+        excise_spans,
+        repeated_spans_keep_one,
+    )
+
+    boiler = ("this content is provided as is without any warranty "
+              "of any kind")
+    docs = spark.createDataFrame(
+        [(1, f"alpha one two three {boiler} end a"),
+         (2, f"beta four five six {boiler} end b"),
+         (3, f"gamma {boiler} middle {boiler} tail")],
+        "doc_id long, text string")
+    sp = repeated_spans_keep_one(docs, n=5, min_count=2)
+    got = {r["doc_id"]: r for r in excise_spans(docs, sp).collect()}
+    # doc 1 is canonical: untouched, boilerplate intact
+    assert got[1]["n_tokens_removed"] == 0
+    assert boiler in got[1]["text"]
+    # docs 2 and 3 lose every non-canonical occurrence
+    assert boiler not in got[2]["text"]
+    assert got[3]["text"] == "gamma middle tail"
