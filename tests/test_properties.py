@@ -675,3 +675,58 @@ def test_ks_invariant_under_monotone_transform_and_bounded(spark, pts):
         {v: Fraction(c, na) for v, c in ca.items()}
         == {v: Fraction(c, nb) for v, c in cb.items()})
     assert (a["d"] == 0.0) == same_dist
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=40),
+        min_size=1, max_size=6),
+    n=st.integers(2, 4),
+    min_count=st.integers(2, 3),
+)
+def test_repeated_spans_excision_invariants(spark, docs, n, min_count):
+    """Invariants of the span machinery on random corpora:
+    (1) runs are pairwise disjoint and ordered with span bounds
+        inside the doc;
+    (2) excision removes exactly the tokens inside spans (count
+        equality) and keeps the rest in order (list equality against
+        a python mirror); clean docs pass through byte-identical.
+    """
+    from loudml_spark.pipeline.dedup import excise_spans, repeated_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spans = repeated_spans(df, n=n, min_count=min_count).collect()
+    lens = {i: len(ws) for i, ws in enumerate(docs)}
+    per_doc: dict = {}
+    for r in spans:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for d, rs in per_doc.items():
+        rs = sorted(rs, key=lambda r: r["run"])
+        for r in rs:
+            assert 0 <= r["span_start"] <= r["span_end"] < lens[d]
+        for a, b in zip(rs, rs[1:]):
+            assert a["span_end"] < b["span_start"]  # disjoint, ordered
+
+    out = {r["doc_id"]: r for r in
+           excise_spans(df, spark.createDataFrame(
+               spans, "doc_id long, run long, span_start long, "
+               "span_end long, n_matched_grams long")
+               if spans else spark.createDataFrame(
+                   [], "doc_id long, span_start long, span_end long")
+           ).collect()}
+    for i, ws in enumerate(rows):
+        d, text = ws
+        orig = text.split(" ") if text else [""]
+        cut = set()
+        for r in per_doc.get(d, []):
+            cut.update(range(r["span_start"], r["span_end"] + 1))
+        expect = [w for j, w in enumerate(orig) if j not in cut]
+        got = out[d]["text"].split(" ") if out[d]["text"] else []
+        if not per_doc.get(d):
+            assert out[d]["text"] == text
+            assert out[d]["n_tokens_removed"] == 0
+        else:
+            assert got == expect
+            assert out[d]["n_tokens_removed"] == len(cut)
