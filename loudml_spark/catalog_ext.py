@@ -4067,3 +4067,132 @@ EXT_QUERIES: dict[str, dict] = {
         "oracle": SQL_TFIDF_TOP5_PER_DOC,
     },
 }
+
+
+# ------------------------------------------------ round-9 curation ops
+
+
+def q_ccnet_ppl_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail perplexity bucketing per
+    language (Wenzek et al. 2020; pipeline/corpus.py
+    perplexity_buckets): exact per-language tertile cutoffs reduce
+    to |langs| rows and join back — no per-language global sort."""
+    from loudml_spark.pipeline.corpus import perplexity_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return perplexity_buckets(docs, add_k=LM_ADD_K)
+
+
+def _sql_ccnet_ppl_buckets(sf_dir=None) -> str:
+    ppl_sql = _sql_lm_perplexity_docs(sf_dir)
+    return f"""
+WITH ppl AS ({ppl_sql}),
+scored AS (
+  SELECT d.doc_id, d.lang, p.ppl
+  FROM documents d JOIN ppl p USING (doc_id)
+),
+cut AS (
+  SELECT lang,
+         ROUND(quantile_cont(ppl, 1.0/3), 6) AS c1,
+         ROUND(quantile_cont(ppl, 2.0/3), 6) AS c2
+  FROM scored GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.ppl,
+       CASE WHEN s.ppl <= c.c1 THEN 'head'
+            WHEN s.ppl <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN cut c USING (lang)
+"""
+
+
+MIX_MAX_EPOCHS = 1.5
+MIX_BUDGET_FACTOR = 1.45
+
+
+def _mix_budget(sf_dir) -> int:
+    """budget = ceil(1.45 × total whitespace tokens) with a 1.5-epoch
+    cap — exercises BOTH water-filling branches at every test SF
+    (small sources saturate, large ones sit below cap).  Integer,
+    computed identically on both engines; 1.5 is dyadic so caps are
+    exact doubles."""
+    import math
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    sf_dir = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    total = con.execute(f"""
+SELECT SUM(len(string_split(text, ' ')))
+FROM read_parquet('{os.path.join(sf_dir, "documents.parquet")}')
+""").fetchone()[0]
+    con.close()
+    return int(math.ceil(MIX_BUDGET_FACTOR * int(total)))
+
+
+def q_token_budget_mix_docs(spark, sf_dir):
+    """Epoch-capped token-budget mixing across sources (closed-form
+    water-filling; pipeline/sampling.py token_budget_mix): one
+    aggregation reduces the corpus to |sources| rows, the windows
+    run on that bounded dimension frame."""
+    from loudml_spark.pipeline.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_mix(
+        docs, budget=_mix_budget(sf_dir), max_epochs=MIX_MAX_EPOCHS)
+
+
+def _sql_token_budget_mix_docs(sf_dir=None) -> str:
+    budget = float(_mix_budget(sf_dir))
+    return f"""
+WITH toks AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY source
+),
+base AS (
+  SELECT source, tokens, {MIX_MAX_EPOCHS!r} * tokens AS cap
+  FROM toks
+),
+cums AS (
+  SELECT *,
+         COALESCE(SUM(cap) OVER (ORDER BY cap, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           AS cum_c,
+         COALESCE(COUNT(*) OVER (ORDER BY cap, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS n_prev,
+         COUNT(*) OVER () AS n_src
+  FROM base
+),
+sat AS (
+  SELECT *,
+         (cap * (n_src - n_prev) <= {budget!r} - cum_c) AS saturated
+  FROM cums
+),
+lam AS (
+  SELECT *,
+         {budget!r} - SUM(CASE WHEN saturated THEN cap ELSE 0.0 END)
+           OVER () AS rem_budget,
+         SUM(CASE WHEN saturated THEN 0 ELSE 1 END) OVER ()
+           AS rem_cnt
+  FROM sat
+)
+SELECT source, tokens, ROUND(cap, 6) AS cap, saturated,
+       ROUND(CASE WHEN saturated THEN cap
+            ELSE LEAST(rem_budget / rem_cnt, cap) END, 6) AS alloc,
+       ROUND(CASE WHEN saturated THEN cap
+            ELSE LEAST(rem_budget / rem_cnt, cap) END
+            / tokens, 6) AS epochs
+FROM lam
+"""
+
+
+EXT_QUERIES.update({
+    "ccnet_ppl_buckets": {
+        "fn": q_ccnet_ppl_buckets, "oracle_fn": _sql_ccnet_ppl_buckets},
+    "token_budget_mix_docs": {
+        "fn": q_token_budget_mix_docs,
+        "oracle_fn": _sql_token_budget_mix_docs},
+})

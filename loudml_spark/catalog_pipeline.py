@@ -3787,3 +3787,251 @@ PIPELINE_QUERIES: dict[str, dict] = {
         "fn": q_repeated_spans_keep_one_docs,
         "oracle": SQL_REPEATED_SPANS_KEEP_ONE},
 }
+
+
+# ------------------------------------------------ round-9 curation ops
+
+
+def q_gopher_rules_docs(spark, sf_dir):
+    """Gopher heuristic quality rules (Rae et al. 2021 §A1.1) over
+    the documents table — per-rule booleans + the conjunction, one
+    map-only projection (pipeline/text.py gopher_rules).  Word-count
+    bounds adapted to the synthetic corpus (25..1000); the other
+    thresholds are the paper's."""
+    from loudml_spark.pipeline.text import gopher_rules
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    out = gopher_rules(docs, min_words=25, max_words=1000)
+    return out.select(
+        "doc_id", "n_words", "ok_words", "ok_mean_len", "ok_symbols",
+        "ok_alpha", "ok_stop", "gopher_pass")
+
+
+_SQL_STOPLIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+SQL_GOPHER_RULES_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, text, {_SQL_WORDS} AS ws FROM documents
+),
+s AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+      (a, b) -> a + b) AS chars,
+    CAST(len(list_filter(ws,
+      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+    CAST(len(list_filter(ws,
+      x -> x IN ({_SQL_STOPLIST}))) AS BIGINT) AS stops,
+    CAST(len(string_split(text, '#')) - 1
+       + len(string_split(text, '...')) - 1 AS BIGINT) AS sym
+  FROM w
+)
+SELECT doc_id, n AS n_words,
+  (n >= 25 AND n <= 1000) AS ok_words,
+  (chars / n >= 3.0 AND chars / n <= 10.0) AS ok_mean_len,
+  (sym / n <= 0.1) AS ok_symbols,
+  (alpha / n >= 0.8) AS ok_alpha,
+  (stops >= 2) AS ok_stop,
+  ((n >= 25 AND n <= 1000)
+   AND (chars / n >= 3.0 AND chars / n <= 10.0)
+   AND (sym / n <= 0.1)
+   AND (alpha / n >= 0.8)
+   AND (stops >= 2)) AS gopher_pass
+FROM s
+"""
+
+
+def q_ngram_novelty_docs(spark, sf_dir):
+    """Per-doc 8-gram novelty (share of grams unique corpus-wide) —
+    the memorization-risk score; one gram-keyed shuffle + one doc
+    rollup, no pairs (pipeline/dedup.py ngram_novelty)."""
+    from loudml_spark.pipeline.dedup import ngram_novelty
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return ngram_novelty(docs, n=8)
+
+
+_SQL_8GRAM_HASHES = (
+    "list_distinct(list_transform("
+    "range(greatest(len(words) - 7, 0)), "
+    "i -> " + _sql_rh(
+        "(words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3]"
+        " || ' ' || words[i + 4] || ' ' || words[i + 5]"
+        " || ' ' || words[i + 6] || ' ' || words[i + 7]"
+        " || ' ' || words[i + 8])"
+    ) + "))"
+)
+
+SQL_NGRAM_NOVELTY_DOCS = f"""
+WITH w AS (
+  SELECT doc_id, {_SQL_WORDS} AS words FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({_SQL_8GRAM_HASHES}) AS g FROM w
+),
+gdf AS (SELECT g, COUNT(*) AS gdf FROM g GROUP BY g),
+per_doc AS (
+  SELECT g.doc_id, COUNT(*) AS n_grams,
+         CAST(SUM(CASE WHEN gdf.gdf = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel
+  FROM g JOIN gdf USING (g) GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0) AS n_grams,
+       COALESCE(p.novel, 0) AS novel,
+       CASE WHEN p.n_grams > 0 THEN p.novel / p.n_grams END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_source_overlap_docs(spark, sf_dir):
+    """Source-level contamination matrix: 8-gram Jaccard +
+    directional containment per source pair; the per-gram pair
+    explosion is bounded by the SOURCE count, never corpus size
+    (pipeline/dedup.py cross_source_overlap)."""
+    from loudml_spark.pipeline.dedup import cross_source_overlap
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return cross_source_overlap(docs, n=8)
+
+
+SQL_SOURCE_OVERLAP_DOCS = f"""
+WITH w AS (
+  SELECT source, {_SQL_WORDS} AS words FROM documents
+),
+gs AS (
+  SELECT DISTINCT unnest({_SQL_8GRAM_HASHES}) AS g, source AS src
+  FROM w
+),
+totals AS (SELECT src, COUNT(*) AS total FROM gs GROUP BY src),
+shared AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared
+  FROM gs a JOIN gs b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared,
+       ta.total AS total_a, tb.total AS total_b,
+       s.shared / (ta.total + tb.total - s.shared) AS jaccard,
+       s.shared / ta.total AS contain_a,
+       s.shared / tb.total AS contain_b
+FROM shared s
+JOIN totals ta ON ta.src = s.src_a
+JOIN totals tb ON tb.src = s.src_b
+"""
+
+KMEANS_K = 8
+
+
+def _kmeans_seeds(spark, sf_dir):
+    """Deterministic seeds: the K lowest-vec_id vectors — a bounded
+    driver-side collect (k × 64 floats), the same codebook shape as
+    the IVF/PQ fits; the seed literal then rides the plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").orderBy(
+        "vec_id").limit(KMEANS_K).collect()
+    return [list(r["embedding"]) for r in rows]
+
+
+def q_kmeans_assign_emb(spark, sf_dir):
+    """Nearest-centroid assignment (squared L2) to the K seed
+    centroids — the distributed half of Lloyd's k-means as a
+    map-only projection: the centroid literal rides the plan, no
+    shuffle, no join (pipeline/embeddings.py kmeans_assign)."""
+    from loudml_spark.pipeline.embeddings import kmeans_assign
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    return kmeans_assign(emb, _kmeans_seeds(spark, sf_dir))
+
+
+_SQL_KMEANS_D2 = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(64), "
+    "i -> (e.embedding[i + 1]::DOUBLE - c.cv[i + 1]::DOUBLE) "
+    "* (e.embedding[i + 1]::DOUBLE - c.cv[i + 1]::DOUBLE))), "
+    "(x, y) -> x + y)"
+)
+
+_SQL_KMEANS_ASSIGN_CTE = f"""
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding AS cv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+d AS (
+  SELECT e.vec_id, c.cid, {_SQL_KMEANS_D2} AS d2
+  FROM embeddings e, cent c
+),
+assigned AS (
+  SELECT vec_id, cid, d2,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cid) AS rn
+  FROM d
+)"""
+
+SQL_KMEANS_ASSIGN_EMB = f"""
+WITH {_SQL_KMEANS_ASSIGN_CTE}
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+       ROUND(d2, 6) AS dist2
+FROM assigned WHERE rn = 1
+"""
+
+
+def q_kmeans_step_emb(spark, sf_dir):
+    """One distributed Lloyd iteration over the seed centroids:
+    per-cluster size, order-independent DECIMAL-summed inertia, and
+    centroid drift (pipeline/embeddings.py kmeans_step).  The
+    per-dim means shuffle k·dims aggregates however large the
+    corpus."""
+    from loudml_spark.pipeline.embeddings import kmeans_step
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    return kmeans_step(emb, _kmeans_seeds(spark, sf_dir))
+
+
+SQL_KMEANS_STEP_EMB = f"""
+WITH {_SQL_KMEANS_ASSIGN_CTE},
+member AS (
+  SELECT a.vec_id, a.cid, a.d2, e.embedding
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  WHERE a.rn = 1
+),
+stats AS (
+  SELECT cid, COUNT(*) AS size,
+         CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(18,6))) AS DOUBLE)
+           AS inertia
+  FROM member GROUP BY cid
+),
+per_dim AS (
+  SELECT m.cid, t.i AS dim,
+         ROUND(AVG(m.embedding[t.i + 1]::DOUBLE), 6) AS mu
+  FROM member m, UNNEST(range(64)) AS t(i)
+  GROUP BY 1, 2
+),
+drift AS (
+  SELECT p.cid,
+         CAST(SUM(CAST(ROUND(
+           (p.mu - c.cv[p.dim + 1]::DOUBLE)
+           * (p.mu - c.cv[p.dim + 1]::DOUBLE), 8)
+           AS DECIMAL(18,8))) AS DOUBLE) AS drift
+  FROM per_dim p JOIN cent c USING (cid)
+  GROUP BY p.cid
+)
+SELECT CAST(s.cid AS INTEGER) AS cluster,
+       CAST(s.size AS BIGINT) AS size, s.inertia, d.drift
+FROM stats s JOIN drift d USING (cid)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "gopher_rules_docs": {
+        "fn": q_gopher_rules_docs, "oracle": SQL_GOPHER_RULES_DOCS},
+    "ngram_novelty_docs": {
+        "fn": q_ngram_novelty_docs, "oracle": SQL_NGRAM_NOVELTY_DOCS},
+    "source_overlap_docs": {
+        "fn": q_source_overlap_docs, "oracle": SQL_SOURCE_OVERLAP_DOCS},
+    "kmeans_assign_emb": {
+        "fn": q_kmeans_assign_emb, "oracle": SQL_KMEANS_ASSIGN_EMB},
+    "kmeans_step_emb": {
+        "fn": q_kmeans_step_emb, "oracle": SQL_KMEANS_STEP_EMB},
+})

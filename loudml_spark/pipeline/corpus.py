@@ -925,3 +925,49 @@ def textrank_keywords(
         "token", (F.round(F.col("r"), 6) + F.lit(0.0)).alias("score"))
     out = out.orderBy(F.desc("score"), F.asc("token"))
     return out.limit(top_k) if top_k is not None else out
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    *,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+    labels: tuple = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split the corpus into head / middle / tail thirds by
+    language-model perplexity — the standard Common-Crawl curation
+    move (train on head+middle, drop or downweight tail).  Uses the
+    corpus's own add-k unigram LM (:func:`lm_perplexity`; CCNet uses
+    a pretrained 5-gram model — same decision shape, simpler scorer).
+
+    Returns ``(id_col, lang, ppl, ppl_bucket)``.
+
+    Scale shape: the per-language tertile CUTOFFS reduce to |langs|
+    rows via exact ``percentile`` in one aggregation (map-side
+    partials; no per-language global sort, no single-partition
+    window — the ntile formulation would funnel each language
+    through one task) and join back onto the scored frame unhinted —
+    AQE broadcasts the tiny cutoff side.  Boundary determinism: ppl
+    is rounded at 6 dp inside lm_perplexity and the interpolated
+    cutoffs round at 6 dp on both engines before the <= comparison,
+    so bucket labels are bit-stable cross-engine.
+    """
+    ppl = lm_perplexity(
+        df, text_col=text_col, id_col=id_col, add_k=add_k)
+    scored = df.select(id_col, F.col(lang_col).alias("lang")).join(
+        ppl.select(id_col, "ppl"), id_col)
+    cutoffs = scored.groupBy("lang").agg(
+        F.round(F.expr("percentile(ppl, 1.0/3)"), 6).alias("__c1"),
+        F.round(F.expr("percentile(ppl, 2.0/3)"), 6).alias("__c2"),
+    )
+    out = scored.join(cutoffs, "lang")
+    bucket = (
+        F.when(F.col("ppl") <= F.col("__c1"), labels[0])
+        .when(F.col("ppl") <= F.col("__c2"), labels[1])
+        .otherwise(labels[2])
+    )
+    return out.select(
+        id_col, "lang", "ppl", bucket.alias("ppl_bucket"))

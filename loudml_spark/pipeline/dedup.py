@@ -1947,3 +1947,125 @@ def cdc_chunks(
         F.col("c.start").alias("start"),
         F.col("c.length").alias("length"),
         F.col("c.h").alias("chunk_hash"))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram novelty — the memorization-risk /
+    duplication-pressure score: the fraction of a document's DISTINCT
+    word n-grams that occur in no other document.  A doc scoring near
+    0 is assembled from corpus-common spans (template/boilerplate
+    pressure); near 1 is fresh text.  The per-doc aggregate
+    complements the pairwise operators (jaccard/containment find WHO
+    overlaps; this scores HOW derivative each doc is without
+    materializing pairs).
+
+    Returns ``(id_col, n_grams, novel, novelty)`` where ``novelty =
+    novel / n_grams`` (exact integer division, no rounding) and docs
+    shorter than ``n`` words get n_grams = 0 and null novelty.
+
+    Scale shape: explode distinct gram hashes → ONE map-side-combined
+    groupBy(gram) counting docs-per-gram (doc frequency) → join back
+    on the gram key → ONE groupBy(doc).  No self-join, no pair
+    explosion: cost is linear in total distinct grams, the df frame
+    reduces to |gram vocabulary| rows, and both shuffles are
+    hash-partitioned on high-cardinality keys (no skew: a gram's
+    posting count is the reduce VALUE, never exploded).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingle_hashes_col(F.col(text_col), n)).alias("g"),
+    )
+    gram_df = grams.groupBy("g").agg(
+        F.count("*").alias("gdf"))  # distinct per doc already
+    per_doc = grams.join(gram_df, "g").groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.sum((F.col("gdf") == 1).cast("long")).alias("novel"),
+    )
+    base = df.select(id_col)
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("novel", F.lit(0)).alias("novel"),
+            # docs shorter than n words have no grams: null novelty
+            # (ANSI mode makes a bare division throw on 0)
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("novel") / F.col("n_grams")).alias("novelty"),
+        )
+    )
+
+
+def cross_source_overlap(
+    df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Source-level contamination matrix: for every pair of corpus
+    sources, the overlap of their distinct word n-gram sets —
+    ``jaccard = |A∩B| / |A∪B|`` and the directional containments
+    ``|A∩B|/|A|``, ``|A∩B|/|B|``.  This is the corpus-curation view
+    of decontamination: WHICH feeds are re-hosting each other (a high
+    containment of a small source inside a big one flags a mirror).
+
+    Returns one row per unordered source pair (src_a < src_b) with
+    ``(shared, total_a, total_b, jaccard, contain_a, contain_b)``.
+    Pairs sharing nothing are absent (a zero row per pair would be a
+    cross join of the source dimension — callers outer-join the
+    source list if they need explicit zeros).
+
+    Scale shape: distinct (gram, source) via ONE map-side-combined
+    aggregation; the per-gram source posting list is bounded by the
+    SOURCE COUNT (tens), not corpus size, so the per-gram pair
+    explosion is O(|sources|²) worst case per gram — then one
+    groupBy(pair).  Per-source totals reduce to |sources| rows and
+    broadcast-join onto the pair frame.  Nothing here scales with
+    document count except the linear gram scan.
+    """
+    gs = df.select(
+        F.explode(
+            shingle_hashes_col(F.col(text_col), n)).alias("g"),
+        F.col(source_col).alias("src"),
+    ).distinct()
+    totals = gs.groupBy("src").agg(F.count("*").alias("total"))
+    # per-gram posting list of sources (bounded by |sources|) →
+    # emit each unordered pair once per shared gram
+    posting = gs.groupBy("g").agg(
+        F.sort_array(F.collect_set("src")).alias("srcs"))
+    pairs = posting.select(
+        F.explode(
+            F.filter(
+                F.flatten(F.transform(
+                    F.col("srcs"),
+                    lambda a: F.transform(
+                        F.col("srcs"), lambda b: F.struct(
+                            a.alias("src_a"), b.alias("src_b"))),
+                )),
+                lambda p: p["src_a"] < p["src_b"],
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    shared = pairs.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("shared"))
+    ta = totals.select(F.col("src").alias("src_a"),
+                       F.col("total").alias("total_a"))
+    tb = totals.select(F.col("src").alias("src_b"),
+                       F.col("total").alias("total_b"))
+    out = shared.join(ta, "src_a").join(tb, "src_b")
+    inter = F.col("shared")
+    union = F.col("total_a") + F.col("total_b") - inter
+    return out.select(
+        "src_a", "src_b", "shared", "total_a", "total_b",
+        (inter / union).alias("jaccard"),
+        (inter / F.col("total_a")).alias("contain_a"),
+        (inter / F.col("total_b")).alias("contain_b"),
+    )

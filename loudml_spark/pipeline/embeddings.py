@@ -363,3 +363,116 @@ def embedding_outlier_scores(
         F.col(id_col),
         (F.round(score, round_to) + F.lit(0.0)).alias("outlier_score"))
     return out
+
+
+def _dist2_col(vec: Column, centroid: list) -> Column:
+    """Squared L2 distance between a vector column and a literal
+    centroid — a LEFT FOLD over zip_with so the addition order is
+    fixed and identical to the oracle's list_reduce (cross-engine
+    bit-parity of the argmin comparisons)."""
+    lit = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            vec, lit,
+            lambda a, b: (a.cast("double") - b)
+            * (a.cast("double") - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (squared L2) —
+    the distributed half of Lloyd's k-means, and the partitioning
+    primitive behind IVF cells, SemDeDup cells, and cluster-balanced
+    sharding.  ``centroids`` is a bounded driver-side list (k × dim
+    floats, like the IVF/PQ codebooks): it rides the PLAN as a
+    constant-folded literal, so assignment is one map-only projection
+    over the corpus scan — no shuffle, no join, no Python.  Ties on
+    distance break to the lowest cluster id via lexicographic struct
+    min (deterministic cross-engine: the fold order of the distance
+    sum is fixed).
+
+    Returns ``(id_col, cluster, dist2)`` with dist2 rounded at
+    ``round_to`` (the argmin itself uses full precision).
+    """
+    if not centroids:
+        raise errors.Invalid("centroids must be non-empty")
+    vec = F.col(vec_col)
+    best = F.array_min(F.array(*[
+        F.struct(
+            _dist2_col(vec, c).alias("d"),
+            F.lit(cid).alias("c"))
+        for cid, c in enumerate(centroids)
+    ]))
+    return df.select(
+        id_col,
+        best["c"].alias("cluster"),
+        F.round(best["d"], round_to).alias("dist2"),
+    )
+
+
+def kmeans_step(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration, fully distributed: assign (map-only, the
+    centroid literal rides the plan — see :func:`kmeans_assign`),
+    then per-(cluster, dim) means via posexplode with MAP-SIDE
+    partial aggregation — the shuffle carries k·dims aggregates
+    however large the corpus (the group_centroids shape), never
+    vectors.  Per cluster returns:
+
+    - ``size``: member count
+    - ``inertia``: Σ member dist² — the k-means objective.  Each
+      member's dist² rounds at 6 dp and sums as DECIMAL, so the
+      total is addition-order-independent (bit-stable cross-engine).
+    - ``drift``: squared L2 between the old and new centroid — the
+      convergence signal a driver loop tests against epsilon.
+      Per-dim means round at 6 dp first; squared terms round at 8 dp
+      and sum as DECIMAL (same portability idiom).
+
+    Empty clusters are absent from the output (k-means restarts or
+    re-seeds them upstream).
+    """
+    assigned = kmeans_assign(
+        df, centroids, vec_col=vec_col, id_col=id_col,
+        round_to=round_to).join(
+            df.select(id_col, vec_col), id_col)
+    stats = assigned.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.sum(F.round(F.col("dist2"), 6).cast("decimal(18,6)"))
+        .cast("double").alias("inertia"),
+    )
+    per_dim = (
+        assigned.select(
+            "cluster", F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
+    )
+    old = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    drift = per_dim.withColumn(
+        "__o", F.element_at(
+            F.element_at(old, F.col("cluster") + 1),
+            F.col("dim") + 1),
+    ).groupBy("cluster").agg(
+        F.sum(
+            F.round((F.col("m") - F.col("__o"))
+                    * (F.col("m") - F.col("__o")), 8)
+            .cast("decimal(18,8)"))
+        .cast("double").alias("drift"),
+    )
+    return stats.join(drift, "cluster").select(
+        "cluster", "size", "inertia", "drift")

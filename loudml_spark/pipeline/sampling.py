@@ -449,3 +449,85 @@ def padding_waste(
         .alias("pad_tokens"),
         F.sum("__sum").alias("real_tokens"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    *,
+    budget: int,
+    max_epochs: float = 3.0,
+    source_col: str = "source",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """Epoch-capped token-budget allocation across corpus sources —
+    the data-mixing decision every large pretraining run makes (the
+    Pile / LLaMA style: aim for UNIFORM source proportions, but never
+    repeat a small source more than ``max_epochs`` times).  Each
+    source's allocation is
+
+        alloc_i = min(cap_i, lam),   cap_i = max_epochs * tok_i
+
+    with the water level ``lam`` (tokens per source) chosen so
+    Σ alloc = budget — exact closed-form water-filling, no iteration:
+    sources sorted by cap saturate greedily while the remaining
+    budget spread over the remaining sources still exceeds their cap.
+    If even every cap together can't meet the budget, all sources cap
+    and the shortfall is visible as Σ alloc < budget.
+
+    Returns one row per source: ``(source, tokens, cap, saturated,
+    alloc, epochs)`` with alloc/epochs rounded at ``round_to``.
+
+    Scale shape: ONE map-side-combined aggregation reduces the corpus
+    to |sources| rows (tens); the water-filling windows run on that
+    bounded dimension frame — a single-partition sort of tens of
+    rows, the same bounded-dimension argument as the split/mix
+    operators.  Exactness: token counts and source counts are
+    integers; caps are exact doubles whenever ``max_epochs`` is
+    dyadic (0.5, 1.0, 1.5, 2.0 ...), so every cumulative sum is
+    addition-order-independent and the saturation decisions are
+    bit-stable cross-engine; only lam itself is one IEEE division.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise errors.Invalid(f"budget must be > 0, got {budget}")
+    if max_epochs <= 0:
+        raise errors.Invalid(
+            f"max_epochs must be > 0, got {max_epochs}")
+    toks = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long")
+        .alias("tokens"))
+    # bounded dimension frame from here on (|sources| rows)
+    toks = toks.withColumn(
+        "cap", (F.lit(float(max_epochs)) * F.col("tokens")))
+    n = Window.partitionBy()
+    order = Window.partitionBy().orderBy("cap", "source")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    toks = (
+        toks.withColumn(
+            "cum_c", F.coalesce(F.sum("cap").over(prev), F.lit(0.0)))
+        .withColumn(
+            "n_prev",
+            F.coalesce(F.count("*").over(prev), F.lit(0)))
+        .withColumn("n_src", F.count("*").over(n))
+    )
+    # source saturates iff the water level with all smaller sources
+    # already saturated still covers its own cap
+    sat = (F.col("cap") * (F.col("n_src") - F.col("n_prev"))
+           <= F.lit(float(budget)) - F.col("cum_c"))
+    toks = toks.withColumn("saturated", sat)
+    rem_budget = (F.lit(float(budget))
+                  - F.sum(F.when(sat, F.col("cap"))
+                          .otherwise(0.0)).over(n))
+    rem_cnt = F.sum(F.when(~sat, F.lit(1)).otherwise(0)).over(n)
+    lam = F.when(rem_cnt > 0, rem_budget / rem_cnt)
+    alloc = F.when(sat, F.col("cap")).otherwise(
+        F.least(lam, F.col("cap")))
+    return toks.select(
+        "source", "tokens",
+        F.round("cap", round_to).alias("cap"),
+        "saturated",
+        F.round(alloc, round_to).alias("alloc"),
+        F.round(alloc / F.col("tokens"), round_to).alias("epochs"),
+    )

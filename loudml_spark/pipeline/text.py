@@ -682,3 +682,79 @@ def normalize_text(
     # otherwise lose null-text docs from BOTH partitions
     return df.withColumn(out_col, norm).withColumn(
         "changed", ~F.col(out_col).eqNullSafe(F.col(text_col)))
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, "Scaling Language
+    Models: ...Gopher", §A1.1) — the published heuristic filter most
+    large-corpus pipelines start from.  Emits one boolean per rule
+    plus the conjunction, so the audit ("which rule drops how many
+    docs") is a groupBy away:
+
+    - ``ok_words``: word count in [min_words, max_words]
+    - ``ok_mean_len``: mean word length in [min/max_mean_word_len]
+    - ``ok_symbols``: (# of '#' chars + '...' occurrences) / words
+      <= max_symbol_ratio
+    - ``ok_alpha``: fraction of words containing >= 1 alphabetic
+      character >= min_alpha_word_frac
+    - ``ok_stop``: >= min_stop_hits stop words present
+    - ``gopher_pass``: all of the above
+
+    Scale shape: one projection over the corpus scan — pure Column
+    expressions bound once per row via ``let_col`` (the word split
+    runs ONCE, shared by four rules), whole-stage codegen, no
+    shuffle, no Python.  Ratios are exact integer divisions (no
+    ROUND — see text_stats on tie portability).  The same arithmetic
+    runs verbatim in the DuckDB oracle.
+    """
+    text = F.col(text_col)
+    stats = let_col(
+        words_col(text),
+        lambda w: F.struct(
+            F.size(w).alias("n"),
+            F.aggregate(
+                w, F.lit(0).cast("long"),
+                lambda acc, x: acc + F.length(x)).alias("chars"),
+            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).alias(
+                "alpha"),
+            F.size(F.filter(
+                w, lambda x: x.isin(*STOPWORDS))).alias("stops"),
+        ),
+    )
+    symbols = (
+        F.size(F.split(text, "#", -1)) - 1
+        + F.size(F.split(text, "\\.\\.\\.", -1)) - 1
+    ).cast("long")
+    out = df.withColumn("__g", stats).withColumn("__sym", symbols)
+    g = F.col("__g")
+    n = g["n"].cast("long")
+    ok_words = (n >= min_words) & (n <= max_words)
+    mean_len = g["chars"] / n
+    ok_mean_len = (
+        (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len))
+    ok_symbols = (F.col("__sym") / n) <= max_symbol_ratio
+    ok_alpha = (g["alpha"] / n) >= min_alpha_word_frac
+    ok_stop = g["stops"] >= min_stop_hits
+    return (
+        out.withColumn("n_words", n)
+        .withColumn("ok_words", ok_words)
+        .withColumn("ok_mean_len", ok_mean_len)
+        .withColumn("ok_symbols", ok_symbols)
+        .withColumn("ok_alpha", ok_alpha)
+        .withColumn("ok_stop", ok_stop)
+        .withColumn(
+            "gopher_pass",
+            ok_words & ok_mean_len & ok_symbols & ok_alpha & ok_stop)
+        .drop("__g", "__sym")
+    )

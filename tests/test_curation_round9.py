@@ -1,0 +1,218 @@
+"""Round-9 curation operators on handcrafted corpora: Gopher rules,
+n-gram novelty, cross-source overlap, CCNet perplexity buckets,
+token-budget water-filling, distributed k-means assign/step."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+from loudml_spark.pipeline.dedup import cross_source_overlap, ngram_novelty
+from loudml_spark.pipeline.embeddings import kmeans_assign, kmeans_step
+from loudml_spark.pipeline.sampling import token_budget_mix
+from loudml_spark.pipeline.text import gopher_rules
+
+
+# ------------------------------------------------------- gopher rules
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    good = "the quick brown fox jumps over a lazy dog of the meadow"
+    rows = [
+        (0, good),                                     # passes all
+        (1, "the cat"),                                # too short
+        (2, good + " # # # # # # # #"),                # symbol-heavy
+        (3, "0 1 2 3 4 5 6 7 8 9 10 11"),              # non-alpha words
+        (4, "zig zag quux blorp wibble frob nix vex"),  # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in gopher_rules(df, min_words=5, max_words=100).collect()
+    }
+    assert out[0]["gopher_pass"]
+    assert not out[1]["ok_words"] and not out[1]["gopher_pass"]
+    assert not out[2]["ok_symbols"]
+    assert not out[3]["ok_alpha"]
+    assert not out[4]["ok_stop"]
+    # mean-word-length rule: single-char words fail the lower bound
+    short = spark.createDataFrame(
+        [(0, "a b c d e f g h")], "doc_id long, text string")
+    r = gopher_rules(short, min_words=2).collect()[0]
+    assert not r["ok_mean_len"]
+
+
+def test_gopher_rules_word_count_column(spark):
+    df = spark.createDataFrame(
+        [(0, "one two three")], "doc_id long, text string")
+    assert gopher_rules(df).collect()[0]["n_words"] == 3
+
+
+# ------------------------------------------------------- ngram novelty
+
+
+def test_ngram_novelty_duplicate_and_unique(spark):
+    a = "w1 w2 w3 w4 w5"
+    b = "x1 x2 x3 x4 x5"
+    rows = [(0, a), (1, a), (2, b), (3, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    # 0 and 1 are identical: every gram shared, zero novelty
+    assert out[0]["novelty"] == 0.0 and out[1]["novelty"] == 0.0
+    assert out[0]["n_grams"] == 3
+    # 2 shares nothing
+    assert out[2]["novelty"] == 1.0 and out[2]["novel"] == 3
+    # 3 is shorter than n: no grams, null novelty (not a crash — ANSI)
+    assert out[3]["n_grams"] == 0 and out[3]["novelty"] is None
+
+
+def test_ngram_novelty_counts_distinct_grams_once(spark):
+    # repeated text inside one doc: grams distinct per doc, so a
+    # self-repetition does NOT make a gram corpus-common
+    df = spark.createDataFrame(
+        [(0, "p q r p q r"), (1, "u v w")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[0]["novelty"] == 1.0
+
+
+# ------------------------------------------------- cross-source overlap
+
+
+def test_cross_source_overlap_seeded(spark):
+    shared = "s1 s2 s3 s4"          # 2 distinct 3-grams
+    rows = [
+        (0, shared + " a1 a2", "A"),
+        (1, shared + " b1 b2", "B"),
+        (2, "c1 c2 c3 c4 c5", "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    out = {(r["src_a"], r["src_b"]): r
+           for r in cross_source_overlap(df, n=3).collect()}
+    ab = out[("A", "B")]
+    # doc A grams: s1s2s3 s2s3s4 s3s4a1 s4a1a2 → 4; shared = 2
+    assert ab["shared"] == 2
+    assert ab["total_a"] == 4 and ab["total_b"] == 4
+    assert ab["jaccard"] == pytest.approx(2 / 6)
+    assert ab["contain_a"] == pytest.approx(0.5)
+    # C shares nothing → pair absent
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+# --------------------------------------------------- perplexity buckets
+
+
+def test_perplexity_buckets_tertiles(spark):
+    rows = []
+    common = "alpha beta gamma delta"
+    for i in range(9):
+        # each doc carries i doc-unique rare tokens → strictly
+        # increasing perplexity with i (doc 8 is the junkiest).
+        # Letter-only tokens: the corpus tokenizer is [a-z]+, so a
+        # digit-bearing "tok1x0" would split into common fragments.
+        rare = " ".join("q" * (i + 1) + "z" * (j + 1) for j in range(i))
+        rows.append((i, (common + " " + rare).strip(), "en"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string")
+    from loudml_spark.pipeline.corpus import perplexity_buckets
+
+    out = perplexity_buckets(df).collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["ppl_bucket"], []).append(r)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    # bucket ordering is by perplexity: every head ppl <= every tail
+    assert (max(r["ppl"] for r in by_bucket["head"])
+            <= min(r["ppl"] for r in by_bucket["tail"]))
+    # the junk doc lands in tail
+    assert any(r["doc_id"] == 8 for r in by_bucket["tail"])
+
+
+# --------------------------------------------------- token budget mix
+
+
+def _mix_frame(spark):
+    rows = []
+    did = 0
+    for src, words in (("big", 60), ("mid", 30), ("small", 10)):
+        rows.append((did, " ".join(["w"] * words), src))
+        did += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+
+
+def test_token_budget_mix_waterfill_exact(spark):
+    df = _mix_frame(spark)
+    # caps at 2 epochs: big 120, mid 60, small 20.  budget 150:
+    # small saturates (water 50 > 20/… cascade), then mid (level
+    # 130/2 = 65 > cap 60); big takes the remaining 70 < its cap.
+    out = {r["source"]: r for r in token_budget_mix(
+        df, budget=150, max_epochs=2.0).collect()}
+    assert out["small"]["saturated"] and out["small"]["alloc"] == 20.0
+    assert out["mid"]["saturated"] and out["mid"]["alloc"] == 60.0
+    assert not out["big"]["saturated"] and out["big"]["alloc"] == 70.0
+    assert sum(r["alloc"] for r in out.values()) == 150.0
+    assert out["small"]["epochs"] == pytest.approx(2.0)
+
+
+def test_token_budget_mix_budget_exceeds_caps(spark):
+    df = _mix_frame(spark)
+    # Σcap = 200 < budget 500 → everything saturates, shortfall visible
+    out = token_budget_mix(df, budget=500, max_epochs=2.0).collect()
+    assert all(r["saturated"] for r in out)
+    assert sum(r["alloc"] for r in out) == 200.0
+
+
+def test_token_budget_mix_validates(spark):
+    df = _mix_frame(spark)
+    with pytest.raises(errors.Invalid):
+        token_budget_mix(df, budget=0)
+    with pytest.raises(errors.Invalid):
+        token_budget_mix(df, budget=10, max_epochs=0.0)
+
+
+# ------------------------------------------------------------- k-means
+
+
+def _emb_frame(spark):
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [0.1, 0.0]),
+        (2, [1.0, 1.0]),
+        (3, [0.9, 1.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_kmeans_assign_nearest_and_ties(spark):
+    df = _emb_frame(spark)
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    out = {r["vec_id"]: r for r in kmeans_assign(df, cents).collect()}
+    assert [out[i]["cluster"] for i in range(4)] == [0, 0, 1, 1]
+    assert out[0]["dist2"] == 0.0
+    assert out[1]["dist2"] == pytest.approx(0.01)
+    # equidistant point ties to the LOWEST cluster id
+    tie = spark.createDataFrame(
+        [(9, [0.5, 0.5])], "vec_id long, embedding array<double>")
+    assert kmeans_assign(tie, cents).collect()[0]["cluster"] == 0
+    with pytest.raises(errors.Invalid):
+        kmeans_assign(df, [])
+
+
+def test_kmeans_step_matches_numpy(spark):
+    import numpy as np
+
+    df = _emb_frame(spark)
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    out = {r["cluster"]: r for r in kmeans_step(df, cents).collect()}
+    X = np.array([[0.0, 0.0], [0.1, 0.0], [1.0, 1.0], [0.9, 1.0]])
+    for cid, members in ((0, X[:2]), (1, X[2:])):
+        r = out[cid]
+        assert r["size"] == 2
+        d2 = ((members - np.array(cents[cid])) ** 2).sum(axis=1)
+        assert r["inertia"] == pytest.approx(d2.sum(), abs=1e-5)
+        mu = members.mean(axis=0)
+        drift = ((mu - np.array(cents[cid])) ** 2).sum()
+        assert r["drift"] == pytest.approx(drift, abs=1e-6)
