@@ -98,11 +98,17 @@ def main(sf_dir: str) -> None:
     canon = canon.drop("text").join(
         lined.select("doc_id", "text"), "doc_id")
 
-    # 3. quality + repetition gates: drop ultra-short and
-    #    boilerplate-heavy docs (Gopher-style rules)
+    # 3. quality + repetition gates: the published Gopher rules
+    #    (word-count / mean-word-length / symbol / alpha / stopword,
+    #    r9) plus repetition stats — drop ultra-short and
+    #    boilerplate-heavy docs
+    from loudml_spark.pipeline.text import gopher_rules
+
     quality = canon.withColumn(
-        "n_tokens", token_count_col(F.col("text"))
-    ).filter(F.col("n_tokens") >= 3)
+        "n_tokens", token_count_col(F.col("text")))
+    quality = gopher_rules(
+        quality, min_words=3, max_words=100_000,
+    ).filter("gopher_pass").select(*quality.columns)
     rep = repetition_stats(quality)
     quality = rep.filter(
         (F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= 0.3)
@@ -120,7 +126,23 @@ def main(sf_dir: str) -> None:
             F.col("oov_rate").isNull() | (F.col("oov_rate") <= 0.5)
         ).select("doc_id"),
         "doc_id")
+    # truncate the lineage: six gate stages deep, every downstream
+    # count would otherwise replan (and on a default-heap driver,
+    # OOM) the whole funnel — same idiom as textrank's per-iteration
+    # checkpoint
+    quality = quality.localCheckpoint()
     n3b = quality.count()
+
+    # 3b'. CCNet head/middle/tail perplexity bucketing (r9): the
+    #      standard Common-Crawl curation cut — keep head+middle,
+    #      drop the worst-perplexity third per language
+    from loudml_spark.pipeline.corpus import perplexity_buckets
+
+    buckets = perplexity_buckets(quality)
+    quality = quality.join(
+        buckets.filter(F.col("ppl_bucket") != "tail").select("doc_id"),
+        "doc_id")
+    n3c = quality.count()
 
     # 3c. model-based quality filter (fastText-style classifier, r8):
     #     train a hashed-BoW logistic model on a portably-ordered
@@ -189,6 +211,18 @@ def main(sf_dir: str) -> None:
     ).filter("keep").drop("keep")
     n5 = mixed.count()
 
+    # 6b. token-budget mixing audit (r9): what would each SOURCE
+    #     contribute to a 1.45×-tokens budget under a 1.5-epoch cap?
+    #     (closed-form water-filling; the per-source epochs column is
+    #     the sampling plan a trainer consumes)
+    from loudml_spark.pipeline.sampling import token_budget_mix
+
+    total_toks = mixed.agg(
+        F.sum(token_count_col(F.col("text")))).first()[0] or 0
+    mix_plan = token_budget_mix(
+        mixed, budget=max(1, int(1.45 * total_toks)), max_epochs=1.5)
+    n_sat = mix_plan.filter("saturated").count()
+
     # 7. deterministic content-hash split (stable across reruns)
     split = hash_split(
         mixed, key=F.col("fp"),
@@ -221,8 +255,11 @@ def main(sf_dir: str) -> None:
         split.filter(F.col("split") == "train"), top_k=10)
 
     print(f"docs: {n0} → exact-dedup {n1} → near-dup {n2} "
-          f"→ quality {n3} → lm-gate {n3b} → decontaminated {n4} "
+          f"→ gopher+repetition {n3} → lm-gate {n3b} "
+          f"→ ccnet-head+middle {n3c} → decontaminated {n4} "
           f"→ mixed {n5}")
+    print(f"token-budget plan: {n_sat} sources saturated at 1.5 "
+          f"epochs of a {max(1, int(1.45 * total_toks))}-token budget")
     print(f"boilerplate lines dropped: {n_dropped_lines}")
     print(f"pii matches scrubbed: {n_pii}")
     print(f"splits: {counts}   train shards: {n_shards}   "

@@ -446,10 +446,23 @@ def kmeans_step(
     Empty clusters are absent from the output (k-means restarts or
     re-seeds them upstream).
     """
-    assigned = kmeans_assign(
-        df, centroids, vec_col=vec_col, id_col=id_col,
-        round_to=round_to).join(
-            df.select(id_col, vec_col), id_col)
+    # inline the argmin projection (kmeans_assign's expression) and
+    # CARRY the vector column through it — a kmeans_assign ∘ join
+    # formulation would re-scan and self-join the full corpus on id
+    if not centroids:
+        raise errors.Invalid("centroids must be non-empty")
+    vec = F.col(vec_col)
+    best = F.array_min(F.array(*[
+        F.struct(
+            _dist2_col(vec, c).alias("d"),
+            F.lit(cid).alias("c"))
+        for cid, c in enumerate(centroids)
+    ]))
+    assigned = df.select(
+        best["c"].alias("cluster"),
+        F.round(best["d"], round_to).alias("dist2"),
+        vec_col,
+    )
     stats = assigned.groupBy("cluster").agg(
         F.count("*").alias("size"),
         F.sum(F.round(F.col("dist2"), 6).cast("decimal(18,6)"))

@@ -21,13 +21,15 @@ def test_curation_pipeline_example_e2e():
     for marker in ("intake audit", "docs: ", "splits: ",
                    "cdc audit: ", "quality-score eval: auc=",
                    "semdedup(embeddings): ", "classifier filter: ",
-                   "span surgery: ", "ann recall@5 (ivf vs exact): "):
+                   "span surgery: ", "ann recall@5 (ivf vs exact): ",
+                   "token-budget plan: "):
         assert marker in text, (marker, text[-2000:])
     # the funnel counts must be monotone non-increasing
     import re
     m = re.search(
         r"docs: (\d+) → exact-dedup (\d+) → near-dup (\d+) "
-        r"→ quality (\d+) → lm-gate (\d+) → decontaminated (\d+) "
+        r"→ gopher\+repetition (\d+) → lm-gate (\d+) "
+        r"→ ccnet-head\+middle (\d+) → decontaminated (\d+) "
         r"→ mixed (\d+)", text)
     assert m, text[-2000:]
     ns = [int(g) for g in m.groups()]

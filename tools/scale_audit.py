@@ -96,10 +96,27 @@ AUDIT = [
     ("pmi_pairs_docs", "full"),
     ("leak_spans_docs", "full"),
     ("excise_leaks_docs", "full"),
+    # r9 curation additions
+    ("gopher_rules_docs", "full"),
+    ("ngram_novelty_docs", "full"),
+    ("source_overlap_docs", "full"),
+    ("kmeans_assign_emb", "full"),
+    ("kmeans_step_emb", "full"),
+    ("ccnet_ppl_buckets", "full"),
+    ("token_budget_mix_docs", "full"),
+    ("repeated_spans_docs", "full"),
+    ("trim_repeated_docs", "full"),
 ]
 
 
 def main():
+    # SPARK_GRAFT_AUDIT_ONLY=q1,q2 restricts the run (incremental
+    # audits of newly added queries merge into the main artifact via
+    # tools-side JSON merge; full reruns stay the default)
+    only = {
+        q for q in os.environ.get(
+            "SPARK_GRAFT_AUDIT_ONLY", "").split(",") if q}
+    audit = [(n, k) for n, k in AUDIT if not only or n in only]
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALE_AUDIT.json"
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sf_dirs = sys.argv[2:] or [
@@ -133,7 +150,7 @@ def main():
     rows_of: dict[tuple, int] = {}
     errs: dict[tuple, str] = {}
     for r in range(reps):
-        for name, kind in AUDIT:
+        for name, kind in audit:
             for d in sf_dirs:
                 label = os.path.basename(d.rstrip("/"))
                 key = (name, label)
@@ -152,7 +169,7 @@ def main():
                     print(f"r{r} {name:32s} {label:14s} ERROR "
                           f"{str(e)[:120]}", flush=True)
     results: dict[str, dict] = {}
-    for name, kind in AUDIT:
+    for name, kind in audit:
         results[name] = {"kind": kind, "sf": {}}
         for d in sf_dirs:
             label = os.path.basename(d.rstrip("/"))
