@@ -4035,3 +4035,121 @@ PIPELINE_QUERIES.update({
     "kmeans_step_emb": {
         "fn": q_kmeans_step_emb, "oracle": SQL_KMEANS_STEP_EMB},
 })
+
+
+def q_ann_sq8_topk(spark, sf_dir):
+    """SQ8 scalar-quantized ANN top-5 (pipeline/similarity.py
+    sq8_cosine_topk): one-byte-per-dim corpus compression against
+    exact per-dim corpus bounds, raw queries against decoded
+    vectors; fully JVM-side — the bounds literal rides the plan."""
+    from loudml_spark.pipeline.similarity import sq8_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_cosine_topk(emb.filter("vec_id < 10"), emb, k=5)
+
+
+# decoded-corpus vector list (SQ8 encode→decode) against per-dim
+# bounds computed relationally from the same table — every fold is a
+# left-to-right list_reduce matching the Spark Column fold exactly
+_SQL_SQ8_B = """
+bdim AS (
+  SELECT t.i AS dim,
+         MIN(embedding[t.i + 1]::DOUBLE) AS lo,
+         CASE WHEN MAX(embedding[t.i + 1]::DOUBLE)
+                 = MIN(embedding[t.i + 1]::DOUBLE) THEN 1.0
+              ELSE MAX(embedding[t.i + 1]::DOUBLE)
+                 - MIN(embedding[t.i + 1]::DOUBLE) END AS d
+  FROM embeddings, UNNEST(range(64)) AS t(i)
+  GROUP BY 1
+),
+b AS (
+  SELECT list(lo ORDER BY dim) AS lo, list(d ORDER BY dim) AS d
+  FROM bdim
+),
+xh AS (
+  SELECT e.vec_id,
+         list_transform(range(64), i ->
+           b.lo[i + 1]
+           + floor(least(greatest(
+               (e.embedding[i + 1]::DOUBLE - b.lo[i + 1]) / b.d[i + 1],
+               0.0), 1.0) * 255 + 0.5) / 255 * b.d[i + 1]) AS v
+  FROM embeddings e, b
+),
+xn AS (
+  SELECT vec_id, v,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(v, x -> x * x)), (a, c) -> a + c)) AS n
+  FROM xh
+),
+qn AS (
+  SELECT vec_id AS query_id,
+         list_transform(range(64),
+                        i -> embedding[i + 1]::DOUBLE) AS qv,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(range(64), i ->
+             embedding[i + 1]::DOUBLE * embedding[i + 1]::DOUBLE)),
+           (a, c) -> a + c)) AS n
+  FROM embeddings WHERE vec_id < 10
+),
+sq8 AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(range(64), i -> x.v[i + 1] * q.qv[i + 1])),
+             (a, c) -> a + c) / (x.n * q.n), 6) AS cosine
+  FROM xn x, qn q
+  WHERE x.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM sq8
+)"""
+
+SQL_ANN_SQ8_TOPK = f"""
+WITH {_SQL_SQ8_B}
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_recall_sq8(spark, sf_dir):
+    """Recall@5 of the SQ8 index against exact brute-force top-5 —
+    the acceptance gate, composing the two catalog queries (same
+    shape as ann_recall_ivf)."""
+    from loudml_spark.pipeline.similarity import ann_recall
+
+    return ann_recall(
+        q_ann_sq8_topk(spark, sf_dir),
+        q_ann_cosine_topk(spark, sf_dir),
+    )
+
+
+SQL_ANN_RECALL_SQ8 = f"""
+WITH {_SQL_SQ8_B},
+sq AS (
+  SELECT query_id, neighbor_id FROM ranked WHERE rank <= 5
+),
+ex AS (
+  SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK}) t
+),
+h AS (
+  SELECT query_id, COUNT(*) AS c
+  FROM sq JOIN ex USING (query_id, neighbor_id)
+  GROUP BY query_id
+),
+bq AS (SELECT query_id, COUNT(*) AS n FROM ex GROUP BY query_id)
+SELECT bq.query_id,
+       CAST(COALESCE(h.c, 0) AS BIGINT) AS n_hits,
+       CAST(bq.n AS BIGINT) AS n_exact,
+       CAST(COALESCE(h.c, 0) AS DOUBLE) / bq.n AS recall
+FROM bq LEFT JOIN h USING (query_id)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "ann_sq8_topk": {
+        "fn": q_ann_sq8_topk, "oracle": SQL_ANN_SQ8_TOPK},
+    "ann_recall_sq8": {
+        "fn": q_ann_recall_sq8, "oracle": SQL_ANN_RECALL_SQ8},
+})

@@ -633,3 +633,108 @@ def semdedup_survivors(
         pairs, corpus.select(F.col(id_col).cast("long").alias(id_col)),
         id_col=id_col,
     )
+
+
+def sq8_bounds(
+    corpus: DataFrame, *, vec_col: str = "embedding",
+) -> tuple[list, list]:
+    """Per-dimension (min, range) of the corpus — the SQ8 scalar
+    quantizer's training pass (FAISS-style: each dimension maps to
+    [0, 255] over its own observed range).  Exact and distributed:
+    posexplode → one map-side-combined groupBy(dim) reducing to
+    |dims| rows, collected driver-side (bounded, like the IVF/PQ
+    codebooks).  min/max are order-independent so the fitted bounds
+    are bit-identical on any engine.  Zero-range dimensions get
+    range 1.0 (every code 0, decode exact)."""
+    rows = (
+        corpus.select(F.posexplode(vec_col).alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min(F.col("v").cast("double")).alias("lo"),
+             F.max(F.col("v").cast("double")).alias("hi"))
+        .collect())
+    rows.sort(key=lambda r: r["dim"])
+    mins = [float(r["lo"]) for r in rows]
+    diffs = [float(r["hi"] - r["lo"]) or 1.0 for r in rows]
+    return mins, diffs
+
+
+def sq8_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Scalar-quantization ANN (SQ8): corpus vectors compress to one
+    byte per dimension against per-dim corpus bounds — 4× less
+    resident memory/IO than float32 with far better recall than PQ
+    at the same scan cost — and queries score RAW against the
+    decoded corpus (asymmetric, like ADC).  Completes the
+    quantization family: LSH (bucketing) / IVF (pruning) / PQ
+    (aggressive compression) / SQ8 (cheap compression).
+
+    Fully JVM-side: encode→decode→dot is one Column expression over
+    the corpus scan (the bounds literal rides the plan; no Python,
+    no join) and every fold runs left-to-right, so scores are
+    bit-identical to the SQL oracle BEFORE rounding.  Quantized
+    code: floor(clip01((v-lo)/range)·255 + 0.5) — floor(x+0.5), not
+    ROUND, because engines disagree on exact decimal-tie rounding.
+    Ranking: rounded score DESC, id ASC; self-matches excluded.
+    """
+    mins, diffs = sq8_bounds(corpus, vec_col=vec_col)
+    lo = F.array(*[F.lit(x) for x in mins])
+    dd = F.array(*[F.lit(x) for x in diffs])
+    vec = F.col(vec_col)
+    # decoded vector: lo + floor(clip01((v-lo)/d)*255 + .5)/255 * d
+    off = F.zip_with(
+        F.zip_with(vec, lo, lambda v, l: v.cast("double") - l),
+        dd,
+        lambda u, d: F.floor(
+            F.least(F.greatest(u / d, F.lit(0.0)), F.lit(1.0))
+            * 255 + F.lit(0.5)) / 255 * d,
+    )
+    xh = F.zip_with(off, lo, lambda a, l: a + l)
+    fold = lambda arr, f: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + f(x))
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    out_schema = "query_id long, neighbor_id long, cosine double"
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], out_schema + ", rank int")
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        xh.alias("__xh"),
+    ).withColumn(
+        "__xn",
+        F.sqrt(F.aggregate(
+            F.col("__xh"), F.lit(0.0), lambda a, x: a + x * x)))
+    per_q = []
+    for r in q_rows:
+        qid, qv = int(r[0]), [float(x) for x in r[1]]
+        s = 0.0
+        for x in qv:          # left fold — matches the SQL reduce
+            s += x * x
+        qn = s ** 0.5
+        qlit = F.array(*[F.lit(x) for x in qv])
+        dot = F.aggregate(
+            F.zip_with(F.col("__xh"), qlit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        per_q.append(F.struct(
+            F.lit(qid).alias("query_id"),
+            F.round(dot / (F.col("__xn") * F.lit(qn)),
+                    round_to).alias("cosine")))
+    scored = base.select(
+        "neighbor_id", F.explode(F.array(*per_q)).alias("q")
+    ).select(
+        F.col("q.query_id").alias("query_id"), "neighbor_id",
+        F.col("q.cosine").alias("cosine"),
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -216,3 +216,52 @@ def test_kmeans_step_matches_numpy(spark):
         mu = members.mean(axis=0)
         drift = ((mu - np.array(cents[cid])) ** 2).sum()
         assert r["drift"] == pytest.approx(drift, abs=1e-6)
+
+
+# ----------------------------------------------------------- SQ8 ANN
+
+
+def test_sq8_bounds_and_zero_range_dim(spark):
+    from loudml_spark.pipeline.similarity import sq8_bounds
+
+    rows = [(0, [0.0, 5.0, 2.0]), (1, [1.0, 5.0, 4.0]),
+            (2, [0.5, 5.0, 3.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    mins, diffs = sq8_bounds(df)
+    assert mins == [0.0, 5.0, 2.0]
+    # constant dimension gets range 1.0 (codes 0, decode exact)
+    assert diffs == [1.0, 1.0, 2.0]
+
+
+def test_sq8_topk_orders_like_exact(spark):
+    from loudml_spark.pipeline.similarity import (
+        cosine_topk, sq8_cosine_topk,
+    )
+
+    import numpy as np
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.randn(16).tolist()) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    q = df.filter("vec_id < 3")
+    sq = sq8_cosine_topk(q, df, k=5).collect()
+    ex = cosine_topk(q, df, k=5).collect()
+    assert len(sq) == 15
+    assert all(r["query_id"] != r["neighbor_id"] for r in sq)
+    # 8-bit quantization of 16-dim gaussians barely perturbs cosine
+    # order: top-5 sets match the exact scan (recall 1.0)
+    sq_sets = {}
+    ex_sets = {}
+    for r in sq:
+        sq_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ex:
+        ex_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(sq_sets[k2] & ex_sets[k2]) for k2 in ex_sets)
+    assert hits / 15 >= 0.8
+    # scores are quantized, not exact: at least one differs
+    exd = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in ex}
+    sqd = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in sq}
+    common = set(exd) & set(sqd)
+    assert any(abs(exd[c] - sqd[c]) > 0 for c in common)
+    assert all(abs(exd[c] - sqd[c]) < 0.05 for c in common)

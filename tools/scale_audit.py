@@ -106,6 +106,8 @@ AUDIT = [
     ("token_budget_mix_docs", "full"),
     ("repeated_spans_docs", "full"),
     ("trim_repeated_docs", "full"),
+    ("ann_sq8_topk", "full"),
+    ("ann_recall_sq8", "full"),
 ]
 
 
