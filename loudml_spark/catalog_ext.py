@@ -4196,3 +4196,171 @@ EXT_QUERIES.update({
         "fn": q_token_budget_mix_docs,
         "oracle_fn": _sql_token_budget_mix_docs},
 })
+
+
+BPE_N_MERGES = 8
+
+
+def q_bpe_merges_docs(spark, sf_dir):
+    """The BPE tokenizer TRAINER over `documents`: 8 merges learned
+    by the distributed loop (pipeline/corpus.py bpe_train_merges) —
+    one corpus shuffle to the word-frequency table, then vocab-sized
+    iterations with a 1-row argmax collect per step."""
+    from loudml_spark.pipeline.corpus import bpe_train_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, n_merges=BPE_N_MERGES)
+
+
+def _py_bpe_apply(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right application of one merge — the oracle's
+    independent implementation (plain lists, no Spark)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _py_bpe_train(sf_dir) -> list:
+    """INDEPENDENT plain-Python BPE trainer over the same word
+    frequencies read via DuckDB.  Same argmax tie-break (n desc,
+    left asc, right asc), same overlapping adjacent-pair counting,
+    same greedy left-to-right application as the Spark operator.
+    Returns [(step, "a b", n, "ab"), ...]."""
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    d = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    wf = con.execute(f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM read_parquet('{os.path.join(d, "documents.parquet")}')
+)
+SELECT w, COUNT(*) AS c FROM tok GROUP BY 1""").fetchall()
+    con.close()
+    words = [(list(w), int(c)) for w, c in wf]
+    rows = []
+    for step in range(BPE_N_MERGES):
+        counts: dict = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = counts.get(
+                    (syms[i], syms[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        words = [(_py_bpe_apply(syms, a, b), c) for syms, c in words]
+        rows.append((step, f"{a} {b}", n, a + b))
+    return rows
+
+
+def _sql_bpe_merges_docs(sf_dir=None) -> str:
+    """Data-derived oracle: the independent Python trainer's merge
+    table as a VALUES literal (see _py_bpe_train)."""
+    rows = _py_bpe_train(sf_dir)
+    values = ", ".join(
+        f"({s}, '{p}', {n}, '{ns}')" for s, p, n, ns in rows)
+    return f"""
+SELECT CAST(step AS INTEGER) AS step, pair,
+       CAST(n AS BIGINT) AS n, new_symbol
+FROM (VALUES {values}) AS t(step, pair, n, new_symbol)
+"""
+
+
+EXT_QUERIES.update({
+    "bpe_merges_docs": {
+        "fn": q_bpe_merges_docs, "oracle_fn": _sql_bpe_merges_docs},
+})
+
+
+def _bpe_merges(spark, sf_dir):
+    """Learn the merge list once per (app, sf) — the trained-model
+    cache idiom (same as the classifier weights / Bloom words)."""
+    from loudml_spark.catalog import _CACHED_SERIES
+    from loudml_spark.pipeline.corpus import bpe_train_merges
+
+    key = (spark.sparkContext.applicationId, sf_dir, "bpe_merges")
+    if key not in _CACHED_SERIES:
+        rows = bpe_train_merges(
+            load_table(spark, sf_dir, "documents"),
+            n_merges=BPE_N_MERGES).collect()
+        _CACHED_SERIES[key] = [tuple(r["pair"].split(" ")) for r in rows]
+    return _CACHED_SERIES[key]
+
+
+def q_bpe_encode_docs(spark, sf_dir):
+    """Apply the trained BPE merges corpus-wide (pipeline/corpus.py
+    bpe_encode): per-doc symbol count + compression under the learned
+    vocabulary.  Each distinct word encodes once (vocab-frame folds),
+    then joins back on the token key."""
+    from loudml_spark.pipeline.corpus import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, _bpe_merges(spark, sf_dir))
+
+
+def _sql_bpe_encode_docs(sf_dir=None) -> str:
+    """Data-derived oracle: the merges come from the independent
+    Python trainer (see _sql_bpe_merges_docs); each DISTINCT word is
+    encoded by an independent Python greedy loop and emitted as a
+    vocab-sized VALUES table; the per-doc rollup is then pure SQL
+    over the same tokenization."""
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    d = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    wf = con.execute(f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM read_parquet('{os.path.join(d, "documents.parquet")}')
+)
+SELECT DISTINCT w FROM tok""").fetchall()
+    con.close()
+    merges = [p.split(" ") for _, p, _, _ in _py_bpe_train(sf_dir)]
+    enc_rows = []
+    for (w,) in wf:
+        syms = list(w)
+        for a, b in merges:
+            syms = _py_bpe_apply(syms, a, b)
+        enc_rows.append((w, len(w), len(syms)))
+    values = ", ".join(
+        f"('{w}', {ln}, {ns})" for w, ln, ns in enc_rows)
+    return f"""
+WITH enc(token, len, ns) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(SUM(e.len) AS BIGINT) AS n_chars,
+         CAST(SUM(e.ns) AS BIGINT) AS n_syms
+  FROM tok t JOIN enc e USING (token)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_chars, 0) AS n_chars,
+       COALESCE(p.n_syms, 0) AS n_syms,
+       CASE WHEN p.n_syms > 0 THEN p.n_chars / p.n_syms END
+         AS chars_per_token
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+EXT_QUERIES.update({
+    "bpe_encode_docs": {
+        "fn": q_bpe_encode_docs, "oracle_fn": _sql_bpe_encode_docs},
+})

@@ -4153,3 +4153,51 @@ PIPELINE_QUERIES.update({
     "ann_recall_sq8": {
         "fn": q_ann_recall_sq8, "oracle": SQL_ANN_RECALL_SQ8},
 })
+
+
+def q_kmeans_balanced_sample(spark, sf_dir):
+    """Cluster-balanced diversity sample (SemDeDup/DiverseSample
+    companion): EXACTLY 16 vectors per k-means cell, ranked by the
+    scrambled id hash — the standard anti-mode-collapse carve for
+    eval sets and distillation corpora.  Pure composition of two
+    proven operators (kmeans_assign ∘ sample_exact_k): assignment is
+    a map-only projection, the per-cell rank is one shuffle on the
+    cluster key."""
+    from loudml_spark.pipeline.embeddings import kmeans_assign
+    from loudml_spark.pipeline.sampling import sample_exact_k
+    from loudml_spark.pipeline.text import scramble_col
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    a = kmeans_assign(emb, _kmeans_seeds(spark, sf_dir))
+    keyed = a.select(
+        "vec_id", "cluster",
+        scramble_col(F.col("vec_id")).alias("h"))
+    out = sample_exact_k(
+        keyed, key=F.col("h"), k=16, order_col="vec_id",
+        by=["cluster"], rank_col="rank")
+    return out.select("vec_id", "cluster", "rank")
+
+
+SQL_KMEANS_BALANCED_SAMPLE = f"""
+WITH {_SQL_KMEANS_ASSIGN_CTE},
+keyed AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cluster,
+         (vec_id * vec_id % {MOD} + vec_id) % {MOD} AS h
+  FROM assigned WHERE rn = 1
+),
+r AS (
+  SELECT vec_id, cluster,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cluster ORDER BY h % 10000, vec_id
+         ) AS INTEGER) AS rank
+  FROM keyed
+)
+SELECT vec_id, cluster, rank FROM r WHERE rank <= 16
+"""
+
+
+PIPELINE_QUERIES.update({
+    "kmeans_balanced_sample": {
+        "fn": q_kmeans_balanced_sample,
+        "oracle": SQL_KMEANS_BALANCED_SAMPLE},
+})

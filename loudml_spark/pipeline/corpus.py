@@ -971,3 +971,145 @@ def perplexity_buckets(
     )
     return out.select(
         id_col, "lang", "ppl", bucket.alias("ppl_bucket"))
+
+
+def bpe_merge_col(arr, a: str, b: str):
+    """Apply ONE BPE merge (a, b) -> a+b to a symbol-array Column —
+    a left fold that appends, or fuses with the accumulator's last
+    element when (last, x) == (a, b).  Equivalent to greedy
+    left-to-right application: the fused symbol is strictly longer
+    than `a`, so it can never re-fuse as the LEFT side in the same
+    pass."""
+    ab = a + b
+    return F.aggregate(
+        arr,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    *,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges over the corpus — the tokenizer
+    TRAINER, not just one iteration's statistic
+    (:func:`bpe_pair_counts` is the per-step priority queue; this
+    runs the loop).  Returns one row per merge:
+    ``(step, pair, n, new_symbol)`` with ``pair`` in the standard
+    space-separated merges-file format ("t h", "th e", ...).
+
+    Distributed shape (what real trainers do, made Spark-native):
+    the corpus reduces ONCE to the word-frequency table (one
+    map-side-combined shuffle — the only pass that sees corpus
+    rows); every iteration then runs on that |vocab|-sized frame:
+    adjacent-pair counts weighted by word frequency (explode + agg),
+    a 1-ROW collect of the argmax (the merge decision is the only
+    thing that ever crosses to the driver), and a pure-Column fold
+    that applies the merge to each symbol array.  localCheckpoint
+    per iteration bounds the lineage (the iterative-plan idiom).
+
+    Merge application is a LEFT FOLD — append, or fuse with the
+    accumulator's last element when it equals the pair — which is
+    exactly greedy left-to-right BPE: a fused symbol is strictly
+    longer than the pair's left element, so it can never re-fuse as
+    the LEFT side within the same pass ("aaa" + (a,a) → [aa, a],
+    never [aaa]).  Ties in the argmax break on (count desc, left
+    asc, right asc) — bit-stable against the oracle's identical
+    Python loop.
+    """
+    from loudml_spark import errors
+
+    if n_merges <= 0:
+        raise errors.Invalid(f"n_merges must be > 0, got {n_merges}")
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    cur = (
+        t.groupBy("token").agg(F.count("*").alias("c"))
+        .select(F.split("token", "").alias("syms"), "c")
+        .localCheckpoint()
+    )
+    spark = df.sparkSession
+    records = []
+    for step in range(n_merges):
+        s = F.col("syms")
+        # single-symbol words contribute no pairs — and sequence(1, 0)
+        # DESCENDS in Spark, so they must not reach the explode
+        pairs = cur.filter(F.size(s) >= 2).select(
+            F.explode(F.transform(
+                F.sequence(F.lit(1), F.size(s) - 1),
+                lambda i: F.struct(
+                    F.element_at(s, i).alias("a"),
+                    F.element_at(s, i + 1).alias("b")),
+            )).alias("p"),
+            "c",
+        ).groupBy("p.a", "p.b").agg(F.sum("c").alias("n"))
+        top = pairs.orderBy(
+            F.desc("n"), F.asc("a"), F.asc("b")).limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        ab = a + b
+        cur = cur.select(
+            bpe_merge_col(s, a, b).alias("syms"), "c").localCheckpoint()
+        records.append((step, f"{a} {b}", n, ab))
+    return spark.createDataFrame(
+        records, "step int, pair string, n long, new_symbol string")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a TRAINED merge list — the apply half
+    of the BPE tokenizer (:func:`bpe_train_merges` is the train
+    half).  Returns per document ``(id_col, n_chars, n_syms,
+    chars_per_token)``: the symbol count under the learned vocabulary
+    and the compression it bought (chars per BPE token; 1.0 = no
+    merges fired).  Docs with no tokens get zeros and null ratio.
+
+    Scale shape: each DISTINCT word encodes exactly once — the corpus
+    reduces to (doc, token) rows (one map-side-combined pass) and the
+    merge folds run on the |vocab|-sized distinct-token frame, which
+    joins back on the token key (AQE broadcasts it while it fits).
+    Encoding applies the merges IN TRAINING ORDER, each as the same
+    greedy left-fold the trainer used (``bpe_merge_col``), so
+    train→encode round-trips exactly.
+    """
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    vocab = t.select("token").distinct()
+    syms = F.split(F.col("token"), "")
+    for a, b in merges:
+        syms = bpe_merge_col(syms, a, b)
+    enc = vocab.select(
+        "token",
+        F.length("token").cast("long").alias("__len"),
+        F.size(syms).cast("long").alias("__ns"),
+    )
+    per_doc = (
+        t.join(enc, "token")
+        .groupBy(id_col)
+        .agg(F.sum("__len").alias("n_chars"),
+             F.sum("__ns").alias("n_syms"))
+    )
+    base = df.select(id_col)
+    return base.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+        F.coalesce("n_syms", F.lit(0)).alias("n_syms"),
+        F.when(F.col("n_syms") > 0,
+               F.col("n_chars") / F.col("n_syms"))
+        .alias("chars_per_token"),
+    )

@@ -489,3 +489,80 @@ def kmeans_step(
     )
     return stats.join(drift, "cluster").select(
         "cluster", "size", "inertia", "drift")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    max_iters: int = 10,
+    tol: float = 1e-6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple:
+    """Full distributed Lloyd's k-means: seed with the k lowest-id
+    vectors (deterministic), iterate :func:`kmeans_step`-shaped
+    passes until every cluster's centroid drift falls under ``tol``
+    or ``max_iters`` is hit.  Returns ``(centroids, history)`` where
+    ``centroids`` is the final k×dim list and ``history`` is one
+    record per iteration: ``(iter, total_inertia, max_drift,
+    n_clusters)``.
+
+    Driver traffic per iteration is the k×dim centroid matrix plus
+    k stat rows — codebook-sized, like every bounded model fit here
+    (IVF/PQ/classifier).  Each pass over the corpus is the
+    kmeans_assign map-only projection plus ONE shuffle of k·dims
+    partial means; empty clusters keep their previous centroid (the
+    restart policy is the caller's).
+    """
+    from loudml_spark import errors
+
+    if k <= 0:
+        raise errors.Invalid(f"k must be > 0, got {k}")
+    seeds = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+    if not seeds:
+        raise errors.Invalid("corpus is empty")
+    centroids = [[float(x) for x in r[vec_col]] for r in seeds]
+    history = []
+    for it in range(max_iters):
+        vec = F.col(vec_col)
+        best = F.array_min(F.array(*[
+            F.struct(
+                _dist2_col(vec, c).alias("d"),
+                F.lit(cid).alias("c"))
+            for cid, c in enumerate(centroids)
+        ]))
+        assigned = df.select(
+            best["c"].alias("cluster"),
+            F.round(best["d"], 6).alias("dist2"),
+            vec_col)
+        agg = (
+            assigned.select(
+                "cluster", "dist2",
+                F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"),
+                 F.count("*").alias("n"),
+                 F.sum(F.round(F.col("dist2"), 6)
+                       .cast("decimal(18,6)") / 64)
+                 .cast("double").alias("in64"))
+            .collect())
+        new = [list(c) for c in centroids]
+        sizes = [0] * len(centroids)
+        inertia = 0.0
+        for r in agg:
+            new[r["cluster"]][r["dim"]] = float(r["m"])
+            sizes[r["cluster"]] = int(r["n"])
+            inertia += float(r["in64"])
+        drift = max(
+            sum((a - b) * (a - b) for a, b in zip(nc, oc))
+            for nc, oc in zip(new, centroids))
+        history.append({
+            "iter": it, "total_inertia": round(inertia, 4),
+            "max_drift": drift,
+            "n_clusters": sum(1 for s in sizes if s > 0)})
+        centroids = new
+        if drift < tol:
+            break
+    return centroids, history

@@ -265,3 +265,81 @@ def test_sq8_topk_orders_like_exact(spark):
     common = set(exd) & set(sqd)
     assert any(abs(exd[c] - sqd[c]) > 0 for c in common)
     assert all(abs(exd[c] - sqd[c]) < 0.05 for c in common)
+
+
+# --------------------------------------------------------- BPE trainer
+
+
+def test_bpe_train_merges_hand_corpus(spark):
+    from loudml_spark.pipeline.corpus import bpe_train_merges
+
+    # "hehe hehe he" tokenized [a-z]+: words hehe(x2), he(x1)
+    df = spark.createDataFrame(
+        [(0, "hehe hehe he"), (1, "hehe")], "doc_id long, text string")
+    out = bpe_train_merges(df, n_merges=2).collect()
+    # pair counts step 0: (h,e)=7 — wait: hehe has (h,e)x2,(e,h)x1;
+    # corpus: hehe x3, he x1 → (h,e) = 3*2+1 = 7, (e,h) = 3
+    assert out[0]["pair"] == "h e" and out[0]["n"] == 7
+    assert out[0]["new_symbol"] == "he"
+    # step 1: words are [he,he]x3, [he]x1 → (he,he) = 3
+    assert out[1]["pair"] == "he he" and out[1]["n"] == 3
+    assert out[1]["new_symbol"] == "hehe"
+
+
+def test_bpe_merge_fold_is_greedy_left_to_right(spark):
+    from loudml_spark.pipeline.corpus import bpe_train_merges
+
+    # "aaa": greedy (a,a) gives [aa, a], never a cascade to [aaa];
+    # so step-1 counts see (aa, a) with weight 1
+    df = spark.createDataFrame([(0, "aaa")], "doc_id long, text string")
+    out = bpe_train_merges(df, n_merges=2).collect()
+    assert out[0]["pair"] == "a a" and out[0]["n"] == 2
+    assert out[1]["pair"] == "aa a" and out[1]["n"] == 1
+
+
+def test_bpe_train_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import bpe_train_merges
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(errors.Invalid):
+        bpe_train_merges(df, n_merges=0)
+    # a corpus with no pairs at all stops early and returns 0 rows
+    assert bpe_train_merges(df, n_merges=3).count() == 0
+
+
+def test_kmeans_fit_converges_on_separable_clusters(spark):
+    import numpy as np
+
+    from loudml_spark.pipeline.embeddings import kmeans_fit
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        center = [0.0, 0.0] if i % 2 == 0 else [10.0, 10.0]
+        rows.append((i, (np.array(center)
+                         + rng.randn(2) * 0.1).tolist()))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    cents, hist = kmeans_fit(df, k=2, max_iters=8, tol=1e-9)
+    # both true cluster means recovered (order not guaranteed)
+    got = sorted(tuple(round(x) for x in c) for c in cents)
+    assert got == [(0, 0), (10, 10)]
+    # converged before the cap and the objective never rose
+    assert len(hist) < 8
+    inertias = [h["total_inertia"] for h in hist]
+    assert all(a >= b - 1e-6 for a, b in zip(inertias, inertias[1:]))
+    assert hist[-1]["max_drift"] < 1e-9
+    assert hist[-1]["n_clusters"] == 2
+
+
+def test_kmeans_fit_validates(spark):
+    from loudml_spark.pipeline.embeddings import kmeans_fit
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(errors.Invalid):
+        kmeans_fit(df, k=0)
+    empty = df.filter("vec_id < 0")
+    with pytest.raises(errors.Invalid):
+        kmeans_fit(empty, k=2)

@@ -108,6 +108,9 @@ AUDIT = [
     ("trim_repeated_docs", "full"),
     ("ann_sq8_topk", "full"),
     ("ann_recall_sq8", "full"),
+    ("bpe_merges_docs", "full"),
+    ("bpe_encode_docs", "full"),
+    ("kmeans_balanced_sample", "full"),
 ]
 
 
