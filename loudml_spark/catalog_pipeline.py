@@ -4201,3 +4201,77 @@ PIPELINE_QUERIES.update({
         "fn": q_kmeans_balanced_sample,
         "oracle": SQL_KMEANS_BALANCED_SAMPLE},
 })
+
+
+def q_hard_negatives_emb(spark, sf_dir):
+    """Hard-negative mining over the labeled embeddings table: per
+    query (vec_id < 10), the top-5 most-similar DIFFERENT-label
+    vectors (pipeline/similarity.py hard_negatives) — the negatives a
+    retrieval trainer should sample."""
+    from loudml_spark.pipeline.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb.filter("vec_id < 10"), emb, k=5)
+
+
+_SQL_LABELED_SCORES = f"""
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         CAST(label AS INTEGER) AS q_label
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, q.q_label,
+         CAST(e.label AS INTEGER) AS n_label,
+         ROUND({_sql_cosine('e.embedding', 'q.qv')}, 6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)"""
+
+SQL_HARD_NEGATIVES_EMB = f"""
+WITH {_SQL_LABELED_SCORES},
+r AS (
+  SELECT query_id, q_label, neighbor_id, n_label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id)
+           AS rank
+  FROM scored WHERE n_label <> q_label
+)
+SELECT query_id, q_label, neighbor_id, n_label, cosine,
+       CAST(rank AS INTEGER) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+def q_margin_audit_emb(spark, sf_dir):
+    """Class-separability margin per query: best same-label vs best
+    different-label cosine; negative margin = the nearest neighbor
+    is an impostor (pipeline/similarity.py margin_audit)."""
+    from loudml_spark.pipeline.similarity import margin_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return margin_audit(emb.filter("vec_id < 10"), emb)
+
+
+SQL_MARGIN_AUDIT_EMB = f"""
+WITH {_SQL_LABELED_SCORES}
+SELECT query_id, q_label,
+       MAX(CASE WHEN n_label = q_label THEN cosine END) AS best_same,
+       MAX(CASE WHEN n_label <> q_label THEN cosine END) AS best_diff,
+       ROUND(MAX(CASE WHEN n_label = q_label THEN cosine END)
+           - MAX(CASE WHEN n_label <> q_label THEN cosine END), 6)
+         AS margin,
+       (MAX(CASE WHEN n_label <> q_label THEN cosine END)
+        > MAX(CASE WHEN n_label = q_label THEN cosine END))
+         AS impostor_nearest
+FROM scored
+GROUP BY query_id, q_label
+"""
+
+
+PIPELINE_QUERIES.update({
+    "hard_negatives_emb": {
+        "fn": q_hard_negatives_emb, "oracle": SQL_HARD_NEGATIVES_EMB},
+    "margin_audit_emb": {
+        "fn": q_margin_audit_emb, "oracle": SQL_MARGIN_AUDIT_EMB},
+})

@@ -946,11 +946,14 @@ def perplexity_buckets(
     Returns ``(id_col, lang, ppl, ppl_bucket)``.
 
     Scale shape: the per-language tertile CUTOFFS reduce to |langs|
-    rows via exact ``percentile`` in one aggregation (map-side
-    partials; no per-language global sort, no single-partition
-    window — the ntile formulation would funnel each language
-    through one task) and join back onto the scored frame unhinted —
-    AQE broadcasts the tiny cutoff side.  Boundary determinism: ppl
+    rows in one aggregation and join back onto the scored frame
+    unhinted — AQE broadcasts the tiny cutoff side; no per-language
+    ntile (which would funnel each language through one task).
+    Caveat: exact ``percentile`` buffers each language's ppl values
+    in its aggregation buffer — right at test scale and REQUIRED for
+    the value oracle, but at true corpus scale swap the cutoff
+    expression for ``percentile_approx`` (CCNet itself fits cutoffs
+    on a sample); the bucket semantics are unchanged.  Boundary determinism: ppl
     is rounded at 6 dp inside lm_perplexity and the interpolated
     cutoffs round at 6 dp on both engines before the <= comparison,
     so bucket labels are bit-stable cross-engine.

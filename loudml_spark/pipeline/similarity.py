@@ -738,3 +738,127 @@ def sq8_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def labeled_cosine_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """All (query, corpus) cosine scores with BOTH labels attached —
+    the shared base of hard-negative mining and the margin audit.
+    Same physical shape as :func:`cosine_topk`: the bounded query set
+    (vectors + labels) ships inside a ``mapInPandas`` closure, so
+    scoring is ONE corpus scan with a per-Arrow-batch numpy GEMM and
+    no join operator; self-matches are excluded.  Downstream rank
+    windows partition per query."""
+    q_rows = queries.select(
+        F.col(id_col), F.col(vec_col), F.col(label_col)).collect()
+    out_schema = ("query_id long, neighbor_id long, cosine double, "
+                  "q_label int, n_label int")
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema)
+    qids = [int(r[0]) for r in q_rows]
+    qlabels = [int(r[2]) for r in q_rows]
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy()
+            nl = pdf["n_label"].to_numpy()
+            X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+            xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+            S = (X @ Q.T) / (xn[:, None] * qn[None, :])
+            for j, qid in enumerate(qids):
+                mask = ids != qid
+                yield pd.DataFrame({
+                    "query_id": np.full(int(mask.sum()), qid,
+                                        dtype=np.int64),
+                    "neighbor_id": ids[mask],
+                    "cosine": S[mask, j],
+                    "q_label": np.full(int(mask.sum()), qlabels[j],
+                                       dtype=np.int32),
+                    "n_label": nl[mask].astype(np.int32),
+                })
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).cast("int").alias("n_label"),
+    )
+    return c.mapInPandas(score, out_schema).withColumn(
+        "cosine", F.round("cosine", round_to))
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining — the retrieval/metric-learning training
+    staple: per query, the top-k most similar corpus vectors with a
+    DIFFERENT label (the negatives the model currently confuses;
+    random negatives teach nothing once training warms up).  One
+    corpus scan (GEMM closure), label-mismatch filter, per-query rank
+    window — deterministic on (rounded cosine desc, id asc)."""
+    scored = labeled_cosine_scores(
+        queries, corpus, vec_col=vec_col, id_col=id_col,
+        label_col=label_col, round_to=round_to)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.filter(F.col("n_label") != F.col("q_label"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "q_label", "neighbor_id", "n_label",
+                "cosine", "rank")
+    )
+
+
+def margin_audit(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space class-separability audit: per query, the best
+    SAME-label cosine, the best DIFFERENT-label cosine, and their
+    margin — negative margin means the nearest neighbor is an
+    impostor (the triplet-loss violation count, measured corpus-wide
+    instead of per batch).  One conditional aggregation over the
+    scored scan; max() needs no tie-break (the margin is a value, not
+    a ranking)."""
+    scored = labeled_cosine_scores(
+        queries, corpus, vec_col=vec_col, id_col=id_col,
+        label_col=label_col, round_to=round_to)
+    same = F.when(F.col("n_label") == F.col("q_label"),
+                  F.col("cosine"))
+    diff = F.when(F.col("n_label") != F.col("q_label"),
+                  F.col("cosine"))
+    return (
+        scored.groupBy("query_id", "q_label")
+        .agg(F.max(same).alias("best_same"),
+             F.max(diff).alias("best_diff"))
+        .select(
+            "query_id", "q_label", "best_same", "best_diff",
+            F.round(F.col("best_same") - F.col("best_diff"),
+                    round_to).alias("margin"),
+            (F.col("best_diff") > F.col("best_same")).alias(
+                "impostor_nearest"),
+        )
+    )

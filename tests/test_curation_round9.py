@@ -343,3 +343,43 @@ def test_kmeans_fit_validates(spark):
     empty = df.filter("vec_id < 0")
     with pytest.raises(errors.Invalid):
         kmeans_fit(empty, k=2)
+
+
+# --------------------------------------- hard negatives / margin audit
+
+
+def _labeled_emb(spark):
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.1], 0),     # same-label near 0
+        (2, [0.99, 0.11], 1),    # diff-label impostor: nearest to 1
+        (3, [0.0, 1.0], 1),      # diff-label, far from 0
+        (4, [-1.0, 0.0], 0),     # same-label, opposite
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+
+
+def test_hard_negatives_ranks_closest_impostors(spark):
+    from loudml_spark.pipeline.similarity import hard_negatives
+
+    df = _labeled_emb(spark)
+    out = hard_negatives(df.filter("vec_id = 0"), df, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [2, 3]
+    assert all(r["n_label"] == 1 and r["q_label"] == 0 for r in out)
+    assert out[0]["rank"] == 1 and out[0]["cosine"] > out[1]["cosine"]
+
+
+def test_margin_audit_flags_impostor_nearest(spark):
+    from loudml_spark.pipeline.similarity import margin_audit
+
+    df = _labeled_emb(spark)
+    out = {r["query_id"]: r
+           for r in margin_audit(df.filter("vec_id < 2"), df).collect()}
+    # query 0: best same = 1 (cos≈0.995), best diff = 2 (cos≈0.976)
+    r0 = out[0]
+    assert r0["best_same"] > r0["best_diff"]
+    assert r0["margin"] > 0 and not r0["impostor_nearest"]
+    # query 1: nearest overall is 2 (diff label) → impostor
+    r1 = out[1]
+    assert r1["impostor_nearest"] and r1["margin"] < 0

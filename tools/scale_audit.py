@@ -111,6 +111,8 @@ AUDIT = [
     ("bpe_merges_docs", "full"),
     ("bpe_encode_docs", "full"),
     ("kmeans_balanced_sample", "full"),
+    ("hard_negatives_emb", "full"),
+    ("margin_audit_emb", "full"),
 ]
 
 
