@@ -4275,3 +4275,163 @@ PIPELINE_QUERIES.update({
     "margin_audit_emb": {
         "fn": q_margin_audit_emb, "oracle": SQL_MARGIN_AUDIT_EMB},
 })
+
+
+OVERLAP_SAMPLE_MOD = 4
+
+
+def q_source_overlap_sampled(spark, sf_dir):
+    """The source-overlap matrix under the extreme-scale knob: a
+    deterministic 1/4 content-keyed sample of the GRAM UNIVERSE
+    (scrambled gram hash ≡ 0 mod 4) — the same gram kept or dropped
+    in every source, so jaccard/containment stay unbiased while the
+    gram scan, posting build, and pair explosion all shrink 4×
+    (measured at 10×: SCALE_AUDIT.json)."""
+    from loudml_spark.pipeline.dedup import cross_source_overlap
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return cross_source_overlap(
+        docs, n=8, sample_mod=OVERLAP_SAMPLE_MOD)
+
+
+SQL_SOURCE_OVERLAP_SAMPLED = f"""
+WITH w AS (
+  SELECT source, {_SQL_WORDS} AS words FROM documents
+),
+g0 AS (
+  SELECT unnest({_SQL_8GRAM_HASHES}) AS g, source AS src FROM w
+),
+gs AS (
+  SELECT DISTINCT g, src FROM g0
+  WHERE (g * g % {MOD} + g) % {MOD} % {OVERLAP_SAMPLE_MOD} = 0
+),
+totals AS (SELECT src, COUNT(*) AS total FROM gs GROUP BY src),
+shared AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared
+  FROM gs a JOIN gs b ON a.g = b.g AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT s.src_a, s.src_b, s.shared,
+       ta.total AS total_a, tb.total AS total_b,
+       s.shared / (ta.total + tb.total - s.shared) AS jaccard,
+       s.shared / ta.total AS contain_a,
+       s.shared / tb.total AS contain_b
+FROM shared s
+JOIN totals ta ON ta.src = s.src_a
+JOIN totals tb ON tb.src = s.src_b
+"""
+
+
+PIPELINE_QUERIES.update({
+    "source_overlap_sampled": {
+        "fn": q_source_overlap_sampled,
+        "oracle": SQL_SOURCE_OVERLAP_SAMPLED},
+})
+
+
+def q_lsh_recall_audit(spark, sf_dir):
+    """LSH acceptance gate (the dedup analogue of ann_recall_ivf):
+    per-Jaccard-bucket recall of the MinHash banding vs the exact
+    >= 0.8 pair set on the bounded slice — the measured S-curve
+    (pipeline/dedup.py lsh_recall_audit).  Same slice and banding
+    parameters as minhash_lsh_pairs_docs, so the oracle composes
+    that query's CTE chain verbatim."""
+    from loudml_spark.pipeline.dedup import lsh_recall_audit
+
+    docs = _rebalance(
+        spark,
+        load_table(spark, sf_dir, "documents").filter("doc_id < 1000"))
+    return lsh_recall_audit(
+        docs, n=1, bands=2, threshold=0.8, bucket=0.05)
+
+
+SQL_LSH_RECALL_AUDIT = f"""
+WITH {_SQL_LSH_CTES},
+found AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+g AS (SELECT doc_id AS id, unnest(sh) AS h FROM sh),
+cand2 AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM g a JOIN g b ON a.h = b.h AND a.id < b.id
+),
+truth AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / CAST(len(sa.sh) + len(sb.sh)
+                  - len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           AS jaccard
+  FROM cand2 c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b
+),
+t AS (SELECT * FROM truth WHERE jaccard >= 0.8),
+m AS (
+  SELECT t.jaccard,
+         CASE WHEN f.id_a IS NULL THEN 0 ELSE 1 END AS found
+  FROM t LEFT JOIN found f USING (id_a, id_b)
+)
+SELECT CAST(floor(jaccard / 0.05) AS INTEGER) AS j_bucket,
+       COUNT(*) AS n_true,
+       CAST(SUM(found) AS BIGINT) AS n_found,
+       SUM(found) / COUNT(*) AS recall
+FROM m GROUP BY 1
+"""
+
+
+PIPELINE_QUERIES.update({
+    "lsh_recall_audit": {
+        "fn": q_lsh_recall_audit, "oracle": SQL_LSH_RECALL_AUDIT},
+})
+
+
+def q_weighted_sample_docs(spark, sf_dir):
+    """Exact weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): 32 docs drawn ∝ token count via top-k of
+    u^(1/w) — the distributed weighted-reservoir algorithm
+    (pipeline/sampling.py weighted_sample_k); u derives from the
+    content fingerprint so the draw is reproducible under re-runs
+    and re-partitionings."""
+    from loudml_spark.pipeline.sampling import weighted_sample_k
+    from loudml_spark.pipeline.text import (
+        rolling_hash_col, token_count_col,
+    )
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        token_count_col(F.col("text")).alias("n_tokens"),
+        rolling_hash_col(F.col("text")).alias("fp"),
+    )
+    return weighted_sample_k(
+        base, k=32, weight_col="n_tokens", key_col="fp")
+
+
+SQL_WEIGHTED_SAMPLE_DOCS = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         {_SQL_FP} AS fp
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, CAST(n_tokens AS DOUBLE) AS weight,
+         ROUND(pow(
+           ((fp * fp % {MOD} + fp) % {MOD} + 1)
+             / CAST({MOD} + 1 AS DOUBLE),
+           1.0 / n_tokens), 12) AS es_key
+  FROM base WHERE n_tokens > 0
+),
+r AS (
+  SELECT doc_id, weight, es_key,
+         CAST(row_number() OVER (ORDER BY es_key DESC, doc_id)
+              AS INTEGER) AS rank
+  FROM keyed
+)
+SELECT doc_id, weight, es_key, rank FROM r WHERE rank <= 32
+"""
+
+
+PIPELINE_QUERIES.update({
+    "weighted_sample_docs": {
+        "fn": q_weighted_sample_docs,
+        "oracle": SQL_WEIGHTED_SAMPLE_DOCS},
+})

@@ -36,6 +36,7 @@ from loudml_spark.pipeline.text import (
     TOKEN_RE,
     let_col,
     rolling_hash_col,
+    scramble_col,
     words_col,
 )
 
@@ -2009,6 +2010,7 @@ def cross_source_overlap(
     n: int = 8,
     text_col: str = "text",
     source_col: str = "source",
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Source-level contamination matrix: for every pair of corpus
     sources, the overlap of their distinct word n-gram sets —
@@ -2029,13 +2031,29 @@ def cross_source_overlap(
     explosion is O(|sources|²) worst case per gram — then one
     groupBy(pair).  Per-source totals reduce to |sources| rows and
     broadcast-join onto the pair frame.  Nothing here scales with
-    document count except the linear gram scan.
+    document count except the linear gram scan — which is exactly
+    what ``sample_mod`` cuts at extreme scale: keep only grams whose
+    scrambled hash ≡ 0 (mod sample_mod), a deterministic
+    content-keyed 1/sample_mod sample of the GRAM UNIVERSE.  Because
+    the same gram is kept or dropped in EVERY source, shared/total
+    counts shrink together and jaccard/containment stay unbiased
+    estimators (a uniform hash sample of the union); the measured
+    10× wall cut is in SCALE_AUDIT.json (`source_overlap_sampled`).
     """
     gs = df.select(
         F.explode(
             shingle_hashes_col(F.col(text_col), n)).alias("g"),
         F.col(source_col).alias("src"),
-    ).distinct()
+    )
+    if sample_mod is not None:
+        if sample_mod < 2:
+            from loudml_spark import errors
+
+            raise errors.Invalid(
+                f"sample_mod must be >= 2, got {sample_mod}")
+        gs = gs.filter(
+            scramble_col(F.col("g")) % sample_mod == 0)
+    gs = gs.distinct()
     totals = gs.groupBy("src").agg(F.count("*").alias("total"))
     # per-gram posting list of sources (bounded by |sources|) →
     # emit each unordered pair once per shared gram
@@ -2068,4 +2086,76 @@ def cross_source_overlap(
         (inter / union).alias("jaccard"),
         (inter / F.col("total_a")).alias("contain_a"),
         (inter / F.col("total_b")).alias("contain_b"),
+    )
+
+
+def lsh_recall_audit(
+    df: DataFrame,
+    *,
+    n: int = 1,
+    bands: int = 2,
+    threshold: float = 0.8,
+    bucket: float = 0.05,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Measured LSH recall vs EXACT ground truth, per similarity
+    bucket — the dedup analogue of the ANN recall gate
+    (:func:`similarity.ann_recall`): before MinHash+LSH replaces
+    exact pair generation in a pipeline, this answers "what fraction
+    of true >= threshold pairs does the banding actually surface,
+    and how does that recall climb with similarity?" (the textbook
+    S-curve, measured instead of assumed: with b bands of r rows,
+    P(candidate | j) = 1 - (1 - j^r)^b).
+
+    Ground truth is gate-safe exact: pairs sharing >= 1 shingle come
+    from a shingle-hash equi-join (complete for any threshold > 0 —
+    a pair with positive Jaccard shares a shingle), verified with
+    :func:`jaccard_col`.  Found = the pair also survives
+    :func:`minhash_lsh_pairs` with the same parameters.  Returns one
+    row per Jaccard bucket: ``(j_bucket, n_true, n_found, recall)``.
+
+    Scale note: ground truth is inherently candidate-heavy (that is
+    WHY LSH exists) — run the audit on a bounded slice, like every
+    acceptance gate here.
+    """
+    sets = df.select(
+        F.col(id_col).alias("id"),
+        shingle_hashes_col(F.col(text_col), n).alias("sh"),
+    )
+    grams = sets.select("id", F.explode("sh").alias("h"))
+    cand = (
+        grams.alias("a")
+        .join(grams.alias("b"),
+              (F.col("a.h") == F.col("b.h"))
+              & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        cand.join(sa, "id_a").join(sb, "id_b")
+        .select(
+            "id_a", "id_b",
+            jaccard_col("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    found = minhash_lsh_pairs(
+        df, text_col, id_col, n=n, bands=bands, threshold=threshold,
+    ).select("id_a", "id_b", F.lit(1).alias("__found"))
+    j = truth.join(found, ["id_a", "id_b"], "left")
+    # integer bucket index (floor(j / bucket)) — a float bucket label
+    # would re-introduce the ROUND tie-portability problem
+    b_idx = F.floor(F.col("jaccard") / F.lit(float(bucket))).cast("int")
+    return (
+        j.groupBy(b_idx.alias("j_bucket"))
+        .agg(F.count("*").alias("n_true"),
+             F.sum(F.coalesce("__found", F.lit(0))).alias("n_found"))
+        .select(
+            "j_bucket", "n_true",
+            F.col("n_found").cast("long").alias("n_found"),
+            (F.col("n_found") / F.col("n_true")).alias("recall"),
+        )
     )

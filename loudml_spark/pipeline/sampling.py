@@ -531,3 +531,58 @@ def token_budget_mix(
         F.round(alloc, round_to).alias("alloc"),
         F.round(alloc / F.col("tokens"), round_to).alias("epochs"),
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    *,
+    k: int,
+    weight_col,
+    key_col,
+    id_col: str = "doc_id",
+    round_to: int = 12,
+) -> DataFrame:
+    """Exact weighted sampling WITHOUT replacement of k rows —
+    Efraimidis–Spirakis (A-ES, IPL 2006): give every row the key
+    ``u^(1/w)`` with u uniform in (0,1) and keep the k largest; the
+    result is distributed exactly as sequential weighted draws
+    without replacement.  The distributed shape is the whole point:
+    top-k by key is ``orderBy(...).limit(k)`` → TakeOrderedAndProject
+    (per-task k-row heaps, driver merge) — ONE pass, no global sort,
+    no sequential draws, which is why this algorithm IS how weighted
+    reservoir sampling is done on clusters.
+
+    Determinism/portability: u derives from the caller's int64
+    ``key_col`` (content hash → reproducible under re-runs AND
+    re-partitionings) via the quadratic scramble, u = (scr + 1) /
+    (p + 1) ∈ (0, 1); the es_key rounds at ``round_to`` before
+    ranking with the id as tie-break, so selection is bit-stable
+    cross-engine (pow is libm — the last ulp is not portable, the
+    rounded key is).  Zero/negative weights are rejected rows (a
+    zero-weight row must never be drawn).
+
+    Returns the k selected rows: ``(id_col, weight, es_key, rank)``.
+    """
+    from pyspark.sql import Window
+
+    from loudml_spark.pipeline.text import HASH_MOD, scramble_col
+
+    if k < 1:
+        raise errors.Invalid(f"k must be >= 1, got {k}")
+    w = weight_col if isinstance(weight_col, Column) else F.col(weight_col)
+    key = key_col if isinstance(key_col, Column) else F.col(key_col)
+    u = (scramble_col(key) + 1) / F.lit(float(HASH_MOD + 1))
+    es = F.round(
+        F.pow(u, F.lit(1.0) / w.cast("double")), round_to)
+    base = (
+        df.filter(w > 0)
+        .select(F.col(id_col), w.cast("double").alias("weight"),
+                es.alias("es_key"))
+    )
+    top = base.orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc()).limit(k)
+    # rank assignment on the k collected-size frame (bounded window)
+    win = Window.partitionBy().orderBy(
+        F.col("es_key").desc(), F.col(id_col).asc())
+    return top.withColumn(
+        "rank", F.row_number().over(win).cast("int"))

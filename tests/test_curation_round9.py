@@ -383,3 +383,125 @@ def test_margin_audit_flags_impostor_nearest(spark):
     # query 1: nearest overall is 2 (diff label) → impostor
     r1 = out[1]
     assert r1["impostor_nearest"] and r1["margin"] < 0
+
+
+def test_source_overlap_sampling_is_consistent_estimator(spark):
+    from loudml_spark.pipeline.dedup import cross_source_overlap
+
+    rows = []
+    # two sources sharing ~half their text, a third disjoint
+    base = " ".join(f"w{i}" for i in range(200))
+    extra_a = " ".join(f"a{i}" for i in range(200))
+    extra_b = " ".join(f"b{i}" for i in range(200))
+    rows.append((0, base + " " + extra_a, "A"))
+    rows.append((1, base + " " + extra_b, "B"))
+    rows.append((2, " ".join(f"c{i}" for i in range(100)), "C"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    exact = {(r["src_a"], r["src_b"]): r
+             for r in cross_source_overlap(df, n=3).collect()}
+    est = {(r["src_a"], r["src_b"]): r
+           for r in cross_source_overlap(
+               df, n=3, sample_mod=4).collect()}
+    ab_exact = exact[("A", "B")]
+    ab_est = est[("A", "B")]
+    # the sample keeps ~1/4 of the gram universe: totals shrink ~4×
+    assert ab_est["total_a"] < ab_exact["total_a"] / 2
+    # ...but the RATIO estimates stay close (same gram kept/dropped
+    # in every source — deterministic values, loose statistical band)
+    assert abs(ab_est["jaccard"] - ab_exact["jaccard"]) < 0.15
+    assert abs(ab_est["contain_a"] - ab_exact["contain_a"]) < 0.2
+    # disjoint sources stay absent under sampling too
+    assert ("A", "C") not in est and ("B", "C") not in est
+
+
+def test_source_overlap_sample_mod_validates(spark):
+    import pytest as _pytest
+
+    from loudml_spark.pipeline.dedup import cross_source_overlap
+
+    df = spark.createDataFrame(
+        [(0, "a b c", "A")], "doc_id long, text string, source string")
+    with _pytest.raises(errors.Invalid):
+        cross_source_overlap(df, sample_mod=1).collect()
+
+
+# ------------------------------------------------------ LSH recall audit
+
+
+def test_lsh_recall_audit_matches_banding_theory(spark):
+    from loudml_spark.pipeline.dedup import lsh_recall_audit
+    from loudml_spark.sources.tables import load_table
+
+    docs = load_table(
+        spark, "/root/testdata/sf0.001", "documents")
+    out = sorted(
+        lsh_recall_audit(
+            docs, n=1, bands=2, threshold=0.8, bucket=0.05).collect(),
+        key=lambda r: r["j_bucket"])
+    assert out, "slice must contain true pairs"
+    # recall climbs with similarity (the S-curve) and tops out at 1
+    recalls = [r["recall"] for r in out]
+    assert recalls[-1] == 1.0
+    assert all(0.0 <= r <= 1.0 for r in recalls)
+    # every bucket's recall within a loose band of banding theory
+    # P(candidate | j) = 1 - (1 - j^4)^2 at the bucket midpoint
+    for r in out:
+        if r["n_true"] < 20:
+            continue  # tiny buckets are noisy
+        j = (r["j_bucket"] + 0.5) * 0.05
+        p = 1 - (1 - j ** 4) ** 2
+        assert abs(r["recall"] - p) < 0.25, (r, p)
+
+
+# ---------------------------------------------- E-S weighted sampling
+
+
+def test_weighted_sample_k_mechanics(spark):
+    from loudml_spark.pipeline.sampling import weighted_sample_k
+    from loudml_spark.pipeline.text import HASH_MOD
+
+    rows = [(i, i * 37 % 101 + 1, (i * 7919) % HASH_MOD)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, fp long")
+    out = weighted_sample_k(
+        df, k=10, weight_col="w", key_col="fp").collect()
+    assert len(out) == 10
+    assert sorted(r["rank"] for r in out) == list(range(1, 11))
+    keys = [r["es_key"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert keys == sorted(keys, reverse=True)
+    # es_key replays the published formula exactly
+    byid = {r[0]: r for r in rows}
+    for r in out:
+        fp = byid[r["doc_id"]][2]
+        w = byid[r["doc_id"]][1]
+        u = ((fp * fp % HASH_MOD + fp) % HASH_MOD + 1) / (HASH_MOD + 1)
+        assert r["es_key"] == pytest.approx(
+            round(u ** (1.0 / w), 12), abs=1e-12)
+
+
+def test_weighted_sample_k_excludes_nonpositive_and_validates(spark):
+    from loudml_spark.pipeline.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(0, 0, 5), (1, 3, 7), (2, -1, 9)],
+        "doc_id long, w long, fp long")
+    out = weighted_sample_k(
+        df, k=5, weight_col="w", key_col="fp").collect()
+    assert [r["doc_id"] for r in out] == [1]
+    with pytest.raises(errors.Invalid):
+        weighted_sample_k(df, k=0, weight_col="w", key_col="fp")
+
+
+def test_weighted_sample_k_favors_heavy_rows(spark):
+    from loudml_spark.pipeline.sampling import weighted_sample_k
+
+    # one row with 100× the weight of each of 99 light rows: under
+    # A-ES its inclusion probability in a k=10 draw is ~1; the draw
+    # is deterministic given the keys, so assert on this fixture
+    rows = [(0, 10_000, 123_456_789)] + [
+        (i, 100, (i * 104729) % 1_000_000_007) for i in range(1, 100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long, fp long")
+    out = weighted_sample_k(
+        df, k=10, weight_col="w", key_col="fp").collect()
+    assert any(r["doc_id"] == 0 for r in out)

@@ -112,6 +112,9 @@ AUDIT = [
     ("bpe_encode_docs", "full"),
     ("kmeans_balanced_sample", "full"),
     ("hard_negatives_emb", "full"),
+    ("source_overlap_sampled", "full"),
+    ("lsh_recall_audit", "bounded"),
+    ("weighted_sample_docs", "full"),
     ("margin_audit_emb", "full"),
 ]
 
