@@ -3820,9 +3820,9 @@ s AS (
       list_transform(ws, x -> CAST(length(x) AS BIGINT))),
       (a, b) -> a + b) AS chars,
     CAST(len(list_filter(ws,
-      x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS alpha,
+      x -> regexp_matches(lower(x), '[a-z]'))) AS BIGINT) AS alpha,
     CAST(len(list_filter(ws,
-      x -> x IN ({_SQL_STOPLIST}))) AS BIGINT) AS stops,
+      x -> lower(x) IN ({_SQL_STOPLIST}))) AS BIGINT) AS stops,
     CAST(len(string_split(text, '#')) - 1
        + len(string_split(text, '...')) - 1 AS BIGINT) AS sym
   FROM w
@@ -4261,9 +4261,13 @@ SELECT query_id, q_label,
        ROUND(MAX(CASE WHEN n_label = q_label THEN cosine END)
            - MAX(CASE WHEN n_label <> q_label THEN cosine END), 6)
          AS margin,
-       (MAX(CASE WHEN n_label <> q_label THEN cosine END)
-        > MAX(CASE WHEN n_label = q_label THEN cosine END))
-         AS impostor_nearest
+       CASE WHEN MAX(CASE WHEN n_label = q_label THEN cosine END)
+                 IS NULL
+            THEN MAX(CASE WHEN n_label <> q_label THEN cosine END)
+                 IS NOT NULL
+            ELSE (MAX(CASE WHEN n_label <> q_label THEN cosine END)
+                  > MAX(CASE WHEN n_label = q_label THEN cosine END))
+       END AS impostor_nearest
 FROM scored
 GROUP BY query_id, q_label
 """

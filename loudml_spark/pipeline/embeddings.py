@@ -545,8 +545,8 @@ def kmeans_fit(
             .agg(F.avg(F.col("v").cast("double")).alias("m"),
                  F.count("*").alias("n"),
                  F.sum(F.round(F.col("dist2"), 6)
-                       .cast("decimal(18,6)") / 64)
-                 .cast("double").alias("in64"))
+                       .cast("decimal(18,6)"))
+                 .cast("double").alias("in_sum"))
             .collect())
         new = [list(c) for c in centroids]
         sizes = [0] * len(centroids)
@@ -554,7 +554,12 @@ def kmeans_fit(
         for r in agg:
             new[r["cluster"]][r["dim"]] = float(r["m"])
             sizes[r["cluster"]] = int(r["n"])
-            inertia += float(r["in64"])
+            # every (cluster, dim) group sums the SAME members'
+            # dist2, so counting exactly one dim group per cluster
+            # gives the objective for any dimensionality (a /dims
+            # rescale would silently mis-scale non-64-dim corpora)
+            if r["dim"] == 0:
+                inertia += float(r["in_sum"])
         drift = max(
             sum((a - b) * (a - b) for a, b in zip(nc, oc))
             for nc, oc in zip(new, centroids))

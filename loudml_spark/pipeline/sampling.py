@@ -495,8 +495,10 @@ def token_budget_mix(
     if max_epochs <= 0:
         raise errors.Invalid(
             f"max_epochs must be > 0, got {max_epochs}")
+    from loudml_spark.pipeline.text import token_count_col
+
     toks = df.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(F.size(F.split(F.col(text_col), " "))).cast("long")
+        F.sum(token_count_col(F.col(text_col))).cast("long")
         .alias("tokens"))
     # bounded dimension frame from here on (|sources| rows)
     toks = toks.withColumn(

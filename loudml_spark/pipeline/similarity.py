@@ -858,7 +858,13 @@ def margin_audit(
             "query_id", "q_label", "best_same", "best_diff",
             F.round(F.col("best_same") - F.col("best_diff"),
                     round_to).alias("margin"),
-            (F.col("best_diff") > F.col("best_same")).alias(
-                "impostor_nearest"),
+            # null-safe: a query whose label is unique in the corpus
+            # has NO same-label neighbor — its nearest neighbor is an
+            # impostor by construction, not null (a null would vanish
+            # from a filter("impostor_nearest"))
+            F.when(F.col("best_same").isNull(),
+                   F.col("best_diff").isNotNull())
+            .otherwise(F.col("best_diff") > F.col("best_same"))
+            .alias("impostor_nearest"),
         )
     )

@@ -726,10 +726,15 @@ def gopher_rules(
             F.aggregate(
                 w, F.lit(0).cast("long"),
                 lambda acc, x: acc + F.length(x)).alias("chars"),
-            F.size(F.filter(w, lambda x: x.rlike("[a-z]"))).alias(
+            # case-insensitive, like the paper's rules: an all-caps
+            # acronym is still an alphabetic word and a
+            # sentence-initial "The" is still a stop word
+            F.size(F.filter(
+                w, lambda x: F.lower(x).rlike("[a-z]"))).alias(
                 "alpha"),
             F.size(F.filter(
-                w, lambda x: x.isin(*STOPWORDS))).alias("stops"),
+                w,
+                lambda x: F.lower(x).isin(*STOPWORDS))).alias("stops"),
         ),
     )
     symbols = (

@@ -356,7 +356,14 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._json(200, eng.get_hook(name, hook_name))
             if method == "POST":
                 body = dict(self._body() or {})
-                body.setdefault("name", hook_name)
+                # the URL names the resource: a body carrying a
+                # DIFFERENT name would silently create/replace some
+                # other hook and still answer 200 for this one
+                if body.get("name", hook_name) != hook_name:
+                    return self._json(400, {
+                        "error": "body name %r does not match URL "
+                                 "hook %r" % (body["name"], hook_name)})
+                body["name"] = hook_name
                 eng.set_hook(name, body)
                 return self._json(200, {"ok": True})
             if method == "DELETE":

@@ -505,3 +505,51 @@ def test_weighted_sample_k_favors_heavy_rows(spark):
     out = weighted_sample_k(
         df, k=10, weight_col="w", key_col="fp").collect()
     assert any(r["doc_id"] == 0 for r in out)
+
+
+# ------------------------------------------------- code-review fixes
+
+
+def test_gopher_rules_case_insensitive(spark):
+    # sentence-cased stop words and all-caps acronyms still count
+    df = spark.createDataFrame(
+        [(0, "The NASA probe And THE lander Of mars")],
+        "doc_id long, text string")
+    r = gopher_rules(df, min_words=2).collect()[0]
+    assert r["ok_stop"]      # The/And/THE/Of are stop words
+    assert r["ok_alpha"]     # NASA is an alphabetic word
+
+
+def test_margin_audit_unique_label_is_impostor(spark):
+    from loudml_spark.pipeline.similarity import margin_audit
+
+    rows = [
+        (0, [1.0, 0.0], 7),      # label unique in the corpus
+        (1, [0.9, 0.1], 0),
+        (2, [0.0, 1.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r["query_id"]: r
+           for r in margin_audit(df.filter("vec_id = 0"), df).collect()}
+    r0 = out[0]
+    assert r0["best_same"] is None and r0["margin"] is None
+    # nearest neighbor is an impostor BY CONSTRUCTION — true, not null
+    assert r0["impostor_nearest"] is True
+
+
+def test_kmeans_fit_inertia_is_absolute(spark):
+    import numpy as np
+
+    from loudml_spark.pipeline.embeddings import kmeans_fit
+
+    rows = [(0, [0.0, 0.0]), (1, [2.0, 0.0]),
+            (2, [10.0, 10.0]), (3, [12.0, 10.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    _, hist = kmeans_fit(df, k=2, max_iters=1)
+    # iteration 0 scores against the SEED centroids (vec 0 and 1):
+    # cluster0 members {0}, d2=0; cluster1 members {1,2,3} with
+    # d2 = 0, 164, 200 → total 364 in ABSOLUTE units (a /dims
+    # rescale bug would report 182 on these 2-dim vectors)
+    assert hist[0]["total_inertia"] == pytest.approx(364.0, abs=1e-3)

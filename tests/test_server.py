@@ -339,3 +339,29 @@ def test_hooks_rest_crud_and_test(srv):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(srv + "/models/ghost/hooks")
     assert ei.value.code == 404
+
+
+def test_hook_post_rejects_mismatched_body_name(srv):
+    # POST /models/<n>/hooks/<h> addresses hook <h>; a body smuggling
+    # a DIFFERENT name must 400, not silently create/replace another
+    # hook while answering 200 for this one
+    code, _ = _post(srv + "/models", {
+        "name": "hooked2", "type": "gaussian", "bucket_interval": 60,
+    })
+    assert code == 201
+    code, _ = _post(srv + "/models/hooked2/hooks",
+                    {"type": "logging", "name": "h1"})
+    assert code == 201
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(srv + "/models/hooked2/hooks/h1", "POST",
+             {"type": "logging", "name": "h2"})
+    assert ei.value.code == 400
+    # h2 was NOT created on the side
+    _, body = _get(srv + "/models/hooked2/hooks")
+    assert body == ["h1"]
+    # a body without a name updates the URL-addressed hook
+    code, _ = _req(srv + "/models/hooked2/hooks/h1", "POST",
+                   {"type": "logging", "config": {"x": 1}})
+    assert code == 200
+    _, body = _get(srv + "/models/hooked2/hooks/h1")
+    assert body["config"] == {"x": 1}

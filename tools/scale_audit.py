@@ -205,9 +205,18 @@ def main():
 
                 rec["wall_growth_exp"] = round(
                     math.log10(tb / ta), 3)
+    # a SPARK_GRAFT_AUDIT_ONLY-filtered run must MERGE into an
+    # existing artifact, not clobber the full-catalog results with
+    # its subset (the hazard the docstring's "incremental" promises)
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            prior = json.load(f)
+        merged = prior.get("results", {})
+        merged.update(results)
+        results = merged
     with open(out_path, "w") as f:
         json.dump({"sf_dirs": sf_dirs, "results": results}, f, indent=1)
-    print(f"\nwrote {out_path}")
+    print(f"\nwrote {out_path} ({len(results)} queries)")
 
 
 if __name__ == "__main__":
