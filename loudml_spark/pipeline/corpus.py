@@ -935,6 +935,8 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     add_k: float = 0.5,
     labels: tuple = ("head", "middle", "tail"),
+    approx: bool = False,
+    approx_accuracy: int = 10000,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
     language, split the corpus into head / middle / tail thirds by
@@ -949,22 +951,34 @@ def perplexity_buckets(
     rows in one aggregation and join back onto the scored frame
     unhinted — AQE broadcasts the tiny cutoff side; no per-language
     ntile (which would funnel each language through one task).
-    Caveat: exact ``percentile`` buffers each language's ppl values
-    in its aggregation buffer — right at test scale and REQUIRED for
-    the value oracle, but at true corpus scale swap the cutoff
-    expression for ``percentile_approx`` (CCNet itself fits cutoffs
-    on a sample); the bucket semantics are unchanged.  Boundary determinism: ppl
-    is rounded at 6 dp inside lm_perplexity and the interpolated
+    Exact ``percentile`` buffers each language's ppl values in its
+    aggregation buffer — right at test scale and REQUIRED for the
+    value oracle.  ``approx=True`` is the 100 TB path: cutoffs come
+    from ``percentile_approx`` (Greenwald–Khanna sketch, bounded
+    O(accuracy) buffer per language, mergeable map-side) at
+    ``approx_accuracy``; CCNet itself fits cutoffs on a sample, so
+    boundary wobble is in-contract — the agreement gate
+    (tests/test_curation_round10.py) holds assignments ≥95%
+    identical to exact on the driver corpus, and SCALE.md §round-10
+    records the measured agreement.  Boundary determinism: ppl is
+    rounded at 6 dp inside lm_perplexity and the interpolated
     cutoffs round at 6 dp on both engines before the <= comparison,
-    so bucket labels are bit-stable cross-engine.
+    so bucket labels are bit-stable cross-engine (exact path).
     """
     ppl = lm_perplexity(
         df, text_col=text_col, id_col=id_col, add_k=add_k)
     scored = df.select(id_col, F.col(lang_col).alias("lang")).join(
         ppl.select(id_col, "ppl"), id_col)
+    if approx:
+        acc = int(approx_accuracy)
+        c1 = F.expr(f"percentile_approx(ppl, 1.0/3, {acc})")
+        c2 = F.expr(f"percentile_approx(ppl, 2.0/3, {acc})")
+    else:
+        c1 = F.expr("percentile(ppl, 1.0/3)")
+        c2 = F.expr("percentile(ppl, 2.0/3)")
     cutoffs = scored.groupBy("lang").agg(
-        F.round(F.expr("percentile(ppl, 1.0/3)"), 6).alias("__c1"),
-        F.round(F.expr("percentile(ppl, 2.0/3)"), 6).alias("__c2"),
+        F.round(c1, 6).alias("__c1"),
+        F.round(c2, 6).alias("__c2"),
     )
     out = scored.join(cutoffs, "lang")
     bucket = (
@@ -998,12 +1012,76 @@ def bpe_merge_col(arr, a: str, b: str):
     )
 
 
+def _bpe_apply_merge(syms: list, a: str, b: str) -> list:
+    """Greedy left-to-right application of one merge — the Python
+    twin of :func:`bpe_merge_col`'s left fold (append, or fuse with
+    the accumulator's last element when (last, x) == (a, b))."""
+    out: list = []
+    ab = a + b
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = ab
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_train_driver(words: list, n_merges: int) -> list:
+    """Drive the merge loop on a COLLECTED word-frequency table with
+    INCREMENTALLY maintained pair counts — what real BPE trainers
+    (Sennrich 2016's learn_bpe, HuggingFace tokenizers) do: after a
+    merge, only the words that contained the pair have their pair
+    contributions subtracted and re-added; the global counter is
+    never rebuilt.  ``words`` is ``[[syms, count], ...]``; returns
+    ``(step, "a b", n, ab)`` records identical to the distributed
+    path (same argmax tie-break: count desc, left asc, right asc —
+    Python code-point string order == Spark UTF8 binary order).
+    """
+    from collections import Counter, defaultdict
+
+    counts: Counter = Counter()
+    where: dict = defaultdict(set)  # pair -> indices of words seen in
+    for i, (syms, c) in enumerate(words):
+        for p in zip(syms, syms[1:]):
+            counts[p] += c
+            where[p].add(i)
+    records = []
+    for step in range(n_merges):
+        if not counts:
+            break
+        (a, b), n = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ab = a + b
+        touched = set()
+        # `where` holds every word that EVER contained the pair; a
+        # stale member (pair merged away earlier) nets to zero under
+        # subtract-all/re-add-all, so no containment re-check needed
+        for i in where.pop((a, b), ()):
+            syms, c = words[i]
+            for p in zip(syms, syms[1:]):
+                counts[p] -= c
+                touched.add(p)
+            new = _bpe_apply_merge(syms, a, b)
+            for p in zip(new, new[1:]):
+                counts[p] += c
+                touched.add(p)
+                where[p].add(i)
+            words[i][0] = new
+        for p in touched:
+            if counts.get(p, 0) <= 0:
+                counts.pop(p, None)
+        records.append((step, f"{a} {b}", n, ab))
+    return records
+
+
 def bpe_train_merges(
     df: DataFrame,
     *,
     n_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    driver_max_vocab: int = 1_000_000,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus — the tokenizer
     TRAINER, not just one iteration's statistic
@@ -1012,36 +1090,60 @@ def bpe_train_merges(
     ``(step, pair, n, new_symbol)`` with ``pair`` in the standard
     space-separated merges-file format ("t h", "th e", ...).
 
-    Distributed shape (what real trainers do, made Spark-native):
+    Two-regime shape (what real trainers do, made Spark-native):
     the corpus reduces ONCE to the word-frequency table (one
-    map-side-combined shuffle — the only pass that sees corpus
-    rows); every iteration then runs on that |vocab|-sized frame:
-    adjacent-pair counts weighted by word frequency (explode + agg),
-    a 1-ROW collect of the argmax (the merge decision is the only
-    thing that ever crosses to the driver), and a pure-Column fold
-    that applies the merge to each symbol array.  localCheckpoint
-    per iteration bounds the lineage (the iterative-plan idiom).
+    map-side-combined shuffle — the only pass that sees corpus rows;
+    corpus size only ever affects this pass).  Then:
 
-    Merge application is a LEFT FOLD — append, or fuse with the
-    accumulator's last element when it equals the pair — which is
-    exactly greedy left-to-right BPE: a fused symbol is strictly
-    longer than the pair's left element, so it can never re-fuse as
-    the LEFT side within the same pass ("aaa" + (a,a) → [aa, a],
-    never [aaa]).  Ties in the argmax break on (count desc, left
-    asc, right asc) — bit-stable against the oracle's identical
-    Python loop.
+    * **Driver path (the real-tokenizer regime).** When the distinct
+      vocabulary holds ≤ ``driver_max_vocab`` words, collect the
+      (word, count) table — the bounded-model idiom the IVF/PQ/
+      classifier fits use; 1M words ≈ tens of MB — and run the merge
+      loop in-process with INCREMENTALLY maintained pair counts
+      (only words containing the merged pair are re-counted, the
+      Sennrich learn_bpe shape).  32k merges are 32k dict updates,
+      not 32k Spark jobs: measured 1024 merges in 1.7 s where the
+      distributed recount costs ~0.33 s/merge (~340 s projected at
+      1024, hours at 32k) — SCALE.md §round-10, tools/
+      bpe_train_bench.py.
+    * **Distributed overflow.** Vocabularies past the driver bound
+      (realistic for multi-TB multilingual crawls: >1e8 distinct
+      "words") iterate on the |vocab|-sized frame: adjacent-pair
+      counts weighted by word frequency (explode + agg), a 1-ROW
+      argmax collect (the merge decision is the only thing crossing
+      to the driver), and a pure-Column fold applying the merge.
+      localCheckpoint per iteration bounds the lineage.
+
+    Both paths share the argmax tie-break (count desc, left asc,
+    right asc) and greedy left-to-right merge application, and are
+    parity-gated bit-identical in the suite
+    (tests/test_curation_round10.py).  The distributed merge fold is
+    a LEFT FOLD — append, or fuse with the accumulator's last
+    element — exactly greedy left-to-right BPE: a fused symbol is
+    strictly longer than the pair's left element, so it can never
+    re-fuse as the LEFT side within the same pass ("aaa" + (a,a) →
+    [aa, a], never [aaa]).
     """
     from loudml_spark import errors
 
     if n_merges <= 0:
         raise errors.Invalid(f"n_merges must be > 0, got {n_merges}")
     t = tokens(df, text_col=text_col, id_col=id_col)
+    freq = t.groupBy("token").agg(F.count("*").alias("c"))
+    spark = df.sparkSession
+    if driver_max_vocab > 0:
+        # limit(N+1) bounds the collect whatever the true vocabulary
+        # size: one job, ≤ N+1 (word, count) rows of driver memory
+        head = freq.limit(driver_max_vocab + 1).collect()
+        if len(head) <= driver_max_vocab:
+            words = [[list(r["token"]), int(r["c"])] for r in head]
+            return spark.createDataFrame(
+                _bpe_train_driver(words, n_merges),
+                "step int, pair string, n long, new_symbol string")
     cur = (
-        t.groupBy("token").agg(F.count("*").alias("c"))
-        .select(F.split("token", "").alias("syms"), "c")
+        freq.select(F.split("token", "").alias("syms"), "c")
         .localCheckpoint()
     )
-    spark = df.sparkSession
     records = []
     for step in range(n_merges):
         s = F.col("syms")

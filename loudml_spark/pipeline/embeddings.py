@@ -499,14 +499,30 @@ def kmeans_fit(
     tol: float = 1e-6,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    seed_rule: str = "hash",
 ) -> tuple:
-    """Full distributed Lloyd's k-means: seed with the k lowest-id
-    vectors (deterministic), iterate :func:`kmeans_step`-shaped
-    passes until every cluster's centroid drift falls under ``tol``
-    or ``max_iters`` is hit.  Returns ``(centroids, history)`` where
-    ``centroids`` is the final k×dim list and ``history`` is one
-    record per iteration: ``(iter, total_inertia, max_drift,
-    n_clusters)``.
+    """Full distributed Lloyd's k-means: seed deterministically,
+    iterate :func:`kmeans_step`-shaped passes until every cluster's
+    centroid drift falls under ``tol`` or ``max_iters`` is hit.
+    Returns ``(centroids, history)`` where ``centroids`` is the
+    final k×dim list and ``history`` is one record per iteration:
+    ``(iter, total_inertia, max_drift, n_clusters)``.
+
+    ``seed_rule``:
+
+    * ``"hash"`` (default) — the k vectors with the lowest
+      ``xxhash64(id)``: a content-hash scramble of the id order (the
+      repo's determinism idiom), which is a uniform random draw
+      w.r.t. any id-correlated data layout.  At 100 TB the first k
+      ids of a corpus usually share a shard/source — the worst
+      published initializer regime — while a hash draw is as good as
+      seeded random sampling, with no RNG state to ship.  One
+      TakeOrderedAndProject over the scan, like ``"lowest_id"``.
+    * ``"lowest_id"`` — the r9 behavior, kept for replay against
+      frozen oracles.
+
+    Gate: on the driver embeddings tables at two SFs, final inertia
+    under ``"hash"`` ≤ ``"lowest_id"`` (tests/test_curation_round10).
 
     Driver traffic per iteration is the k×dim centroid matrix plus
     k stat rows — codebook-sized, like every bounded model fit here
@@ -519,8 +535,17 @@ def kmeans_fit(
 
     if k <= 0:
         raise errors.Invalid(f"k must be > 0, got {k}")
+    if seed_rule == "hash":
+        seed_order = [F.xxhash64(F.col(id_col)).asc(),
+                      F.col(id_col).asc()]
+    elif seed_rule == "lowest_id":
+        seed_order = [F.col(id_col).asc()]
+    else:
+        raise errors.Invalid(
+            f"seed_rule must be 'hash' or 'lowest_id', got {seed_rule!r}")
     seeds = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect())
+        df.select(id_col, vec_col).orderBy(*seed_order)
+        .limit(k).collect())
     if not seeds:
         raise errors.Invalid("corpus is empty")
     centroids = [[float(x) for x in r[vec_col]] for r in seeds]
