@@ -28,8 +28,12 @@ statistical character, deterministically (seed fixed):
 * embeddings — fresh per-label Gaussian samples (per-dimension
   mean/std fit on sf0.1), label mix preserved.
 
-Usage: python tools/make_scale_data.py [factor] [out_dir] [src_dir]
-Defaults: 10 /root/repo/testdata_sf1 /root/testdata/sf0.1
+Usage: python tools/make_scale_data.py [factor] [out_dir] [src_dir] [tables]
+Defaults: 10 /root/repo/testdata_sf1 /root/testdata/sf0.1 (all tables)
+`tables` is a comma list restricting generation (e.g.
+"documents,events" for the third-decade audit, which only re-measures
+document/event-shaped queries — a full 100×-sf0.1 lineitem would be
+~1 GB of parquet nothing reads).
 """
 
 from __future__ import annotations
@@ -136,43 +140,62 @@ def main():
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
     src_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    tables = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+
+    def wanted(name):
+        return tables is None or name in tables
+
     os.makedirs(out_dir, exist_ok=True)
-    print(f"scaling {src_dir} x{factor} -> {out_dir}")
+    print(f"scaling {src_dir} x{factor} -> {out_dir}"
+          + (f" (tables: {sorted(tables)})" if tables else ""))
 
     for name in ("region", "nation"):
-        _write(out_dir, name, _read(src_dir, name))
+        if wanted(name):
+            _write(out_dir, name, _read(src_dir, name))
 
-    cust = _read(src_dir, "customer")
-    supp = _read(src_dir, "supplier")
-    part = _read(src_dir, "part")
-    orders = _read(src_dir, "orders")
-    li = _read(src_dir, "lineitem")
-    events = _read(src_dir, "events")
-    ck = _key_range(cust, "c_custkey")
-    sk = _key_range(supp, "s_suppkey")
-    pk = _key_range(part, "p_partkey")
-    ok = _key_range(orders, "o_orderkey")
-    ek = _key_range(events, "event_id")
-    uk = _key_range(events, "user_id")
-
-    _write(out_dir, "customer", _shards(
-        cust, factor, {"c_custkey": ck},
-        {"c_name": ("Customer", "c_custkey")}))
-    _write(out_dir, "supplier", _shards(
-        supp, factor, {"s_suppkey": sk},
-        {"s_name": ("Supplier", "s_suppkey")}))
-    _write(out_dir, "part", _shards(part, factor, {"p_partkey": pk}))
-    _write(out_dir, "orders", _shards(
-        orders, factor, {"o_orderkey": ok, "o_custkey": ck}))
-    _write(out_dir, "lineitem", _shards(
-        li, factor,
-        {"l_orderkey": ok, "l_partkey": pk, "l_suppkey": sk}))
-    _write(out_dir, "events", _shards(
-        events, factor, {"event_id": ek, "user_id": uk}))
-    _write(out_dir, "documents",
-           make_documents(_read(src_dir, "documents"), factor))
-    _write(out_dir, "embeddings",
-           make_embeddings(_read(src_dir, "embeddings"), factor))
+    if wanted("customer"):
+        cust = _read(src_dir, "customer")
+        _write(out_dir, "customer", _shards(
+            cust, factor, {"c_custkey": _key_range(cust, "c_custkey")},
+            {"c_name": ("Customer", "c_custkey")}))
+    if wanted("supplier"):
+        supp = _read(src_dir, "supplier")
+        _write(out_dir, "supplier", _shards(
+            supp, factor, {"s_suppkey": _key_range(supp, "s_suppkey")},
+            {"s_name": ("Supplier", "s_suppkey")}))
+    if wanted("part"):
+        part = _read(src_dir, "part")
+        _write(out_dir, "part", _shards(
+            part, factor, {"p_partkey": _key_range(part, "p_partkey")}))
+    if wanted("orders") or wanted("lineitem"):
+        orders = _read(src_dir, "orders")
+        ok = _key_range(orders, "o_orderkey")
+        if wanted("orders"):
+            cust = _read(src_dir, "customer")
+            _write(out_dir, "orders", _shards(
+                orders, factor,
+                {"o_orderkey": ok,
+                 "o_custkey": _key_range(cust, "c_custkey")}))
+        if wanted("lineitem"):
+            part = _read(src_dir, "part")
+            supp = _read(src_dir, "supplier")
+            _write(out_dir, "lineitem", _shards(
+                _read(src_dir, "lineitem"), factor,
+                {"l_orderkey": ok,
+                 "l_partkey": _key_range(part, "p_partkey"),
+                 "l_suppkey": _key_range(supp, "s_suppkey")}))
+    if wanted("events"):
+        events = _read(src_dir, "events")
+        _write(out_dir, "events", _shards(
+            events, factor,
+            {"event_id": _key_range(events, "event_id"),
+             "user_id": _key_range(events, "user_id")}))
+    if wanted("documents"):
+        _write(out_dir, "documents",
+               make_documents(_read(src_dir, "documents"), factor))
+    if wanted("embeddings"):
+        _write(out_dir, "embeddings",
+               make_embeddings(_read(src_dir, "embeddings"), factor))
     print("done")
 
 
