@@ -4364,3 +4364,67 @@ EXT_QUERIES.update({
     "bpe_encode_docs": {
         "fn": q_bpe_encode_docs, "oracle_fn": _sql_bpe_encode_docs},
 })
+
+
+def q_bpe_fertility_by_lang(spark, sf_dir):
+    """Tokenizer fertility audit under the trained BPE merges
+    (pipeline/corpus.py bpe_fertility): subword tokens per word and
+    chars per token BY LANGUAGE — the multilingual-equity check
+    (Ács 2019): a tokenizer that fragments one language 2× more
+    than another halves its effective context window."""
+    from loudml_spark.pipeline.corpus import bpe_fertility
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_fertility(docs, _bpe_merges(spark, sf_dir), by="lang")
+
+
+def _sql_bpe_fertility_by_lang(sf_dir=None) -> str:
+    """Data-derived oracle: the independent Python trainer+encoder's
+    per-word symbol counts as a VALUES table (see
+    _sql_bpe_encode_docs); the per-language rollup is pure SQL over
+    the same tokenization — ratios of exact integer sums."""
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    d = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    wf = con.execute(f"""
+WITH tok AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM read_parquet('{os.path.join(d, "documents.parquet")}')
+)
+SELECT DISTINCT w FROM tok""").fetchall()
+    con.close()
+    merges = [p.split(" ") for _, p, _, _ in _py_bpe_train(sf_dir)]
+    enc_rows = []
+    for (w,) in wf:
+        syms = list(w)
+        for a, b in merges:
+            syms = _py_bpe_apply(syms, a, b)
+        enc_rows.append((w, len(w), len(syms)))
+    values = ", ".join(
+        f"('{w}', {ln}, {ns})" for w, ln, ns in enc_rows)
+    return f"""
+WITH enc(token, len, ns) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(e.len) AS BIGINT) AS n_chars,
+       CAST(SUM(e.ns) AS BIGINT) AS n_syms,
+       ROUND(SUM(e.ns) / COUNT(*), 6) AS fertility,
+       ROUND(SUM(e.len) / SUM(e.ns), 6) AS chars_per_token
+FROM tok JOIN enc e USING (token)
+GROUP BY lang
+"""
+
+
+EXT_QUERIES.update({
+    "bpe_fertility_by_lang": {
+        "fn": q_bpe_fertility_by_lang,
+        "oracle_fn": _sql_bpe_fertility_by_lang},
+})

@@ -4439,3 +4439,240 @@ PIPELINE_QUERIES.update({
         "fn": q_weighted_sample_docs,
         "oracle": SQL_WEIGHTED_SAMPLE_DOCS},
 })
+
+
+# ------------------------------------------------- round 10: k-means
+# quality metrics + duplication audit (the evaluation half of the
+# clustering family — assign/step/fit existed, nothing measured
+# whether a clustering was any good)
+
+
+def q_kmeans_silhouette_emb(spark, sf_dir):
+    """Per-cluster simplified silhouette over the seed centroids
+    (pipeline/embeddings.py kmeans_silhouette, the Kaufman centroid
+    approximation every distributed library ships): a/b from ONE
+    array_sort of per-centroid distance structs — map-only, the
+    centroid literal rides the plan; one k-row groupBy."""
+    from loudml_spark.pipeline.embeddings import kmeans_silhouette
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    return kmeans_silhouette(emb, _kmeans_seeds(spark, sf_dir))
+
+
+SQL_KMEANS_SILHOUETTE_EMB = f"""
+WITH {_SQL_KMEANS_ASSIGN_CTE},
+sd AS (SELECT vec_id, cid, sqrt(d2) AS dd, rn FROM assigned),
+ab AS (
+  SELECT a.vec_id, a.cid AS cluster, a.dd AS da, b.dd AS db
+  FROM sd a JOIN sd b USING (vec_id)
+  WHERE a.rn = 1 AND b.rn = 2
+),
+sil AS (
+  SELECT cluster,
+         ROUND(CASE WHEN greatest(da, db) > 0
+               THEN (db - da) / greatest(da, db)
+               ELSE 0.0 END, 6) AS s
+  FROM ab
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS size,
+       ROUND(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_silhouette
+FROM sil GROUP BY cluster
+"""
+
+
+def q_davies_bouldin_emb(spark, sf_dir):
+    """Davies–Bouldin components over the seed centroids
+    (pipeline/embeddings.py davies_bouldin): one map-only assignment
+    pass + one k-row groupBy; the k×k ratio matrix lives on the
+    k-row aggregate, never corpus rows."""
+    from loudml_spark.pipeline.embeddings import davies_bouldin
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    return davies_bouldin(emb, _kmeans_seeds(spark, sf_dir))
+
+
+_SQL_KMEANS_SEP = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(64), "
+    "i -> (a.cv[i + 1]::DOUBLE - b.cv[i + 1]::DOUBLE) "
+    "* (a.cv[i + 1]::DOUBLE - b.cv[i + 1]::DOUBLE))), "
+    "(x, y) -> x + y))"
+)
+
+SQL_DAVIES_BOULDIN_EMB = f"""
+WITH {_SQL_KMEANS_ASSIGN_CTE},
+member AS (
+  SELECT vec_id, cid, ROUND(sqrt(d2), 6) AS d
+  FROM assigned WHERE rn = 1
+),
+scat AS (
+  SELECT cid, COUNT(*) AS size,
+         ROUND(CAST(SUM(CAST(d AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*), 6) AS scatter
+  FROM member GROUP BY cid
+),
+sep AS (
+  SELECT a.cid AS ci, b.cid AS cj, {_SQL_KMEANS_SEP} AS m
+  FROM cent a JOIN cent b ON a.cid <> b.cid
+)
+SELECT CAST(s.cid AS INTEGER) AS cluster,
+       CAST(s.size AS BIGINT) AS size, s.scatter,
+       ROUND(MAX((s.scatter + o.scatter) / p.m), 6) AS db
+FROM scat s
+JOIN sep p ON p.ci = s.cid
+JOIN scat o ON o.cid = p.cj
+GROUP BY 1, 2, 3
+"""
+
+
+KMFIT_K = 8
+KMFIT_ITERS = 4
+
+
+def q_kmeans_fit_emb(spark, sf_dir):
+    """Full Lloyd fit history (pipeline/embeddings.py kmeans_fit,
+    hash-scrambled seeding): one row per iteration with the
+    DECIMAL-summed objective, max centroid drift, and live cluster
+    count.  Each iteration is a map-only assign + ONE k·dims
+    shuffle; driver traffic is codebook-sized."""
+    from loudml_spark.pipeline.embeddings import kmeans_fit
+
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
+    _, history = kmeans_fit(
+        emb, k=KMFIT_K, max_iters=KMFIT_ITERS, tol=1e-12)
+    rows = [(h["iter"], h["total_inertia"],
+             round(h["max_drift"], 6), h["n_clusters"])
+            for h in history]
+    return spark.createDataFrame(
+        rows, "iter int, total_inertia double, max_drift double, "
+              "n_clusters int")
+
+
+def _py_kmeans_fit(sf_dir) -> list:
+    """INDEPENDENT plain-Python Lloyd replay over the same parquet
+    via DuckDB: md5-scrambled seeds, left-to-right float64 distance
+    folds, per-(cluster, dim) means rounded at 6 dp, per-cluster
+    DECIMAL(18,6) HALF_UP inertia sums folded in cluster order —
+    the same portability idiom the Spark operator declares, executed
+    by different code."""
+    import hashlib
+    import os
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    d = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    vecs = con.execute(
+        "SELECT vec_id, embedding FROM read_parquet('%s') "
+        "ORDER BY vec_id"
+        % os.path.join(d, "embeddings.parquet")).fetchall()
+    con.close()
+    data = [(int(i), [float(x) for x in v]) for i, v in vecs]
+    seeds = sorted(
+        data, key=lambda r: (hashlib.md5(
+            str(r[0]).encode()).hexdigest(), r[0]))[:KMFIT_K]
+    cents = [list(v) for _, v in seeds]
+    q6 = Decimal("0.000001")
+    history = []
+    for it in range(KMFIT_ITERS):
+        members: dict = {}
+        in_dec: dict = {}
+        for _, v in data:
+            best_d, best_c = None, None
+            for cid, c in enumerate(cents):
+                s = 0.0
+                for a, b in zip(v, c):
+                    s += (a - b) * (a - b)
+                if best_d is None or s < best_d:
+                    best_d, best_c = s, cid
+            members.setdefault(best_c, []).append(v)
+            in_dec[best_c] = in_dec.get(best_c, Decimal(0)) + Decimal(
+                str(round(best_d, 6))).quantize(q6, ROUND_HALF_UP)
+        new = [list(c) for c in cents]
+        for cid, vs in members.items():
+            dims = len(vs[0])
+            for dim in range(dims):
+                tot = 0.0
+                for v in vs:
+                    tot += v[dim]
+                new[cid][dim] = round(tot / len(vs), 6)
+        inertia = sum(float(in_dec[c]) for c in sorted(in_dec))
+        drift = max(
+            sum((a - b) * (a - b) for a, b in zip(nc, oc))
+            for nc, oc in zip(new, cents))
+        history.append((it, round(inertia, 4), round(drift, 6),
+                        len(members)))
+        cents = new
+        if drift < 1e-12:
+            break
+    return history
+
+
+def _sql_kmeans_fit_emb(sf_dir=None) -> str:
+    rows = _py_kmeans_fit(sf_dir)
+    values = ", ".join(
+        f"({i}, {ine!r}, {dr!r}, {nc})" for i, ine, dr, nc in rows)
+    return f"""
+SELECT CAST(iter AS INTEGER) AS iter,
+       CAST(total_inertia AS DOUBLE) AS total_inertia,
+       CAST(max_drift AS DOUBLE) AS max_drift,
+       CAST(n_clusters AS INTEGER) AS n_clusters
+FROM (VALUES {values}) AS t(iter, total_inertia, max_drift, n_clusters)
+"""
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Exact-duplicate rate per source — the curation dashboard's
+    first column (which feeds are mostly mirrors?).  Fingerprint
+    groupBy (map-side combined) → count join-back (AQE broadcasts
+    the dup-count side when it fits) → one |sources|-row rollup."""
+    from loudml_spark.pipeline.text import rolling_hash_col
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    f = docs.select(
+        "doc_id", "source",
+        rolling_hash_col(F.col("text")).alias("fp"))
+    cnt = f.groupBy("fp").agg(F.count("*").alias("__n"))
+    return (
+        f.join(cnt, "fp")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.when(F.col("__n") > 1, 1).otherwise(0))
+             .alias("n_dup_docs"))
+        .select(
+            "source", "n_docs", "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 6)
+            .alias("dup_rate")))
+
+
+SQL_DUP_RATE_BY_SOURCE = f"""
+WITH f AS (
+  SELECT doc_id, source, {_SQL_FP} AS fp FROM documents
+),
+c AS (SELECT fp, COUNT(*) AS n FROM f GROUP BY fp)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       ROUND(SUM(CASE WHEN c.n > 1 THEN 1 ELSE 0 END)
+             / COUNT(*), 6) AS dup_rate
+FROM f JOIN c USING (fp)
+GROUP BY source
+"""
+
+
+PIPELINE_QUERIES.update({
+    "kmeans_silhouette_emb": {
+        "fn": q_kmeans_silhouette_emb,
+        "oracle": SQL_KMEANS_SILHOUETTE_EMB},
+    "davies_bouldin_emb": {
+        "fn": q_davies_bouldin_emb,
+        "oracle": SQL_DAVIES_BOULDIN_EMB},
+    "kmeans_fit_emb": {
+        "fn": q_kmeans_fit_emb, "oracle_fn": _sql_kmeans_fit_emb},
+    "dup_rate_by_source": {
+        "fn": q_dup_rate_by_source, "oracle": SQL_DUP_RATE_BY_SOURCE},
+})

@@ -1218,3 +1218,53 @@ def bpe_encode(
                F.col("n_chars") / F.col("n_syms"))
         .alias("chars_per_token"),
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list,
+    *,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer fertility per group (Ács 2019 / Rust et al. 2021's
+    multilingual-equity measurement): subword tokens per word and
+    chars per token under a TRAINED merge list, grouped by ``by``
+    (typically language).  A tokenizer that fragments one language
+    2× more than another silently halves its effective context
+    window and doubles its training cost — this is the audit that
+    catches it.
+
+    Returns ``(by, n_words, n_chars, n_syms, fertility,
+    chars_per_token)`` with the ratios rounded at 6 dp (ratios of
+    exact integer sums — bit-stable cross-engine).
+
+    Scale shape: the same two-level aggregation as
+    :func:`bpe_encode` — each DISTINCT word encodes once (merge
+    folds on the vocab frame), joins back on the token key (AQE
+    broadcasts it while it fits), and the group rollup reduces
+    map-side to |groups| rows.
+    """
+    t = tokens(df, text_col=text_col, id_col=id_col)
+    vocab = t.select("token").distinct()
+    syms = F.split(F.col("token"), "")
+    for a, b in merges:
+        syms = bpe_merge_col(syms, a, b)
+    enc = vocab.select(
+        "token",
+        F.length("token").cast("long").alias("__len"),
+        F.size(syms).cast("long").alias("__ns"),
+    )
+    labeled = t.join(df.select(id_col, by), id_col).join(enc, "token")
+    return (
+        labeled.groupBy(by)
+        .agg(F.count("*").alias("n_words"),
+             F.sum("__len").alias("n_chars"),
+             F.sum("__ns").alias("n_syms"))
+        .select(
+            by, "n_words", "n_chars", "n_syms",
+            F.round(F.col("n_syms") / F.col("n_words"), 6)
+            .alias("fertility"),
+            F.round(F.col("n_chars") / F.col("n_syms"), 6)
+            .alias("chars_per_token")))

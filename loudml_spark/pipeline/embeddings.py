@@ -511,13 +511,16 @@ def kmeans_fit(
     ``seed_rule``:
 
     * ``"hash"`` (default) — the k vectors with the lowest
-      ``xxhash64(id)``: a content-hash scramble of the id order (the
-      repo's determinism idiom), which is a uniform random draw
-      w.r.t. any id-correlated data layout.  At 100 TB the first k
-      ids of a corpus usually share a shard/source — the worst
-      published initializer regime — while a hash draw is as good as
-      seeded random sampling, with no RNG state to ship.  One
-      TakeOrderedAndProject over the scan, like ``"lowest_id"``.
+      ``md5(cast(id as string))``: a content-hash scramble of the id
+      order (the repo's determinism idiom), which is a uniform
+      random draw w.r.t. any id-correlated data layout.  At 100 TB
+      the first k ids of a corpus usually share a shard/source — the
+      worst published initializer regime — while a hash draw is as
+      good as seeded random sampling, with no RNG state to ship.
+      One TakeOrderedAndProject over the scan, like ``"lowest_id"``.
+      md5 (not xxhash64) because every engine and the Python replay
+      oracle produce the identical hex string — the portability
+      idiom the split/sampling operators already use.
     * ``"lowest_id"`` — the r9 behavior, kept for replay against
       frozen oracles.
 
@@ -536,7 +539,7 @@ def kmeans_fit(
     if k <= 0:
         raise errors.Invalid(f"k must be > 0, got {k}")
     if seed_rule == "hash":
-        seed_order = [F.xxhash64(F.col(id_col)).asc(),
+        seed_order = [F.md5(F.col(id_col).cast("string")).asc(),
                       F.col(id_col).asc()]
     elif seed_rule == "lowest_id":
         seed_order = [F.col(id_col).asc()]
@@ -567,7 +570,10 @@ def kmeans_fit(
                 "cluster", "dist2",
                 F.posexplode(vec_col).alias("dim", "v"))
             .groupBy("cluster", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"),
+            # means round at 6 dp (kmeans_step's portability idiom) so
+            # an iteration is bit-replayable by the oracle's own mean
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6)
+                 .alias("m"),
                  F.count("*").alias("n"),
                  F.sum(F.round(F.col("dist2"), 6)
                        .cast("decimal(18,6)"))
@@ -575,7 +581,7 @@ def kmeans_fit(
             .collect())
         new = [list(c) for c in centroids]
         sizes = [0] * len(centroids)
-        inertia = 0.0
+        in_by_cluster = {}
         for r in agg:
             new[r["cluster"]][r["dim"]] = float(r["m"])
             sizes[r["cluster"]] = int(r["n"])
@@ -584,7 +590,11 @@ def kmeans_fit(
             # gives the objective for any dimensionality (a /dims
             # rescale would silently mis-scale non-64-dim corpora)
             if r["dim"] == 0:
-                inertia += float(r["in_sum"])
+                in_by_cluster[r["cluster"]] = float(r["in_sum"])
+        # sum in cluster order, not collect() order — each term is a
+        # DECIMAL-exact per-cluster total, so a fixed fold order
+        # makes the float total replayable by the oracle
+        inertia = sum(in_by_cluster[c] for c in sorted(in_by_cluster))
         drift = max(
             sum((a - b) * (a - b) for a, b in zip(nc, oc))
             for nc, oc in zip(new, centroids))
@@ -596,3 +606,119 @@ def kmeans_fit(
         if drift < tol:
             break
     return centroids, history
+
+
+def kmeans_silhouette(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-cluster simplified silhouette (Kaufman & Rousseeuw's
+    centroid approximation): for each vector, ``a`` = distance to its
+    OWN centroid and ``b`` = distance to the nearest OTHER centroid,
+    ``s = (b − a) / max(a, b)`` — the standard O(n·k) clustering
+    quality score (the exact silhouette's O(n²) pairwise form cannot
+    exist at corpus scale; the centroid form is the one every
+    distributed library ships, e.g. Spark MLlib's
+    ClusteringEvaluator).
+
+    Returns one row per non-empty cluster: ``(cluster, size,
+    mean_silhouette)`` — mean of per-vector s rounded at 6 dp and
+    summed as DECIMAL (the addition-order-independent idiom), so the
+    score is bit-stable cross-engine.
+
+    Scale shape: the centroid list rides the plan as a literal (the
+    kmeans_assign idiom); a and b come from ONE array_sort over the
+    per-centroid distance structs — map-only projection, then one
+    k-row groupBy.  No join, no Python, corpus touched once.
+    """
+    if not centroids or len(centroids) < 2:
+        raise errors.Invalid("silhouette needs >= 2 centroids")
+    vec = F.col(vec_col)
+    dists = F.array_sort(F.array(*[
+        F.struct(
+            F.sqrt(_dist2_col(vec, c)).alias("d"),
+            F.lit(cid).alias("c"))
+        for cid, c in enumerate(centroids)
+    ]))
+    a = F.element_at(dists, 1)["d"]
+    b = F.element_at(dists, 2)["d"]
+    s = F.when(F.greatest(a, b) > 0,
+               (b - a) / F.greatest(a, b)).otherwise(F.lit(0.0))
+    per_vec = df.select(
+        F.element_at(dists, 1)["c"].alias("cluster"),
+        F.round(s, 6).alias("s"))
+    return per_vec.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.round(
+            F.sum(F.col("s").cast("decimal(18,6)")).cast("double")
+            / F.count("*"), 6).alias("mean_silhouette"))
+
+
+def davies_bouldin(
+    df: DataFrame,
+    centroids: list,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Davies–Bouldin index components per cluster (Davies & Bouldin
+    1979): scatter ``S_i`` = mean L2 distance of members to their
+    centroid, and ``db_i = max_{j≠i} (S_i + S_j) / M_ij`` with
+    ``M_ij`` the centroid separation — lower is better; the overall
+    DB index is avg(db_i), computable from the returned frame.
+
+    Returns ``(cluster, size, scatter, db)`` for non-empty clusters.
+    Scatter rounds per-member distances at 6 dp and DECIMAL-sums
+    (order-independent); the k×k ratio matrix is computed on the
+    k-row aggregate — driver-free, but k² only on codebook-sized
+    data.  Empty clusters are absent (their S is undefined); M_ij
+    uses the literal centroid matrix, so separation is exact
+    whatever the membership.
+
+    Scale shape: ONE map-only assignment pass (centroid literal in
+    the plan) + one k-row groupBy; the k×k cross join happens on the
+    k-row frame (k ≤ thousands — never corpus rows).
+    """
+    if not centroids or len(centroids) < 2:
+        raise errors.Invalid("davies_bouldin needs >= 2 centroids")
+    vec = F.col(vec_col)
+    best = F.array_min(F.array(*[
+        F.struct(
+            _dist2_col(vec, c).alias("d"),
+            F.lit(cid).alias("c"))
+        for cid, c in enumerate(centroids)
+    ]))
+    per_vec = df.select(
+        best["c"].alias("cluster"),
+        F.round(F.sqrt(best["d"]), 6).alias("d"))
+    scat = per_vec.groupBy("cluster").agg(
+        F.count("*").alias("size"),
+        F.round(
+            F.sum(F.col("d").cast("decimal(18,6)")).cast("double")
+            / F.count("*"), 6).alias("scatter"))
+    # centroid separations as a literal k×k lookup (codebook-sized)
+    import math
+
+    sep = [[
+        math.sqrt(sum((float(a) - float(b)) ** 2
+                      for a, b in zip(ci, cj))) if i != j else 0.0
+        for j, cj in enumerate(centroids)]
+        for i, ci in enumerate(centroids)]
+    sep_lit = F.array(*[
+        F.array(*[F.lit(x) for x in row]) for row in sep])
+    other = scat.select(
+        F.col("cluster").alias("__j"),
+        F.col("scatter").alias("__sj"))
+    ratio = (
+        scat.join(other, F.col("cluster") != F.col("__j"))
+        .withColumn("__m", F.element_at(
+            F.element_at(sep_lit, F.col("cluster") + 1),
+            F.col("__j") + 1))
+        .groupBy("cluster", "size", "scatter")
+        .agg(F.round(F.max(
+            (F.col("scatter") + F.col("__sj")) / F.col("__m")), 6)
+            .alias("db")))
+    return ratio.select("cluster", "size", "scatter", "db")

@@ -158,3 +158,122 @@ def test_ccnet_approx_buckets_agree_with_exact(spark):
                      approx_accuracy=100000).collect()}
     agree_hi = sum(1 for k in exact if exact[k] == approx_hi[k])
     assert agree_hi >= agree
+
+
+# ------------------------------- clustering quality metrics (r10)
+
+
+def test_kmeans_silhouette_separable_clusters(spark):
+    from loudml_spark.pipeline.embeddings import kmeans_silhouette
+
+    rows = ([(i, [0.0, 0.0 + i * 0.01]) for i in range(5)]
+            + [(10 + i, [10.0, 10.0 + i * 0.01]) for i in range(5)])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    out = {r["cluster"]: r for r in kmeans_silhouette(
+        df, [[0.0, 0.0], [10.0, 10.0]]).collect()}
+    assert set(out) == {0, 1}
+    assert out[0]["size"] == 5 and out[1]["size"] == 5
+    # tight, well-separated clusters -> silhouette near 1
+    assert out[0]["mean_silhouette"] > 0.99
+    assert out[1]["mean_silhouette"] > 0.99
+
+
+def test_kmeans_silhouette_overlapping_is_low(spark):
+    from loudml_spark.pipeline.embeddings import kmeans_silhouette
+
+    # every point equidistant-ish between the two centroids
+    rows = [(i, [5.0 + (i % 3) * 0.1, 5.0]) for i in range(6)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    out = kmeans_silhouette(df, [[0.0, 5.0], [10.0, 5.0]]).collect()
+    assert all(r["mean_silhouette"] < 0.2 for r in out)
+
+
+def test_kmeans_silhouette_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.embeddings import kmeans_silhouette
+
+    df = spark.createDataFrame(
+        [(0, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(errors.Invalid):
+        kmeans_silhouette(df, [[1.0]])
+
+
+def test_davies_bouldin_prefers_separated_clusters(spark):
+    from loudml_spark.pipeline.embeddings import davies_bouldin
+
+    tight = ([(i, [0.0, i * 0.01]) for i in range(5)]
+             + [(10 + i, [10.0, i * 0.01]) for i in range(5)])
+    loose = ([(i, [0.0, i * 1.0]) for i in range(5)]
+             + [(10 + i, [2.0, i * 1.0]) for i in range(5)])
+    cents_t = [[0.0, 0.02], [10.0, 0.02]]
+    cents_l = [[0.0, 2.0], [2.0, 2.0]]
+    dbs = {}
+    for name, rows, cents in (("tight", tight, cents_t),
+                              ("loose", loose, cents_l)):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = davies_bouldin(df, cents).collect()
+        dbs[name] = sum(r["db"] for r in out) / len(out)
+    assert dbs["tight"] < dbs["loose"]
+
+
+def test_davies_bouldin_hand_values(spark):
+    from loudml_spark.pipeline.embeddings import davies_bouldin
+
+    # cluster 0: points at x=0,2 around centroid x=1 -> scatter 1.0
+    # cluster 1: points at x=10,12 around centroid x=11 -> scatter 1.0
+    # separation = 10 -> db = (1+1)/10 = 0.2 for both
+    rows = [(0, [0.0]), (1, [2.0]), (2, [10.0]), (3, [12.0])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    out = {r["cluster"]: r for r in
+           davies_bouldin(df, [[1.0], [11.0]]).collect()}
+    assert out[0]["scatter"] == pytest.approx(1.0)
+    assert out[0]["db"] == pytest.approx(0.2)
+    assert out[1]["db"] == pytest.approx(0.2)
+
+
+# ------------------------------------ tokenizer fertility audit (r10)
+
+
+def test_bpe_fertility_hand_corpus(spark):
+    from loudml_spark.pipeline.corpus import bpe_fertility
+
+    df = spark.createDataFrame(
+        [(0, "aa ab", "en"), (1, "zq zr", "xx")],
+        "doc_id long, text string, lang string")
+    out = {r["lang"]: r for r in
+           bpe_fertility(df, [("a", "a")], by="lang").collect()}
+    # en: "aa" -> [aa] (1 sym), "ab" -> [a, b] (2 syms)
+    assert out["en"]["n_words"] == 2
+    assert out["en"]["n_chars"] == 4
+    assert out["en"]["n_syms"] == 3
+    assert out["en"]["fertility"] == pytest.approx(1.5)
+    # xx: untouched by the merge -> 2 syms per word
+    assert out["xx"]["fertility"] == pytest.approx(2.0)
+    assert out["xx"]["chars_per_token"] == pytest.approx(1.0)
+
+
+# -------------------------------------- dup-rate curation audit (r10)
+
+
+def test_dup_rate_by_source_counts_cross_source_dups(spark):
+    from loudml_spark.catalog_pipeline import q_dup_rate_by_source
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, "same text here", "a"), (1, "same text here", "b"),
+             (2, "unique one", "a"), (3, "unique two", "b"),
+             (4, "same text here", "b")],
+            "doc_id long, text string, source string",
+        ).write.parquet(os.path.join(d, "documents.parquet"))
+        out = {r["source"]: r
+               for r in q_dup_rate_by_source(spark, d).collect()}
+    # the duplicated text appears in BOTH sources: each copy counts
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_dup_docs"] == 1
+    assert out["b"]["n_docs"] == 3 and out["b"]["n_dup_docs"] == 2
+    assert out["b"]["dup_rate"] == pytest.approx(2 / 3, abs=1e-6)

@@ -547,7 +547,9 @@ def test_kmeans_fit_inertia_is_absolute(spark):
             (2, [10.0, 10.0]), (3, [12.0, 10.0])]
     df = spark.createDataFrame(
         rows, "vec_id long, embedding array<double>")
-    _, hist = kmeans_fit(df, k=2, max_iters=1)
+    # lowest_id seeding pins the seeds this hand-check assumes
+    # (r10 default is the md5 hash scramble)
+    _, hist = kmeans_fit(df, k=2, max_iters=1, seed_rule="lowest_id")
     # iteration 0 scores against the SEED centroids (vec 0 and 1):
     # cluster0 members {0}, d2=0; cluster1 members {1,2,3} with
     # d2 = 0, 164, 200 → total 364 in ABSOLUTE units (a /dims
