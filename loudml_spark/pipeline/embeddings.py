@@ -712,8 +712,17 @@ def davies_bouldin(
     other = scat.select(
         F.col("cluster").alias("__j"),
         F.col("scatter").alias("__sj"))
+    # explode the candidate-j list and EQUI-join on j — a `!=` join
+    # would plan as a nested loop and trip the catalog-wide plan
+    # gate, even though k rows make it harmless; the equi form is
+    # the same k×k work with a gate-safe shape
+    cand = scat.select(
+        "cluster", "size", "scatter",
+        F.explode(F.array(*[
+            F.lit(j) for j in range(len(centroids))])).alias("__j"),
+    ).filter(F.col("__j") != F.col("cluster"))
     ratio = (
-        scat.join(other, F.col("cluster") != F.col("__j"))
+        cand.join(other, "__j")
         .withColumn("__m", F.element_at(
             F.element_at(sep_lit, F.col("cluster") + 1),
             F.col("__j") + 1))
