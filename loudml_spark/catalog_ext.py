@@ -4428,3 +4428,68 @@ EXT_QUERIES.update({
         "fn": q_bpe_fertility_by_lang,
         "oracle_fn": _sql_bpe_fertility_by_lang},
 })
+
+
+def q_doremi_weights_docs(spark, sf_dir):
+    """One-shot DoReMi-style domain reweighting
+    (pipeline/sampling.py excess_loss_weights): per-source mean
+    unigram perplexity vs the corpus baseline; sources with excess
+    loss get exp-boosted mixture weights.  The corpus reduces to
+    |sources| rows in one map-side-combined pass."""
+    from loudml_spark.pipeline.corpus import lm_perplexity
+    from loudml_spark.pipeline.sampling import excess_loss_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    ppl = lm_perplexity(docs, add_k=LM_ADD_K)
+    scored = docs.select("doc_id", "source").join(ppl, "doc_id")
+    return excess_loss_weights(
+        scored, domain_col="source", loss_col="ppl",
+        size_col="n_tokens", eta=1.0)
+
+
+def _sql_doremi_weights_docs(sf_dir=None) -> str:
+    ppl_sql = _sql_lm_perplexity_docs(sf_dir)
+    return f"""
+WITH ppl AS ({ppl_sql}),
+scored AS (
+  SELECT d.doc_id, d.source, p.n_tokens, p.ppl
+  FROM documents d JOIN ppl p USING (doc_id)
+),
+g AS (
+  SELECT ROUND(CAST(SUM(CAST(ROUND(ppl, 6) AS DECIMAL(18,6)))
+               AS DOUBLE) / COUNT(*), 6) AS baseline,
+         SUM(n_tokens) AS tok
+  FROM scored
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         ROUND(CAST(SUM(CAST(ROUND(ppl, 6) AS DECIMAL(18,6)))
+               AS DOUBLE) / COUNT(*), 6) AS mean_loss
+  FROM scored GROUP BY source
+),
+x AS (
+  SELECT p.source, p.n_docs, p.n_tokens, p.mean_loss,
+         ROUND(greatest(p.mean_loss - g.baseline, 0.0), 6) AS excess,
+         ROUND(p.n_tokens / CAST(g.tok AS DOUBLE), 9) AS share,
+         g.baseline
+  FROM per p, g
+),
+s AS (
+  SELECT source, n_docs, n_tokens, mean_loss, excess, share,
+         ROUND(share * ROUND(exp(1.0 * excess / baseline), 9), 9)
+           AS score
+  FROM x
+)
+SELECT source, n_docs, n_tokens, mean_loss, excess, share,
+       ROUND(score / CAST(SUM(CAST(score AS DECIMAL(28,9)))
+             OVER () AS DOUBLE), 9) AS weight
+FROM s
+"""
+
+
+EXT_QUERIES.update({
+    "doremi_weights_docs": {
+        "fn": q_doremi_weights_docs,
+        "oracle_fn": _sql_doremi_weights_docs},
+})

@@ -588,3 +588,72 @@ def weighted_sample_k(
         F.col("es_key").desc(), F.col(id_col).asc())
     return top.withColumn(
         "rank", F.row_number().over(win).cast("int"))
+
+
+def excess_loss_weights(
+    df: DataFrame,
+    *,
+    domain_col: str = "source",
+    loss_col: str = "loss",
+    size_col: str = "n_tokens",
+    eta: float = 1.0,
+) -> DataFrame:
+    """One-shot DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv 2305.10429, simplified): upweight domains whose mean loss
+    EXCEEDS the corpus baseline — the first Group-DRO ascent step
+    with a fixed proxy scorer, not the paper's full iterative
+    minimax (which needs proxy-model retraining between steps; the
+    decision shape — excess loss moves the mixture — is the same).
+
+    Input is per-document ``(domain_col, loss_col, size_col)`` —
+    any loss proxy works (the catalog feeds unigram perplexity).
+    Returns one row per domain: ``(domain, n_docs, n_tokens,
+    mean_loss, excess, share, weight)`` where ``share`` is the
+    domain's token share, ``boost = exp(eta·excess/baseline)`` and
+    ``weight ∝ share·boost`` normalized over domains.
+
+    Scale shape: ONE map-side-combined groupBy reduces the corpus to
+    |domains| rows; the baseline and token total are a 1-row
+    aggregate collected to driver literals (a 1-row constant join
+    would plan as BroadcastNestedLoopJoin — the lm_perplexity
+    idiom); normalization is a window over the bounded domain frame
+    (the documented bounded-dimension carve-out).
+
+    Determinism: losses round at 6 dp into DECIMAL(18,6) sums
+    (order-independent); shares are ratios of exact integers; exp()
+    is libm whose last ulp is not engine-portable, so boost and
+    weight round at 9 dp — the lm_score discipline.
+    """
+    from pyspark.sql import Window
+
+    if eta < 0:
+        raise errors.Invalid(f"eta must be >= 0, got {eta}")
+    loss_dec = F.round(F.col(loss_col), 6).cast("decimal(18,6)")
+    g = df.agg(
+        F.round(F.sum(loss_dec).cast("double") / F.count("*"), 6)
+        .alias("baseline"),
+        F.sum(size_col).alias("tok")).first()
+    if g["tok"] is None:
+        raise errors.Invalid("corpus is empty")
+    baseline = float(g["baseline"])
+    total_tokens = int(g["tok"])
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("n_tokens"),
+        F.round(F.sum(loss_dec).cast("double") / F.count("*"), 6)
+        .alias("mean_loss"))
+    excess = F.round(F.greatest(
+        F.col("mean_loss") - F.lit(baseline), F.lit(0.0)), 6)
+    per = per.withColumn("excess", excess).withColumn(
+        "share",
+        F.round(F.col("n_tokens") / F.lit(float(total_tokens)), 9))
+    boost = F.round(F.exp(
+        F.lit(float(eta)) * F.col("excess") / F.lit(baseline)), 9)
+    per = per.withColumn(
+        "__score", F.round(F.col("share") * boost, 9))
+    tot = F.sum(F.col("__score").cast("decimal(28,9)")) \
+        .over(Window.partitionBy()).cast("double")
+    return per.select(
+        domain_col, "n_docs", "n_tokens", "mean_loss", "excess",
+        "share",
+        F.round(F.col("__score") / tot, 9).alias("weight"))

@@ -277,3 +277,55 @@ def test_dup_rate_by_source_counts_cross_source_dups(spark):
     assert out["a"]["n_docs"] == 2 and out["a"]["n_dup_docs"] == 1
     assert out["b"]["n_docs"] == 3 and out["b"]["n_dup_docs"] == 2
     assert out["b"]["dup_rate"] == pytest.approx(2 / 3, abs=1e-6)
+
+
+# ------------------------------ DoReMi-style domain reweighting (r10)
+
+
+def test_excess_loss_weights_hand_values(spark):
+    from loudml_spark.pipeline.sampling import excess_loss_weights
+
+    # two domains, one clearly lossier; equal token mass
+    rows = [("a", 10.0, 100), ("a", 10.0, 100),
+            ("b", 30.0, 100), ("b", 30.0, 100)]
+    df = spark.createDataFrame(
+        rows, "source string, loss double, n_tokens long")
+    out = {r["source"]: r for r in excess_loss_weights(
+        df, loss_col="loss").collect()}
+    # baseline = 20; a has zero excess, b has 10
+    assert out["a"]["mean_loss"] == pytest.approx(10.0)
+    assert out["a"]["excess"] == 0.0
+    assert out["b"]["excess"] == pytest.approx(10.0)
+    assert out["a"]["share"] == pytest.approx(0.5)
+    # boost_b = exp(10/20) = e^0.5; weights renormalize
+    import math
+    wb = 0.5 * math.exp(0.5) / (0.5 + 0.5 * math.exp(0.5))
+    assert out["b"]["weight"] == pytest.approx(wb, abs=1e-8)
+    assert out["a"]["weight"] + out["b"]["weight"] == pytest.approx(
+        1.0, abs=1e-8)
+
+
+def test_excess_loss_weights_uniform_loss_keeps_shares(spark):
+    from loudml_spark.pipeline.sampling import excess_loss_weights
+
+    rows = [("a", 5.0, 300), ("b", 5.0, 100)]
+    df = spark.createDataFrame(
+        rows, "source string, loss double, n_tokens long")
+    out = {r["source"]: r for r in excess_loss_weights(
+        df, loss_col="loss").collect()}
+    # no excess anywhere -> weights == token shares
+    assert out["a"]["weight"] == pytest.approx(0.75, abs=1e-8)
+    assert out["b"]["weight"] == pytest.approx(0.25, abs=1e-8)
+
+
+def test_excess_loss_weights_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.sampling import excess_loss_weights
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1)], "source string, loss double, n_tokens long")
+    with pytest.raises(errors.Invalid):
+        excess_loss_weights(df, loss_col="loss", eta=-1)
+    empty = df.filter("n_tokens < 0")
+    with pytest.raises(errors.Invalid):
+        excess_loss_weights(empty, loss_col="loss")
