@@ -328,6 +328,32 @@ def main(sf_dir: str) -> None:
     mean_rec = rec.agg(F.avg("recall")).first()[0]
     print(f"ann recall@5 (ivf vs exact): {mean_rec:.3f}")
 
+    # 11. corpus health report (r10): clustering quality of the
+    #     embedding space (is the k-means geometry usable for
+    #     SemDeDup cells / balanced sampling?) and the next round's
+    #     training mixture from one-shot excess-loss reweighting
+    from loudml_spark.pipeline.corpus import lm_perplexity
+    from loudml_spark.pipeline.embeddings import (
+        kmeans_fit, kmeans_silhouette,
+    )
+    from loudml_spark.pipeline.sampling import excess_loss_weights
+
+    cents, hist = kmeans_fit(emb, k=8, max_iters=4)
+    sil = kmeans_silhouette(emb, cents)
+    msil = sil.agg(F.avg("mean_silhouette")).first()[0]
+    print(f"k-means fit: inertia {hist[0]['total_inertia']:.0f} → "
+          f"{hist[-1]['total_inertia']:.0f} in {len(hist)} iters; "
+          f"mean silhouette {msil:.3f}")
+
+    ppl = lm_perplexity(docs)
+    mix = excess_loss_weights(
+        docs.select("doc_id", "source").join(ppl, "doc_id"),
+        domain_col="source", loss_col="ppl", size_col="n_tokens")
+    print("next-epoch domain mix (top excess-loss sources):")
+    for r in mix.orderBy(F.desc("excess")).limit(3).collect():
+        print(f"  {r['source']:>8}  share={r['share']:.4f} → "
+              f"weight={r['weight']:.4f} (excess ppl {r['excess']})")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
