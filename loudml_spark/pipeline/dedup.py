@@ -2159,3 +2159,58 @@ def lsh_recall_audit(
             (F.col("n_found") / F.col("n_true")).alias("recall"),
         )
     )
+
+
+def lsh_plan(
+    n_perm: int,
+    threshold: float,
+    *,
+    fn_weight: float = 0.5,
+) -> dict:
+    """Choose the (bands, rows) split of an ``n_perm``-permutation
+    MinHash signature for a target Jaccard ``threshold`` — the
+    standard S-curve planner (Leskovec/Rajaraman/Ullman §3.4, the
+    same optimization datasketch runs at index build): candidate
+    probability is ``P(s) = 1 − (1 − s^rows)^bands``; pick the
+    divisor pair minimizing ``fp_weight·∫₀ᵗP + fn_weight·∫ₜ¹(1−P)``
+    (numeric integration on a fixed grid — deterministic).
+
+    Returns ``{bands, rows, threshold_est, fp_area, fn_area}`` where
+    ``threshold_est = (1/bands)^(1/rows)`` is the curve's inflection
+    — the planner's companion to the measured recall S-curve in
+    `lsh_recall_audit` (which validates the curve on real data; this
+    picks the knob BEFORE indexing).  Driver-side closed-form math:
+    the plan is k divisor evaluations, nothing touches data.
+    """
+    from loudml_spark import errors
+
+    if n_perm < 2:
+        raise errors.Invalid(f"n_perm must be >= 2, got {n_perm}")
+    if not 0.0 < threshold < 1.0:
+        raise errors.Invalid(
+            f"threshold must be in (0, 1), got {threshold}")
+    fp_weight = 1.0 - fn_weight
+    best = None
+    grid = [i / 1000.0 for i in range(1, 1000)]
+    for rows in range(1, n_perm + 1):
+        if n_perm % rows:
+            continue
+        bands = n_perm // rows
+        fp = fn = 0.0
+        for s in grid:
+            p = 1.0 - (1.0 - s ** rows) ** bands
+            if s < threshold:
+                fp += p
+            else:
+                fn += 1.0 - p
+        fp /= len(grid)
+        fn /= len(grid)
+        err = fp_weight * fp + fn_weight * fn
+        if best is None or err < best[0]:
+            best = (err, bands, rows, fp, fn)
+    _, bands, rows, fp, fn = best
+    return {
+        "bands": bands, "rows": rows,
+        "threshold_est": round((1.0 / bands) ** (1.0 / rows), 6),
+        "fp_area": round(fp, 6), "fn_area": round(fn, 6),
+    }

@@ -329,3 +329,44 @@ def test_excess_loss_weights_validates(spark):
     empty = df.filter("n_tokens < 0")
     with pytest.raises(errors.Invalid):
         excess_loss_weights(empty, loss_col="loss")
+
+
+# ----------------------------------------- LSH band planner (r10)
+
+
+def test_lsh_plan_known_regimes():
+    from loudml_spark.pipeline.dedup import lsh_plan
+
+    # the LRU-textbook regime: 128 perms at t=0.5 -> b=32, r=4
+    p = lsh_plan(128, 0.5)
+    assert (p["bands"], p["rows"]) == (32, 4)
+    # high threshold pushes toward more rows per band
+    q = lsh_plan(128, 0.8)
+    assert q["rows"] > p["rows"]
+    # inflection lands near the requested threshold
+    assert abs(q["threshold_est"] - 0.8) < 0.15
+    # the shipped default (N_HASHES=16, bands=4) IS the planner's
+    # optimum at threshold 0.5 - the r7 knob choice, now derived
+    d = lsh_plan(16, 0.5)
+    assert (d["bands"], d["rows"]) == (4, 4)
+
+
+def test_lsh_plan_weight_shifts_tradeoff():
+    from loudml_spark.pipeline.dedup import lsh_plan
+
+    recall_heavy = lsh_plan(64, 0.6, fn_weight=0.9)
+    precision_heavy = lsh_plan(64, 0.6, fn_weight=0.1)
+    assert recall_heavy["fn_area"] <= precision_heavy["fn_area"]
+    assert recall_heavy["fp_area"] >= precision_heavy["fp_area"]
+
+
+def test_lsh_plan_validates():
+    from loudml_spark import errors
+    from loudml_spark.pipeline.dedup import lsh_plan
+
+    with pytest.raises(errors.Invalid):
+        lsh_plan(1, 0.5)
+    with pytest.raises(errors.Invalid):
+        lsh_plan(16, 0.0)
+    with pytest.raises(errors.Invalid):
+        lsh_plan(16, 1.0)
