@@ -116,6 +116,13 @@ AUDIT = [
     ("lsh_recall_audit", "bounded"),
     ("weighted_sample_docs", "full"),
     ("margin_audit_emb", "full"),
+    # r10 additions
+    ("kmeans_silhouette_emb", "full"),
+    ("davies_bouldin_emb", "full"),
+    ("kmeans_fit_emb", "full"),
+    ("dup_rate_by_source", "full"),
+    ("bpe_fertility_by_lang", "full"),
+    ("doremi_weights_docs", "full"),
 ]
 
 
