@@ -4493,3 +4493,111 @@ EXT_QUERIES.update({
         "fn": q_doremi_weights_docs,
         "oracle_fn": _sql_doremi_weights_docs},
 })
+
+
+# ------------------------------------------------- basket / markov (r10)
+
+ASSOC_MIN_COUNT = 20
+DAY_NS = 86400 * NS
+
+
+def q_assoc_rules_events(spark, sf_dir):
+    """A-Priori association rules over (user, day) baskets of the
+    props-k decile item (operators/basket.py assoc_rules): frequent
+    items prune first, the pair step is a basket-key equi-join, and
+    supports/basket-count ride as broadcast dimension frames.  The
+    reference has no basket analytics (bucket.py is per-metric
+    aggregation only); Agrawal & Srikant, VLDB 1994."""
+    from loudml_spark.operators.basket import assoc_rules
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(f"(`ts_ns` div {DAY_NS}L) * 86400")
+        .cast("long").alias("day_ts"),
+        F.regexp_extract("props", '"k":\\s*(\\d+)', 1)
+        .cast("int").alias("k"),
+    ).withColumn("item", F.expr("k div 10").cast("int"))
+    return assoc_rules(
+        ev, basket_cols=["user_id", "day_ts"], item_col="item",
+        min_count=ASSOC_MIN_COUNT)
+
+
+SQL_ASSOC_RULES_EVENTS = f"""
+WITH ev AS (
+  SELECT user_id,
+         (epoch_ns(ts) // {DAY_NS}) * 86400 AS day_ts,
+         CAST(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1)
+                       AS INTEGER) // 10 AS INTEGER) AS item
+  FROM events
+),
+baskets AS (
+  SELECT DISTINCT user_id, day_ts, item FROM ev WHERE item IS NOT NULL
+),
+supp AS (SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item),
+freq AS (SELECT item FROM supp WHERE n_item >= {ASSOC_MIN_COUNT}),
+nb AS (SELECT COUNT(*) AS n_baskets
+       FROM (SELECT DISTINCT user_id, day_ts FROM baskets)),
+pruned AS (SELECT b.* FROM baskets b JOIN freq f USING (item)),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_pair
+  FROM pruned a JOIN pruned b
+    ON a.user_id = b.user_id AND a.day_ts = b.day_ts
+   AND a.item < b.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= {ASSOC_MIN_COUNT}
+),
+directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_pair FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_pair FROM pairs
+)
+SELECT d.antecedent, d.consequent, d.n_pair,
+       sa.n_item AS n_ante, sc.n_item AS n_cons,
+       ROUND(d.n_pair / CAST(nb.n_baskets AS DOUBLE), 6) AS support,
+       ROUND(d.n_pair / CAST(sa.n_item AS DOUBLE), 6) AS confidence,
+       ROUND((d.n_pair / CAST(sa.n_item AS DOUBLE))
+             / (sc.n_item / CAST(nb.n_baskets AS DOUBLE)), 6) AS lift
+FROM directed d
+JOIN supp sa ON sa.item = d.antecedent
+JOIN supp sc ON sc.item = d.consequent
+CROSS JOIN nb
+"""
+
+
+def q_event_transitions_users(spark, sf_dir):
+    """First-order Markov transition matrix of event types per user
+    (operators/basket.py event_transitions): one shuffle on the user
+    key, one lag window (event_id breaks timestamp ties), then the
+    bounded |S|x|S| matrix with row-normalized probabilities."""
+    from loudml_spark.operators.basket import event_transitions
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts_ns", "event_id")
+    return event_transitions(
+        ev, state_col="event_type", ts_col="ts_ns", by=["user_id"],
+        tie_col="event_id")
+
+
+SQL_EVENT_TRANSITIONS_USERS = """
+WITH t AS (
+  SELECT user_id, event_type AS state,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY epoch_ns(ts), event_id
+         ) AS prev_state
+  FROM events
+)
+SELECT prev_state, state, COUNT(*) AS n,
+       ROUND(COUNT(*) / CAST(SUM(COUNT(*)) OVER (
+         PARTITION BY prev_state) AS DOUBLE), 6) AS p
+FROM t WHERE prev_state IS NOT NULL
+GROUP BY prev_state, state
+"""
+
+
+EXT_QUERIES.update({
+    "assoc_rules_events": {
+        "fn": q_assoc_rules_events,
+        "oracle": SQL_ASSOC_RULES_EVENTS},
+    "event_transitions_users": {
+        "fn": q_event_transitions_users,
+        "oracle": SQL_EVENT_TRANSITIONS_USERS},
+})
