@@ -4601,3 +4601,139 @@ EXT_QUERIES.update({
         "fn": q_event_transitions_users,
         "oracle": SQL_EVENT_TRANSITIONS_USERS},
 })
+
+
+# --------------------------------------------- kmv / zorder stats (r10)
+
+KMV_K = 32
+
+
+def q_kmv_distinct_users_daily(spark, sf_dir):
+    """KMV distinct-count sketch per day (operators/sketch.py): the
+    k-minimum-values estimate is a deterministic function of a
+    portable md5-derived hash, so — unlike the HLL anchor, which can
+    only value-match a bound verdict — the ESTIMATE itself
+    cross-checks bit-for-bit against the SQL reconstruction."""
+    from loudml_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(`ts_ns` div {DAY_NS}L) * 86400")
+        .cast("long").alias("day_ts"),
+        "user_id",
+    ).where(F.col("user_id").isNotNull())
+    return kmv_distinct(
+        ev, key_col="user_id", by=["day_ts"], k=KMV_K)
+
+
+def _sql_kmv_distinct_users_daily() -> str:
+    from loudml_spark.operators.sketch import sql_kmv_hash
+
+    h = sql_kmv_hash("user_id")
+    est = (f"CASE WHEN n_exact < {KMV_K} THEN CAST(n_exact AS DOUBLE) "
+           f"ELSE {float(KMV_K - 1)!r} * 1152921504606846976.0 "
+           f"/ CAST(kth_hash AS DOUBLE) END")
+    return f"""
+WITH h AS (
+  SELECT DISTINCT (epoch_ns(ts) // {86400 * NS}) * 86400 AS day_ts,
+         {h} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+r AS (
+  SELECT day_ts, h,
+         ROW_NUMBER() OVER (PARTITION BY day_ts ORDER BY h) AS rn
+  FROM h WHERE h IS NOT NULL
+),
+g AS (
+  SELECT day_ts, COUNT(*) AS n_exact,
+         MAX(CASE WHEN rn = {KMV_K} THEN h END) AS kth_hash
+  FROM r GROUP BY day_ts
+)
+SELECT day_ts, n_exact, kth_hash,
+       ROUND({est}, 6) AS est_kmv,
+       ROUND(ABS(({est}) - n_exact) / n_exact, 6) AS rel_err
+FROM g
+"""
+
+
+SQL_KMV_DISTINCT_USERS_DAILY = _sql_kmv_distinct_users_daily()
+
+
+ZORDER_BITS = 8
+ZORDER_DIMS = (("l_quantity", 1.0, 50.0),
+               ("l_extendedprice", 900.0, 105000.0))
+
+
+def q_zorder_locality_lineitem(spark, sf_dir):
+    """Z-order layout locality stats: bucket lineitem by the top 8
+    interleaved bits of the (quantity, price) Morton key
+    (sources/layout.py zorder_value — the write_zordered clustering
+    key) and report each bucket's min/max span per dimension.  The
+    narrow per-bucket spans ARE the file-skipping argument: after a
+    z-ordered write every parquet footer is selective on BOTH
+    columns at once.  Pure integer Column arithmetic; the oracle
+    re-derives the identical key from the same double math."""
+    from loudml_spark.sources.layout import zorder_value
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice")
+    z = zorder_value(list(ZORDER_DIMS), bits=ZORDER_BITS)
+    return (
+        li.withColumn("z_bucket", F.shiftright(z, 8))
+        .groupBy("z_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("qty_min"),
+            F.max("l_quantity").alias("qty_max"),
+            F.min("l_extendedprice").alias("price_min"),
+            F.max("l_extendedprice").alias("price_max"),
+        )
+        .withColumn("qty_span", F.col("qty_max") - F.col("qty_min"))
+        .withColumn("price_span",
+                    F.col("price_max") - F.col("price_min"))
+    )
+
+
+def _sql_zorder_locality_lineitem() -> str:
+    top = (1 << ZORDER_BITS) - 1
+    qs = []
+    for c, lo, hi in ZORDER_DIMS:
+        pos = f"(({c} - {lo!r}) / {hi - lo!r})"
+        qs.append(
+            f"CAST(floor(least(greatest({pos}, 0.0), 1.0) * {top}) "
+            f"AS BIGINT)")
+    terms = []
+    for b in range(ZORDER_BITS):
+        for i, q in enumerate(qs):
+            terms.append(f"((q{i} // {1 << b}) % 2) * {1 << (b * 2 + i)}")
+    z = " + ".join(terms)
+    return f"""
+WITH q AS (
+  SELECT l_quantity, l_extendedprice,
+         {qs[0]} AS q0, {qs[1]} AS q1
+  FROM lineitem
+),
+z AS (
+  SELECT l_quantity, l_extendedprice, ({z}) // 256 AS z_bucket
+  FROM q
+)
+SELECT z_bucket, COUNT(*) AS n,
+       MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max,
+       MIN(l_extendedprice) AS price_min,
+       MAX(l_extendedprice) AS price_max,
+       MAX(l_quantity) - MIN(l_quantity) AS qty_span,
+       MAX(l_extendedprice) - MIN(l_extendedprice) AS price_span
+FROM z GROUP BY z_bucket
+"""
+
+
+SQL_ZORDER_LOCALITY_LINEITEM = _sql_zorder_locality_lineitem()
+
+
+EXT_QUERIES.update({
+    "kmv_distinct_users_daily": {
+        "fn": q_kmv_distinct_users_daily,
+        "oracle": SQL_KMV_DISTINCT_USERS_DAILY},
+    "zorder_locality_lineitem": {
+        "fn": q_zorder_locality_lineitem,
+        "oracle": SQL_ZORDER_LOCALITY_LINEITEM},
+})

@@ -4676,3 +4676,147 @@ PIPELINE_QUERIES.update({
     "dup_rate_by_source": {
         "fn": q_dup_rate_by_source, "oracle": SQL_DUP_RATE_BY_SOURCE},
 })
+
+
+# ------------------------------------------------------ pagerank (r10)
+
+
+def q_pagerank_sim_docs(spark, sf_dir):
+    """PageRank centrality over the MinHash-LSH near-duplicate graph
+    (pipeline/graph.py): the >=0.8-jaccard pair frame is the edge
+    list; 5 Pregel-style power iterations (rank-frame equi-join +
+    aggregation per iteration, DECIMAL-routed contribution sums) give
+    each document's hub score — the survivorship-quality signal the
+    min-id rule in dedup_clusters can't see.  Exact cross-engine: the
+    oracle unrolls the same 5 iterations over the same edge CTEs."""
+    from loudml_spark.pipeline.graph import pagerank
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
+                  damping=0.85, n_iter=5)
+    return pr.select(F.col("id").alias("doc_id"), "pagerank")
+
+
+def _sql_pagerank_sim_docs(sf_dir=None) -> str:
+    from loudml_spark.pipeline.graph import sql_pagerank_ctes
+
+    return f"""
+WITH {_SQL_LSH_CTES},
+p8 AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+{sql_pagerank_ctes('p8', damping=0.85, n_iter=5)}
+SELECT id AS doc_id, r AS pagerank FROM pr5
+"""
+
+
+PIPELINE_QUERIES.update({
+    "pagerank_sim_docs": {
+        "fn": q_pagerank_sim_docs,
+        "oracle_fn": _sql_pagerank_sim_docs},
+})
+
+
+# ----------------------------------------------------------- mmr (r10)
+
+MMR_K, MMR_POOL, MMR_LAM = 5, 20, 0.7
+
+
+def q_mmr_topk_emb(spark, sf_dir):
+    """MMR diversity re-ranking (pipeline/similarity.py mmr_topk):
+    exact cosine retrieval cuts each query to a 20-candidate pool,
+    then the Carbonell-Goldstein greedy trades relevance against
+    similarity-to-already-selected.  The oracle unrolls the same 5
+    greedy steps as chained CTEs over the same rounded cosines, so
+    the whole selection trajectory value-matches."""
+    from loudml_spark.pipeline.similarity import mmr_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    return mmr_topk(queries, emb, k=MMR_K, pool=MMR_POOL, lam=MMR_LAM)
+
+
+def _sql_mmr_topk_emb(sf_dir=None) -> str:
+    lam = repr(float(MMR_LAM))
+    om = repr(1.0 - float(MMR_LAM))
+    cos_qc = _sql_cosine("q.embedding", "c.embedding")
+    cos_ab = _sql_cosine("ea.embedding", "eb.embedding")
+    parts = [f"""q AS (SELECT vec_id, embedding FROM embeddings
+       WHERE vec_id < 10),
+cand AS (
+  SELECT query_id, neighbor_id, rel FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROUND({cos_qc}, 6) AS rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY ROUND({cos_qc}, 6) DESC, c.vec_id ASC) AS rn
+    FROM q JOIN embeddings c ON q.vec_id != c.vec_id
+  ) WHERE rn <= {MMR_POOL}
+),
+sim AS (
+  SELECT a.query_id, a.neighbor_id AS ia, b.neighbor_id AS ib,
+         ROUND({cos_ab}, 6) AS s
+  FROM cand a
+  JOIN cand b ON a.query_id = b.query_id
+            AND a.neighbor_id != b.neighbor_id
+  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+),
+sel1 AS (
+  SELECT query_id, neighbor_id, rel, 1 AS rank,
+         CAST({lam} AS DOUBLE) * rel AS score
+  FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id
+             ORDER BY CAST({lam} AS DOUBLE) * rel DESC,
+                      neighbor_id ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+selset1 AS (SELECT query_id, neighbor_id FROM sel1)"""]
+    for t in range(2, MMR_K + 1):
+        parts.append(f"""sel{t} AS (
+  SELECT query_id, neighbor_id, rel, {t} AS rank, score FROM (
+    SELECT x.query_id, x.neighbor_id, x.rel, x.score,
+           ROW_NUMBER() OVER (
+             PARTITION BY x.query_id
+             ORDER BY x.score DESC, x.neighbor_id ASC) AS rn
+    FROM (
+      SELECT c.query_id, c.neighbor_id, c.rel,
+             CAST({lam} AS DOUBLE) * c.rel
+             - CAST({om} AS DOUBLE) * COALESCE(MAX(s.s), 0.0)
+               AS score
+      FROM cand c
+      LEFT JOIN (
+        SELECT s.query_id, s.ia, s.s
+        FROM sim s
+        JOIN selset{t - 1} ss
+          ON ss.query_id = s.query_id AND ss.neighbor_id = s.ib
+      ) s ON s.query_id = c.query_id AND s.ia = c.neighbor_id
+      WHERE NOT EXISTS (
+        SELECT 1 FROM selset{t - 1} p
+        WHERE p.query_id = c.query_id
+          AND p.neighbor_id = c.neighbor_id)
+      GROUP BY c.query_id, c.neighbor_id, c.rel
+    ) x
+  ) WHERE rn = 1
+),
+selset{t} AS (
+  SELECT query_id, neighbor_id FROM selset{t - 1}
+  UNION ALL SELECT query_id, neighbor_id FROM sel{t}
+)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT query_id, rank, neighbor_id, rel AS relevance, "
+        f"ROUND(score, 6) AS mmr_score FROM sel{t}"
+        for t in range(1, MMR_K + 1))
+    ctes = ",\n".join(parts)
+    return f"WITH {ctes}\n{union}"
+
+
+PIPELINE_QUERIES.update({
+    "mmr_topk_emb": {
+        "fn": q_mmr_topk_emb,
+        "oracle_fn": _sql_mmr_topk_emb},
+})

@@ -74,11 +74,15 @@ def assoc_rules(
         .where(F.col("item").isNotNull())
         .distinct()
     )
-    # bounded dimension frames: |items| rows and one scalar row
+    # bounded dimension frames: |items| rows and one scalar
     item_supp = baskets.groupBy("item").agg(F.count("*").alias("n_item"))
     frequent = item_supp.filter(F.col("n_item") >= min_count)
-    n_baskets = baskets.select(*basket_cols).distinct().agg(
-        F.count("*").alias("n_baskets"))
+    # the basket count is fetched eagerly and attached as a literal
+    # (histogram/tf_idf idiom): a crossJoin of the 1-row aggregate
+    # would plan as a BroadcastNestedLoopJoin (Catalyst folds away
+    # even a constant-key equi-join), tripping the no-nested-loop
+    # plan gate
+    n_baskets = baskets.select(*basket_cols).distinct().count()
 
     pruned = baskets.join(
         F.broadcast(frequent.select("item")), "item", "semi")
@@ -106,7 +110,7 @@ def assoc_rules(
                           F.col("n_item").alias("n_ante")), "antecedent")
         .join(supp.select(F.col("item").alias("consequent"),
                           F.col("n_item").alias("n_cons")), "consequent")
-        .crossJoin(F.broadcast(n_baskets))
+        .withColumn("n_baskets", F.lit(n_baskets))
     )
     conf = F.col("n_pair") / F.col("n_ante")
     return out.select(

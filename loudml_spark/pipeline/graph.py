@@ -1,0 +1,149 @@
+"""Graph analytics over similarity/link pair frames: PageRank.
+
+The reference has no graph surface at all; the curation pipeline
+grows one naturally — the MinHash-LSH pair frame (pipeline/dedup.py
+minhash_lsh_pairs) IS an edge list, and centrality over it answers
+"which document is the hub of this near-duplicate neighborhood?"
+(a better survivorship key than min-id) the same way PageRank
+(Brin & Page, WWW 1998) answers it for the web graph.
+
+Scale design: the classic Pregel-style shape — the edge frame is
+checkpointed once, partitioned by source id, and every power
+iteration is ONE equi-join of the (bounded, one-row-per-node) rank
+frame against it plus ONE aggregation back to node keys.  No
+adjacency matrix, no driver-side graph; 5 iterations = 5 bounded
+shuffles, each reusing the same key.
+
+Exactness: per-edge contributions round at ``round_to`` and sum as
+DECIMAL — addition-order-independent, so ranks are bit-stable under
+repartitioning AND reproduce exactly in the DuckDB oracle (the
+repo-wide DECIMAL-routed-sum idiom).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    round_to: int = 9,
+) -> DataFrame:
+    """Undirected PageRank by fixed-count power iteration.
+
+    The edge list is symmetrized (each input pair contributes both
+    directions), nodes are the distinct endpoints, and every node
+    starts at 1/N.  Each iteration computes
+
+        r'(v) = (1 - d)/N + d * Σ_{u~v} round(r(u)/deg(u), round_to)
+
+    with the contribution sum routed through DECIMAL so it is exact
+    and order-independent, and r' re-rounded at ``round_to`` — the
+    whole trajectory is therefore deterministic cross-engine.  A
+    symmetric graph has no dangling nodes (every node has degree
+    ≥ 1), so no dangling-mass term is needed.
+
+    Output: one row per node — (id, pagerank).  Σ pagerank ≈ 1 up
+    to rounding drift.
+    """
+    if not 0.0 < damping < 1.0:
+        raise errors.Invalid(f"damping must be in (0,1), got {damping}")
+    if n_iter < 1:
+        raise errors.Invalid(f"n_iter must be >= 1, got {n_iter}")
+    for c in (src_col, dst_col):
+        if c not in edges.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+
+    sym = (
+        edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"))
+        .unionByName(edges.select(F.col(dst_col).alias("src"),
+                                  F.col(src_col).alias("dst")))
+        .distinct()
+        .localCheckpoint()          # reused every iteration
+    )
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = sym.select(F.col("src").alias("id")).distinct()
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(None).cast("double"))
+
+    # 1/N and (1-d)/N are single IEEE divisions — identical in
+    # Python, Spark and DuckDB for the same inputs
+    base = (1.0 - damping) / n
+    ranks = nodes.withColumn("r", F.round(F.lit(1.0 / n), round_to))
+    dec = f"decimal(28,{round_to})"
+    for _ in range(n_iter):
+        contrib = (
+            sym.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(F.col("r") / F.col("deg"), round_to)
+                .cast(dec).alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("id")
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "id",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.col("s").cast("double"),
+                    round_to,
+                ).alias("r"),
+            )
+        )
+    return ranks.select("id", F.col("r").alias("pagerank"))
+
+
+def sql_pagerank_ctes(
+    pairs_cte: str,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    damping: float = 0.85,
+    n_iter: int = 5,
+    round_to: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`pagerank` as a CTE chain (the fixed
+    iteration count unrolls to pr0..prK — no recursive aggregation,
+    which DuckDB restricts).  ``pairs_cte`` names an earlier CTE with
+    ``src_col``/``dst_col`` edge columns; the final CTE is
+    ``pr{n_iter}`` with (id, r)."""
+    base = repr((1.0 - damping))
+    parts = [f"""edges AS (
+  SELECT {src_col} AS src, {dst_col} AS dst FROM {pairs_cte}
+  UNION
+  SELECT {dst_col}, {src_col} FROM {pairs_cte}
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS id FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (
+  SELECT id, ROUND(CAST(1.0 AS DOUBLE) / nn.n, {round_to}) AS r
+  FROM nodes, nn
+)"""]
+    for t in range(n_iter):
+        parts.append(f"""pr{t + 1} AS (
+  SELECT e.dst AS id,
+         ROUND(CAST({base} AS DOUBLE) / (SELECT n FROM nn)
+               + CAST({damping!r} AS DOUBLE)
+                 * CAST(SUM(CAST(ROUND(p.r / d.deg, {round_to})
+                                 AS DECIMAL(28,{round_to})))
+                        AS DOUBLE), {round_to}) AS r
+  FROM pr{t} p
+  JOIN edges e ON e.src = p.id
+  JOIN deg d ON d.src = p.id
+  GROUP BY e.dst
+)""")
+    return ",\n".join(parts)

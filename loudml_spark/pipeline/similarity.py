@@ -868,3 +868,88 @@ def margin_audit(
             .alias("impostor_nearest"),
         )
     )
+
+
+def mmr_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): diversity-aware top-k — each step picks the
+    candidate maximizing  lam*rel(c) − (1−lam)*max_{s∈selected}
+    sim(c, s),  so near-duplicates of an already-selected result are
+    penalized out.  The retrieval staple for diverse few-shot
+    example selection over a deduplicated corpus.
+
+    Distributed shape: relevance comes from :func:`cosine_topk`
+    (one corpus scan + GEMM — the exact brute-force path), cut to a
+    per-query candidate POOL of ``pool`` rows; candidate vectors
+    ride back via one id equi-join against the corpus; the greedy
+    selection itself is O(pool²·k) per query on a pool-sized pandas
+    group — bounded driver-free work, keyed by query id.
+
+    Determinism: relevance and candidate-candidate cosines round at
+    ``round_to`` before selection; ties break on ascending neighbor
+    id; the selection compares IEEE doubles built from those rounded
+    inputs with the same operations the SQL oracle uses, so the
+    greedy trajectory is engine-portable without further rounding.
+
+    Output: (query_id, rank, neighbor_id, relevance, mmr_score).
+    """
+    from loudml_spark import errors
+
+    if k < 1 or pool < k:
+        raise errors.Invalid(f"need pool >= k >= 1, got k={k} pool={pool}")
+    if not 0.0 <= lam <= 1.0:
+        raise errors.Invalid(f"lam must be in [0,1], got {lam}")
+
+    cand = cosine_topk(
+        queries, corpus, k=pool, vec_col=vec_col, id_col=id_col,
+        round_to=round_to)
+    withvec = cand.join(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")),
+        "neighbor_id")
+
+    lam_f, one_minus = float(lam), 1.0 - float(lam)
+    out_schema = ("query_id long, rank int, neighbor_id long, "
+                  "relevance double, mmr_score double")
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("neighbor_id").reset_index(drop=True)
+        ids = pdf["neighbor_id"].to_numpy()
+        rel = pdf["cosine"].to_numpy(dtype=np.float64)
+        V = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", V, V))
+        S = np.round((V @ V.T) / (nrm[:, None] * nrm[None, :]),
+                     round_to)
+        n = len(ids)
+        selected: list[int] = []
+        rows = []
+        for step in range(min(k, n)):
+            best_i, best_score = -1, None
+            for i in range(n):
+                if i in selected:
+                    continue
+                maxsim = max((S[i, j] for j in selected), default=0.0)
+                score = lam_f * rel[i] - one_minus * maxsim
+                # strict > keeps the lowest neighbor_id on ties
+                # (rows are id-sorted)
+                if best_score is None or score > best_score:
+                    best_i, best_score = i, score
+            selected.append(best_i)
+            rows.append((int(pdf["query_id"].iloc[0]), step + 1,
+                         int(ids[best_i]), float(rel[best_i]),
+                         round(best_score, round_to)))
+        return pd.DataFrame(rows, columns=[
+            "query_id", "rank", "neighbor_id", "relevance",
+            "mmr_score"])
+
+    return withvec.groupBy("query_id").applyInPandas(pick, out_schema)
