@@ -1,0 +1,138 @@
+"""Round-10b operators: binary-sign ANN, rank fusion, semantic
+decontamination, HLL sketch, text-audit and Kalman additions."""
+
+import os
+
+import pytest
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                        "/root/testdata/sf0.001")
+
+
+def _emb(spark, sf_dir=SF_DIR):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ------------------------------------------------- sign codes / hamming
+
+
+def test_sign_codes_hand_bits(spark):
+    from loudml_spark.pipeline.similarity import sign_codes
+
+    # dims 0, 2, 33 positive -> w0 = 1 + 4, w1 = 2
+    vec = [0.0] * 64
+    vec[0], vec[2], vec[33] = 1.0, 0.5, 3.0
+    vec[1] = -2.0  # negative stays 0
+    df = spark.createDataFrame(
+        [(7, vec)], "vec_id long, embedding array<float>")
+    row = sign_codes(df, 64).collect()[0]
+    assert (row["vec_id"], row["w0"], row["w1"]) == (7, 5, 2)
+
+
+def test_sign_codes_zero_is_not_set(spark):
+    from loudml_spark.pipeline.similarity import sign_codes
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 64)], "vec_id long, embedding array<float>")
+    row = sign_codes(df, 64).collect()[0]
+    assert (row["w0"], row["w1"]) == (0, 0)
+
+
+def test_sign_codes_all_positive_words(spark):
+    from loudml_spark.pipeline.similarity import sign_codes
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 64)], "vec_id long, embedding array<float>")
+    row = sign_codes(df, 64).collect()[0]
+    # 32 set bits per word = 2^32 - 1, positive in int64
+    assert (row["w0"], row["w1"]) == (2**32 - 1, 2**32 - 1)
+
+
+def test_hamming_topk_hand_distances(spark):
+    from loudml_spark.pipeline.similarity import hamming_topk
+
+    def v(*pos):
+        out = [-1.0] * 64
+        for p in pos:
+            out[p] = 1.0
+        return out
+
+    df = spark.createDataFrame(
+        [(0, v(0, 1)), (1, v(0, 1, 5)),        # d(0,1) = 1
+         (2, v(40, 41)), (3, v())],            # d(0,2) = 4, d(0,3) = 2
+        "vec_id long, embedding array<float>")
+    out = hamming_topk(df.filter("vec_id = 0"), df, k=3, dim=64)
+    rows = {r["neighbor_id"]: (r["hamming"], r["rank"])
+            for r in out.collect()}
+    assert rows == {1: (1, 1), 3: (2, 2), 2: (4, 3)}
+
+
+def test_hamming_topk_excludes_self_and_ranks_ties_by_id(spark):
+    from loudml_spark.pipeline.similarity import hamming_topk
+
+    same = [1.0] * 64
+    df = spark.createDataFrame(
+        [(0, same), (1, same), (2, same)],
+        "vec_id long, embedding array<float>")
+    out = hamming_topk(df.filter("vec_id = 0"), df, k=5, dim=64)
+    rows = [(r["neighbor_id"], r["hamming"], r["rank"])
+            for r in out.orderBy("rank").collect()]
+    assert rows == [(1, 0, 1), (2, 0, 2)]
+
+
+def test_hamming_recall_beats_chance_on_testdata(spark):
+    """1-bit quantization keeps sign structure: direct recall@5 vs
+    exact cosine is lossy (~0.16-0.24 measured) but must beat random
+    chance (~5/500 = 0.01) by an order of magnitude."""
+    from loudml_spark.pipeline.similarity import (
+        ann_recall, cosine_topk, hamming_topk)
+
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 10")
+    rec = ann_recall(hamming_topk(q, emb, k=5, dim=64),
+                     cosine_topk(q, emb, k=5))
+    mean = rec.agg({"recall": "avg"}).collect()[0][0]
+    assert mean > 0.1
+
+
+def test_hamming_rerank_recovers_recall(spark):
+    """The deployment shape: a Hamming shortlist re-ranked by exact
+    cosine must strictly beat the direct sign index's recall, and
+    with shortlist = corpus the result IS the exact top-k."""
+    from loudml_spark.pipeline.similarity import (
+        ann_recall, cosine_topk, hamming_rerank_topk, hamming_topk)
+
+    emb = _emb(spark)
+    q = emb.filter("vec_id < 10")
+    exact = cosine_topk(q, emb, k=5)
+    direct = ann_recall(
+        hamming_topk(q, emb, k=5, dim=64), exact
+    ).agg({"recall": "avg"}).collect()[0][0]
+    rerank = ann_recall(
+        hamming_rerank_topk(q, emb, k=5, shortlist=100, dim=64), exact
+    ).agg({"recall": "avg"}).collect()[0][0]
+    assert rerank > direct
+    full = hamming_rerank_topk(q, emb, k=5, shortlist=10_000, dim=64)
+    got = sorted(tuple(r) for r in full.collect())
+    want = sorted(tuple(r) for r in exact.collect())
+    assert got == want
+
+
+def test_hamming_rerank_hand_values(spark):
+    """Re-rank ordering is by exact cosine, not by hamming: a vector
+    with a worse hamming distance but better cosine must win."""
+    from loudml_spark.pipeline.similarity import hamming_rerank_topk
+
+    # q = ones; a matches signs exactly but tiny magnitude on most
+    # dims (cosine lower); b flips one sign but is otherwise aligned
+    q = [1.0] * 64
+    a = [0.01] * 32 + [1.0] * 32
+    b = [1.0] * 63 + [-1.0]
+    df = spark.createDataFrame(
+        [(0, q), (1, a), (2, b)],
+        "vec_id long, embedding array<float>")
+    out = hamming_rerank_topk(
+        df.filter("vec_id = 0"), df, k=2, shortlist=10, dim=64)
+    rows = [(r["neighbor_id"], r["rank"])
+            for r in out.orderBy("rank").collect()]
+    assert rows == [(2, 1), (1, 2)]
