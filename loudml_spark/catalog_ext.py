@@ -4737,3 +4737,112 @@ EXT_QUERIES.update({
         "fn": q_zorder_locality_lineitem,
         "oracle": SQL_ZORDER_LOCALITY_LINEITEM},
 })
+
+
+# --------------------------------------------------- rank fusion (r10)
+
+RRF_K0 = 60
+RRF_TOP = 10
+
+
+def q_rrf_bm25_tfidf_docs(spark, sf_dir):
+    """Reciprocal Rank Fusion (pipeline/corpus.py rrf_fuse, Cormack
+    2009) of two retrieval runs for the same literal query terms:
+    the Okapi BM25 top-25 and a smoothed-TF-IDF query-term-sum
+    top-25 — the calibration-free way to merge rankers whose raw
+    scores live on different scales.  Both runs are bounded top-k
+    frames, so fusion is two 25-row equi-joins; each reciprocal term
+    rounds at 6dp and sums as DECIMAL (order-independent, portable)."""
+    from pyspark.sql import Window
+
+    from loudml_spark.pipeline.corpus import bm25_scores, rrf_fuse, tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    bm = bm25_scores(
+        docs, BM25_TERMS, k1=BM25_K1, b=BM25_B, top_k=BM25_TOP_K)
+    wa = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    run_a = bm.withColumn("rank", F.row_number().over(wa))
+    ti = (
+        tf_idf(docs)
+        .filter(F.col("token").isin(list(BM25_TERMS)))
+        .groupBy("doc_id")
+        .agg((F.sum(F.round("tfidf", 6).cast("decimal(18,6)"))
+              .cast("double") + F.lit(0.0)).alias("score")))
+    wb = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    run_b = (
+        ti.withColumn("rank", F.row_number().over(wb))
+        .filter(F.col("rank") <= BM25_TOP_K))
+    return rrf_fuse([run_a, run_b], k0=RRF_K0, top_k=RRF_TOP)
+
+
+SQL_RRF_BM25_TFIDF_DOCS = f"""
+WITH bm AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+              AS BIGINT) AS r
+  FROM ({SQL_BM25_TOP25_DOCS}) t
+),
+tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+lens AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS doc_len
+  FROM per_doc GROUP BY doc_id
+),
+dfreq AS (
+  SELECT token, COUNT(*) AS df FROM per_doc GROUP BY token
+),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+ti AS (
+  SELECT p.doc_id,
+         CAST(SUM(CAST(ROUND(
+             (CAST(p.tf AS DOUBLE) / l.doc_len)
+             * (ln((1.0 + nn.n_docs) / (1.0 + d.df)) + 1.0),
+             6) AS DECIMAL(18,6))) AS DOUBLE) + 0.0 AS score
+  FROM per_doc p
+  JOIN lens l USING (doc_id)
+  JOIN dfreq d USING (token)
+  CROSS JOIN nn
+  WHERE p.token IN ({_BM25_IN})
+  GROUP BY p.doc_id
+),
+tf_run AS (
+  SELECT doc_id, r FROM (
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS r
+    FROM ti
+  ) WHERE r <= {BM25_TOP_K}
+),
+fused AS (
+  SELECT COALESCE(bm.doc_id, tf_run.doc_id) AS doc_id,
+         CAST((bm.r IS NOT NULL)::INT
+              + (tf_run.r IS NOT NULL)::INT AS INTEGER) AS n_runs,
+         CAST(COALESCE(CAST(ROUND(1.0 / ({RRF_K0} + bm.r), 6)
+                            AS DECIMAL(18,6)),
+                       CAST(0 AS DECIMAL(18,6)))
+              + COALESCE(CAST(ROUND(1.0 / ({RRF_K0} + tf_run.r), 6)
+                              AS DECIMAL(18,6)),
+                         CAST(0 AS DECIMAL(18,6)))
+              AS DOUBLE) + 0.0 AS rrf
+  FROM bm FULL OUTER JOIN tf_run USING (doc_id)
+)
+SELECT doc_id, n_runs, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC)
+            AS INTEGER) AS rank
+FROM fused
+QUALIFY rank <= {RRF_TOP}
+"""
+
+
+EXT_QUERIES.update({
+    "rrf_bm25_tfidf_docs": {
+        "fn": q_rrf_bm25_tfidf_docs,
+        "oracle": SQL_RRF_BM25_TFIDF_DOCS},
+})

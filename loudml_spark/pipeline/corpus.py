@@ -1268,3 +1268,74 @@ def bpe_fertility(
             .alias("fertility"),
             F.round(F.col("n_chars") / F.col("n_syms"), 6)
             .alias("chars_per_token")))
+
+
+def rrf_fuse(
+    runs: "Sequence[DataFrame]",
+    *,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k0: int = 60,
+    top_k: int | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009): combine N ranked runs without score calibration —
+    ``rrf(d) = Σ_runs 1 / (k0 + rank_run(d))``, items missing from a
+    run contribute 0.  The standard way to merge a lexical ranker
+    (BM25) with a dense/quality ranker when their raw scores live on
+    incomparable scales; k0=60 is the paper's constant.
+
+    Each input frame needs (``id_col``, ``rank_col``) with 1-based
+    integer ranks.  Runs join full-outer on id IN ARGUMENT ORDER and
+    each reciprocal term rounds at ``round_dp`` then sums as DECIMAL,
+    so the fused score is addition-order-independent and
+    engine-portable (1/(k0+rank) is one IEEE division of exact
+    integers — bit-identical everywhere).
+
+    Scale shape: ranked runs are top-k frames (|queries|·k rows), so
+    the full-outer chain is tiny equi-joins — no corpus-sized work.
+
+    Output: (``id_col``, n_runs, rrf, rank) ranked by (rrf DESC, id
+    ASC), cut to ``top_k`` when given."""
+    from loudml_spark import errors
+
+    runs = list(runs)
+    if not runs:
+        raise errors.Invalid("runs must be non-empty")
+    if k0 < 1:
+        raise errors.Invalid(f"k0 must be >= 1, got {k0}")
+    out = None
+    for i, r in enumerate(runs):
+        sel = r.select(
+            F.col(id_col),
+            F.col(rank_col).cast("long").alias(f"__r{i}"))
+        out = sel if out is None else out.join(
+            sel, id_col, "full_outer")
+    zero = F.lit(0).cast("decimal(18,6)")
+    terms = [
+        F.coalesce(
+            F.round(F.lit(1.0) / (F.lit(k0) + F.col(f"__r{i}")),
+                    round_dp).cast("decimal(18,6)"),
+            zero)
+        for i in range(len(runs))
+    ]
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    n_runs = None
+    for i in range(len(runs)):
+        hit = F.col(f"__r{i}").isNotNull().cast("int")
+        n_runs = hit if n_runs is None else n_runs + hit
+    from pyspark.sql import Window
+
+    scored = out.select(
+        F.col(id_col),
+        n_runs.cast("int").alias("n_runs"),
+        (score.cast("double") + F.lit(0.0)).alias("rrf"))
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    ranked = scored.withColumn(
+        "rank", F.row_number().over(w))
+    if top_k is not None:
+        ranked = ranked.filter(F.col("rank") <= top_k)
+    return ranked.select(id_col, "n_runs", "rrf", "rank")

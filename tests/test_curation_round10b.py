@@ -136,3 +136,55 @@ def test_hamming_rerank_hand_values(spark):
     rows = [(r["neighbor_id"], r["rank"])
             for r in out.orderBy("rank").collect()]
     assert rows == [(2, 1), (1, 2)]
+
+
+# ------------------------------------------------------------ rrf_fuse
+
+
+def test_rrf_fuse_hand_values(spark):
+    from loudml_spark.pipeline.corpus import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame(
+        [(2, 1), (1, 2), (4, 3)], "doc_id long, rank int")
+    out = {r["doc_id"]: (r["n_runs"], r["rrf"], r["rank"])
+           for r in rrf_fuse([a, b], k0=60).collect()}
+    r61, r62, r63 = (round(1 / 61, 6), round(1 / 62, 6),
+                     round(1 / 63, 6))
+    assert out[1] == (2, round(r61 + r62, 6), 1)
+    assert out[2] == (2, round(r62 + r61, 6), 2)  # tie -> id asc
+    assert out[3] == (1, r63, 3)
+    assert out[4] == (1, r63, 4)
+
+
+def test_rrf_fuse_missing_run_contributes_zero(spark):
+    from loudml_spark.pipeline.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    b = spark.createDataFrame([(9, 1)], "doc_id long, rank int")
+    rows = {r["doc_id"]: r["n_runs"]
+            for r in rrf_fuse([a, b]).collect()}
+    assert rows == {1: 1, 9: 1}
+
+
+def test_rrf_fuse_three_runs_and_top_k(spark):
+    from loudml_spark.pipeline.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    b = spark.createDataFrame([(1, 1), (3, 2)], "doc_id long, rank int")
+    c = spark.createDataFrame([(1, 2), (3, 1)], "doc_id long, rank int")
+    out = rrf_fuse([a, b, c], top_k=1).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1
+    assert out[0]["n_runs"] == 3
+
+
+def test_rrf_fuse_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank int")
+    with pytest.raises(errors.Invalid):
+        rrf_fuse([])
+    with pytest.raises(errors.Invalid):
+        rrf_fuse([a], k0=0)
