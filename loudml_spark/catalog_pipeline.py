@@ -5003,3 +5003,60 @@ PIPELINE_QUERIES.update({
         "fn": q_ann_recall_hamming_rerank,
         "oracle": SQL_ANN_RECALL_HAMMING_RERANK},
 })
+
+
+# ------------------------------------- semantic decontamination (r10)
+
+SEMDECON_T = 0.35
+
+
+def q_semantic_decontaminate_emb(spark, sf_dir):
+    """Embedding-space decontamination (pipeline/similarity.py
+    semantic_decontaminate): vec_id < 20 plays the eval set (same
+    split convention as decontaminate_docs); corpus vectors whose
+    max cosine to any eval vector reaches {SEMDECON_T} are flagged —
+    the paraphrase-robust complement to the exact n-gram / Bloom
+    scans.  Bench vectors ride the corpus scan as literals; one
+    map-side max per id."""
+    from loudml_spark.pipeline.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.filter("vec_id >= 20"),
+        emb.filter("vec_id < 20").select(
+            F.col("vec_id").alias("bench_id"), "embedding"),
+        threshold=SEMDECON_T)
+
+
+SQL_SEMANTIC_DECONTAMINATE_EMB = f"""
+WITH sb AS (
+  SELECT vec_id AS bench_id, embedding FROM embeddings
+  WHERE vec_id < 20
+),
+sc AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20
+),
+sp AS (
+  SELECT sc.vec_id, sb.bench_id,
+         ROUND({_sql_cosine('sc.embedding', 'sb.embedding')}, 6)
+           AS cosine
+  FROM sc JOIN sb ON sc.vec_id >= 20
+),
+sr AS (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id
+      ORDER BY cosine DESC, bench_id ASC) AS rn
+  FROM sp
+)
+SELECT vec_id, CAST(bench_id AS BIGINT) AS matched_bench,
+       cosine AS max_cosine,
+       cosine >= {SEMDECON_T} AS contaminated
+FROM sr WHERE rn = 1
+"""
+
+
+PIPELINE_QUERIES.update({
+    "semantic_decontaminate_emb": {
+        "fn": q_semantic_decontaminate_emb,
+        "oracle": SQL_SEMANTIC_DECONTAMINATE_EMB},
+})

@@ -1112,3 +1112,80 @@ def hamming_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    *,
+    threshold: float = 0.35,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str = "bench_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    sibling of the n-gram overlap scan (dedup.py benchmark_overlap):
+    a corpus item is contaminated when its max cosine to ANY
+    benchmark/eval item reaches ``threshold``, catching paraphrased
+    or reformatted leaks that exact-gram matching misses (the
+    published complement: GPT-3's n-gram scan vs embedding-based
+    contamination audits).
+
+    Distributed shape: the eval set is bounded, so its vectors ride
+    the corpus scan as literal structs (explode — same gate-safe
+    shape as sq8_cosine_topk, never a join); one map-side-combined
+    max per corpus id.  Per-pair cosines are left-fold double Column
+    math rounded at ``round_to``; the arg-max bench id ties break
+    LOW via a (cosine, -bench_id) struct max, so the flagged pair
+    set is engine-exact.
+
+    Output: (id, matched_bench, max_cosine, contaminated)."""
+    from loudml_spark import errors
+
+    if not 0.0 < threshold <= 1.0:
+        raise errors.Invalid(
+            f"threshold must be in (0, 1], got {threshold}")
+    b_rows = bench.select(
+        F.col(bench_id_col), F.col(vec_col)).collect()
+    if not b_rows:
+        raise errors.Invalid("bench set is empty")
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b,
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    vec = F.col(vec_col)
+    xn = F.sqrt(dot(vec, vec))
+    per_b = []
+    for r in b_rows:
+        bid = int(r[0])
+        bv = [float(x) for x in r[1]]
+        s = 0.0
+        for x in bv:          # left fold — matches the SQL reduce
+            s += x * x
+        bn = s ** 0.5
+        blit = F.array(*[F.lit(x) for x in bv])
+        per_b.append(F.struct(
+            F.lit(bid).alias("bench_id"),
+            F.round(dot(vec, blit) / (xn * F.lit(bn)),
+                    round_to).alias("cosine")))
+    exploded = corpus.select(
+        F.col(id_col), F.explode(F.array(*per_b)).alias("b")
+    ).select(
+        id_col, F.col("b.bench_id").alias("bench_id"),
+        F.col("b.cosine").alias("cosine"))
+    best = (
+        exploded.groupBy(id_col)
+        .agg(F.max(F.struct(
+            F.col("cosine"),
+            (-F.col("bench_id")).alias("neg_bid"))).alias("m"))
+        .select(
+            id_col,
+            (-F.col("m.neg_bid")).cast("long").alias("matched_bench"),
+            F.col("m.cosine").alias("max_cosine"),
+            (F.col("m.cosine") >= F.lit(float(threshold)))
+            .alias("contaminated")))
+    return best

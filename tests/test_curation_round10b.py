@@ -188,3 +188,70 @@ def test_rrf_fuse_validates(spark):
         rrf_fuse([])
     with pytest.raises(errors.Invalid):
         rrf_fuse([a], k0=0)
+
+
+# ---------------------------------------- semantic decontamination
+
+
+def test_semantic_decontaminate_flags_planted_leak(spark):
+    from loudml_spark.pipeline.similarity import semantic_decontaminate
+
+    bench_vec = [1.0] * 64
+    near = [1.0] * 63 + [0.5]     # cosine ~0.996 -> contaminated
+    far = ([1.0, -1.0] * 32)      # cosine 0 -> clean
+    corpus = spark.createDataFrame(
+        [(100, near), (101, far)],
+        "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(1, bench_vec)], "bench_id long, embedding array<float>")
+    out = {r["vec_id"]: (r["matched_bench"], r["contaminated"])
+           for r in semantic_decontaminate(
+               corpus, bench, threshold=0.9).collect()}
+    assert out[100] == (1, True)
+    assert out[101] == (1, False)
+
+
+def test_semantic_decontaminate_argmax_tie_breaks_low(spark):
+    from loudml_spark.pipeline.similarity import semantic_decontaminate
+
+    v = [1.0] * 64
+    corpus = spark.createDataFrame(
+        [(100, v)], "vec_id long, embedding array<float>")
+    bench = spark.createDataFrame(
+        [(2, v), (1, v)], "bench_id long, embedding array<float>")
+    row = semantic_decontaminate(corpus, bench, threshold=0.5) \
+        .collect()[0]
+    assert row["matched_bench"] == 1 and row["contaminated"]
+
+
+def test_semantic_decontaminate_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.similarity import semantic_decontaminate
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64)], "vec_id long, embedding array<float>")
+    empty = spark.createDataFrame(
+        [], "bench_id long, embedding array<float>")
+    with pytest.raises(errors.Invalid):
+        semantic_decontaminate(df, df, threshold=0.0)
+    with pytest.raises(errors.Invalid):
+        semantic_decontaminate(df, empty)
+
+
+def test_semantic_decontaminate_rate_on_testdata(spark):
+    """At the catalog threshold the synthetic corpus flags a small
+    but non-empty fraction — the audit is neither trivial-clean nor
+    flagging everything."""
+    from pyspark.sql import functions as F
+
+    from loudml_spark.pipeline.similarity import semantic_decontaminate
+
+    emb = _emb(spark, "/root/testdata/sf0.001")
+    out = semantic_decontaminate(
+        emb.filter("vec_id >= 20"),
+        emb.filter("vec_id < 20").selectExpr(
+            "vec_id AS bench_id", "embedding"),
+        threshold=0.35)
+    frac = out.agg(
+        F.avg(F.col("contaminated").cast("double"))).collect()[0][0]
+    assert 0.0 < frac < 0.5
