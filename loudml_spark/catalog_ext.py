@@ -4846,3 +4846,89 @@ EXT_QUERIES.update({
         "fn": q_rrf_bm25_tfidf_docs,
         "oracle": SQL_RRF_BM25_TFIDF_DOCS},
 })
+
+
+# ----------------------------------------------------------- HLL (r10)
+
+HLL_P = 4
+
+
+def q_hll_distinct_users_daily(spark, sf_dir):
+    """From-the-paper HyperLogLog per day (operators/sketch.py
+    hll_distinct, Flajolet 2007): registers over the portable
+    md5-derived hash, harmonic sum in EXACT int64 arithmetic
+    (Σ 2^(C−ρ) — no float-order sensitivity), linear-counting
+    small-range correction.  Completes the sketch family next to
+    KMV (order statistics) and CMS (frequency): the ESTIMATE itself
+    value-matches the SQL reconstruction, not just a bound."""
+    from loudml_spark.operators.sketch import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(`ts_ns` div {DAY_NS}L) * 86400")
+        .cast("long").alias("day_ts"),
+        "user_id",
+    ).where(F.col("user_id").isNotNull())
+    return hll_distinct(ev, key_col="user_id", by=["day_ts"], p=HLL_P)
+
+
+def _sql_hll_distinct_users_daily() -> str:
+    from loudml_spark.operators.sketch import _HASH_BITS, _HLL_ALPHA, sql_kmv_hash
+
+    p = HLL_P
+    m = 1 << p
+    alpha = _HLL_ALPHA[m]
+    w_bits = _HASH_BITS - p
+    c_exp = w_bits + 1
+    h = sql_kmv_hash("user_id")
+    raw = (f"{alpha * m * m!r} * {float(1 << c_exp)!r} "
+           f"/ CAST(sum_int AS DOUBLE)")
+    est = (f"CASE WHEN ({raw}) <= {2.5 * m!r} AND zeros > 0 "
+           f"THEN {float(m)!r} * ln({float(m)!r} / CAST(zeros AS DOUBLE)) "
+           f"ELSE ({raw}) END")
+    return f"""
+WITH hh AS (
+  SELECT DISTINCT (epoch_ns(ts) // {86400 * NS}) * 86400 AS day_ts,
+         {h} AS h
+  FROM events WHERE user_id IS NOT NULL
+),
+rr AS (
+  SELECT day_ts, h % {m} AS reg,
+         CASE WHEN h // {m} > 0
+              THEN {w_bits} - length(bin(h // {m})) + 1
+              ELSE {c_exp} END AS rho
+  FROM hh WHERE h IS NOT NULL
+),
+regs AS (
+  SELECT day_ts, reg, MAX(rho) AS mrho, COUNT(*) AS n
+  FROM rr GROUP BY day_ts, reg
+),
+g AS (
+  SELECT day_ts,
+         CAST(SUM(n) AS BIGINT) AS n_exact,
+         CAST(COUNT(*) AS INTEGER) AS present,
+         CAST(SUM(CAST(power(2.0, {c_exp} - mrho) AS BIGINT))
+              AS BIGINT) AS sum_present
+  FROM regs GROUP BY day_ts
+),
+s AS (
+  SELECT day_ts, n_exact,
+         CAST({m} - present AS BIGINT) AS zeros,
+         sum_present + ({m} - present) * {1 << c_exp} AS sum_int
+  FROM g
+)
+SELECT day_ts, n_exact,
+       CAST(zeros AS INTEGER) AS n_zero_regs,
+       ROUND({est}, 4) AS est_hll,
+       ROUND(ABS(({est}) - n_exact) / n_exact, 4) AS rel_err
+FROM s
+"""
+
+
+SQL_HLL_DISTINCT_USERS_DAILY = _sql_hll_distinct_users_daily()
+
+
+EXT_QUERIES.update({
+    "hll_distinct_users_daily": {
+        "fn": q_hll_distinct_users_daily,
+        "oracle": SQL_HLL_DISTINCT_USERS_DAILY},
+})

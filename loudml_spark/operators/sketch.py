@@ -107,3 +107,98 @@ def sql_kmv_hash(expr: str) -> str:
         for i in range(15)
     )
     return f"CAST({digits} AS BIGINT)"
+
+
+# ------------------------------------------------------------- HLL
+
+# published bias constants (Flajolet et al., AofA 2007, §4)
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_distinct(
+    df: DataFrame,
+    *,
+    key_col: str,
+    by: Sequence[str],
+    p: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate next to the
+    exact count — the sketch itself, from the paper (Flajolet,
+    Fusy, Gandouet & Meunier 2007), not a wrapper over an engine
+    aggregate (Spark HLL++ and DuckDB HLL disagree on raw
+    estimates; this one is engine-exact by construction).
+
+    Portability: the register max ρ (leading-zero rank of the
+    hash's upper 60−p bits, via ``length(bin(w))`` — identical
+    string semantics in Spark and DuckDB) is an exact integer, and
+    the harmonic denominator Σ 2^−M_j is computed in EXACT int64
+    arithmetic as Σ 2^(C−M_j) with C = 61−p (every term a power of
+    two, total ≤ 2^61 — no float-summation order sensitivity at
+    all), so the raw estimate α_m·m²·2^C / sum_int is ONE IEEE
+    division of identical numbers on any engine.  The small-range
+    regime applies the paper's linear-counting correction
+    m·ln(m/zeros) when raw ≤ 2.5m and zero registers remain.
+
+    Cost class matches :func:`kmv_distinct` (one distinct + two
+    map-side-combined grouped aggregations); the 100 TB sketch path
+    for pure estimation remains ``approx_count_distinct``, this
+    operator's role is the estimator math and the exact-vs-sketch
+    audit (``rel_err`` rides along).
+
+    Output: (*by, n_exact, n_zero_regs, est_hll, rel_err)."""
+    by = list(by)
+    if not by:
+        raise errors.Invalid("hll_distinct needs at least one group col")
+    if p not in (4, 5, 6):
+        raise errors.Invalid(f"p must be 4, 5 or 6, got {p}")
+    for c in [key_col, *by]:
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    m = 1 << p
+    alpha = _HLL_ALPHA[m]
+    w_bits = _HASH_BITS - p          # upper bits ranked for rho
+    c_exp = w_bits + 1               # max rho; int weights 2^(c-rho)
+
+    hashes = (
+        df.select(*by, kmv_hash(F.col(key_col)).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    wcol = F.floor(F.col("__h") / F.lit(m)).cast("long")
+    rho = F.when(
+        wcol > 0,
+        F.lit(w_bits) - F.length(F.bin(wcol)) + F.lit(1)
+    ).otherwise(F.lit(c_exp)).cast("int")
+    regs = (
+        hashes.select(
+            *by, (F.col("__h") % m).cast("int").alias("__reg"),
+            rho.alias("__rho"))
+        .groupBy(*by, "__reg")
+        .agg(F.max("__rho").alias("__mrho"),
+             F.count("*").alias("__n"))
+    )
+    weight = F.pow(F.lit(2.0), F.lit(c_exp) - F.col("__mrho")) \
+        .cast("long")
+    per_group = regs.groupBy(*by).agg(
+        F.sum("__n").cast("long").alias("n_exact"),
+        F.count("*").cast("int").alias("__present"),
+        F.sum(weight).cast("long").alias("__sum_present"),
+    )
+    zeros = (F.lit(m) - F.col("__present")).cast("long")
+    sum_int = (F.col("__sum_present")
+               + zeros * F.lit(1 << c_exp).cast("long"))
+    raw = (F.lit(alpha * m * m) * F.lit(float(1 << c_exp))
+           / sum_int.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *by,
+        "n_exact",
+        zeros.cast("int").alias("n_zero_regs"),
+        F.round(est, round_to).alias("est_hll"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"),
+                round_to).alias("rel_err"),
+    )

@@ -255,3 +255,75 @@ def test_semantic_decontaminate_rate_on_testdata(spark):
     frac = out.agg(
         F.avg(F.col("contaminated").cast("double"))).collect()[0][0]
     assert 0.0 < frac < 0.5
+
+
+# ------------------------------------------------------------- HLL
+
+
+def test_hll_small_group_uses_linear_counting(spark):
+    """A 3-distinct-key group sits deep in the small-range regime:
+    the linear-counting correction m*ln(m/zeros) applies and lands
+    near the exact count."""
+    from loudml_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(3)], "grp string, uid string")
+    row = hll_distinct(df, key_col="uid", by=["grp"], p=4).collect()[0]
+    assert row["n_exact"] == 3
+    assert row["n_zero_regs"] >= 13
+    assert abs(row["est_hll"] - 3) / 3 < 0.5
+    assert row["rel_err"] == round(abs(row["est_hll"] - 3) / 3, 4)
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """m=64 gives 1.04/8 = 13% standard error; at 1000 distinct keys
+    one trial must land within 4 sigma (52%) and never collapse."""
+    from loudml_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"user-{i}") for i in range(1000)],
+        "grp string, uid string")
+    row = hll_distinct(df, key_col="uid", by=["grp"], p=6).collect()[0]
+    assert row["n_exact"] == 1000
+    assert row["rel_err"] < 4 * 1.04 / 8.0  # 4 sigma at m=64
+    assert row["est_hll"] > 0
+
+
+def test_hll_deterministic_and_duplicate_insensitive(spark):
+    """Duplicates of a key cannot move the registers: est over a
+    frame with every key repeated 7x equals est over distinct keys."""
+    from loudml_spark.operators.sketch import hll_distinct
+
+    once = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(50)], "grp string, uid string")
+    many = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(50)] * 7,
+        "grp string, uid string")
+    a = hll_distinct(once, key_col="uid", by=["grp"]).collect()[0]
+    b = hll_distinct(many, key_col="uid", by=["grp"]).collect()[0]
+    assert a["est_hll"] == b["est_hll"]
+    assert a["n_exact"] == b["n_exact"] == 50
+
+
+def test_hll_p_controls_registers(spark):
+    from loudml_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(200)], "grp string, uid string")
+    r4 = hll_distinct(df, key_col="uid", by=["grp"], p=4).collect()[0]
+    r6 = hll_distinct(df, key_col="uid", by=["grp"], p=6).collect()[0]
+    # more registers -> tighter error on the same data
+    assert r6["rel_err"] <= r4["rel_err"] + 0.15
+
+
+def test_hll_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.operators.sketch import hll_distinct
+
+    df = spark.createDataFrame([("g", "u")], "grp string, uid string")
+    with pytest.raises(errors.Invalid):
+        hll_distinct(df, key_col="uid", by=[])
+    with pytest.raises(errors.Invalid):
+        hll_distinct(df, key_col="uid", by=["grp"], p=3)
+    with pytest.raises(errors.Invalid):
+        hll_distinct(df, key_col="nope", by=["grp"])
