@@ -4932,3 +4932,83 @@ EXT_QUERIES.update({
         "fn": q_hll_distinct_users_daily,
         "oracle": SQL_HLL_DISTINCT_USERS_DAILY},
 })
+
+
+# -------------------------------------------------------- kalman (r10)
+
+KALMAN_Q = 0.1
+KALMAN_R = 25.0
+
+
+def q_kalman_level_daily(spark, sf_dir):
+    """Kalman local-level filter on the daily mean per event_type
+    (operators/tsmath.py kalman_level): the adaptive-gain
+    generalization of the EWMA smoothers — gain starts at 1 (trust
+    the first observation) and relaxes toward steady state, with the
+    filter's own variance riding along.  Keyed applyInPandas
+    (sequential recursion per key, parallel across keys); the oracle
+    replays the identical scalar IEEE loop driver-side over the same
+    DECIMAL-exact series."""
+    from loudml_spark.operators.tsmath import kalman_level
+
+    return kalman_level(
+        _daily_mean_by_type(spark, sf_dir),
+        by=["event_type"], q_var=KALMAN_Q, r_var=KALMAN_R)
+
+
+def _sql_kalman_level_daily(sf_dir=None) -> str:
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+
+    d = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT event_type,
+               (epoch_ns(ts) // 86400000000000) * 86400 AS bucket_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(value) AS value
+        FROM read_parquet('{os.path.join(d, "events.parquet")}')
+        GROUP BY 1, 2
+        ORDER BY event_type, bucket_ts
+    """).fetchall()
+    con.close()
+    out = []
+    lvl, p, cur = None, None, None
+    for et, ts, y in rows:
+        if et != cur:
+            cur, lvl, p = et, None, None
+        y = float(y)
+        if lvl is None:
+            lvl, p, k = y, KALMAN_R, 1.0
+        else:
+            p_pred = p + KALMAN_Q
+            k = p_pred / (p_pred + KALMAN_R)
+            lvl = lvl + k * (y - lvl)
+            p = (1.0 - k) * p_pred
+        out.append((et, int(ts), y, round(lvl, 6), round(k, 6),
+                    round(p, 6)))
+    # the unrounded value must round-trip bit-exactly: a bare decimal
+    # literal would parse as DECIMAL and re-round on the way to
+    # DOUBLE, so ship it as a string (correctly-rounded float parse)
+    values = ", ".join(
+        f"('{et}', {ts}, '{y!r}', {lv!r}, {g!r}, {v!r})"
+        for et, ts, y, lv, g, v in out)
+    return f"""
+SELECT event_type, CAST(bucket_ts AS BIGINT) AS bucket_ts,
+       CAST(value AS DOUBLE) AS value,
+       CAST(level AS DOUBLE) AS level,
+       CAST(gain AS DOUBLE) AS gain,
+       CAST(variance AS DOUBLE) AS variance
+FROM (VALUES {values})
+  AS t(event_type, bucket_ts, value, level, gain, variance)
+"""
+
+
+EXT_QUERIES.update({
+    "kalman_level_daily": {
+        "fn": q_kalman_level_daily,
+        "oracle_fn": _sql_kalman_level_daily},
+})

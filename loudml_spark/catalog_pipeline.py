@@ -5060,3 +5060,45 @@ PIPELINE_QUERIES.update({
         "fn": q_semantic_decontaminate_emb,
         "oracle": SQL_SEMANTIC_DECONTAMINATE_EMB},
 })
+
+
+# ------------------------------------------- lexical diversity (r10)
+
+
+def q_lexical_diversity_docs(spark, sf_dir):
+    """Type-token ratio + hapax-legomenon share per document
+    (pipeline/text.py lexical_diversity): the vocabulary-side
+    quality features — templated/looping text shows low TTR, natural
+    prose keeps a fat hapax tail.  One scan, nested higher-order
+    filters, no Python boundary."""
+    from loudml_spark.pipeline.text import lexical_diversity
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    return lexical_diversity(docs)
+
+
+SQL_LEXICAL_DIVERSITY_DOCS = f"""
+WITH ld AS (
+  SELECT doc_id,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({_SQL_WORDS})) AS BIGINT) AS n_types,
+         CAST(len(list_filter(
+             list_distinct({_SQL_WORDS}),
+             w -> len(list_filter({_SQL_WORDS}, x -> x = w)) = 1))
+           AS BIGINT) AS n_hapax
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CASE WHEN n_tokens > 0
+            THEN CAST(n_types AS DOUBLE) / n_tokens END AS ttr,
+       CASE WHEN n_types > 0
+            THEN CAST(n_hapax AS DOUBLE) / n_types END AS hapax_ratio
+FROM ld
+"""
+
+
+PIPELINE_QUERIES.update({
+    "lexical_diversity_docs": {
+        "fn": q_lexical_diversity_docs,
+        "oracle": SQL_LEXICAL_DIVERSITY_DOCS},
+})

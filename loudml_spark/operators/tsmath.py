@@ -1570,3 +1570,79 @@ def ks_two_sample(
         F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), lhs > rhs)
         .alias("reject"),
     )
+
+
+def kalman_level(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    ts_col: str = "bucket_ts",
+    by: Sequence[str] = (),
+    q_var: float = 0.1,
+    r_var: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Kalman filter for the local-level model — the time-varying
+    generalization of the EWMA smoothers: ``x_t = x_{t-1} + w`` (var
+    ``q_var``), ``y_t = x_t + v`` (var ``r_var``).  Unlike a fixed-α
+    EWMA, the gain ``K_t = P⁻/(P⁻+r)`` ADAPTS: it starts high
+    (uncertain level, trust observations) and relaxes toward the
+    steady state, so early-series estimates aren't biased by an
+    arbitrary smoothing constant.  The per-step variance ``P_t``
+    rides along — the filter's own confidence, which no window-algebra
+    smoother provides.
+
+    Init: ``x_0 = y_0``, ``P_0 = r_var`` (first observation absorbed
+    at measurement noise).  Recursion per step:
+    ``P⁻ = P + q;  K = P⁻/(P⁻+r);  x += K·(y−x);  P = (1−K)·P⁻``.
+
+    The recursion is inherently sequential per key, so this is the
+    keyed-``applyInPandas`` shape (detect.py's precedent): each key's
+    series is bounded by the bucket count, groups filter in parallel,
+    nothing touches the driver.  The loop body is scalar IEEE-double
+    arithmetic in a fixed order, so a plain-Python replay reproduces
+    it bit-for-bit — the oracle strategy.
+
+    Output: (by..., ts, value, level, gain, variance) rounded at
+    ``round_dp`` (value passes through unrounded)."""
+    import pandas as pd
+
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if q_var < 0 or r_var <= 0:
+        raise errors.Invalid(
+            f"need q_var >= 0 and r_var > 0, got {q_var}/{r_var}")
+    qv, rv, dp = float(q_var), float(r_var), int(round_dp)
+    types = dict(df.dtypes)
+    fields = ", ".join(
+        [f"{c} {types[c]}" for c in by] + [f"{ts_col} {types[ts_col]}"])
+    schema = (f"{fields}, {value_col} double, level double, "
+              "gain double, variance double")
+
+    def flt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        lvl, p = None, None
+        levels, gains, variances = [], [], []
+        for y in pdf[value_col].tolist():
+            y = float(y)
+            if lvl is None:
+                lvl, p, k = y, rv, 1.0
+            else:
+                p_pred = p + qv
+                k = p_pred / (p_pred + rv)
+                lvl = lvl + k * (y - lvl)
+                p = (1.0 - k) * p_pred
+            levels.append(round(lvl, dp))
+            gains.append(round(k, dp))
+            variances.append(round(p, dp))
+        out = pdf[by + [ts_col, value_col]].copy()
+        out["level"] = levels
+        out["gain"] = gains
+        out["variance"] = variances
+        return out
+
+    base = df.select(*by, ts_col, F.col(value_col).cast("double")
+                     .alias(value_col))
+    if by:
+        return base.groupBy(*by).applyInPandas(flt, schema=schema)
+    return base.groupBy(F.lit(1)).applyInPandas(flt, schema=schema)

@@ -763,3 +763,44 @@ def gopher_rules(
             ok_words & ok_mean_len & ok_symbols & ok_alpha & ok_stop)
         .drop("__g", "__sym")
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", *,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document lexical-diversity profile — the vocabulary-side
+    quality signals the length/stopword stats can't see: templated
+    or looping text has many tokens but few TYPES, while natural
+    prose keeps a fat hapax tail (words used exactly once).  Both
+    are standard corpus-quality features (type-token ratio;
+    hapax-legomenon share, the Zipf-tail mass):
+
+    * ``ttr``          = n_types / n_tokens
+    * ``hapax_ratio``  = |{w : tf(w)=1}| / n_types
+
+    Fully JVM-side: tokens split once, types via array_distinct,
+    hapax via a nested higher-order filter (O(types·tokens) per doc
+    — document-sized arrays, no shuffle, no Python).  Ratios are
+    integer counts through one IEEE division (engine-portable
+    unrounded, the text_stats convention).  Empty docs get null
+    ratios, not divide-by-zero.
+
+    Output: (id, n_tokens, n_types, n_hapax, ttr, hapax_ratio)."""
+    toks = words_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.size(F.filter(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)) == 1,
+        )).cast("long").alias("n_hapax"),
+    ).select(
+        id_col, "n_tokens", "n_types", "n_hapax",
+        F.when(F.col("n_tokens") > 0,
+               F.col("n_types") / F.col("n_tokens")).alias("ttr"),
+        F.when(F.col("n_types") > 0,
+               F.col("n_hapax") / F.col("n_types"))
+        .alias("hapax_ratio"),
+    )

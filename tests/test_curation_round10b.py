@@ -327,3 +327,110 @@ def test_hll_validates(spark):
         hll_distinct(df, key_col="uid", by=["grp"], p=3)
     with pytest.raises(errors.Invalid):
         hll_distinct(df, key_col="nope", by=["grp"])
+
+
+# ------------------------------------------------- lexical diversity
+
+
+def test_lexical_diversity_hand_values(spark):
+    from loudml_spark.pipeline.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(0, "a b a c"),        # 4 tokens, 3 types, hapax {b, c}
+         (1, "x x x"),          # 3 tokens, 1 type, no hapax
+         (2, "")],              # empty -> 1 empty-string token
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert (out[0]["n_tokens"], out[0]["n_types"],
+            out[0]["n_hapax"]) == (4, 3, 2)
+    assert out[0]["ttr"] == 0.75
+    assert out[0]["hapax_ratio"] == 2 / 3
+    assert (out[1]["n_types"], out[1]["n_hapax"]) == (1, 0)
+    assert out[1]["hapax_ratio"] == 0.0
+
+
+def test_lexical_diversity_templated_vs_varied(spark):
+    """The signal: looping text scores lower TTR than varied text of
+    the same length."""
+    from loudml_spark.pipeline.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(0, " ".join(["spam"] * 40)),
+         (1, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert out[0]["ttr"] < 0.1 < 1.0 == out[1]["ttr"]
+    assert out[1]["hapax_ratio"] == 1.0
+
+
+# --------------------------------------------------------- kalman
+
+
+def test_kalman_constant_series_converges_to_level(spark):
+    from loudml_spark.operators.tsmath import kalman_level
+
+    df = spark.createDataFrame(
+        [("a", t, 10.0) for t in range(20)],
+        "k string, bucket_ts long, value double")
+    rows = kalman_level(df, by=["k"], q_var=0.1, r_var=1.0) \
+        .orderBy("bucket_ts").collect()
+    assert rows[0]["level"] == 10.0 and rows[0]["gain"] == 1.0
+    assert rows[-1]["level"] == 10.0
+    # variance relaxes to the steady state of the Riccati recursion
+    assert rows[-1]["variance"] < rows[1]["variance"]
+
+
+def test_kalman_gain_adapts_downward(spark):
+    """Gain starts at 1 (trust first obs) and decreases toward the
+    steady state — the property fixed-alpha EWMA lacks."""
+    from loudml_spark.operators.tsmath import kalman_level
+
+    df = spark.createDataFrame(
+        [("a", t, float(t % 3)) for t in range(30)],
+        "k string, bucket_ts long, value double")
+    rows = kalman_level(df, by=["k"], q_var=0.01, r_var=1.0) \
+        .orderBy("bucket_ts").collect()
+    gains = [r["gain"] for r in rows]
+    assert gains[0] == 1.0
+    assert gains[1] > gains[5] > gains[20]
+    # steady-state gain for q=0.01, r=1: K = (q + sqrt(q^2+4qr))/ ...
+    # numerically ~0.0951; the tail must be near it
+    assert abs(gains[-1] - 0.095125) < 1e-3
+
+
+def test_kalman_step_change_tracks(spark):
+    from loudml_spark.operators.tsmath import kalman_level
+
+    vals = [0.0] * 15 + [100.0] * 15
+    df = spark.createDataFrame(
+        [("a", t, v) for t, v in enumerate(vals)],
+        "k string, bucket_ts long, value double")
+    rows = kalman_level(df, by=["k"], q_var=1.0, r_var=1.0) \
+        .orderBy("bucket_ts").collect()
+    assert rows[14]["level"] < 1.0
+    assert rows[-1]["level"] > 95.0
+
+
+def test_kalman_keys_filter_independently(spark):
+    from loudml_spark.operators.tsmath import kalman_level
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 1, 1.0), ("b", 0, 9.0), ("b", 1, 9.0)],
+        "k string, bucket_ts long, value double")
+    out = {(r["k"], r["bucket_ts"]): r["level"]
+           for r in kalman_level(df, by=["k"]).collect()}
+    assert out[("a", 1)] == 1.0 and out[("b", 1)] == 9.0
+
+
+def test_kalman_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.operators.tsmath import kalman_level
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0)], "k string, bucket_ts long, value double")
+    with pytest.raises(errors.Invalid):
+        kalman_level(df, by=["k"], r_var=0.0)
+    with pytest.raises(errors.Invalid):
+        kalman_level(df, by=["k"], q_var=-1.0)
+    with pytest.raises(errors.Invalid):
+        kalman_level(df, by=["missing"])
