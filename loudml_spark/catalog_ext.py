@@ -5012,3 +5012,76 @@ EXT_QUERIES.update({
         "fn": q_kalman_level_daily,
         "oracle_fn": _sql_kalman_level_daily},
 })
+
+
+# ---------------------------------------------------- bigram LM (r10)
+
+BIGRAM_LAM = 0.75
+
+
+def q_bigram_perplexity_docs(spark, sf_dir):
+    """Per-doc perplexity under the corpus's own Jelinek–Mercer
+    bigram LM (pipeline/corpus.py bigram_perplexity, λ=0.75) — the
+    sequence-aware quality filter: corpus-typical unigrams with
+    improbable transitions (shuffled text, keyword stuffing) score
+    high where the unigram lm_perplexity_docs is blind."""
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity(docs, lam=BIGRAM_LAM)
+
+
+SQL_BIGRAM_PERPLEXITY_DOCS = f"""
+WITH ww AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+ut AS (SELECT doc_id, unnest(ws) AS token FROM ww),
+cu AS (
+  SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cu
+  FROM ut GROUP BY token
+),
+nt AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM cu),
+bt AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS token
+  FROM ww
+),
+pd AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bt GROUP BY doc_id, token
+),
+cb AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cb FROM pd GROUP BY token
+),
+ctx AS (
+  SELECT string_split(token, ' ')[1] AS prev,
+         CAST(SUM(cb) AS BIGINT) AS cctx
+  FROM cb GROUP BY 1
+),
+sc AS (
+  SELECT pd.doc_id, pd.tf,
+         ROUND(pd.tf * ln(
+             {BIGRAM_LAM} * (CAST(cb.cb AS DOUBLE) / ctx.cctx)
+             + {1.0 - BIGRAM_LAM} * (CAST(cu.cu AS DOUBLE) / nt.n)),
+           6) AS s
+  FROM pd
+  JOIN cb USING (token)
+  JOIN ctx ON ctx.prev = string_split(pd.token, ' ')[1]
+  JOIN cu ON cu.w = string_split(pd.token, ' ')[2]
+  CROSS JOIN nt
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE))
+                 / SUM(tf)), 6) + 0.0 AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+EXT_QUERIES.update({
+    "bigram_perplexity_docs": {
+        "fn": q_bigram_perplexity_docs,
+        "oracle": SQL_BIGRAM_PERPLEXITY_DOCS},
+})

@@ -5102,3 +5102,63 @@ PIPELINE_QUERIES.update({
         "fn": q_lexical_diversity_docs,
         "oracle": SQL_LEXICAL_DIVERSITY_DOCS},
 })
+
+
+# --------------------------------------- rank-normalized quality (r10)
+
+RANKNORM_KEEP = 0.5
+
+
+def q_rank_normalized_quality_docs(spark, sf_dir):
+    """Cross-source score calibration (pipeline/sampling.py
+    rank_normalize): the text_stats quality score percent-ranked
+    WITHIN each source, selecting the top half of every source —
+    thresholding raw scores instead would starve sources whose whole
+    distribution sits lower (curated feed vs crawl).  One shuffle on
+    source + per-group sort; percent_rank is a pure rank function,
+    engine-exact."""
+    from loudml_spark.pipeline.sampling import rank_normalize
+    from loudml_spark.pipeline.text import text_stats
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
+    scored = text_stats(docs).select("doc_id", "source", "quality")
+    out = rank_normalize(
+        scored, score_col="quality", by=["source"],
+        keep_frac=RANKNORM_KEEP)
+    return out.select("doc_id", "source", "pct_rank", "selected")
+
+
+SQL_RANK_NORMALIZED_QUALITY_DOCS = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len({_SQL_WORDS}) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_calc,
+         ({_SQL_STOP_HITS}) AS stop_hits
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source,
+         LEAST(1.0, n_tokens / 100.0) * 0.5
+           + (1.0 - stop_hits / n_tokens) * 0.3
+           + LEAST(1.0, ((n_chars_calc - (n_tokens - 1)) / n_tokens)
+                   / 8.0) * 0.2 AS quality
+  FROM base
+),
+pr AS (
+  SELECT doc_id, source,
+         ROUND(percent_rank() OVER (
+             PARTITION BY source ORDER BY quality ASC), 6)
+           AS pct_rank
+  FROM scored
+)
+SELECT doc_id, source, pct_rank,
+       pct_rank >= {1.0 - RANKNORM_KEEP} AS selected
+FROM pr
+"""
+
+
+PIPELINE_QUERIES.update({
+    "rank_normalized_quality_docs": {
+        "fn": q_rank_normalized_quality_docs,
+        "oracle": SQL_RANK_NORMALIZED_QUALITY_DOCS},
+})

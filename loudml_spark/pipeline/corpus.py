@@ -1339,3 +1339,75 @@ def rrf_fuse(
     if top_k is not None:
         ranked = ranked.filter(F.col("rank") <= top_k)
     return ranked.select(id_col, "n_runs", "rrf", "rank")
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.75,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-document perplexity under the corpus's own
+    Jelinek–Mercer-interpolated BIGRAM language model — the
+    sequence-aware upgrade of :func:`lm_perplexity`: word-salad text
+    with corpus-typical unigrams but improbable transitions (shuffled
+    sentences, keyword stuffing) scores high where the unigram filter
+    is blind.
+
+        P(w | prev) = λ · c(prev,w)/c(prev,·) + (1−λ) · c(w)/N
+
+    scored over every within-document bigram (docs with < 2 tokens
+    drop out — they have no transitions to judge).
+
+    Scale shape: bigram and context counts are vocabulary-sized
+    grouped aggregations (the standard LM counting shuffle); scoring
+    is three token-keyed equi-joins back onto the per-doc bigram
+    frame — no driver traffic except the inlined corpus total N
+    (the tf_idf precedent).  Per-bigram ``tf·ln P`` rounds at
+    ``round_dp`` and sums as DECIMAL, so the doc score is
+    addition-order-independent and engine-portable (lm_perplexity's
+    convention).
+
+    Output: (id_col, n_bigrams, ppl)."""
+    from loudml_spark import errors
+
+    if not 0.0 < lam < 1.0:
+        raise errors.Invalid(f"lam must be in (0, 1), got {lam}")
+    uni = tokens(df, text_col=text_col, id_col=id_col)
+    cu = uni.groupBy("token").agg(
+        F.count("*").cast("long").alias("cu"))
+    n_total = int(
+        cu.agg(F.sum("cu").cast("long").alias("n")).first()["n"])
+    if n_total == 0:
+        raise errors.Invalid("corpus has no tokens")
+    bg = tokens(df, text_col=text_col, id_col=id_col, n=2)
+    per_doc = bg.groupBy(id_col, "token").agg(
+        F.count("*").cast("long").alias("tf"))
+    cb = per_doc.groupBy("token").agg(
+        F.sum("tf").cast("long").alias("cb"))
+    ctx = cb.groupBy(
+        F.split(F.col("token"), " ").getItem(0).alias("prev")
+    ).agg(F.sum("cb").cast("long").alias("cctx"))
+    scored = (
+        per_doc
+        .join(cb, "token")
+        .withColumn("prev", F.split(F.col("token"), " ").getItem(0))
+        .withColumn("w", F.split(F.col("token"), " ").getItem(1))
+        .join(ctx, "prev")
+        .join(cu.withColumnRenamed("token", "w"), "w")
+    )
+    p = (F.lit(float(lam)) * (F.col("cb").cast("double")
+                              / F.col("cctx"))
+         + F.lit(1.0 - float(lam)) * (F.col("cu").cast("double")
+                                      / F.lit(float(n_total))))
+    per_term = scored.select(
+        id_col, "tf",
+        F.round(F.col("tf") * F.log(p), round_dp).alias("__s"))
+    return per_term.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        (F.round(
+            F.exp(-(F.sum(F.col("__s").cast("decimal(18,6)"))
+                    .cast("double")) / F.sum("tf")),
+            round_dp) + F.lit(0.0)).alias("ppl"))

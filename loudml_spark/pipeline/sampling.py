@@ -657,3 +657,54 @@ def excess_loss_weights(
         domain_col, "n_docs", "n_tokens", "mean_loss", "excess",
         "share",
         F.round(F.col("__score") / tot, 9).alias("weight"))
+
+
+def rank_normalize(
+    df: DataFrame,
+    *,
+    score_col: str,
+    by: "str | list[str]",
+    keep_frac: float | None = None,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Within-group percent-rank normalization of a score — the
+    cross-source calibration step before any global quality
+    threshold: every source's raw score distribution differs (a
+    curated feed's median beats a crawl's p90), so thresholding raw
+    scores starves whole sources; thresholding the WITHIN-SOURCE
+    percent rank selects the same fraction from each source by
+    construction.
+
+    ``pct_rank = (rank − 1) / (n − 1)`` (SQL PERCENT_RANK: ties
+    share a rank; single-row groups get 0).  With ``keep_frac``
+    given, a ``selected`` flag marks ``pct_rank ≥ 1 − keep_frac`` —
+    the top ``keep_frac`` of every group.
+
+    Scale shape: one shuffle on the group key + a per-group sort —
+    the exact-quantile cost class (largest group bounds the
+    partition; the documented approximate alternative for skewed
+    sources is percentile_approx cutoffs, ccnet_ppl_buckets'
+    pattern).  percent_rank is a pure rank function of integer
+    positions, so results are engine-exact; it rounds at
+    ``round_dp`` only to keep the column hash-stable.
+
+    Output: df columns + pct_rank (+ selected)."""
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    if not by:
+        raise errors.Invalid("rank_normalize needs at least one group col")
+    for c in [score_col, *by]:
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    if keep_frac is not None and not 0.0 < keep_frac <= 1.0:
+        raise errors.Invalid(
+            f"keep_frac must be in (0, 1], got {keep_frac}")
+    w = Window.partitionBy(*by).orderBy(F.col(score_col).asc())
+    out = df.withColumn(
+        "pct_rank", F.round(F.percent_rank().over(w), round_dp))
+    if keep_frac is not None:
+        out = out.withColumn(
+            "selected",
+            F.col("pct_rank") >= F.lit(1.0 - float(keep_frac)))
+    return out

@@ -434,3 +434,113 @@ def test_kalman_validates(spark):
         kalman_level(df, by=["k"], q_var=-1.0)
     with pytest.raises(errors.Invalid):
         kalman_level(df, by=["missing"])
+
+
+# ------------------------------------------------ bigram perplexity
+
+
+def test_bigram_ppl_transitions_beat_unigram_blindness(spark):
+    """Two docs with IDENTICAL unigram distributions: one follows the
+    corpus's dominant transition pattern, the other scrambles it.
+    The bigram model must score the scrambled doc strictly higher
+    (the unigram filter scores both the same by construction)."""
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    corpus = [(i, "a b a b a b a b") for i in range(10)]
+    corpus.append((100, "a b a b a b a b"))   # typical transitions
+    corpus.append((101, "a a b b a a b b"))   # same unigrams, odd
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    out = {r["doc_id"]: r["ppl"]
+           for r in bigram_perplexity(df).collect()}
+    assert out[101] > out[100]
+
+
+def test_bigram_ppl_hand_value(spark):
+    """Single-doc corpus 'a b': one bigram, c(a,b)=1, c(a,.)=1,
+    c(b)=1, N=2 -> P = lam*1 + (1-lam)*0.5."""
+    import math
+
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    row = bigram_perplexity(df, lam=0.75).collect()[0]
+    p = 0.75 * 1.0 + 0.25 * 0.5
+    want = round(math.exp(-round(math.log(p), 6)), 6)
+    assert row["n_bigrams"] == 1
+    assert row["ppl"] == want
+
+
+def test_bigram_ppl_short_docs_drop(spark):
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, "two words")], "doc_id long, text string")
+    ids = {r["doc_id"] for r in bigram_perplexity(df).collect()}
+    assert ids == {1}
+
+
+def test_bigram_ppl_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(errors.Invalid):
+        bigram_perplexity(df, lam=1.0)
+    with pytest.raises(errors.Invalid):
+        bigram_perplexity(df, lam=0.0)
+
+
+# ------------------------------------------------ rank normalization
+
+
+def test_rank_normalize_same_fraction_per_group(spark):
+    """The calibration property: a global threshold on pct_rank
+    keeps the same fraction of EVERY source even when one source's
+    raw scores dominate the other's entirely."""
+    from loudml_spark.pipeline.sampling import rank_normalize
+
+    rows = [(i, "lo", float(i)) for i in range(10)]          # 0..9
+    rows += [(100 + i, "hi", 100.0 + i) for i in range(10)]  # 100..109
+    df = spark.createDataFrame(rows, "doc_id long, src string, q double")
+    out = rank_normalize(df, score_col="q", by=["src"], keep_frac=0.5)
+    kept = out.filter("selected").groupBy("src").count().collect()
+    assert {r["src"]: r["count"] for r in kept} == {"lo": 5, "hi": 5}
+
+
+def test_rank_normalize_bounds_and_single_row_group(spark):
+    from loudml_spark.pipeline.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0), (1, "a", 2.0), (2, "b", 7.0)],
+        "doc_id long, src string, q double")
+    out = {r["doc_id"]: r["pct_rank"]
+           for r in rank_normalize(
+               df, score_col="q", by=["src"]).collect()}
+    assert out[0] == 0.0 and out[1] == 1.0
+    assert out[2] == 0.0  # single-row group
+
+
+def test_rank_normalize_ties_share_rank(spark):
+    from loudml_spark.pipeline.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [(0, "a", 5.0), (1, "a", 5.0), (2, "a", 9.0)],
+        "doc_id long, src string, q double")
+    out = {r["doc_id"]: r["pct_rank"]
+           for r in rank_normalize(
+               df, score_col="q", by=["src"]).collect()}
+    assert out[0] == out[1] == 0.0 and out[2] == 1.0
+
+
+def test_rank_normalize_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.sampling import rank_normalize
+
+    df = spark.createDataFrame(
+        [(0, "a", 1.0)], "doc_id long, src string, q double")
+    with pytest.raises(errors.Invalid):
+        rank_normalize(df, score_col="q", by=[])
+    with pytest.raises(errors.Invalid):
+        rank_normalize(df, score_col="nope", by=["src"])
+    with pytest.raises(errors.Invalid):
+        rank_normalize(df, score_col="q", by=["src"], keep_frac=0.0)
