@@ -5085,3 +5085,38 @@ EXT_QUERIES.update({
         "fn": q_bigram_perplexity_docs,
         "oracle": SQL_BIGRAM_PERPLEXITY_DOCS},
 })
+
+
+def q_hll_merged_users_daily(spark, sf_dir):
+    """HLL mergeability proof (operators/sketch.py
+    hll_distinct_merged): daily registers built INDEPENDENTLY per
+    event_type shard, combined by register max — the distributive
+    property that lets per-partition sketches roll up without
+    re-scanning at 100 TB.  The oracle is the DIRECT daily sketch's
+    estimate columns: merged == direct, bit for bit, or the query
+    fails the value gate."""
+    from loudml_spark.operators.sketch import hll_distinct_merged
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(`ts_ns` div {DAY_NS}L) * 86400")
+        .cast("long").alias("day_ts"),
+        "event_type", "user_id",
+    ).where(F.col("user_id").isNotNull())
+    return hll_distinct_merged(
+        ev, key_col="user_id", by=["day_ts"],
+        shard_col="event_type", p=HLL_P)
+
+
+# merged-by-shard must equal the direct sketch: reuse the direct
+# reconstruction, projecting the estimate columns only
+SQL_HLL_MERGED_USERS_DAILY = f"""
+SELECT day_ts, n_zero_regs, est_hll
+FROM ({SQL_HLL_DISTINCT_USERS_DAILY}) t
+"""
+
+
+EXT_QUERIES.update({
+    "hll_merged_users_daily": {
+        "fn": q_hll_merged_users_daily,
+        "oracle": SQL_HLL_MERGED_USERS_DAILY},
+})

@@ -202,3 +202,85 @@ def hll_distinct(
         F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"),
                 round_to).alias("rel_err"),
     )
+
+
+def hll_distinct_merged(
+    df: DataFrame,
+    *,
+    key_col: str,
+    by: Sequence[str],
+    shard_col: str,
+    p: int = 4,
+    round_to: int = 4,
+) -> DataFrame:
+    """HLL by SKETCH MERGE — the property that makes HLL the 100 TB
+    distinct-count tool: registers built independently per shard
+    (here ``shard_col``, standing in for per-executor / per-partition
+    / per-day partial sketches) combine by REGISTER MAX into exactly
+    the sketch a single global pass would build, so the estimate is
+    bit-identical to :func:`hll_distinct` over the same groups.
+    That equality IS this operator's acceptance gate (the catalog
+    pairs it with the direct path's oracle).
+
+    Same cost class as the direct path plus one extra register-keyed
+    aggregation (registers per (group, shard) → max per (group,
+    register)); no exact count rides along — the merged sketch
+    cannot know cross-shard overlap exactly, which is the point.
+
+    Output: (*by, n_zero_regs, est_hll)."""
+    by = list(by)
+    if not by:
+        raise errors.Invalid(
+            "hll_distinct_merged needs at least one group col")
+    if p not in (4, 5, 6):
+        raise errors.Invalid(f"p must be 4, 5 or 6, got {p}")
+    for c in [key_col, shard_col, *by]:
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    m = 1 << p
+    alpha = _HLL_ALPHA[m]
+    w_bits = _HASH_BITS - p
+    c_exp = w_bits + 1
+
+    hashes = (
+        df.select(*by, F.col(shard_col).alias("__shard"),
+                  kmv_hash(F.col(key_col)).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    wcol = F.floor(F.col("__h") / F.lit(m)).cast("long")
+    rho = F.when(
+        wcol > 0,
+        F.lit(w_bits) - F.length(F.bin(wcol)) + F.lit(1)
+    ).otherwise(F.lit(c_exp)).cast("int")
+    shard_regs = (
+        hashes.select(
+            *by, "__shard",
+            (F.col("__h") % m).cast("int").alias("__reg"),
+            rho.alias("__rho"))
+        .groupBy(*by, "__shard", "__reg")
+        .agg(F.max("__rho").alias("__srho"))
+    )
+    # the merge: register max across shards
+    regs = shard_regs.groupBy(*by, "__reg").agg(
+        F.max("__srho").alias("__mrho"))
+    weight = F.pow(F.lit(2.0), F.lit(c_exp) - F.col("__mrho")) \
+        .cast("long")
+    per_group = regs.groupBy(*by).agg(
+        F.count("*").cast("int").alias("__present"),
+        F.sum(weight).cast("long").alias("__sum_present"),
+    )
+    zeros = (F.lit(m) - F.col("__present")).cast("long")
+    sum_int = (F.col("__sum_present")
+               + zeros * F.lit(1 << c_exp).cast("long"))
+    raw = (F.lit(alpha * m * m) * F.lit(float(1 << c_exp))
+           / sum_int.cast("double"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return per_group.select(
+        *by,
+        zeros.cast("int").alias("n_zero_regs"),
+        F.round(est, round_to).alias("est_hll"),
+    )

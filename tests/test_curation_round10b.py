@@ -544,3 +544,40 @@ def test_rank_normalize_validates(spark):
         rank_normalize(df, score_col="nope", by=["src"])
     with pytest.raises(errors.Invalid):
         rank_normalize(df, score_col="q", by=["src"], keep_frac=0.0)
+
+
+def test_hll_merge_equals_direct_with_overlapping_shards(spark):
+    """The mergeability property: register-max over per-shard
+    sketches equals the single-pass sketch even when the SAME user
+    appears in many shards (a plain sum of per-shard estimates would
+    double-count; the sketch cannot)."""
+    from loudml_spark.operators.sketch import (
+        hll_distinct, hll_distinct_merged)
+
+    rows = []
+    for i in range(300):
+        rows.append(("d1", "click", f"u{i}"))
+        if i % 2 == 0:
+            rows.append(("d1", "view", f"u{i}"))   # overlap: same users
+    df = spark.createDataFrame(
+        rows, "day string, shard string, uid string")
+    direct = hll_distinct(
+        df, key_col="uid", by=["day"], p=4).collect()[0]
+    merged = hll_distinct_merged(
+        df, key_col="uid", by=["day"], shard_col="shard",
+        p=4).collect()[0]
+    assert merged["est_hll"] == direct["est_hll"]
+    assert merged["n_zero_regs"] == direct["n_zero_regs"]
+
+
+def test_hll_merged_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.operators.sketch import hll_distinct_merged
+
+    df = spark.createDataFrame(
+        [("d", "s", "u")], "day string, shard string, uid string")
+    with pytest.raises(errors.Invalid):
+        hll_distinct_merged(df, key_col="uid", by=[], shard_col="shard")
+    with pytest.raises(errors.Invalid):
+        hll_distinct_merged(
+            df, key_col="uid", by=["day"], shard_col="nope")

@@ -123,6 +123,24 @@ AUDIT = [
     ("dup_rate_by_source", "full"),
     ("bpe_fertility_by_lang", "full"),
     ("doremi_weights_docs", "full"),
+    # r10 late additions (event mining, graph, sketches, layout)
+    ("assoc_rules_events", "full"),
+    ("event_transitions_users", "full"),
+    ("kmv_distinct_users_daily", "full"),
+    ("zorder_locality_lineitem", "full"),
+    ("mmr_topk_emb", "full"),
+    ("pagerank_sim_docs", "bounded"),   # doc_id<1000 slice by design
+    # r10b additions (binary ANN, fusion, decontamination, LM, sketch)
+    ("ann_hamming_topk", "full"),
+    ("ann_hamming_rerank", "full"),
+    ("ann_recall_hamming_rerank", "full"),
+    ("rrf_bm25_tfidf_docs", "full"),
+    ("semantic_decontaminate_emb", "full"),
+    ("hll_distinct_users_daily", "full"),
+    ("lexical_diversity_docs", "full"),
+    ("kalman_level_daily", "full"),
+    ("bigram_perplexity_docs", "full"),
+    ("rank_normalized_quality_docs", "full"),
 ]
 
 
