@@ -5120,3 +5120,85 @@ EXT_QUERIES.update({
         "fn": q_hll_merged_users_daily,
         "oracle": SQL_HLL_MERGED_USERS_DAILY},
 })
+
+
+def q_kalman_smooth_daily(spark, sf_dir):
+    """RTS smoother on the daily mean per event_type
+    (operators/tsmath.py kalman_smooth): the backward pass revises
+    each day's level with the days that came AFTER it — the
+    retrospective companion to kalman_level_daily.  Keyed
+    applyInPandas, bit-replayable scalar loop (oracle replays both
+    passes driver-side)."""
+    from loudml_spark.operators.tsmath import kalman_smooth
+
+    return kalman_smooth(
+        _daily_mean_by_type(spark, sf_dir),
+        by=["event_type"], q_var=KALMAN_Q, r_var=KALMAN_R)
+
+
+def _sql_kalman_smooth_daily(sf_dir=None) -> str:
+    import os
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+
+    d = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT event_type,
+               (epoch_ns(ts) // 86400000000000) * 86400 AS bucket_ts,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(value) AS value
+        FROM read_parquet('{os.path.join(d, "events.parquet")}')
+        GROUP BY 1, 2
+        ORDER BY event_type, bucket_ts
+    """).fetchall()
+    con.close()
+    series: dict = {}
+    for et, ts, y in rows:
+        series.setdefault(et, []).append((int(ts), float(y)))
+    out = []
+    for et in sorted(series):
+        pts = series[et]
+        ys = [y for _, y in pts]
+        xs, ps = [], []
+        lvl, p = None, None
+        for y in ys:
+            if lvl is None:
+                lvl, p = y, KALMAN_R
+            else:
+                p_pred = p + KALMAN_Q
+                k = p_pred / (p_pred + KALMAN_R)
+                lvl = lvl + k * (y - lvl)
+                p = (1.0 - k) * p_pred
+            xs.append(lvl)
+            ps.append(p)
+        n = len(ys)
+        sm = [0.0] * n
+        if n:
+            sm[n - 1] = xs[n - 1]
+            for t in range(n - 2, -1, -1):
+                c = (ps[t] / (ps[t] + KALMAN_Q)
+                     if (ps[t] + KALMAN_Q) > 0 else 0.0)
+                sm[t] = xs[t] + c * (sm[t + 1] - xs[t])
+        for (ts, y), x, s in zip(pts, xs, sm):
+            out.append((et, ts, y, round(x, 6), round(s, 6)))
+    values = ", ".join(
+        f"('{et}', {ts}, '{y!r}', {lv!r}, {s!r})"
+        for et, ts, y, lv, s in out)
+    return f"""
+SELECT event_type, CAST(bucket_ts AS BIGINT) AS bucket_ts,
+       CAST(value AS DOUBLE) AS value,
+       CAST(level AS DOUBLE) AS level,
+       CAST(smoothed AS DOUBLE) AS smoothed
+FROM (VALUES {values})
+  AS t(event_type, bucket_ts, value, level, smoothed)
+"""
+
+
+EXT_QUERIES.update({
+    "kalman_smooth_daily": {
+        "fn": q_kalman_smooth_daily,
+        "oracle_fn": _sql_kalman_smooth_daily},
+})

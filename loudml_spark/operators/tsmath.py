@@ -1646,3 +1646,80 @@ def kalman_level(
     if by:
         return base.groupBy(*by).applyInPandas(flt, schema=schema)
     return base.groupBy(F.lit(1)).applyInPandas(flt, schema=schema)
+
+
+def kalman_smooth(
+    df: DataFrame,
+    *,
+    value_col: str = "value",
+    ts_col: str = "bucket_ts",
+    by: Sequence[str] = (),
+    q_var: float = 0.1,
+    r_var: float = 1.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Rauch–Tung–Striebel smoother for the local-level model — the
+    offline companion to :func:`kalman_level`: after the forward
+    filter pass, a backward pass revises every estimate with the
+    information that arrived AFTER it
+    (``x̂_t ← x_t + C_t·(x̂_{t+1} − x_t)``, ``C_t = P_t/(P_t+q)``), so
+    mid-series estimates use both past and future — the right tool
+    for retrospective gap-fill and level reconstruction, where the
+    filter's one-sided lag biases against recent turns.
+
+    Same keyed-``applyInPandas`` shape and bit-replayable scalar IEEE
+    loop as the filter; both passes run inside one group call (two
+    O(n) sweeps over the bounded per-key series).
+
+    Output: (by..., ts, value, level, smoothed) — ``level`` is the
+    forward-filter estimate for comparison, rounded at ``round_dp``."""
+    import pandas as pd
+
+    _need(df, ts_col, value_col, *by)
+    by = list(by)
+    if q_var < 0 or r_var <= 0:
+        raise errors.Invalid(
+            f"need q_var >= 0 and r_var > 0, got {q_var}/{r_var}")
+    qv, rv, dp = float(q_var), float(r_var), int(round_dp)
+    types = dict(df.dtypes)
+    fields = ", ".join(
+        [f"{c} {types[c]}" for c in by] + [f"{ts_col} {types[ts_col]}"])
+    schema = (f"{fields}, {value_col} double, level double, "
+              "smoothed double")
+
+    def smo(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        ys = [float(y) for y in pdf[value_col].tolist()]
+        # forward filter, keeping filtered (x, P) and predicted P
+        xs, ps, pred = [], [], []
+        lvl, p = None, None
+        for y in ys:
+            if lvl is None:
+                lvl, p = y, rv
+                pred.append(None)
+            else:
+                p_pred = p + qv
+                k = p_pred / (p_pred + rv)
+                lvl = lvl + k * (y - lvl)
+                p = (1.0 - k) * p_pred
+                pred.append(p_pred)
+            xs.append(lvl)
+            ps.append(p)
+        # backward RTS pass
+        n = len(ys)
+        sm = [0.0] * n
+        if n:
+            sm[n - 1] = xs[n - 1]
+            for t in range(n - 2, -1, -1):
+                c = ps[t] / (ps[t] + qv) if (ps[t] + qv) > 0 else 0.0
+                sm[t] = xs[t] + c * (sm[t + 1] - xs[t])
+        out = pdf[by + [ts_col, value_col]].copy()
+        out["level"] = [round(x, dp) for x in xs]
+        out["smoothed"] = [round(x, dp) for x in sm]
+        return out
+
+    base = df.select(*by, ts_col, F.col(value_col).cast("double")
+                     .alias(value_col))
+    if by:
+        return base.groupBy(*by).applyInPandas(smo, schema=schema)
+    return base.groupBy(F.lit(1)).applyInPandas(smo, schema=schema)

@@ -581,3 +581,42 @@ def test_hll_merged_validates(spark):
     with pytest.raises(errors.Invalid):
         hll_distinct_merged(
             df, key_col="uid", by=["day"], shard_col="nope")
+
+
+def test_kalman_smooth_last_point_equals_filter(spark):
+    """RTS boundary condition: the smoothed estimate at the final
+    observation IS the filtered one (no future to borrow)."""
+    from loudml_spark.operators.tsmath import kalman_smooth
+
+    df = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(10)],
+        "k string, bucket_ts long, value double")
+    rows = kalman_smooth(df, by=["k"]).orderBy("bucket_ts").collect()
+    assert rows[-1]["smoothed"] == rows[-1]["level"]
+
+
+def test_kalman_smooth_beats_filter_midseries(spark):
+    """On a step change the smoother anticipates the jump midway
+    (it sees the future), so its error at the step must be smaller
+    than the one-sided filter's."""
+    from loudml_spark.operators.tsmath import kalman_smooth
+
+    vals = [0.0] * 10 + [100.0] * 10
+    df = spark.createDataFrame(
+        [("a", t, v) for t, v in enumerate(vals)],
+        "k string, bucket_ts long, value double")
+    rows = kalman_smooth(df, by=["k"], q_var=1.0, r_var=4.0) \
+        .orderBy("bucket_ts").collect()
+    t = 9  # last pre-step point: truth 0, future says jump coming
+    # smoothed moves toward the future step, filter cannot
+    assert rows[t]["smoothed"] > rows[t]["level"]
+
+
+def test_kalman_smooth_constant_series_is_flat(spark):
+    from loudml_spark.operators.tsmath import kalman_smooth
+
+    df = spark.createDataFrame(
+        [("a", t, 5.0) for t in range(8)],
+        "k string, bucket_ts long, value double")
+    rows = kalman_smooth(df, by=["k"]).collect()
+    assert all(r["smoothed"] == 5.0 for r in rows)

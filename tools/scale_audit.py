@@ -141,6 +141,8 @@ AUDIT = [
     ("kalman_level_daily", "full"),
     ("bigram_perplexity_docs", "full"),
     ("rank_normalized_quality_docs", "full"),
+    ("hll_merged_users_daily", "full"),
+    ("kalman_smooth_daily", "full"),
 ]
 
 
