@@ -5202,3 +5202,69 @@ EXT_QUERIES.update({
         "fn": q_kalman_smooth_daily,
         "oracle_fn": _sql_kalman_smooth_daily},
 })
+
+
+def q_streaming_hll_users_daily(spark, sf_dir):
+    """The daily HLL sketch executed THROUGH Structured Streaming:
+    (day, user) rows staged as 2 ts-range files (→ 2 micro-batches),
+    registers carried across batches as streaming groupBy-MAX state
+    — at most |days|·2^p state rows however many users stream past
+    (the exact alternative, dropDuplicates, keeps one row PER user).
+    Registers are max-mergeable and the projection is shared with
+    the batch path (sketch.hll_reg_rho), so the drained estimate is
+    BIT-IDENTICAL to the batch sketch: this query's oracle is the
+    batch reconstruction's estimate columns — the CMS parity claim
+    for a max-monoid."""
+    import tempfile
+
+    from loudml_spark.catalog import _CACHED_SERIES
+    from loudml_spark.operators.sketch import hll_finish
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_hll_registers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"(`ts_ns` div {DAY_NS}L) * 86400")
+        .cast("long").alias("day_ts"),
+        "user_id",
+    ).where(F.col("user_id").isNotNull())
+    skey = (spark.sparkContext.applicationId, sf_dir, "stage_hll")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        if skey not in _CACHED_SERIES:
+            tmp = tempfile.mkdtemp(prefix="lms_hll_stream_")
+            cut = ev.agg(F.expr("percentile(day_ts, 0.5)")).first()[0]
+            for part in (ev.filter(F.col("day_ts") <= cut),
+                         ev.filter(F.col("day_ts") > cut)):
+                part.coalesce(1).write.mode("append").parquet(tmp)
+            _CACHED_SERIES[skey] = tmp
+        tmp = _CACHED_SERIES[skey]
+        stream = (
+            spark.readStream
+            .schema("day_ts bigint, user_id bigint")
+            .option("maxFilesPerTrigger", 1).parquet(tmp)
+        )
+        regs = drain_stream_to_df(
+            stream_hll_registers(
+                stream, key_col="user_id", by=["day_ts"], p=HLL_P),
+            ["day_ts", "__reg", "__mrho"],
+            output_mode="complete", prefix="stream_hll",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return hll_finish(regs, by=["day_ts"], p=HLL_P)
+
+
+SQL_STREAMING_HLL_USERS_DAILY = f"""
+SELECT day_ts, n_zero_regs, est_hll
+FROM ({SQL_HLL_DISTINCT_USERS_DAILY}) t
+"""
+
+
+EXT_QUERIES.update({
+    "streaming_hll_users_daily": {
+        "fn": q_streaming_hll_users_daily,
+        "oracle": SQL_STREAMING_HLL_USERS_DAILY},
+})

@@ -237,34 +237,63 @@ def hll_distinct_merged(
     for c in [key_col, shard_col, *by]:
         if c not in df.columns:
             raise errors.Invalid(f"missing column {c!r}")
+
+    reg, rho = hll_reg_rho(F.col(key_col), p)
+    shard_regs = (
+        df.where(F.col(key_col).isNotNull())
+        .select(*by, F.col(shard_col).alias("__shard"),
+                reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*by, "__shard", "__reg")
+        .agg(F.max("__rho").alias("__srho"))
+    )
+    # the merge: register max across shards; shared finisher
+    regs = shard_regs.groupBy(*by, "__reg").agg(
+        F.max("__srho").alias("__mrho"))
+    return hll_finish(regs, by=by, p=p, round_to=round_to)
+
+
+def hll_reg_rho(key: Column, p: int) -> tuple[Column, Column]:
+    """(register, ρ) Columns for a key under precision ``p`` — the
+    shared projection behind the batch, merged and STREAMING HLL
+    paths (identical expressions ⇒ identical registers ⇒ identical
+    estimates, which is what lets the streaming drain share the
+    batch oracle)."""
+    if p not in (4, 5, 6):
+        raise errors.Invalid(f"p must be 4, 5 or 6, got {p}")
     m = 1 << p
-    alpha = _HLL_ALPHA[m]
     w_bits = _HASH_BITS - p
     c_exp = w_bits + 1
-
-    hashes = (
-        df.select(*by, F.col(shard_col).alias("__shard"),
-                  kmv_hash(F.col(key_col)).alias("__h"))
-        .where(F.col("__h").isNotNull())
-        .distinct()
-    )
-    wcol = F.floor(F.col("__h") / F.lit(m)).cast("long")
+    h = kmv_hash(key)
+    wcol = F.floor(h / F.lit(m)).cast("long")
     rho = F.when(
         wcol > 0,
         F.lit(w_bits) - F.length(F.bin(wcol)) + F.lit(1)
     ).otherwise(F.lit(c_exp)).cast("int")
-    shard_regs = (
-        hashes.select(
-            *by, "__shard",
-            (F.col("__h") % m).cast("int").alias("__reg"),
-            rho.alias("__rho"))
-        .groupBy(*by, "__shard", "__reg")
-        .agg(F.max("__rho").alias("__srho"))
-    )
-    # the merge: register max across shards
-    regs = shard_regs.groupBy(*by, "__reg").agg(
-        F.max("__srho").alias("__mrho"))
-    weight = F.pow(F.lit(2.0), F.lit(c_exp) - F.col("__mrho")) \
+    return (h % m).cast("int"), rho
+
+
+def hll_finish(
+    regs: DataFrame,
+    *,
+    by: Sequence[str],
+    p: int = 4,
+    reg_col: str = "__reg",
+    rho_col: str = "__mrho",
+    round_to: int = 4,
+) -> DataFrame:
+    """Finish an HLL register frame (by..., reg, max-ρ) into the
+    estimate — the batch tail shared by :func:`hll_distinct_merged`
+    and the streaming drain.  Same exact-int64 harmonic sum and
+    linear-counting correction as :func:`hll_distinct`.
+
+    Output: (*by, n_zero_regs, est_hll)."""
+    by = list(by)
+    if p not in (4, 5, 6):
+        raise errors.Invalid(f"p must be 4, 5 or 6, got {p}")
+    m = 1 << p
+    alpha = _HLL_ALPHA[m]
+    c_exp = (_HASH_BITS - p) + 1
+    weight = F.pow(F.lit(2.0), F.lit(c_exp) - F.col(rho_col)) \
         .cast("long")
     per_group = regs.groupBy(*by).agg(
         F.count("*").cast("int").alias("__present"),

@@ -864,3 +864,47 @@ def stream_page_hinkley(
         outputMode="append",
         timeoutConf=getattr(GroupStateTimeout, timeout),
     )
+
+
+def stream_hll_registers(
+    stream: DataFrame,
+    *,
+    key_col: str,
+    by: "Sequence[str]",
+    p: int = 4,
+) -> DataFrame:
+    """HyperLogLog registers maintained ACROSS micro-batches — the
+    streaming form of ``operators/sketch.hll_distinct``: registers
+    are MAX-mergeable (the property hll_distinct_merged proves in
+    batch), so the running sketch is just a streaming
+    ``groupBy(by, register).max(ρ)`` — the state store holds at most
+    |groups|·2^p rows REGARDLESS of how many distinct keys stream
+    past (distinct-count state that cannot grow, the sketch's whole
+    point; the exact streaming alternative, dropDuplicates + count,
+    keeps one state row PER KEY).
+
+    Run in ``complete`` mode and finish the drained register frame
+    with ``operators/sketch.hll_finish``; because register/ρ use the
+    same expressions (``hll_reg_rho``) and max is order-insensitive,
+    the drained estimate is BIT-IDENTICAL to the batch sketch over
+    the same rows — the catalog pairs this streaming execution
+    against the batch SQL oracle directly (the CMS parity claim, for
+    a max-monoid instead of a sum-monoid)."""
+    from loudml_spark import errors
+    from loudml_spark.operators.sketch import hll_reg_rho
+
+    if not stream.isStreaming:
+        raise errors.Invalid(
+            "stream_hll_registers expects a streaming DataFrame; use "
+            "operators/sketch.hll_distinct for batch input")
+    by = list(by)
+    if not by:
+        raise errors.Invalid(
+            "stream_hll_registers needs at least one group col")
+    reg, rho = hll_reg_rho(F.col(key_col), p)
+    return (
+        stream.where(F.col(key_col).isNotNull())
+        .select(*by, reg.alias("__reg"), rho.alias("__rho"))
+        .groupBy(*by, "__reg")
+        .agg(F.max("__rho").alias("__mrho"))
+    )

@@ -620,3 +620,37 @@ def test_kalman_smooth_constant_series_is_flat(spark):
         "k string, bucket_ts long, value double")
     rows = kalman_smooth(df, by=["k"]).collect()
     assert all(r["smoothed"] == 5.0 for r in rows)
+
+
+def test_stream_hll_rejects_batch_frame(spark):
+    from loudml_spark import errors
+    from loudml_spark.streaming.job import stream_hll_registers
+
+    df = spark.createDataFrame(
+        [("d", 1)], "day string, uid long")
+    with pytest.raises(errors.Invalid):
+        stream_hll_registers(df, key_col="uid", by=["day"])
+
+
+def test_stream_hll_state_is_register_bounded(spark, tmp_path):
+    """The scale claim itself: stream 5000 distinct keys through two
+    micro-batches; the drained register frame has at most 2^p rows
+    per group — not one per key."""
+    from loudml_spark.operators.sketch import hll_distinct, hll_finish
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df, stream_hll_registers)
+
+    df = spark.createDataFrame(
+        [("d1", i) for i in range(5000)], "day string, uid long")
+    for half in (df.filter("uid < 2500"), df.filter("uid >= 2500")):
+        half.coalesce(1).write.mode("append").parquet(str(tmp_path))
+    stream = (spark.readStream.schema("day string, uid long")
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path)))
+    regs = drain_stream_to_df(
+        stream_hll_registers(stream, key_col="uid", by=["day"], p=4),
+        ["day", "__reg", "__mrho"],
+        output_mode="complete", prefix="t_hll")
+    assert regs.count() <= 16
+    got = hll_finish(regs, by=["day"], p=4).collect()[0]
+    want = hll_distinct(df, key_col="uid", by=["day"], p=4).collect()[0]
+    assert got["est_hll"] == want["est_hll"]
