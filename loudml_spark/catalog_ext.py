@@ -5268,3 +5268,78 @@ EXT_QUERIES.update({
         "fn": q_streaming_hll_users_daily,
         "oracle": SQL_STREAMING_HLL_USERS_DAILY},
 })
+
+
+# ------------------------------------------------ kmv set algebra (r10)
+
+KMVJ_K = 256
+
+
+def q_kmv_jaccard_sources(spark, sf_dir):
+    """Pairwise vocabulary Jaccard between sources from k-minimum-
+    value sketches (operators/sketch.py kmv_jaccard, Beyer 2007 §5):
+    at 100 TB each source reduces to a {KMVJ_K}-row sketch in one
+    pass and every pairwise comparison afterwards touches sketches
+    only — the sketch-algebra companion to the exact
+    source_overlap_docs scan."""
+    from loudml_spark.operators.sketch import kmv_jaccard
+    from loudml_spark.pipeline.corpus import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(docs, id_col="source")
+    return kmv_jaccard(
+        toks, key_col="token", set_col="source", k=KMVJ_K)
+
+
+def _sql_kmv_jaccard_sources() -> str:
+    from loudml_spark.operators.sketch import sql_kmv_hash
+
+    h = sql_kmv_hash("token")
+    return f"""
+WITH tk AS (
+  SELECT DISTINCT source AS s,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM documents
+),
+hh AS (SELECT DISTINCT s, {h} AS h FROM tk),
+sk AS (
+  SELECT s, h FROM (
+    SELECT s, h,
+           row_number() OVER (PARTITION BY s ORDER BY h) AS rn
+    FROM hh WHERE h IS NOT NULL
+  ) WHERE rn <= {KMVJ_K}
+),
+ss AS (SELECT DISTINCT s FROM sk),
+pr AS (
+  SELECT a.s AS sa, b.s AS sb
+  FROM ss a JOIN ss b ON a.s < b.s
+),
+ph AS (
+  SELECT pr.sa, pr.sb, sk.h, COUNT(DISTINCT sk.s) AS sides
+  FROM pr JOIN sk ON sk.s IN (pr.sa, pr.sb)
+  GROUP BY pr.sa, pr.sb, sk.h
+),
+u AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY sa, sb ORDER BY h) AS rn
+  FROM ph
+)
+SELECT sa AS set_a, sb AS set_b,
+       CAST(COUNT(*) AS BIGINT) AS n_union_sketch,
+       CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both,
+       ROUND(CAST(SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS est_jaccard
+FROM u WHERE rn <= {KMVJ_K}
+GROUP BY sa, sb
+"""
+
+
+SQL_KMV_JACCARD_SOURCES = _sql_kmv_jaccard_sources()
+
+
+EXT_QUERIES.update({
+    "kmv_jaccard_sources": {
+        "fn": q_kmv_jaccard_sources,
+        "oracle": SQL_KMV_JACCARD_SOURCES},
+})

@@ -313,3 +313,82 @@ def hll_finish(
         zeros.cast("int").alias("n_zero_regs"),
         F.round(est, round_to).alias("est_hll"),
     )
+
+
+def kmv_jaccard(
+    df: DataFrame,
+    *,
+    key_col: str,
+    set_col: str,
+    k: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Jaccard similarity between sets from k-minimum-value
+    sketches (Beyer et al., SIGMOD 2007 §5: the union's k smallest
+    hashes are a uniform sample of A ∪ B, so the fraction of them
+    present in BOTH per-set sketches estimates |A∩B| / |A∪B|) — the
+    set-algebra member of the sketch family: CMS (frequency), KMV
+    (cardinality), HLL (mergeable cardinality), this (similarity).
+    At 100 TB the per-set sketches are k-row summaries computed in
+    one pass; every pairwise comparison after that touches sketches
+    only, never the data.
+
+    Shape: one distinct + per-set rank keeps k rows per set; each
+    sketch row explodes to its (set, other) pairs — bounded by
+    k·|sets|·(|sets|−1) rows; a grouped count + per-pair rank + one
+    aggregation finish it.  The estimate is exact integer counts
+    through one IEEE division — engine-portable by construction.
+
+    Output: (set_a, set_b, n_union_sketch, n_both, est_jaccard) for
+    set_a < set_b."""
+    if k < 2:
+        raise errors.Invalid(f"k must be >= 2, got {k}")
+    for c in (key_col, set_col):
+        if c not in df.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    hashes = (
+        df.select(F.col(set_col).alias("__set"),
+                  kmv_hash(F.col(key_col)).alias("__h"))
+        .where(F.col("__h").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("__set").orderBy("__h")
+    sk = hashes.withColumn("__rn", F.row_number().over(w)) \
+        .filter(F.col("__rn") <= k).select("__set", "__h")
+    sets = [r["__set"] for r in sk.select("__set").distinct().collect()]
+    sets.sort()
+    if len(sets) < 2:
+        raise errors.Invalid("kmv_jaccard needs at least two sets")
+    # each sketch row joins every pair its set participates in
+    pair_of = {
+        s: F.array(*[
+            F.struct(F.lit(min(s, t)).alias("a"),
+                     F.lit(max(s, t)).alias("b"))
+            for t in sets if t != s])
+        for s in sets
+    }
+    pair_col = None
+    for s in sets:
+        cond = F.col("__set") == F.lit(s)
+        pair_col = (pair_of[s] if pair_col is None
+                    else F.when(cond, pair_of[s]).otherwise(pair_col))
+    exploded = sk.select(
+        "__set", "__h", F.explode(pair_col).alias("__p"))
+    per_hash = exploded.groupBy("__p", "__h").agg(
+        F.countDistinct("__set").alias("__sides"))
+    wu = Window.partitionBy("__p").orderBy("__h")
+    union_sk = per_hash.withColumn("__rn", F.row_number().over(wu)) \
+        .filter(F.col("__rn") <= k)
+    return (
+        union_sk.groupBy("__p")
+        .agg(F.count("*").cast("long").alias("n_union_sketch"),
+             F.sum((F.col("__sides") == 2).cast("long"))
+             .cast("long").alias("n_both"))
+        .select(
+            F.col("__p.a").alias("set_a"),
+            F.col("__p.b").alias("set_b"),
+            "n_union_sketch", "n_both",
+            F.round(F.col("n_both").cast("double")
+                    / F.col("n_union_sketch"), round_to)
+            .alias("est_jaccard"))
+    )

@@ -654,3 +654,62 @@ def test_stream_hll_state_is_register_bounded(spark, tmp_path):
     got = hll_finish(regs, by=["day"], p=4).collect()[0]
     want = hll_distinct(df, key_col="uid", by=["day"], p=4).collect()[0]
     assert got["est_hll"] == want["est_hll"]
+
+
+# -------------------------------------------------------- kmv jaccard
+
+
+def test_kmv_jaccard_identical_and_disjoint(spark):
+    from loudml_spark.operators.sketch import kmv_jaccard
+
+    rows = [("a", f"k{i}") for i in range(50)]
+    rows += [("b", f"k{i}") for i in range(50)]          # b == a
+    rows += [("c", f"z{i}") for i in range(50)]          # c disjoint
+    df = spark.createDataFrame(rows, "s string, key string")
+    out = {(r["set_a"], r["set_b"]): r["est_jaccard"]
+           for r in kmv_jaccard(
+               df, key_col="key", set_col="s", k=64).collect()}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] == 0.0
+    assert out[("b", "c")] == 0.0
+
+
+def test_kmv_jaccard_estimates_known_overlap(spark):
+    """200 shared of 300-per-set (J = 200/400 = 0.5): with k=128 the
+    sketch estimate must land within the Beyer 2007 error regime."""
+    from loudml_spark.operators.sketch import kmv_jaccard
+
+    rows = [("a", f"s{i}") for i in range(200)]
+    rows += [("a", f"x{i}") for i in range(100)]
+    rows += [("b", f"s{i}") for i in range(200)]
+    rows += [("b", f"y{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "s string, key string")
+    row = kmv_jaccard(
+        df, key_col="key", set_col="s", k=128).collect()[0]
+    assert abs(row["est_jaccard"] - 0.5) < 0.15
+    assert row["n_union_sketch"] == 128
+
+
+def test_kmv_jaccard_small_sets_are_exact(spark):
+    """Sets smaller than k: the union sketch IS the union, so the
+    estimate equals exact Jaccard."""
+    from loudml_spark.operators.sketch import kmv_jaccard
+
+    rows = [("a", k) for k in ("p", "q", "r")]
+    rows += [("b", k) for k in ("q", "r", "s")]
+    df = spark.createDataFrame(rows, "s string, key string")
+    row = kmv_jaccard(
+        df, key_col="key", set_col="s", k=64).collect()[0]
+    assert row["n_union_sketch"] == 4 and row["n_both"] == 2
+    assert row["est_jaccard"] == 0.5
+
+
+def test_kmv_jaccard_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.operators.sketch import kmv_jaccard
+
+    df = spark.createDataFrame([("a", "k")], "s string, key string")
+    with pytest.raises(errors.Invalid):
+        kmv_jaccard(df, key_col="key", set_col="s", k=1)
+    with pytest.raises(errors.Invalid):
+        kmv_jaccard(df, key_col="key", set_col="s")  # one set only

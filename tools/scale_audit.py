@@ -143,6 +143,7 @@ AUDIT = [
     ("rank_normalized_quality_docs", "full"),
     ("hll_merged_users_daily", "full"),
     ("kalman_smooth_daily", "full"),
+    ("streaming_hll_users_daily", "full"),
 ]
 
 
