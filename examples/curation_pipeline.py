@@ -354,6 +354,71 @@ def main(sf_dir: str) -> None:
         print(f"  {r['source']:>8}  share={r['share']:.4f} → "
               f"weight={r['weight']:.4f} (excess ppl {r['excess']})")
 
+    # 12. round-10b additions, where they slot into the flow:
+    #     - bigram LM catches sequence-level junk the unigram missed
+    #     - rank normalization calibrates quality across sources
+    #       before any global keep-fraction
+    #     - embedding-space decontamination complements the n-gram
+    #       scan (paraphrased leaks)
+    #     - the binary-sign index pre-filters ANN at 32:1 compression
+    #       (re-ranked exactly), with its recall gate
+    #     - HLL / KMV sketches audit corpus composition without a
+    #       second full scan
+    from loudml_spark.operators.sketch import hll_distinct, kmv_jaccard
+    from loudml_spark.pipeline.corpus import bigram_perplexity, tokens
+    from loudml_spark.pipeline.sampling import rank_normalize
+    from loudml_spark.pipeline.similarity import (
+        hamming_rerank_topk,
+        semantic_decontaminate,
+    )
+    from loudml_spark.pipeline.text import lexical_diversity
+
+    bp = bigram_perplexity(docs)
+    worst = bp.orderBy(F.desc("ppl")).first()
+    print(f"bigram ppl: worst doc {worst['doc_id']} "
+          f"ppl={worst['ppl']:.1f} (sequence-level junk candidate)")
+
+    ld = lexical_diversity(docs)
+    low_ttr = ld.filter("n_tokens >= 20 AND ttr < 0.3").count()
+    print(f"lexical diversity: {low_ttr} docs below TTR 0.3 "
+          "(templated/looping text)")
+
+    scored10 = docs.select("doc_id", "source").join(
+        bp.select("doc_id", "ppl"), "doc_id")
+    calib = rank_normalize(
+        scored10, score_col="ppl", by=["source"], keep_frac=0.5)
+    kept10 = calib.filter("NOT selected").count()  # low ppl = good
+    print(f"rank-normalized ppl gate: {kept10} docs in the better "
+          "half of EVERY source")
+
+    sdecon = semantic_decontaminate(
+        emb.filter("vec_id >= 20"),
+        emb.filter("vec_id < 20").selectExpr(
+            "vec_id AS bench_id", "embedding"),
+        threshold=0.35)
+    n_sem = sdecon.filter("contaminated").count()
+    print(f"semantic decontamination: {n_sem} vectors within 0.35 "
+          "cosine of the eval set")
+
+    ham = hamming_rerank_topk(q10, emb, k=5, shortlist=100, dim=64)
+    ham_rec = ann_recall(ham, cosine_topk(q10, emb, k=5)) \
+        .agg(F.avg("recall")).first()[0]
+    print(f"binary-sign rerank recall@5: {ham_rec:.3f} "
+          "(32:1-compressed pre-filter + exact re-rank)")
+
+    hv = hll_distinct(
+        docs.select("source", "doc_id"),
+        key_col="doc_id", by=["source"], p=6)
+    worst_err = hv.agg(F.max("rel_err")).first()[0]
+    print(f"hll per-source doc counts: worst rel_err {worst_err}")
+
+    kj = kmv_jaccard(
+        tokens(docs, id_col="source"),
+        key_col="token", set_col="source", k=128)
+    top = kj.orderBy(F.desc("est_jaccard")).first()
+    print(f"kmv vocab jaccard: closest sources "
+          f"{top['set_a']}~{top['set_b']} at {top['est_jaccard']}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

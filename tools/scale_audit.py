@@ -144,6 +144,7 @@ AUDIT = [
     ("hll_merged_users_daily", "full"),
     ("kalman_smooth_daily", "full"),
     ("streaming_hll_users_daily", "full"),
+    ("kmv_jaccard_sources", "full"),
 ]
 
 
