@@ -5343,3 +5343,79 @@ EXT_QUERIES.update({
         "fn": q_kmv_jaccard_sources,
         "oracle": SQL_KMV_JACCARD_SOURCES},
 })
+
+
+BIGRAM_MIN_COUNT = 2
+
+
+def q_bigram_perplexity_pruned_docs(spark, sf_dir):
+    """bigram_perplexity with the min_count={BIGRAM_MIN_COUNT}
+    vocabulary-pruning knob — the measured mitigation for the exact
+    model's growth exponent (the bigram count frame is
+    vocabulary-bound; dropping hapax bigrams cuts most of its
+    distinct keys, the cut every shipped LM makes).  Pruned bigrams
+    score on their unigram term alone; the oracle replays the same
+    HAVING cut and left join."""
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_perplexity(
+        docs, lam=BIGRAM_LAM, min_count=BIGRAM_MIN_COUNT)
+
+
+SQL_BIGRAM_PERPLEXITY_PRUNED_DOCS = f"""
+WITH ww AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM documents
+),
+ut AS (SELECT doc_id, unnest(ws) AS token FROM ww),
+cu AS (
+  SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cu
+  FROM ut GROUP BY token
+),
+nt AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM cu),
+bt AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS token
+  FROM ww
+),
+pd AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bt GROUP BY doc_id, token
+),
+cball AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cb FROM pd GROUP BY token
+),
+ctx AS (
+  SELECT string_split(token, ' ')[1] AS prev,
+         CAST(SUM(cb) AS BIGINT) AS cctx
+  FROM cball GROUP BY 1
+),
+cbp AS (SELECT token, cb FROM cball WHERE cb >= {BIGRAM_MIN_COUNT}),
+sc AS (
+  SELECT pd.doc_id, pd.tf,
+         ROUND(pd.tf * ln(
+             {BIGRAM_LAM} * (CAST(COALESCE(cbp.cb, 0) AS DOUBLE)
+                             / ctx.cctx)
+             + {1.0 - BIGRAM_LAM} * (CAST(cu.cu AS DOUBLE) / nt.n)),
+           6) AS s
+  FROM pd
+  LEFT JOIN cbp USING (token)
+  JOIN ctx ON ctx.prev = string_split(pd.token, ' ')[1]
+  JOIN cu ON cu.w = string_split(pd.token, ' ')[2]
+  CROSS JOIN nt
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE))
+                 / SUM(tf)), 6) + 0.0 AS ppl
+FROM sc GROUP BY doc_id
+"""
+
+
+EXT_QUERIES.update({
+    "bigram_perplexity_pruned_docs": {
+        "fn": q_bigram_perplexity_pruned_docs,
+        "oracle": SQL_BIGRAM_PERPLEXITY_PRUNED_DOCS},
+})

@@ -1347,6 +1347,7 @@ def bigram_perplexity(
     text_col: str = "text",
     id_col: str = "doc_id",
     lam: float = 0.75,
+    min_count: int = 1,
     round_dp: int = 6,
 ) -> DataFrame:
     """Per-document perplexity under the corpus's own
@@ -1370,11 +1371,22 @@ def bigram_perplexity(
     addition-order-independent and engine-portable (lm_perplexity's
     convention).
 
+    ``min_count`` > 1 prunes the bigram count frame (the growth
+    knob for the vocabulary-bound shuffle — real LMs ship exactly
+    this cut): a pruned bigram scores on its unigram term alone,
+    i.e. the λ-weighted bigram probability falls to 0 — a backoff
+    heuristic, not a renormalized model, which is fine for a
+    QUALITY SCORE and documented as such.  min_count=1 (default)
+    is the exact model.
+
     Output: (id_col, n_bigrams, ppl)."""
     from loudml_spark import errors
 
     if not 0.0 < lam < 1.0:
         raise errors.Invalid(f"lam must be in (0, 1), got {lam}")
+    if min_count < 1:
+        raise errors.Invalid(
+            f"min_count must be >= 1, got {min_count}")
     uni = tokens(df, text_col=text_col, id_col=id_col)
     cu = uni.groupBy("token").agg(
         F.count("*").cast("long").alias("cu"))
@@ -1387,19 +1399,23 @@ def bigram_perplexity(
         F.count("*").cast("long").alias("tf"))
     cb = per_doc.groupBy("token").agg(
         F.sum("tf").cast("long").alias("cb"))
+    # context totals stay exact (they come from the unpruned frame);
+    # only the pairwise numerator table shrinks under min_count
     ctx = cb.groupBy(
         F.split(F.col("token"), " ").getItem(0).alias("prev")
     ).agg(F.sum("cb").cast("long").alias("cctx"))
+    if min_count > 1:
+        cb = cb.filter(F.col("cb") >= min_count)
     scored = (
         per_doc
-        .join(cb, "token")
+        .join(cb, "token", "left")
         .withColumn("prev", F.split(F.col("token"), " ").getItem(0))
         .withColumn("w", F.split(F.col("token"), " ").getItem(1))
         .join(ctx, "prev")
         .join(cu.withColumnRenamed("token", "w"), "w")
     )
-    p = (F.lit(float(lam)) * (F.col("cb").cast("double")
-                              / F.col("cctx"))
+    p = (F.lit(float(lam)) * (F.coalesce(F.col("cb"), F.lit(0))
+                              .cast("double") / F.col("cctx"))
          + F.lit(1.0 - float(lam)) * (F.col("cu").cast("double")
                                       / F.lit(float(n_total))))
     per_term = scored.select(

@@ -713,3 +713,29 @@ def test_kmv_jaccard_validates(spark):
         kmv_jaccard(df, key_col="key", set_col="s", k=1)
     with pytest.raises(errors.Invalid):
         kmv_jaccard(df, key_col="key", set_col="s")  # one set only
+
+
+def test_bigram_ppl_min_count_prunes_hapax_transitions(spark):
+    """min_count=2: a doc whose transitions are corpus-hapax loses
+    its bigram mass and scores strictly worse; docs on repeated
+    transitions are untouched."""
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c d"), (1, "a b a b")],
+        "doc_id long, text string")
+    exact = {r["doc_id"]: r["ppl"]
+             for r in bigram_perplexity(df).collect()}
+    pruned = {r["doc_id"]: r["ppl"]
+              for r in bigram_perplexity(df, min_count=2).collect()}
+    assert pruned[0] > exact[0]
+    assert pruned[1] == exact[1]
+
+
+def test_bigram_ppl_min_count_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(errors.Invalid):
+        bigram_perplexity(df, min_count=0)

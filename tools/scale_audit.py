@@ -145,6 +145,7 @@ AUDIT = [
     ("kalman_smooth_daily", "full"),
     ("streaming_hll_users_daily", "full"),
     ("kmv_jaccard_sources", "full"),
+    ("bigram_perplexity_pruned_docs", "full"),
 ]
 
 
