@@ -5162,3 +5162,64 @@ PIPELINE_QUERIES.update({
         "fn": q_rank_normalized_quality_docs,
         "oracle": SQL_RANK_NORMALIZED_QUALITY_DOCS},
 })
+
+
+# ------------------------------------------------ triangle stats (r10)
+
+
+def q_triangle_stats_docs(spark, sf_dir):
+    """Per-node triangles + local clustering coefficient over the
+    MinHash-LSH near-dup graph (pipeline/graph.py triangle_stats) —
+    the density audit pagerank can't give: coefficient → 1 marks
+    mirror/template cliques, a hub at → 0 chains unrelated docs
+    (the over-eager-band false-positive shape).  Edge-join triangle
+    counting, every join an equi-join; same doc_id < 1000 slice and
+    pair frame as pagerank_sim_docs."""
+    from loudml_spark.pipeline.graph import triangle_stats
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    return triangle_stats(pairs).withColumnRenamed("id", "doc_id")
+
+
+SQL_TRIANGLE_STATS_DOCS = f"""
+WITH {_SQL_LSH_CTES},
+tp8 AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+te AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM tp8 WHERE id_a <> id_b
+),
+tund AS (SELECT a, b FROM te UNION ALL SELECT b AS a, a AS b FROM te),
+tdeg AS (
+  SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree
+  FROM tund GROUP BY a
+),
+tw AS (SELECT x.a, x.b, y.b AS c FROM te x JOIN te y ON x.b = y.a),
+ttri AS (
+  SELECT tw.a, tw.b, tw.c
+  FROM tw JOIN te ON te.a = tw.a AND te.b = tw.c
+),
+tpn AS (
+  SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS id FROM ttri
+    UNION ALL SELECT b AS id FROM ttri
+    UNION ALL SELECT c AS id FROM ttri
+  ) GROUP BY id
+)
+SELECT tdeg.id AS doc_id, degree,
+       CAST(COALESCE(n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN 2.0 * COALESCE(n_triangles, 0)
+                 / (degree * (degree - 1))
+            ELSE 0.0 END AS coeff
+FROM tdeg LEFT JOIN tpn ON tpn.id = tdeg.id
+"""
+
+
+PIPELINE_QUERIES.update({
+    "triangle_stats_docs": {
+        "fn": q_triangle_stats_docs,
+        "oracle": SQL_TRIANGLE_STATS_DOCS},
+})

@@ -739,3 +739,52 @@ def test_bigram_ppl_min_count_validates(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(errors.Invalid):
         bigram_perplexity(df, min_count=0)
+
+
+# ------------------------------------------------- triangle stats
+
+
+def test_triangle_stats_hand_graph(spark):
+    """Triangle 1-2-3 plus a pendant 4: the triangle's nodes get
+    T=1 with coefficient 1 (deg 2) except node 3 (deg 3 from the
+    pendant) at 1/3; the pendant has none."""
+    from loudml_spark.pipeline.graph import triangle_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "id_a long, id_b long")
+    out = {r["id"]: (r["degree"], r["n_triangles"], r["coeff"])
+           for r in triangle_stats(pairs).collect()}
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (2, 1, 1.0)
+    assert out[3] == (3, 1, 1 / 3)
+    assert out[4] == (1, 0, 0.0)
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    """Duplicate and reversed input edges collapse; K4 gives every
+    node 3 triangles at coefficient 1."""
+    from loudml_spark.pipeline.graph import triangle_stats
+
+    edges = [(a, b) for a in range(4) for b in range(4) if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = {r["id"]: (r["degree"], r["n_triangles"], r["coeff"])
+           for r in triangle_stats(pairs).collect()}
+    assert all(v == (3, 3, 1.0) for v in out.values())
+
+
+def test_triangle_stats_triangle_free_graph(spark):
+    from loudml_spark.pipeline.graph import triangle_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "id_a long, id_b long")
+    out = triangle_stats(pairs)
+    assert out.agg({"n_triangles": "sum"}).collect()[0][0] == 0
+
+
+def test_triangle_stats_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.graph import triangle_stats
+
+    pairs = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(errors.Invalid):
+        triangle_stats(pairs)

@@ -146,6 +146,7 @@ AUDIT = [
     ("streaming_hll_users_daily", "full"),
     ("kmv_jaccard_sources", "full"),
     ("bigram_perplexity_pruned_docs", "full"),
+    ("triangle_stats_docs", "bounded"),  # doc_id<1000 slice (pagerank's)
 ]
 
 
