@@ -5419,3 +5419,59 @@ EXT_QUERIES.update({
         "fn": q_bigram_perplexity_pruned_docs,
         "oracle": SQL_BIGRAM_PERPLEXITY_PRUNED_DOCS},
 })
+
+
+def q_streaming_kalman_daily(spark, sf_dir):
+    """The batch Kalman filter executed THROUGH Structured
+    Streaming: the daily series staged as 2 ts-range files (the
+    stream_page_hinkley staging), the (level, variance) pair carried
+    across batches as O(1)-per-key state (streaming/job.py
+    stream_kalman_level).  The state update is the same scalar IEEE
+    sequence as the batch operator, so the drained rows are
+    bit-identical and this query shares kalman_level_daily's replay
+    oracle VERBATIM — streaming parity for an adaptive-gain
+    estimator."""
+    import tempfile
+
+    from loudml_spark.catalog import _CACHED_SERIES
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df,
+        stream_kalman_level,
+    )
+
+    daily = _daily_mean_by_type(spark, sf_dir)
+    skey = (spark.sparkContext.applicationId, sf_dir, "stage_ph")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        if skey not in _CACHED_SERIES:
+            tmp = tempfile.mkdtemp(prefix="lms_ph_stream_")
+            cut = daily.agg(
+                F.expr("percentile(bucket_ts, 0.5)")).first()[0]
+            for part in (daily.filter(F.col("bucket_ts") <= cut),
+                         daily.filter(F.col("bucket_ts") > cut)):
+                part.coalesce(1).write.mode("append").parquet(tmp)
+            _CACHED_SERIES[skey] = tmp
+        tmp = _CACHED_SERIES[skey]
+        stream = (
+            spark.readStream
+            .schema("event_type string, bucket_ts bigint, value double")
+            .option("maxFilesPerTrigger", 1).parquet(tmp)
+        )
+        out = drain_stream_to_df(
+            stream_kalman_level(
+                stream, q_var=KALMAN_Q, r_var=KALMAN_R),
+            ["event_type", "bucket_ts", "value", "level", "gain",
+             "variance"],
+            output_mode="append", prefix="stream_kalman",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out
+
+
+EXT_QUERIES.update({
+    "streaming_kalman_daily": {
+        "fn": q_streaming_kalman_daily,
+        "oracle_fn": _sql_kalman_level_daily},
+})

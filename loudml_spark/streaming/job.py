@@ -908,3 +908,95 @@ def stream_hll_registers(
         .groupBy(*by, "__reg")
         .agg(F.max("__rho").alias("__mrho"))
     )
+
+
+def stream_kalman_level(
+    df: DataFrame,
+    *,
+    key_col: str = "event_type",
+    ts_col: str = "bucket_ts",
+    value_col: str = "value",
+    q_var: float = 0.1,
+    r_var: float = 1.0,
+    timeout: str = "NoTimeout",
+) -> DataFrame:
+    """Streaming Kalman local-level filter whose estimate survives
+    micro-batch boundaries: per-key state is exactly the recursion's
+    two scalars (level, posterior variance) — O(1) per key however
+    long the stream runs, the same textbook sequential-statistic fit
+    as stream_page_hinkley.
+
+    The update is the SAME scalar IEEE sequence as the batch
+    operator (operators/tsmath.kalman_level), executed in ts order
+    within each batch over the key's concatenated chunks, so the
+    drained append output is BIT-IDENTICAL to the batch filter over
+    the same rows and the catalog pairs this streaming execution
+    against the batch replay oracle verbatim.  Cross-batch ordering
+    assumes in-order arrival (stage/replay guards upstream, the
+    stream_page_hinkley contract)."""
+    from loudml_spark import errors
+
+    if q_var < 0 or r_var <= 0:
+        raise errors.Invalid(
+            f"need q_var >= 0 and r_var > 0, got {q_var}/{r_var}")
+    qv, rv = float(q_var), float(r_var)
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField(ts_col, T.LongType()),
+        T.StructField(value_col, T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("gain", T.DoubleType()),
+        T.StructField("variance", T.DoubleType()),
+    ])
+    state_schema = T.StructType([
+        T.StructField("started", T.BooleanType()),
+        T.StructField("lvl", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            started, lvl, p = state.get
+        else:
+            started, lvl, p = False, 0.0, 0.0
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if not chunks:
+            state.update((started, lvl, p))
+            out = pd.DataFrame(columns=[
+                ts_col, value_col, "level", "gain", "variance"])
+            out.insert(0, key_col, key[0])
+            yield out
+            return
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        levels, gains, variances = [], [], []
+        for y in pdf[value_col].tolist():
+            y = float(y)
+            if not started:
+                lvl, p, k = y, rv, 1.0
+                started = True
+            else:
+                p_pred = p + qv
+                k = p_pred / (p_pred + rv)
+                lvl = lvl + k * (y - lvl)
+                p = (1.0 - k) * p_pred
+            levels.append(round(lvl, 6))
+            gains.append(round(k, 6))
+            variances.append(round(p, 6))
+        state.update((started, lvl, p))
+        out = pd.DataFrame({
+            ts_col: pdf[ts_col].to_numpy(),
+            value_col: pdf[value_col].to_numpy(dtype=float),
+            "level": levels,
+            "gain": gains,
+            "variance": variances,
+        })
+        out.insert(0, key_col, key[0])
+        yield out
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=getattr(GroupStateTimeout, timeout),
+    )

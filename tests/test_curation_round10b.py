@@ -788,3 +788,45 @@ def test_triangle_stats_validates(spark):
     pairs = spark.createDataFrame([(1, 2)], "x long, y long")
     with pytest.raises(errors.Invalid):
         triangle_stats(pairs)
+
+
+# ------------------------------------------------- streaming kalman
+
+
+def test_stream_kalman_matches_batch_across_batches(spark, tmp_path):
+    """The filter state survives the micro-batch boundary: streaming
+    over two files is bit-identical to the batch operator over the
+    concatenated series."""
+    from loudml_spark.operators.tsmath import kalman_level
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df, stream_kalman_level)
+
+    rows = [("a", t, float((t * 7) % 13)) for t in range(30)]
+    rows += [("b", t, float(t % 5)) for t in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_type string, bucket_ts long, value double")
+    for part in (df.filter("bucket_ts < 15"),
+                 df.filter("bucket_ts >= 15")):
+        part.coalesce(1).write.mode("append").parquet(str(tmp_path))
+    stream = (spark.readStream
+              .schema("event_type string, bucket_ts long, value double")
+              .option("maxFilesPerTrigger", 1).parquet(str(tmp_path)))
+    got = drain_stream_to_df(
+        stream_kalman_level(stream, q_var=0.1, r_var=1.0),
+        ["event_type", "bucket_ts", "value", "level", "gain",
+         "variance"],
+        output_mode="append", prefix="t_kalman")
+    want = kalman_level(
+        df, by=["event_type"], q_var=0.1, r_var=1.0)
+    assert (sorted(tuple(r) for r in got.collect())
+            == sorted(tuple(r) for r in want.collect()))
+
+
+def test_stream_kalman_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.streaming.job import stream_kalman_level
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0)], "event_type string, bucket_ts long, value double")
+    with pytest.raises(errors.Invalid):
+        stream_kalman_level(df, r_var=0.0)

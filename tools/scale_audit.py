@@ -147,6 +147,7 @@ AUDIT = [
     ("kmv_jaccard_sources", "full"),
     ("bigram_perplexity_pruned_docs", "full"),
     ("triangle_stats_docs", "bounded"),  # doc_id<1000 slice (pagerank's)
+    ("streaming_kalman_daily", "full"),
 ]
 
 
