@@ -5223,3 +5223,83 @@ PIPELINE_QUERIES.update({
         "fn": q_triangle_stats_docs,
         "oracle": SQL_TRIANGLE_STATS_DOCS},
 })
+
+
+# ---------------------------------- recall gates for LSH and PQ (r10)
+# completes the acceptance-gate family: every approximate index in
+# the catalog (IVF / SQ8 / sign-Hamming / LSH / PQ) now has a
+# measured recall@5 query against exact brute force.
+
+
+def q_ann_recall_lsh(spark, sf_dir):
+    """Recall@5 of the sign-bucket LSH index against exact brute
+    force — the acceptance gate (same shape as ann_recall_ivf)."""
+    from loudml_spark.pipeline.similarity import ann_recall
+
+    return ann_recall(
+        q_ann_lsh_topk(spark, sf_dir),
+        q_ann_cosine_topk(spark, sf_dir),
+    )
+
+
+def _sql_ann_recall_lsh(sf_dir=None) -> str:
+    return f"""
+WITH la AS (
+  SELECT query_id, neighbor_id FROM ({_sql_ann_lsh_topk(sf_dir)}) t
+),
+lex AS (
+  SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK}) t
+),
+lh AS (
+  SELECT query_id, COUNT(*) AS c
+  FROM la JOIN lex USING (query_id, neighbor_id)
+  GROUP BY query_id
+),
+lbq AS (SELECT query_id, COUNT(*) AS n FROM lex GROUP BY query_id)
+SELECT lbq.query_id,
+       CAST(COALESCE(lh.c, 0) AS BIGINT) AS n_hits,
+       CAST(lbq.n AS BIGINT) AS n_exact,
+       CAST(COALESCE(lh.c, 0) AS DOUBLE) / lbq.n AS recall
+FROM lbq LEFT JOIN lh USING (query_id)
+"""
+
+
+def q_ann_recall_pq(spark, sf_dir):
+    """Recall@5 of the PQ-ADC index against exact brute force — the
+    most aggressive compressor's honest number (8 bytes/vector)."""
+    from loudml_spark.pipeline.similarity import ann_recall
+
+    return ann_recall(
+        q_ann_pq_topk(spark, sf_dir),
+        q_ann_cosine_topk(spark, sf_dir),
+    )
+
+
+def _sql_ann_recall_pq(sf_dir=None) -> str:
+    return f"""
+WITH pa AS (
+  SELECT query_id, neighbor_id FROM ({_sql_ann_pq_topk(sf_dir)}) t
+),
+pex AS (
+  SELECT query_id, neighbor_id FROM ({SQL_ANN_COSINE_TOPK}) t
+),
+ph2 AS (
+  SELECT query_id, COUNT(*) AS c
+  FROM pa JOIN pex USING (query_id, neighbor_id)
+  GROUP BY query_id
+),
+pbq AS (SELECT query_id, COUNT(*) AS n FROM pex GROUP BY query_id)
+SELECT pbq.query_id,
+       CAST(COALESCE(ph2.c, 0) AS BIGINT) AS n_hits,
+       CAST(pbq.n AS BIGINT) AS n_exact,
+       CAST(COALESCE(ph2.c, 0) AS DOUBLE) / pbq.n AS recall
+FROM pbq LEFT JOIN ph2 USING (query_id)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "ann_recall_lsh": {
+        "fn": q_ann_recall_lsh, "oracle_fn": _sql_ann_recall_lsh},
+    "ann_recall_pq": {
+        "fn": q_ann_recall_pq, "oracle_fn": _sql_ann_recall_pq},
+})

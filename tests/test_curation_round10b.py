@@ -830,3 +830,33 @@ def test_stream_kalman_validates(spark):
         [("a", 0, 1.0)], "event_type string, bucket_ts long, value double")
     with pytest.raises(errors.Invalid):
         stream_kalman_level(df, r_var=0.0)
+
+
+# --------------------------------------------- recall-gate completion
+
+
+def test_every_approximate_index_has_a_recall_gate(spark):
+    """The acceptance-gate family is closed: each approximate ANN
+    index in the catalog pairs with a measured recall query."""
+    from loudml_spark.catalog import QUERIES
+
+    for gate in ("ann_recall_ivf", "ann_recall_sq8",
+                 "ann_recall_hamming", "ann_recall_hamming_rerank",
+                 "ann_recall_lsh", "ann_recall_pq"):
+        assert gate in QUERIES
+
+
+def test_lsh_and_pq_recall_gates_are_well_formed(spark):
+    """The gates report an honest number per query — recall in
+    [0, 1] over the exact top-5 (LSH's 6-bit buckets measure LOW on
+    this data; surfacing that is the gate's purpose, so no quality
+    floor is asserted here)."""
+    from loudml_spark.catalog import QUERIES
+
+    for name in ("ann_recall_lsh", "ann_recall_pq"):
+        rows = QUERIES[name]["fn"](spark, SF_DIR).collect()
+        assert len(rows) == 10, name
+        for r in rows:
+            assert r["n_exact"] == 5
+            assert 0.0 <= r["recall"] <= 1.0
+            assert r["recall"] == r["n_hits"] / r["n_exact"]

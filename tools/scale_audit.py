@@ -148,6 +148,8 @@ AUDIT = [
     ("bigram_perplexity_pruned_docs", "full"),
     ("triangle_stats_docs", "bounded"),  # doc_id<1000 slice (pagerank's)
     ("streaming_kalman_daily", "full"),
+    ("ann_recall_lsh", "full"),
+    ("ann_recall_pq", "full"),
 ]
 
 
