@@ -146,6 +146,12 @@ def hll_distinct(
     operator's role is the estimator math and the exact-vs-sketch
     audit (``rel_err`` rides along).
 
+    Caveat on ``n_exact``: it counts distinct 60-bit ``kmv_hash``
+    values, not distinct keys — two keys colliding in the hash
+    conflate (probability ≈ n²/2^61, negligible at any group size
+    this audit runs at, but the column name says "exact" so the
+    contract is stated).
+
     Output: (*by, n_exact, n_zero_regs, est_hll, rel_err)."""
     by = list(by)
     if not by:
@@ -157,23 +163,16 @@ def hll_distinct(
             raise errors.Invalid(f"missing column {c!r}")
     m = 1 << p
     alpha = _HLL_ALPHA[m]
-    w_bits = _HASH_BITS - p          # upper bits ranked for rho
-    c_exp = w_bits + 1               # max rho; int weights 2^(c-rho)
+    c_exp = (_HASH_BITS - p) + 1     # max rho; int weights 2^(c-rho)
 
     hashes = (
         df.select(*by, kmv_hash(F.col(key_col)).alias("__h"))
         .where(F.col("__h").isNotNull())
         .distinct()
     )
-    wcol = F.floor(F.col("__h") / F.lit(m)).cast("long")
-    rho = F.when(
-        wcol > 0,
-        F.lit(w_bits) - F.length(F.bin(wcol)) + F.lit(1)
-    ).otherwise(F.lit(c_exp)).cast("int")
+    reg, rho = hll_reg_rho_from_hash(F.col("__h"), p)
     regs = (
-        hashes.select(
-            *by, (F.col("__h") % m).cast("int").alias("__reg"),
-            rho.alias("__rho"))
+        hashes.select(*by, reg.alias("__reg"), rho.alias("__rho"))
         .groupBy(*by, "__reg")
         .agg(F.max("__rho").alias("__mrho"),
              F.count("*").alias("__n"))
@@ -252,24 +251,32 @@ def hll_distinct_merged(
     return hll_finish(regs, by=by, p=p, round_to=round_to)
 
 
-def hll_reg_rho(key: Column, p: int) -> tuple[Column, Column]:
-    """(register, ρ) Columns for a key under precision ``p`` — the
-    shared projection behind the batch, merged and STREAMING HLL
-    paths (identical expressions ⇒ identical registers ⇒ identical
-    estimates, which is what lets the streaming drain share the
-    batch oracle)."""
+def hll_reg_rho_from_hash(h: Column, p: int) -> tuple[Column, Column]:
+    """(register, ρ) Columns from an ALREADY-HASHED key column — the
+    single definition of the register math, shared by every HLL path
+    (:func:`hll_distinct` derives them from its deduplicated hash
+    frame; :func:`hll_reg_rho` composes this with :func:`kmv_hash`
+    for key columns)."""
     if p not in (4, 5, 6):
         raise errors.Invalid(f"p must be 4, 5 or 6, got {p}")
     m = 1 << p
     w_bits = _HASH_BITS - p
     c_exp = w_bits + 1
-    h = kmv_hash(key)
     wcol = F.floor(h / F.lit(m)).cast("long")
     rho = F.when(
         wcol > 0,
         F.lit(w_bits) - F.length(F.bin(wcol)) + F.lit(1)
     ).otherwise(F.lit(c_exp)).cast("int")
     return (h % m).cast("int"), rho
+
+
+def hll_reg_rho(key: Column, p: int) -> tuple[Column, Column]:
+    """(register, ρ) Columns for a key under precision ``p`` — the
+    shared projection behind the batch, merged and STREAMING HLL
+    paths (identical expressions ⇒ identical registers ⇒ identical
+    estimates, which is what lets the streaming drain share the
+    batch oracle)."""
+    return hll_reg_rho_from_hash(kmv_hash(key), p)
 
 
 def hll_finish(

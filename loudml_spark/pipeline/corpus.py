@@ -1278,6 +1278,7 @@ def rrf_fuse(
     k0: int = 60,
     top_k: int | None = None,
     round_dp: int = 6,
+    validate: bool = True,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
     2009): combine N ranked runs without score calibration —
@@ -1295,6 +1296,11 @@ def rrf_fuse(
 
     Scale shape: ranked runs are top-k frames (|queries|·k rows), so
     the full-outer chain is tiny equi-joins — no corpus-sized work.
+    ``validate`` (default on) enforces the input contract with two
+    cheap actions per run — ranks must be ≥ 1 and non-null, and ids
+    unique within a run (a duplicated id would fan out through the
+    full-outer chain and silently double-count reciprocal terms);
+    runs are top-k-sized, so the checks cost nothing material.
 
     Output: (``id_col``, n_runs, rrf, rank) ranked by (rrf DESC, id
     ASC), cut to ``top_k`` when given."""
@@ -1305,6 +1311,20 @@ def rrf_fuse(
         raise errors.Invalid("runs must be non-empty")
     if k0 < 1:
         raise errors.Invalid(f"k0 must be >= 1, got {k0}")
+    if validate:
+        for i, r in enumerate(runs):
+            if r.where(
+                F.col(rank_col).isNull() | (F.col(rank_col) < 1)
+            ).limit(1).count():
+                raise errors.Invalid(
+                    f"rrf_fuse run {i}: {rank_col!r} must be a "
+                    "non-null 1-based rank")
+            if r.groupBy(id_col).count().where(
+                F.col("count") > 1
+            ).limit(1).count():
+                raise errors.Invalid(
+                    f"rrf_fuse run {i}: duplicate {id_col!r} — each "
+                    "run must rank an id at most once")
     out = None
     for i, r in enumerate(runs):
         sel = r.select(

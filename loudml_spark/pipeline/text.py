@@ -784,18 +784,23 @@ def lexical_diversity(
     — document-sized arrays, no shuffle, no Python).  Ratios are
     integer counts through one IEEE division (engine-portable
     unrounded, the text_stats convention).  Empty docs get null
-    ratios, not divide-by-zero.
+    ratios, not divide-by-zero.  NULL text yields NULL counts —
+    guarded explicitly rather than leaning on Spark's ``sizeOfNull``
+    legacy knob, so the engine matches DuckDB's
+    ``len(string_split(NULL))`` = NULL on both counts and ratios.
 
     Output: (id, n_tokens, n_types, n_hapax, ttr, hapax_ratio)."""
     toks = words_col(F.col(text_col))
+    nn = F.col(text_col).isNotNull()
     return df.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
-        F.size(F.filter(
+        F.when(nn, F.size(toks).cast("long")).alias("n_tokens"),
+        F.when(nn, F.size(F.array_distinct(toks)).cast("long"))
+        .alias("n_types"),
+        F.when(nn, F.size(F.filter(
             F.array_distinct(toks),
             lambda w: F.size(F.filter(toks, lambda x: x == w)) == 1,
-        )).cast("long").alias("n_hapax"),
+        )).cast("long")).alias("n_hapax"),
     ).select(
         id_col, "n_tokens", "n_types", "n_hapax",
         F.when(F.col("n_tokens") > 0,

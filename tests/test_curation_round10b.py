@@ -190,6 +190,29 @@ def test_rrf_fuse_validates(spark):
         rrf_fuse([a], k0=0)
 
 
+def test_rrf_fuse_rejects_bad_ranks_and_duplicate_ids(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.corpus import rrf_fuse
+
+    ok = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank int")
+    zero_rank = spark.createDataFrame(
+        [(1, 0), (2, 1)], "doc_id long, rank int")
+    null_rank = spark.createDataFrame(
+        [(1, 1), (2, None)], "doc_id long, rank int")
+    dup_id = spark.createDataFrame(
+        [(1, 1), (1, 2)], "doc_id long, rank int")
+    with pytest.raises(errors.Invalid, match="1-based rank"):
+        rrf_fuse([ok, zero_rank])
+    with pytest.raises(errors.Invalid, match="1-based rank"):
+        rrf_fuse([null_rank])
+    with pytest.raises(errors.Invalid, match="duplicate"):
+        rrf_fuse([ok, dup_id])
+    # validate=False skips the contract checks (replay escape hatch);
+    # the duplicated id then fans out through the full-outer join —
+    # 3 rows, exactly the silent double-count the default prevents
+    assert rrf_fuse([ok, dup_id], validate=False).count() == 3
+
+
 # ---------------------------------------- semantic decontamination
 
 
@@ -361,6 +384,20 @@ def test_lexical_diversity_templated_vs_varied(spark):
     out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
     assert out[0]["ttr"] < 0.1 < 1.0 == out[1]["ttr"]
     assert out[1]["hapax_ratio"] == 1.0
+
+
+def test_lexical_diversity_null_text_yields_nulls(spark):
+    """NULL text must yield NULL counts/ratios (the DuckDB
+    len(string_split(NULL)) semantics), not -1 / garbage — the
+    engine-parity guard from the round-10 advice."""
+    from loudml_spark.pipeline.text import lexical_diversity
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "a b")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lexical_diversity(df).collect()}
+    assert all(out[0][c] is None for c in
+               ("n_tokens", "n_types", "n_hapax", "ttr", "hapax_ratio"))
+    assert out[1]["n_tokens"] == 2
 
 
 # --------------------------------------------------------- kalman
