@@ -5172,9 +5172,11 @@ def q_triangle_stats_docs(spark, sf_dir):
     MinHash-LSH near-dup graph (pipeline/graph.py triangle_stats) —
     the density audit pagerank can't give: coefficient → 1 marks
     mirror/template cliques, a hub at → 0 chains unrelated docs
-    (the over-eager-band false-positive shape).  Edge-join triangle
-    counting, every join an equi-join; same doc_id < 1000 slice and
-    pair frame as pagerank_sim_docs."""
+    (the over-eager-band false-positive shape).  Degree-ordered
+    edge-join triangle counting (out-degrees capped at O(sqrt(m)),
+    so the wedge join survives power-law hubs), every join an
+    equi-join; same doc_id < 1000 slice and pair frame as
+    pagerank_sim_docs."""
     from loudml_spark.pipeline.graph import triangle_stats
 
     docs = _rebalance(
@@ -5196,10 +5198,19 @@ tdeg AS (
   SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS degree
   FROM tund GROUP BY a
 ),
-tw AS (SELECT x.a, x.b, y.b AS c FROM te x JOIN te y ON x.b = y.a),
+teo AS (
+  -- degree-ordered orientation: lower-(degree, id) endpoint first
+  SELECT u.a, u.b
+  FROM tund u
+  JOIN tdeg da ON da.id = u.a
+  JOIN tdeg db ON db.id = u.b
+  WHERE da.degree < db.degree
+     OR (da.degree = db.degree AND u.a < u.b)
+),
+tw AS (SELECT x.a, x.b, y.b AS c FROM teo x JOIN teo y ON x.b = y.a),
 ttri AS (
   SELECT tw.a, tw.b, tw.c
-  FROM tw JOIN te ON te.a = tw.a AND te.b = tw.c
+  FROM tw JOIN teo te2 ON te2.a = tw.a AND te2.b = tw.c
 ),
 tpn AS (
   SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (

@@ -49,7 +49,11 @@ def pagerank(
     and order-independent, and r' re-rounded at ``round_to`` — the
     whole trajectory is therefore deterministic cross-engine.  A
     symmetric graph has no dangling nodes (every node has degree
-    ≥ 1), so no dangling-mass term is needed.
+    ≥ 1), so no dangling-mass term is needed.  The rank frame is
+    lazily ``localCheckpoint``-ed each iteration so the logical plan
+    stays one join+agg deep however large ``n_iter`` grows (the
+    textrank lineage idiom — without it the plan nests one layer per
+    iteration).
 
     Output: one row per node — (id, pagerank).  Σ pagerank ≈ 1 up
     to rounding drift.
@@ -102,6 +106,13 @@ def pagerank(
                     round_to,
                 ).alias("r"),
             )
+            # truncate rank lineage each iteration (the textrank
+            # idiom): without this the plan nests one join+agg layer
+            # per iteration and the optimizer re-analyzes the whole
+            # tower every pass — fine at n_iter=5, quadratic plan
+            # growth beyond.  Lazy: materializes with the next
+            # iteration's (or the caller's) first action.
+            .localCheckpoint(eager=False)
         )
     return ranks.select("id", F.col("r").alias("pagerank"))
 
@@ -164,20 +175,29 @@ def triangle_stats(
     :func:`pagerank`: rank says how central, the coefficient says
     how cliquish.
 
-    Algorithm: the standard distributed edge-join triangle count —
-    orient every edge low→high (each triangle counted exactly once
-    as a < b < c), join oriented edges (a,b)⋈(b,c) into wedges, then
+    Algorithm: the standard distributed edge-join triangle count
+    with DEGREE-ORDERED orientation (Chiba & Nishizeki 1985;
+    Schank & Wagner 2005): every edge is directed from its
+    lower-degree endpoint (ties by id), which makes "orientation
+    order" a total order ≺ and counts each triangle exactly once as
+    x ≺ y ≺ z — join oriented edges (a,b)⋈(b,c) into wedges, then
     one equi-join of wedge closures (a,c) against the oriented edge
-    set.  All equi-joins on node ids; wedge volume is
-    Σ_b deg⁺(b)² — the known hot spot, bounded by orienting from
-    each node's LOWER-degree endpoint being unnecessary here because
-    near-dup graphs are component-bounded (dedup_clusters' gate);
-    for power-law graphs the degree-ordered orientation is the
-    documented upgrade.
+    set.  All equi-joins on node ids.  Why degree order and not id
+    order: wedge volume under id order is Σ_b deg⁺(b)² with deg⁺
+    unbounded — a hub whose id sorts low fans out deg² wedges, and
+    hubs are exactly what this operator exists to diagnose
+    (over-eager LSH bands).  Degree order bounds every out-degree by
+    O(√m), so total wedge volume is O(m^1.5) REGARDLESS of the
+    degree distribution — a hub sorts LAST, collects in-edges, and
+    fans out nothing.  The orientation costs one extra equi-join of
+    the edge frame against the degree frame the operator already
+    computes.
 
     Output: (id, degree, n_triangles, coeff) where coeff =
     2·T / (deg·(deg−1)), 0 when deg < 2 — exact integer counts
-    through one IEEE division."""
+    through one IEEE division.  Orientation changes the join plan
+    only — the triangle SET is orientation-invariant, so outputs are
+    bit-identical to the id-ordered form."""
     for c in (src_col, dst_col):
         if c not in pairs.columns:
             raise errors.Invalid(f"missing column {c!r}")
@@ -193,14 +213,28 @@ def triangle_stats(
     deg = und.groupBy("a").agg(
         F.count("*").cast("long").alias("degree")) \
         .withColumnRenamed("a", "id")
+    # orient each undirected edge from its lower-(degree, id)
+    # endpoint: keeps exactly one direction per edge and bounds
+    # every out-degree by O(sqrt(m))
+    eo = (
+        und
+        .join(deg.select(F.col("id").alias("a"),
+                         F.col("degree").alias("__da")), "a")
+        .join(deg.select(F.col("id").alias("b"),
+                         F.col("degree").alias("__db")), "b")
+        .filter((F.col("__da") < F.col("__db"))
+                | ((F.col("__da") == F.col("__db"))
+                   & (F.col("a") < F.col("b"))))
+        .select("a", "b")
+    )
     wedges = (
-        e.alias("x")
-        .join(e.alias("y"), F.col("x.b") == F.col("y.a"))
+        eo.alias("x")
+        .join(eo.alias("y"), F.col("x.b") == F.col("y.a"))
         .select(F.col("x.a").alias("a"), F.col("x.b").alias("b"),
                 F.col("y.b").alias("c"))
     )
     tri = wedges.join(
-        e.select(F.col("a").alias("a2"), F.col("b").alias("c2")),
+        eo.select(F.col("a").alias("a2"), F.col("b").alias("c2")),
         (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
     ).select("a", "b", "c")
     per_node = (

@@ -1,0 +1,114 @@
+"""Round-11 closures: degree-ordered triangle orientation on hub
+graphs, pagerank lineage truncation, kmv_jaccard join-shape rewrite,
+streaming in-order guards."""
+
+import random
+
+import pytest
+
+
+# ------------------------------------- triangles on a hub (power-law)
+
+
+def _brute_triangles(edges):
+    """Plain-Python per-node triangle counts over an undirected
+    simple graph — the independent reference."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    seen = set()
+    for a, b in [(x, y) for x, ns in adj.items() for y in ns if x < y]:
+        for c in adj[a] & adj[b]:
+            t = tuple(sorted((a, b, c)))
+            if t not in seen:
+                seen.add(t)
+                for v in t:
+                    tri[v] += 1
+    deg = {v: len(ns) for v, ns in adj.items()}
+    return {
+        v: (deg[v], tri[v],
+            2.0 * tri[v] / (deg[v] * (deg[v] - 1)) if deg[v] >= 2
+            else 0.0)
+        for v in adj
+    }
+
+
+def test_triangle_stats_seeded_hub_graph(spark):
+    """The regime the degree-ordered orientation exists for: one hub
+    wired to every leaf (the over-eager-LSH-band false-positive
+    shape) plus random leaf-leaf edges.  Values must match the
+    plain-Python brute force exactly — orientation changes the join
+    plan, never the triangle set."""
+    from loudml_spark.pipeline.graph import triangle_stats
+
+    rng = random.Random(11)
+    hub, leaves = 0, list(range(1, 41))
+    edges = [(hub, v) for v in leaves]
+    # sprinkle leaf-leaf edges: every one closes a triangle via hub
+    for _ in range(60):
+        a, b = rng.sample(leaves, 2)
+        edges.append((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(
+        sorted(set(edges)), "id_a long, id_b long")
+    got = {r["id"]: (r["degree"], r["n_triangles"], r["coeff"])
+           for r in triangle_stats(pairs).collect()}
+    want = _brute_triangles(set(edges))
+    assert set(got) == set(want)
+    for v, (d, t, c) in want.items():
+        assert got[v][0] == d and got[v][1] == t
+        assert got[v][2] == pytest.approx(c, abs=1e-12)
+    # the hub participates in one triangle per leaf-leaf edge
+    assert got[hub][1] == len({e for e in set(edges) if hub not in e})
+
+
+def test_triangle_orientation_is_degree_ordered(spark):
+    """Structural check on the oriented-edge frame: on a star graph
+    the hub sorts LAST in the (degree, id) order, so every oriented
+    edge points INTO the hub and the wedge join is empty — under id
+    order a mid-sorting hub would fan out deg^2 wedges."""
+    from pyspark.sql import functions as F
+
+    from loudml_spark.pipeline.graph import triangle_stats
+
+    # hub id 20 sorts in the MIDDLE by id: id order would give it
+    # both in- and out-edges (deg-/deg+ ~ n/2 each -> ~n^2/4 wedges)
+    hub, n = 20, 41
+    pairs = spark.createDataFrame(
+        [(hub, v) for v in range(n) if v != hub],
+        "id_a long, id_b long")
+    out = triangle_stats(pairs)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[hub]["degree"] == n - 1
+    assert all(r["n_triangles"] == 0 for r in rows.values())
+    # and the executed plan stays equi-join only (no cartesian)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------------------------- pagerank lineage truncation
+
+
+def test_pagerank_plan_depth_flat_in_n_iter(spark):
+    """The per-iteration localCheckpoint keeps the optimized plan a
+    constant two lines however many iterations run — and the ranks
+    at higher n_iter still converge toward the stationary
+    distribution (monotone on the hub node)."""
+    from loudml_spark.pipeline.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "id_a long, id_b long")
+    depths = {}
+    for it in (1, 5, 20):
+        pr = pagerank(edges, n_iter=it)
+        depths[it] = (pr._jdf.queryExecution()
+                      .optimizedPlan().toString().count("\n"))
+    assert depths[1] == depths[5] == depths[20]
+    got = {r.id: r.pagerank for r in
+           pagerank(edges, n_iter=20).collect()}
+    assert got[3] == max(got.values())     # hub stays on top
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
