@@ -29,6 +29,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from loudml_spark import errors
 
@@ -329,6 +330,7 @@ def kmv_jaccard(
     set_col: str,
     k: int = 256,
     round_to: int = 6,
+    max_sets: int = 512,
 ) -> DataFrame:
     """Pairwise Jaccard similarity between sets from k-minimum-value
     sketches (Beyer et al., SIGMOD 2007 §5: the union's k smallest
@@ -341,15 +343,23 @@ def kmv_jaccard(
     only, never the data.
 
     Shape: one distinct + per-set rank keeps k rows per set; each
-    sketch row explodes to its (set, other) pairs — bounded by
-    k·|sets|·(|sets|−1) rows; a grouped count + per-pair rank + one
-    aggregation finish it.  The estimate is exact integer counts
-    through one IEEE division — engine-portable by construction.
+    sketch row then equi-joins a broadcast PARTNER frame (one row
+    per ordered (set, pair) membership — |sets|·(|sets|−1) DATA
+    rows, not plan nodes, so the logical plan stays O(1) however
+    many sets there are); a grouped count + per-pair rank + one
+    aggregation finish it, bounded by k·|sets|² intermediate rows.
+    ``max_sets`` (default 512 → ≤ 262k partner rows) gates the
+    quadratic pairwise stage with a named error instead of letting
+    it creep — raise it deliberately, the partner frame is built on
+    the driver.  The estimate is exact integer counts through one
+    IEEE division — engine-portable by construction.
 
     Output: (set_a, set_b, n_union_sketch, n_both, est_jaccard) for
     set_a < set_b."""
     if k < 2:
         raise errors.Invalid(f"k must be >= 2, got {k}")
+    if max_sets < 2:
+        raise errors.Invalid(f"max_sets must be >= 2, got {max_sets}")
     for c in (key_col, set_col):
         if c not in df.columns:
             raise errors.Invalid(f"missing column {c!r}")
@@ -366,34 +376,37 @@ def kmv_jaccard(
     sets.sort()
     if len(sets) < 2:
         raise errors.Invalid("kmv_jaccard needs at least two sets")
-    # each sketch row joins every pair its set participates in
-    pair_of = {
-        s: F.array(*[
-            F.struct(F.lit(min(s, t)).alias("a"),
-                     F.lit(max(s, t)).alias("b"))
-            for t in sets if t != s])
-        for s in sets
-    }
-    pair_col = None
-    for s in sets:
-        cond = F.col("__set") == F.lit(s)
-        pair_col = (pair_of[s] if pair_col is None
-                    else F.when(cond, pair_of[s]).otherwise(pair_col))
-    exploded = sk.select(
-        "__set", "__h", F.explode(pair_col).alias("__p"))
-    per_hash = exploded.groupBy("__p", "__h").agg(
+    if len(sets) > max_sets:
+        raise errors.Invalid(
+            f"kmv_jaccard: {len(sets)} sets exceeds max_sets="
+            f"{max_sets}; the pairwise stage is quadratic in |sets| "
+            "— raise max_sets deliberately or pre-bucket the sets")
+    # partner frame: each set maps to every unordered pair it joins
+    set_type = dict(zip(sk.schema.names,
+                        [f.dataType for f in sk.schema.fields]))["__set"]
+    partner_schema = T.StructType([
+        T.StructField("__set", set_type),
+        T.StructField("__pa", set_type),
+        T.StructField("__pb", set_type),
+    ])
+    partners = df.sparkSession.createDataFrame(
+        [(s, min(s, t), max(s, t))
+         for s in sets for t in sets if t != s],
+        partner_schema)
+    exploded = sk.join(F.broadcast(partners), "__set")
+    per_hash = exploded.groupBy("__pa", "__pb", "__h").agg(
         F.countDistinct("__set").alias("__sides"))
-    wu = Window.partitionBy("__p").orderBy("__h")
+    wu = Window.partitionBy("__pa", "__pb").orderBy("__h")
     union_sk = per_hash.withColumn("__rn", F.row_number().over(wu)) \
         .filter(F.col("__rn") <= k)
     return (
-        union_sk.groupBy("__p")
+        union_sk.groupBy("__pa", "__pb")
         .agg(F.count("*").cast("long").alias("n_union_sketch"),
              F.sum((F.col("__sides") == 2).cast("long"))
              .cast("long").alias("n_both"))
         .select(
-            F.col("__p.a").alias("set_a"),
-            F.col("__p.b").alias("set_b"),
+            F.col("__pa").alias("set_a"),
+            F.col("__pb").alias("set_b"),
             "n_union_sketch", "n_both",
             F.round(F.col("n_both").cast("double")
                     / F.col("n_union_sketch"), round_to)

@@ -112,3 +112,43 @@ def test_pagerank_plan_depth_flat_in_n_iter(spark):
            pagerank(edges, n_iter=20).collect()}
     assert got[3] == max(got.values())     # hub stays on top
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+# -------------------------------------- kmv_jaccard pairwise stage
+
+
+def test_kmv_jaccard_max_sets_gate_and_join_shape(spark):
+    from loudml_spark import errors
+    from loudml_spark.operators.sketch import kmv_jaccard
+
+    rows = [(f"u{s}{i}", f"s{s}") for s in range(5) for i in range(8)]
+    df = spark.createDataFrame(rows, "uid string, grp string")
+    out = kmv_jaccard(df, key_col="uid", set_col="grp", k=16)
+    # all 5*4/2 pairs appear, disjoint sets estimate 0
+    got = out.collect()
+    assert len(got) == 10
+    assert all(r["est_jaccard"] == 0.0 for r in got)
+    # the pairwise stage is a broadcast equi-join against the
+    # partner frame — no literal CASE tower, no cartesian
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    with pytest.raises(errors.Invalid, match="max_sets"):
+        kmv_jaccard(df, key_col="uid", set_col="grp", max_sets=4)
+    with pytest.raises(errors.Invalid):
+        kmv_jaccard(df, key_col="uid", set_col="grp", max_sets=1)
+
+
+def test_kmv_jaccard_long_set_ids(spark):
+    """The partner frame must carry the sketch frame's set dtype —
+    exercised with bigint set ids."""
+    from loudml_spark.operators.sketch import kmv_jaccard
+
+    rows = [(f"k{i}", 10) for i in range(20)] + \
+           [(f"k{i}", 20) for i in range(10, 30)]
+    df = spark.createDataFrame(rows, "uid string, grp long")
+    got = {(r["set_a"], r["set_b"]): r["est_jaccard"]
+           for r in kmv_jaccard(
+               df, key_col="uid", set_col="grp", k=64).collect()}
+    # 10 shared of 30 union, k covers the union -> exact 1/3
+    assert got[(10, 20)] == pytest.approx(1 / 3, abs=1e-6)
