@@ -782,6 +782,33 @@ def stream_cms_counters(
         depth=depth, width=width)
 
 
+def _enforce_in_order(pdf, ts_col, last_ts, key, on_late, op):
+    """Cross-batch in-order guard shared by the sequential-statistic
+    operators (Page–Hinkley, Kalman): given this batch's ts-sorted
+    rows and the max ts already folded into the key's state, either
+    fail loudly on rows that precede it (``on_late="error"`` — the
+    state cannot be rewound, so continuing would be silently wrong)
+    or drop them (``on_late="skip"``).  Returns the (possibly
+    filtered) batch and the advanced watermark ts."""
+    if last_ts is not None:
+        late = pdf[ts_col] < last_ts
+        if late.any():
+            if on_late == "error":
+                raise ValueError(
+                    f"{op}: out-of-order micro-batch for key "
+                    f"{key!r} — row ts "
+                    f"{int(pdf.loc[late, ts_col].min())} precedes "
+                    f"the max already-processed ts {int(last_ts)}; "
+                    "sequential state cannot be rewound (stage "
+                    "inputs in order, or pass on_late='skip')")
+            pdf = pdf[~late]
+    if len(pdf):
+        batch_max = int(pdf[ts_col].max())
+        last_ts = batch_max if last_ts is None \
+            else max(int(last_ts), batch_max)
+    return pdf, last_ts
+
+
 def stream_page_hinkley(
     df: DataFrame,
     *,
@@ -791,6 +818,7 @@ def stream_page_hinkley(
     delta: float = 0.5,
     lam: float = 30.0,
     timeout: str = "NoTimeout",
+    on_late: str = "error",
 ) -> DataFrame:
     """Streaming Page–Hinkley drift detection whose statistic
     survives micro-batch boundaries: per-key state is exactly the
@@ -804,10 +832,21 @@ def stream_page_hinkley(
     over the same rows and the catalog pairs this streaming
     execution against the batch SQL oracle verbatim.  Rows are
     processed in ts order within each batch (one global sort over
-    the key's concatenated chunks); cross-batch ordering assumes
-    in-order arrival — stage/replay guards upstream, as with
-    stream_counter_increase.  Null values leave the statistic
-    unchanged but still emit a row (the batch semantics)."""
+    the key's concatenated chunks); cross-batch ordering requires
+    in-order arrival, and the contract is now ENFORCED, not assumed:
+    the state carries the max ts seen per key, and a batch
+    containing older rows either fails the query with a named error
+    (``on_late="error"``, the default — a sequential statistic fed
+    out of order is silently wrong, the r10 advice) or drops the
+    late rows (``on_late="skip"``, the watermark-style policy for
+    sources that can genuinely deliver stragglers).  Null values
+    leave the statistic unchanged but still emit a row (the batch
+    semantics)."""
+    from loudml_spark import errors
+
+    if on_late not in ("error", "skip"):
+        raise errors.Invalid(
+            f"on_late must be 'error' or 'skip', got {on_late!r}")
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
         T.StructField(ts_col, T.LongType()),
@@ -820,22 +859,33 @@ def stream_page_hinkley(
         T.StructField("total", T.DoubleType()),
         T.StructField("m", T.DoubleType()),
         T.StructField("min_m", T.DoubleType()),
+        T.StructField("last_ts", T.LongType()),
     ])
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            cnt, total, m, min_m = state.get
+            cnt, total, m, min_m, last_ts = state.get
         else:
-            cnt, total, m, min_m = 0, 0.0, 0.0, 0.0
+            cnt, total, m, min_m, last_ts = 0, 0.0, 0.0, 0.0, None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
-            state.update((cnt, total, m, min_m))
+            state.update((cnt, total, m, min_m, last_ts))
             out = pd.DataFrame(columns=[ts_col, value_col, "ph",
                                         "is_change"])
             out.insert(0, key_col, key[0])
             yield out
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        pdf, last_ts = _enforce_in_order(
+            pdf, ts_col, last_ts, key[0], on_late,
+            "stream_page_hinkley")
+        if not len(pdf):
+            state.update((cnt, total, m, min_m, last_ts))
+            out = pd.DataFrame(columns=[ts_col, value_col, "ph",
+                                        "is_change"])
+            out.insert(0, key_col, key[0])
+            yield out
+            return
         phs, flags, started = [], [], cnt > 0
         for x in pdf[value_col]:
             if x is not None and not pd.isna(x):
@@ -847,7 +897,7 @@ def stream_page_hinkley(
             raw = (m - min(min_m, 0.0)) if started else 0.0
             phs.append(raw)
             flags.append(raw > lam)
-        state.update((cnt, total, m, min_m))
+        state.update((cnt, total, m, min_m, last_ts))
         out = pd.DataFrame({
             ts_col: pdf[ts_col].to_numpy(),
             value_col: pdf[value_col].to_numpy(dtype=float),
@@ -919,6 +969,7 @@ def stream_kalman_level(
     q_var: float = 0.1,
     r_var: float = 1.0,
     timeout: str = "NoTimeout",
+    on_late: str = "error",
 ) -> DataFrame:
     """Streaming Kalman local-level filter whose estimate survives
     micro-batch boundaries: per-key state is exactly the recursion's
@@ -932,13 +983,19 @@ def stream_kalman_level(
     drained append output is BIT-IDENTICAL to the batch filter over
     the same rows and the catalog pairs this streaming execution
     against the batch replay oracle verbatim.  Cross-batch ordering
-    assumes in-order arrival (stage/replay guards upstream, the
-    stream_page_hinkley contract)."""
+    requires in-order arrival and is ENFORCED via the max-ts-per-key
+    state (the stream_page_hinkley guard): an out-of-order batch
+    fails the query with a named error under ``on_late="error"``
+    (default) or has its late rows dropped under
+    ``on_late="skip"``."""
     from loudml_spark import errors
 
     if q_var < 0 or r_var <= 0:
         raise errors.Invalid(
             f"need q_var >= 0 and r_var > 0, got {q_var}/{r_var}")
+    if on_late not in ("error", "skip"):
+        raise errors.Invalid(
+            f"on_late must be 'error' or 'skip', got {on_late!r}")
     qv, rv = float(q_var), float(r_var)
     out_schema = T.StructType([
         T.StructField(key_col, T.StringType()),
@@ -952,22 +1009,33 @@ def stream_kalman_level(
         T.StructField("started", T.BooleanType()),
         T.StructField("lvl", T.DoubleType()),
         T.StructField("p", T.DoubleType()),
+        T.StructField("last_ts", T.LongType()),
     ])
 
     def fn(key, pdfs, state: GroupState):
         if state.exists:
-            started, lvl, p = state.get
+            started, lvl, p, last_ts = state.get
         else:
-            started, lvl, p = False, 0.0, 0.0
+            started, lvl, p, last_ts = False, 0.0, 0.0, None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if not chunks:
-            state.update((started, lvl, p))
+            state.update((started, lvl, p, last_ts))
             out = pd.DataFrame(columns=[
                 ts_col, value_col, "level", "gain", "variance"])
             out.insert(0, key_col, key[0])
             yield out
             return
         pdf = pd.concat(chunks, ignore_index=True).sort_values(ts_col)
+        pdf, last_ts = _enforce_in_order(
+            pdf, ts_col, last_ts, key[0], on_late,
+            "stream_kalman_level")
+        if not len(pdf):
+            state.update((started, lvl, p, last_ts))
+            out = pd.DataFrame(columns=[
+                ts_col, value_col, "level", "gain", "variance"])
+            out.insert(0, key_col, key[0])
+            yield out
+            return
         levels, gains, variances = [], [], []
         for y in pdf[value_col].tolist():
             y = float(y)
@@ -982,7 +1050,7 @@ def stream_kalman_level(
             levels.append(round(lvl, 6))
             gains.append(round(k, 6))
             variances.append(round(p, 6))
-        state.update((started, lvl, p))
+        state.update((started, lvl, p, last_ts))
         out = pd.DataFrame({
             ts_col: pdf[ts_col].to_numpy(),
             value_col: pdf[value_col].to_numpy(dtype=float),

@@ -152,3 +152,102 @@ def test_kmv_jaccard_long_set_ids(spark):
                df, key_col="uid", set_col="grp", k=64).collect()}
     # 10 shared of 30 union, k covers the union -> exact 1/3
     assert got[(10, 20)] == pytest.approx(1 / 3, abs=1e-6)
+
+
+# ------------------------------------ streaming in-order enforcement
+
+
+def _stage_two_files(spark, tmp_path, first, second):
+    """Write two parquet files with strictly increasing mtimes so
+    FileStreamSource (maxFilesPerTrigger=1) delivers them as two
+    micro-batches in write order."""
+    import time as _time
+
+    schema = "event_type string, bucket_ts long, value double"
+    spark.createDataFrame(first, schema) \
+        .coalesce(1).write.mode("append").parquet(str(tmp_path))
+    _time.sleep(0.3)
+    spark.createDataFrame(second, schema) \
+        .coalesce(1).write.mode("append").parquet(str(tmp_path))
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(str(tmp_path)))
+
+
+KALMAN_COLS = ["event_type", "bucket_ts", "value", "level", "gain",
+               "variance"]
+
+
+def test_stream_kalman_out_of_order_batch_errors(spark, tmp_path):
+    """The in-order contract is enforced, not assumed: a second
+    micro-batch whose rows precede the max already-processed ts
+    fails the query with a named error."""
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df, stream_kalman_level)
+
+    newer = [("a", t, float(t)) for t in range(15, 30)]
+    older = [("a", t, float(t)) for t in range(15)]
+    stream = _stage_two_files(spark, tmp_path, newer, older)
+    with pytest.raises(StreamingQueryException,
+                       match="out-of-order micro-batch"):
+        drain_stream_to_df(
+            stream_kalman_level(stream), KALMAN_COLS,
+            output_mode="append", prefix="t_ooo_err")
+
+
+def test_stream_kalman_out_of_order_skip_drops_late_rows(spark,
+                                                         tmp_path):
+    """on_late='skip' drops the stragglers and keeps the filter
+    trajectory identical to the batch operator over the rows that
+    were actually in order."""
+    from loudml_spark.operators.tsmath import kalman_level
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df, stream_kalman_level)
+
+    newer = [("a", t, float((t * 3) % 7)) for t in range(15, 30)]
+    older = [("a", t, float(t)) for t in range(15)]
+    stream = _stage_two_files(spark, tmp_path, newer, older)
+    got = drain_stream_to_df(
+        stream_kalman_level(stream, on_late="skip"), KALMAN_COLS,
+        output_mode="append", prefix="t_ooo_skip")
+    want = kalman_level(
+        spark.createDataFrame(
+            newer, "event_type string, bucket_ts long, value double"),
+        by=["event_type"])
+    assert (sorted(tuple(r) for r in got.collect())
+            == sorted(tuple(r) for r in want.collect()))
+
+
+def test_stream_page_hinkley_out_of_order_batch_errors(spark,
+                                                       tmp_path):
+    from pyspark.errors.exceptions.captured import (
+        StreamingQueryException)
+
+    from loudml_spark.streaming.job import (
+        drain_stream_to_df, stream_page_hinkley)
+
+    newer = [("a", t, float(t)) for t in range(10, 20)]
+    older = [("a", t, float(t)) for t in range(10)]
+    stream = _stage_two_files(spark, tmp_path, newer, older)
+    with pytest.raises(StreamingQueryException,
+                       match="out-of-order micro-batch"):
+        drain_stream_to_df(
+            stream_page_hinkley(stream),
+            ["event_type", "bucket_ts", "value", "ph", "is_change"],
+            output_mode="append", prefix="t_ph_ooo")
+
+
+def test_stream_guard_validates_on_late(spark):
+    from loudml_spark import errors
+    from loudml_spark.streaming.job import (
+        stream_kalman_level, stream_page_hinkley)
+
+    df = spark.createDataFrame(
+        [("a", 0, 1.0)],
+        "event_type string, bucket_ts long, value double")
+    with pytest.raises(errors.Invalid):
+        stream_kalman_level(df, on_late="nope")
+    with pytest.raises(errors.Invalid):
+        stream_page_hinkley(df, on_late="nope")
