@@ -1037,6 +1037,7 @@ def _bpe_train_driver(words: list, n_merges: int) -> list:
     path (same argmax tie-break: count desc, left asc, right asc —
     Python code-point string order == Spark UTF8 binary order).
     """
+    import heapq
     from collections import Counter, defaultdict
 
     counts: Counter = Counter()
@@ -1045,13 +1046,26 @@ def _bpe_train_driver(words: list, n_merges: int) -> list:
         for p in zip(syms, syms[1:]):
             counts[p] += c
             where[p].add(i)
+    # lazy-deletion priority queue over (-count, a, b): heap order ==
+    # the argmax tie-break (count desc, left asc, right asc), and an
+    # entry is live iff its count still matches `counts` (every count
+    # change pushes a fresh entry, so the true max always has a live
+    # one).  Replaces the O(|pairs|) full scan per merge — at real
+    # merge budgets (8192 on a ~60k-word vocabulary ≈ 400k live
+    # pairs) the scan dominated the whole trainer.
+    heap = [(-n, p[0], p[1]) for p, n in counts.items()]
+    heapq.heapify(heap)
     records = []
     for step in range(n_merges):
-        if not counts:
+        while heap:
+            negn, a, b = heap[0]
+            if counts.get((a, b), 0) == -negn:
+                break
+            heapq.heappop(heap)      # stale entry
+        if not heap:
             break
-        (a, b), n = min(
-            counts.items(),
-            key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        negn, a, b = heapq.heappop(heap)
+        n = -negn
         ab = a + b
         touched = set()
         # `where` holds every word that EVER contained the pair; a
@@ -1069,8 +1083,11 @@ def _bpe_train_driver(words: list, n_merges: int) -> list:
                 where[p].add(i)
             words[i][0] = new
         for p in touched:
-            if counts.get(p, 0) <= 0:
+            c = counts.get(p, 0)
+            if c <= 0:
                 counts.pop(p, None)
+            else:
+                heapq.heappush(heap, (-c, p[0], p[1]))
         records.append((step, f"{a} {b}", n, ab))
     return records
 

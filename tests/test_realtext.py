@@ -1,0 +1,113 @@
+"""Real-text fixture (pipeline/realtext.py): generator determinism,
+committed-parquet freshness, and the realism properties the
+text/corpus knobs were built for."""
+
+import collections
+import os
+import re
+
+import pytest
+
+from loudml_spark.pipeline.realtext import (
+    N_DOCS, SEED, corpus_digest, realtext_fixture_path, realtext_rows)
+
+_TOK = re.compile(r"[a-zäöüß]+")
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return realtext_rows()
+
+
+def test_generator_is_deterministic(rows):
+    again = realtext_rows(N_DOCS, SEED)
+    assert corpus_digest(rows) == corpus_digest(again)
+    assert len(rows) == N_DOCS
+
+
+def test_committed_fixture_matches_generator(spark, rows):
+    """The freshness gate: the committed parquet must be exactly the
+    generator's output — regenerate with tools/make_realtext.py
+    after any generator change."""
+    path = realtext_fixture_path()
+    assert os.path.exists(path), "run tools/make_realtext.py"
+    disk = [tuple(r) for r in
+            spark.read.parquet(path)
+            .orderBy("doc_id")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .collect()]
+    assert corpus_digest(disk) == corpus_digest(rows)
+
+
+def test_zipf_hapax_realism(rows):
+    """The property the synthetic documents table lacks and this
+    fixture exists for: a fat hapax tail.  Real crawled text has
+    60-80% of distinct bigrams occurring once and a large hapax
+    unigram share; the tuned generator must land in that regime."""
+    uni = collections.Counter()
+    big = collections.Counter()
+    n_tokens = 0
+    for _, text, _, _, _ in rows:
+        ws = _TOK.findall(text.lower())
+        n_tokens += len(ws)
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    bigram_hapax = sum(1 for c in big.values() if c == 1) / len(big)
+    unigram_hapax = sum(1 for c in uni.values() if c == 1) / len(uni)
+    assert 0.6 <= bigram_hapax <= 0.85
+    assert 0.4 <= unigram_hapax <= 0.8
+    assert n_tokens > 1_000_000          # corpus-shaped, not a toy
+    assert len(uni) > 30_000             # Heaps-law vocabulary
+    # Zipf head: function words dominate
+    top = [w for w, _ in uni.most_common(5)]
+    assert "the" in top and "of" in top
+
+
+def test_quality_defects_are_present_and_source_skewed(rows):
+    """Each defect class must exist (the Gopher/C4 rules need
+    something to catch) and 'web' must be dirtier than 'books'."""
+    sym = {s: 0 for s in ("web", "books", "wiki")}
+    tot = {s: 0 for s in ("web", "books", "wiki")}
+    n_loops = 0
+    for _, text, _, source, _ in rows:
+        tot[source] += 1
+        if "#" in text:
+            sym[source] += 1
+        sents = text.split(".")
+        if len(sents) > 3 and len(set(s.strip() for s in sents
+                                      if s.strip())) == 1:
+            n_loops += 1
+    assert n_loops > 20                     # template loops exist
+    assert sym["web"] / tot["web"] > sym["books"] / tot["books"]
+
+
+def test_languages_and_schema(rows):
+    langs = collections.Counter(r[2] for r in rows)
+    assert set(langs) == {"en", "de"}
+    assert 0.1 < langs["de"] / N_DOCS < 0.3
+    for doc_id, text, lang, source, n_chars in rows[:100]:
+        assert n_chars == len(text)
+        assert source in ("web", "books", "wiki")
+
+
+def test_bigram_pruning_pays_in_this_regime(spark):
+    """The knob's reason to exist, asserted: min_count=5 removes the
+    large majority of distinct-bigram model keys on the fixture
+    (on the synthetic documents table it removes almost none)."""
+    from pyspark.sql import functions as F
+
+    from loudml_spark.pipeline.realtext import load_realtext
+
+    docs = load_realtext(spark)
+    bigrams = (
+        docs.select(F.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, size(ws) - 1), "
+            "i -> concat(ws[i - 1], ' ', ws[i]))")).alias("b"))
+        .groupBy("b").count()
+    ).localCheckpoint()
+    total = bigrams.count()
+    kept = bigrams.filter("count >= 5").count()
+    assert kept / total < 0.15              # >85% of keys cut
