@@ -5314,3 +5314,318 @@ PIPELINE_QUERIES.update({
     "ann_recall_pq": {
         "fn": q_ann_recall_pq, "oracle_fn": _sql_ann_recall_pq},
 })
+
+
+# -------------------------------------------- real-text fixture (r11)
+# The Zipf/hapax-realistic corpus (pipeline/realtext.py; committed at
+# fixtures/realtext.parquet) gives the text/corpus knobs the regime
+# they were built for — the synthetic documents table has almost no
+# hapax mass.  Both the Spark side and the DuckDB oracle read the
+# SAME committed parquet, so the pairing is as strict as any sf-table
+# query; sf_dir is ignored (the fixture is corpus-shaped, not
+# sf-scaled — SCALE.md's realtext rows carry the growth evidence).
+
+RT_MIN_COUNT = 5
+
+
+def _rt_path() -> str:
+    from loudml_spark.pipeline.realtext import realtext_fixture_path
+
+    return realtext_fixture_path()
+
+
+def q_realtext_gopher_rates(spark, sf_dir):
+    """Gopher rule hit RATES by source over the real-shaped corpus
+    (pipeline/text.py gopher_rules) — on the synthetic documents
+    table the rules fire never-or-always; here each source carries
+    its own seeded defect mix (web dirtiest), so the per-rule rates
+    are the non-degenerate measurement the thresholds were
+    published for.  Map-only projection + one |sources|-row
+    rollup."""
+    from loudml_spark.pipeline.realtext import load_realtext
+    from loudml_spark.pipeline.text import gopher_rules
+
+    docs = load_realtext(spark)
+    out = gopher_rules(docs, min_words=25, max_words=1000)
+    rate = (lambda c: F.round(F.avg(F.col(c).cast("int")), 6))
+    return (
+        out.groupBy("source")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             rate("ok_words").alias("r_words"),
+             rate("ok_mean_len").alias("r_mean_len"),
+             rate("ok_symbols").alias("r_symbols"),
+             rate("ok_alpha").alias("r_alpha"),
+             rate("ok_stop").alias("r_stop"),
+             rate("gopher_pass").alias("r_pass"))
+    )
+
+
+def _sql_realtext_gopher_rates(sf_dir=None) -> str:
+    return f"""
+WITH w AS (
+  SELECT doc_id, source, text, {_SQL_WORDS} AS ws
+  FROM read_parquet('{_rt_path()}')
+),
+s AS (
+  SELECT doc_id, source,
+    CAST(len(ws) AS BIGINT) AS n,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+      (a, b) -> a + b) AS chars,
+    CAST(len(list_filter(ws,
+      x -> regexp_matches(lower(x), '[a-z]'))) AS BIGINT) AS alpha,
+    CAST(len(list_filter(ws,
+      x -> lower(x) IN ({_SQL_STOPLIST}))) AS BIGINT) AS stops,
+    CAST(len(string_split(text, '#')) - 1
+       + len(string_split(text, '...')) - 1 AS BIGINT) AS sym
+  FROM w
+),
+r AS (
+  SELECT source,
+    (n >= 25 AND n <= 1000) AS ok_words,
+    (chars / n >= 3.0 AND chars / n <= 10.0) AS ok_mean_len,
+    (sym / n <= 0.1) AS ok_symbols,
+    (alpha / n >= 0.8) AS ok_alpha,
+    (stops >= 2) AS ok_stop
+  FROM s
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  ROUND(AVG(CASE WHEN ok_words THEN 1 ELSE 0 END), 6) AS r_words,
+  ROUND(AVG(CASE WHEN ok_mean_len THEN 1 ELSE 0 END), 6)
+    AS r_mean_len,
+  ROUND(AVG(CASE WHEN ok_symbols THEN 1 ELSE 0 END), 6) AS r_symbols,
+  ROUND(AVG(CASE WHEN ok_alpha THEN 1 ELSE 0 END), 6) AS r_alpha,
+  ROUND(AVG(CASE WHEN ok_stop THEN 1 ELSE 0 END), 6) AS r_stop,
+  ROUND(AVG(CASE WHEN ok_words AND ok_mean_len AND ok_symbols
+                  AND ok_alpha AND ok_stop THEN 1 ELSE 0 END), 6)
+    AS r_pass
+FROM r GROUP BY source
+"""
+
+
+def q_realtext_bigram_pruned(spark, sf_dir):
+    """bigram_perplexity with min_count={RT_MIN_COUNT} over the
+    real-shaped corpus — the pruning knob IN ITS REGIME: ~80% of
+    this corpus's distinct bigrams are hapax (the property the
+    synthetic table lacks), so the cut removes most of the model's
+    keys, which is why every shipped LM makes it.  Per-doc summary
+    over a seeded 1200-doc slice keeps the compared frame bounded;
+    the LM itself is fit on the full corpus."""
+    from loudml_spark.pipeline.corpus import bigram_perplexity
+    from loudml_spark.pipeline.realtext import load_realtext
+
+    docs = load_realtext(spark)
+    out = bigram_perplexity(docs, lam=0.75, min_count=RT_MIN_COUNT)
+    return out.filter(F.col("doc_id") < 1200)
+
+
+def _sql_realtext_bigram_pruned(sf_dir=None) -> str:
+    return f"""
+WITH ww AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+  FROM read_parquet('{_rt_path()}')
+),
+ut AS (SELECT doc_id, unnest(ws) AS token FROM ww),
+cu AS (
+  SELECT token AS w, CAST(COUNT(*) AS BIGINT) AS cu
+  FROM ut GROUP BY token
+),
+nt AS (SELECT CAST(SUM(cu) AS DOUBLE) AS n FROM cu),
+bt AS (
+  SELECT doc_id,
+         unnest(list_transform(
+             range(1, len(ws)),
+             i -> ws[i] || ' ' || ws[i + 1])) AS token
+  FROM ww
+),
+pd AS (
+  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bt GROUP BY doc_id, token
+),
+cball AS (
+  SELECT token, CAST(SUM(tf) AS BIGINT) AS cb FROM pd GROUP BY token
+),
+ctx AS (
+  SELECT string_split(token, ' ')[1] AS prev,
+         CAST(SUM(cb) AS BIGINT) AS cctx
+  FROM cball GROUP BY 1
+),
+cbp AS (SELECT token, cb FROM cball WHERE cb >= {RT_MIN_COUNT}),
+sc AS (
+  SELECT pd.doc_id, pd.tf,
+         ROUND(pd.tf * ln(
+             0.75 * (CAST(COALESCE(cbp.cb, 0) AS DOUBLE) / ctx.cctx)
+             + 0.25 * (CAST(cu.cu AS DOUBLE) / nt.n)),
+           6) AS s
+  FROM pd
+  LEFT JOIN cbp USING (token)
+  JOIN ctx ON ctx.prev = string_split(pd.token, ' ')[1]
+  JOIN cu ON cu.w = string_split(pd.token, ' ')[2]
+  CROSS JOIN nt
+)
+SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(exp(-(CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE))
+                 / SUM(tf)), 6) + 0.0 AS ppl
+FROM sc
+WHERE doc_id < 1200
+GROUP BY doc_id
+"""
+
+
+def q_realtext_lexical_by_lang(spark, sf_dir):
+    """Type-token and hapax profile by language over the real-shaped
+    corpus (pipeline/text.py lexical_diversity): the WORD-level
+    baseline for the fertility audit — both language slices profile
+    the same (avg TTR ~0.64, hapax ~0.77), which is exactly what
+    makes the de slice's higher SUBWORD fertility (its compounds
+    fragment harder under a shared merge list) a tokenizer-inequity
+    signal rather than a corpus artifact.  Map-only per-doc pass +
+    one |langs|-row rollup."""
+    from loudml_spark.pipeline.realtext import load_realtext
+    from loudml_spark.pipeline.text import lexical_diversity
+
+    docs = load_realtext(spark)
+    ld = lexical_diversity(docs)
+    return (
+        ld.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("n_tokens"),
+             F.round(F.avg("ttr"), 6).alias("avg_ttr"),
+             F.round(F.avg("hapax_ratio"), 6).alias("avg_hapax"))
+    )
+
+
+def _sql_realtext_lexical_by_lang(sf_dir=None) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, {_SQL_WORDS} AS ws
+  FROM read_parquet('{_rt_path()}')
+),
+d AS (
+  SELECT doc_id, lang,
+    CAST(len(ws) AS BIGINT) AS n_tokens,
+    CAST(len(list_distinct(ws)) AS BIGINT) AS n_types,
+    CAST(len(list_filter(list_distinct(ws),
+      w -> len(list_filter(ws, x -> x = w)) = 1)) AS BIGINT)
+      AS n_hapax
+  FROM t
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+  ROUND(AVG(CASE WHEN n_tokens > 0
+            THEN CAST(n_types AS DOUBLE) / n_tokens END), 6)
+    AS avg_ttr,
+  ROUND(AVG(CASE WHEN n_types > 0
+            THEN CAST(n_hapax AS DOUBLE) / n_types END), 6)
+    AS avg_hapax
+FROM d GROUP BY lang
+"""
+
+
+PIPELINE_QUERIES.update({
+    "realtext_gopher_rates": {
+        "fn": q_realtext_gopher_rates,
+        "oracle_fn": _sql_realtext_gopher_rates},
+    "realtext_bigram_pruned": {
+        "fn": q_realtext_bigram_pruned,
+        "oracle_fn": _sql_realtext_bigram_pruned},
+    "realtext_lexical_by_lang": {
+        "fn": q_realtext_lexical_by_lang,
+        "oracle_fn": _sql_realtext_lexical_by_lang},
+})
+
+
+# ------------------------------------------ graph family close (r11)
+
+
+def q_pagerank_weighted_sim_docs(spark, sf_dir):
+    """Edge-weighted PageRank over the near-dup graph
+    (pipeline/graph.py pagerank, weight_col="jaccard"): a 0.95
+    near-duplicate link pulls proportionally more rank than a 0.80
+    one — the weighted centrality the LSH pair frame's own verified
+    similarities make free.  Same Pregel shape as pagerank_sim_docs
+    (edge frame checkpointed once, one equi-join + one agg per
+    iteration); per-node out-weight sums route through DECIMAL so
+    the trajectory is exact cross-engine."""
+    from loudml_spark.pipeline.graph import pagerank
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
+                  weight_col="jaccard", damping=0.85, n_iter=5)
+    return pr.select(F.col("id").alias("doc_id"), "pagerank")
+
+
+def _sql_pagerank_weighted_sim_docs(sf_dir=None) -> str:
+    from loudml_spark.pipeline.graph import sql_pagerank_ctes
+
+    return f"""
+WITH {_SQL_LSH_CTES},
+pw8 AS (SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.8),
+{sql_pagerank_ctes('pw8', weight_col='jaccard',
+                   damping=0.85, n_iter=5)}
+SELECT id AS doc_id, r AS pagerank FROM pr5
+"""
+
+
+def q_graph_components_docs(spark, sf_dir):
+    """Connected-component census over the near-dup graph
+    (pipeline/graph.py component_stats): per-component size, edge
+    count and internal density — the cluster-shape audit (density
+    → 1 = verified mirror set; a large sparse component = the
+    chained false-positive blob over-eager bands produce), exposing
+    dedup_clusters' components as a first-class graph result.
+    Labels come from the log-round star-contraction CC; stats are
+    one label-keyed rollup + one edge equi-join."""
+    from loudml_spark.pipeline.graph import component_stats
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    return component_stats(pairs)
+
+
+SQL_GRAPH_COMPONENTS_DOCS = f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+gp8 AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.8),
+ge AS (
+  SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+  FROM gp8 WHERE id_a <> id_b
+),
+gsym AS (SELECT a AS src, b AS dst FROM ge
+         UNION SELECT b, a FROM ge),
+reach(id, r) AS (
+  SELECT src, src FROM gsym
+  UNION
+  SELECT gsym.src, reach.r FROM gsym JOIN reach ON gsym.dst = reach.id
+),
+comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+nodes AS (
+  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+  FROM comp GROUP BY cluster_id
+),
+edges AS (
+  SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+  FROM ge JOIN comp c ON c.id = ge.a
+  GROUP BY c.cluster_id
+)
+SELECT n.cluster_id, n.n_nodes, e.n_edges,
+       ROUND(2.0 * e.n_edges / (n.n_nodes * (n.n_nodes - 1)), 6)
+         AS density
+FROM nodes n JOIN edges e USING (cluster_id)
+WHERE n.n_nodes >= 2
+"""
+
+
+PIPELINE_QUERIES.update({
+    "pagerank_weighted_sim_docs": {
+        "fn": q_pagerank_weighted_sim_docs,
+        "oracle_fn": _sql_pagerank_weighted_sim_docs},
+    "graph_components_docs": {
+        "fn": q_graph_components_docs,
+        "oracle": SQL_GRAPH_COMPONENTS_DOCS},
+})

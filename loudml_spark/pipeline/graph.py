@@ -33,27 +33,33 @@ def pagerank(
     *,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    weight_col: str | None = None,
     damping: float = 0.85,
     n_iter: int = 5,
     round_to: int = 9,
 ) -> DataFrame:
-    """Undirected PageRank by fixed-count power iteration.
+    """Undirected PageRank by fixed-count power iteration, optionally
+    EDGE-WEIGHTED (``weight_col``, e.g. the jaccard column the LSH
+    pair frame already carries — a 0.95 near-duplicate link should
+    pull more rank than a 0.80 one).
 
     The edge list is symmetrized (each input pair contributes both
     directions), nodes are the distinct endpoints, and every node
     starts at 1/N.  Each iteration computes
 
-        r'(v) = (1 - d)/N + d * Σ_{u~v} round(r(u)/deg(u), round_to)
+        r'(v) = (1 - d)/N + d * Σ_{u~v} round(r(u) · w(u,v)/W(u),
+                                               round_to)
 
-    with the contribution sum routed through DECIMAL so it is exact
-    and order-independent, and r' re-rounded at ``round_to`` — the
-    whole trajectory is therefore deterministic cross-engine.  A
-    symmetric graph has no dangling nodes (every node has degree
-    ≥ 1), so no dangling-mass term is needed.  The rank frame is
-    lazily ``localCheckpoint``-ed each iteration so the logical plan
-    stays one join+agg deep however large ``n_iter`` grows (the
-    textrank lineage idiom — without it the plan nests one layer per
-    iteration).
+    where unweighted w ≡ 1 gives W(u) = deg(u) (the classic form).
+    W(u) = Σ_x w(u,x) is summed as DECIMAL(18,6) so it is exact and
+    order-independent; the per-edge contribution rounds at
+    ``round_to`` and sums as DECIMAL — the whole trajectory is
+    deterministic cross-engine.  A symmetric graph has no dangling
+    nodes (every node has degree ≥ 1), so no dangling-mass term is
+    needed.  The rank frame is lazily ``localCheckpoint``-ed each
+    iteration so the logical plan stays one join+agg deep however
+    large ``n_iter`` grows (the textrank lineage idiom — without it
+    the plan nests one layer per iteration).
 
     Output: one row per node — (id, pagerank).  Σ pagerank ≈ 1 up
     to rounding drift.
@@ -62,19 +68,27 @@ def pagerank(
         raise errors.Invalid(f"damping must be in (0,1), got {damping}")
     if n_iter < 1:
         raise errors.Invalid(f"n_iter must be >= 1, got {n_iter}")
-    for c in (src_col, dst_col):
+    cols = [src_col, dst_col] + ([weight_col] if weight_col else [])
+    for c in cols:
         if c not in edges.columns:
             raise errors.Invalid(f"missing column {c!r}")
 
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.lit(1.0))
     sym = (
         edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"))
+                     F.col(dst_col).alias("dst"), w.alias("w"))
         .unionByName(edges.select(F.col(dst_col).alias("src"),
-                                  F.col(src_col).alias("dst")))
+                                  F.col(src_col).alias("dst"),
+                                  w.alias("w")))
         .distinct()
         .localCheckpoint()          # reused every iteration
     )
-    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    # W(u): exact DECIMAL sum of (already-rounded) edge weights —
+    # with w ≡ 1 this is exactly the integer degree
+    deg = sym.groupBy("src").agg(
+        F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
+        .alias("wsum"))
     nodes = sym.select(F.col("src").alias("id")).distinct()
     n = nodes.count()
     if n == 0:
@@ -85,14 +99,18 @@ def pagerank(
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("r", F.round(F.lit(1.0 / n), round_to))
     dec = f"decimal(28,{round_to})"
+    # unweighted keeps the exact legacy expression r / deg (wsum of
+    # 1.0-weights is exactly the integer degree); weighted is
+    # r * (w / W) with the same parenthesization the SQL mirror uses
+    cexpr = (F.col("r") * (F.col("w") / F.col("wsum")) if weight_col
+             else F.col("r") / F.col("wsum"))
     for _ in range(n_iter):
         contrib = (
             sym.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(deg, "src")
             .select(
                 F.col("dst").alias("id"),
-                F.round(F.col("r") / F.col("deg"), round_to)
-                .cast(dec).alias("c"),
+                F.round(cexpr, round_to).cast(dec).alias("c"),
             )
         )
         ranks = (
@@ -122,6 +140,7 @@ def sql_pagerank_ctes(
     *,
     src_col: str = "id_a",
     dst_col: str = "id_b",
+    weight_col: str | None = None,
     damping: float = 0.85,
     n_iter: int = 5,
     round_to: int = 9,
@@ -129,15 +148,26 @@ def sql_pagerank_ctes(
     """DuckDB mirror of :func:`pagerank` as a CTE chain (the fixed
     iteration count unrolls to pr0..prK — no recursive aggregation,
     which DuckDB restricts).  ``pairs_cte`` names an earlier CTE with
-    ``src_col``/``dst_col`` edge columns; the final CTE is
-    ``pr{n_iter}`` with (id, r)."""
+    ``src_col``/``dst_col`` (and ``weight_col`` if weighted) edge
+    columns; the final CTE is ``pr{n_iter}`` with (id, r)."""
     base = repr((1.0 - damping))
+    if weight_col:
+        wsel_a = f", CAST({weight_col} AS DOUBLE) AS w"
+        wsel_b = f", CAST({weight_col} AS DOUBLE)"
+        deg = ("deg AS (SELECT src, CAST(SUM(CAST(w AS "
+               "DECIMAL(18,6))) AS DOUBLE) AS deg "
+               "FROM edges GROUP BY src)")
+        cexpr = f"ROUND(p.r * (e.w / d.deg), {round_to})"
+    else:
+        wsel_a = wsel_b = ""
+        deg = "deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)"
+        cexpr = f"ROUND(p.r / d.deg, {round_to})"
     parts = [f"""edges AS (
-  SELECT {src_col} AS src, {dst_col} AS dst FROM {pairs_cte}
+  SELECT {src_col} AS src, {dst_col} AS dst{wsel_a} FROM {pairs_cte}
   UNION
-  SELECT {dst_col}, {src_col} FROM {pairs_cte}
+  SELECT {dst_col}, {src_col}{wsel_b} FROM {pairs_cte}
 ),
-deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+{deg},
 nodes AS (SELECT DISTINCT src AS id FROM edges),
 nn AS (SELECT COUNT(*) AS n FROM nodes),
 pr0 AS (
@@ -149,7 +179,7 @@ pr0 AS (
   SELECT e.dst AS id,
          ROUND(CAST({base} AS DOUBLE) / (SELECT n FROM nn)
                + CAST({damping!r} AS DOUBLE)
-                 * CAST(SUM(CAST(ROUND(p.r / d.deg, {round_to})
+                 * CAST(SUM(CAST({cexpr}
                                  AS DECIMAL(28,{round_to})))
                         AS DOUBLE), {round_to}) AS r
   FROM pr{t} p
@@ -253,4 +283,64 @@ def triangle_stats(
                 2.0 * F.coalesce("n_triangles", F.lit(0))
                 / (F.col("degree") * (F.col("degree") - 1)))
             .otherwise(F.lit(0.0)).alias("coeff"))
+    )
+
+
+def component_stats(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    round_to: int = 6,
+) -> DataFrame:
+    """Connected-component census over an undirected pair graph —
+    the graph family's third lens next to :func:`pagerank`
+    (centrality) and :func:`triangle_stats` (cliquishness): one row
+    PER COMPONENT with its size, edge count and internal density.
+    For a near-dup graph this is the cluster-shape audit: density
+    → 1 marks true mirror sets (every pair verified), a large
+    sparse component (density → 0 at big n) is the chained
+    false-positive blob over-eager LSH bands produce — the
+    component-level complement of triangle_stats' per-node
+    coefficient.
+
+    Algorithm: component labels from the log-round large-star/
+    small-star contraction (:func:`loudml_spark.pipeline.dedup.
+    dedup_clusters` — reused, not re-implemented), then ONE
+    label-keyed aggregation for nodes and one equi-join + aggregation
+    for edges.  density = 2·m_c / (n_c·(n_c−1)) — exact integer
+    counts through one IEEE division.
+
+    Output: (cluster_id, n_nodes, n_edges, density) for components
+    with ≥ 2 nodes (singletons have no edges and no density)."""
+    from loudml_spark.pipeline.dedup import dedup_clusters
+
+    for c in (src_col, dst_col):
+        if c not in pairs.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)   # labels + edge join reuse it
+    )
+    labels = dedup_clusters(e.selectExpr("a as id_a", "b as id_b"))
+    nodes = labels.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_nodes"))
+    edges = (
+        e.join(labels.selectExpr("doc_id as a", "cluster_id"), "a")
+        .groupBy("cluster_id")
+        .agg(F.count("*").cast("long").alias("n_edges"))
+    )
+    return (
+        nodes.join(edges, "cluster_id")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "cluster_id", "n_nodes", "n_edges",
+            F.round(
+                2.0 * F.col("n_edges")
+                / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                round_to).alias("density"))
     )

@@ -251,3 +251,100 @@ def test_stream_guard_validates_on_late(spark):
         stream_kalman_level(df, on_late="nope")
     with pytest.raises(errors.Invalid):
         stream_page_hinkley(df, on_late="nope")
+
+
+# --------------------------------------------- weighted pagerank
+
+
+def _numpy_weighted_pagerank(edges, d=0.85, n_iter=5, r=9):
+    """Independent replica of the weighted recursion with the same
+    rounding/decimal discipline (edges: (a, b, w))."""
+    nodes = sorted({x for a, b, _ in edges for x in (a, b)})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = [[] for _ in range(n)]
+    wsum = [0.0] * n
+    for a, b, w in edges:
+        adj[idx[a]].append((idx[b], w))
+        adj[idx[b]].append((idx[a], w))
+        wsum[idx[a]] += w
+        wsum[idx[b]] += w
+    ranks = [round(1.0 / n, r)] * n
+    base = (1.0 - d) / n
+    for _ in range(n_iter):
+        new = [0.0] * n
+        for u in range(n):
+            for v, w in adj[u]:
+                new[v] += round(ranks[u] * (w / wsum[u]), r)
+        ranks = [round(base + d * s, r) for s in new]
+    return {v: ranks[idx[v]] for v in nodes}
+
+
+def test_pagerank_weighted_matches_reference(spark):
+    from loudml_spark.pipeline.graph import pagerank
+
+    edges = [(1, 2, 0.95), (2, 3, 0.80), (1, 3, 0.90), (3, 4, 0.85)]
+    df = spark.createDataFrame(
+        edges, "id_a long, id_b long, jaccard double")
+    got = {r.id: r.pagerank for r in
+           pagerank(df, weight_col="jaccard").collect()}
+    want = _numpy_weighted_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=2e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_weighted_pulls_rank_toward_heavy_edges(spark):
+    """A path graph 1-2-3 where the 2-3 link is much heavier: node 3
+    must outrank node 1 (symmetric under equal weights)."""
+    from loudml_spark.pipeline.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2, 0.1), (2, 3, 0.9)], "id_a long, id_b long, w double")
+    got = {r.id: r.pagerank for r in
+           pagerank(df, weight_col="w").collect()}
+    assert got[3] > got[1]
+    even = {r.id: r.pagerank for r in pagerank(
+        spark.createDataFrame([(1, 2, 0.5), (2, 3, 0.5)],
+                              "id_a long, id_b long, w double"),
+        weight_col="w").collect()}
+    assert even[1] == even[3]
+
+
+def test_pagerank_weighted_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(errors.Invalid, match="missing column"):
+        pagerank(df, weight_col="jaccard")
+
+
+# ------------------------------------------------ component census
+
+
+def test_component_stats_hand_graph(spark):
+    """Triangle {1,2,3} + pendant 4 is ONE component (n=4, m=4,
+    density 2/3); a separate K3 {10,11,12} is a second (density 1);
+    singleton 99 (self-loop only) is excluded."""
+    from loudml_spark.pipeline.graph import component_stats
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4),
+         (10, 11), (11, 12), (12, 10), (99, 99)],
+        "id_a long, id_b long")
+    got = {r["cluster_id"]: (r["n_nodes"], r["n_edges"], r["density"])
+           for r in component_stats(pairs).collect()}
+    assert got[1] == (4, 4, pytest.approx(2 / 3, abs=1e-6))
+    assert got[10] == (3, 3, 1.0)
+    assert len(got) == 2
+
+
+def test_component_stats_validates(spark):
+    from loudml_spark import errors
+    from loudml_spark.pipeline.graph import component_stats
+
+    pairs = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(errors.Invalid):
+        component_stats(pairs)

@@ -150,6 +150,12 @@ AUDIT = [
     ("streaming_kalman_daily", "full"),
     ("ann_recall_lsh", "full"),
     ("ann_recall_pq", "full"),
+    # realtext_* read the committed fixed-size fixture by design
+    # (fixtures/realtext.parquet) — constant-input controls; the
+    # regime evidence lives in tools/realtext_knobs.py + SCALE.md
+    ("realtext_gopher_rates", "bounded"),
+    ("realtext_bigram_pruned", "bounded"),
+    ("realtext_lexical_by_lang", "bounded"),
 ]
 
 
