@@ -20,6 +20,7 @@ call exists verbatim in DuckDB for the oracle).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -1188,6 +1189,56 @@ def bpe_train_merges(
         records, "step int, pair string, n long, new_symbol string")
 
 
+def _bpe_nsyms_udf(merges: list):
+    """Arrow-batched encoder: token → symbol count under a trained
+    merge list — the apply path that survives REAL merge counts.
+    One nested :func:`bpe_merge_col` per merge breaks plan
+    compilation past toy sizes (JVM stack overflow converting the
+    column tree at ~2k nestings; the analyzer's fixed-point loop
+    caps at 100 nested higher-order lambdas — both found by running
+    the fertility audit at 2048+ merges on the realtext fixture),
+    and chunked projections stay O(n_merges) interpreted-HOF passes
+    over the vocab.  This UDF is O(occurring-merges · len) per word
+    and independent of the merge-list length.
+
+    Semantics are EXACTLY the in-order Sennrich application the
+    Column fold implements (parity-gated in the suite): iteratively
+    fuse the lowest-RANK adjacent pair with the same greedy
+    left-to-right pass.  Equivalent to one exhaustive pass per merge
+    in training order because a merge's output symbol is born at its
+    training step — no earlier-ranked pair can ever contain it, so
+    applying merge k can never create an occurrence of a pair
+    ranked < k.
+
+    Python boundary justification (the char_entropy policy-table
+    class): input is the DISTINCT-token frame (vocabulary-sized, not
+    corpus-sized), one Arrow batch pass, no shuffle."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    pairs = [tuple(m) for m in merges]
+
+    @F.pandas_udf("long")
+    def fn(tokens: pd.Series) -> pd.Series:
+        out = []
+        for tok in tokens:
+            if not tok:
+                out.append(0)
+                continue
+            syms = list(tok)
+            while len(syms) >= 2:
+                best = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best = r
+                if best is None:
+                    break
+                syms = _bpe_apply_merge(syms, *pairs[best])
+            out.append(len(syms))
+        return pd.Series(out, dtype="int64")
+
+    return fn
+
+
 def bpe_encode(
     df: DataFrame,
     merges: list,
@@ -1212,13 +1263,10 @@ def bpe_encode(
     """
     t = tokens(df, text_col=text_col, id_col=id_col)
     vocab = t.select("token").distinct()
-    syms = F.split(F.col("token"), "")
-    for a, b in merges:
-        syms = bpe_merge_col(syms, a, b)
     enc = vocab.select(
         "token",
         F.length("token").cast("long").alias("__len"),
-        F.size(syms).cast("long").alias("__ns"),
+        _bpe_nsyms_udf(merges)(F.col("token")).alias("__ns"),
     )
     per_doc = (
         t.join(enc, "token")
@@ -1265,13 +1313,10 @@ def bpe_fertility(
     """
     t = tokens(df, text_col=text_col, id_col=id_col)
     vocab = t.select("token").distinct()
-    syms = F.split(F.col("token"), "")
-    for a, b in merges:
-        syms = bpe_merge_col(syms, a, b)
     enc = vocab.select(
         "token",
         F.length("token").cast("long").alias("__len"),
-        F.size(syms).cast("long").alias("__ns"),
+        _bpe_nsyms_udf(merges)(F.col("token")).alias("__ns"),
     )
     labeled = t.join(df.select(id_col, by), id_col).join(enc, "token")
     return (

@@ -111,3 +111,52 @@ def test_bigram_pruning_pays_in_this_regime(spark):
     total = bigrams.count()
     kept = bigrams.filter("count >= 5").count()
     assert kept / total < 0.15              # >85% of keys cut
+
+
+def test_bpe_nsyms_udf_matches_column_fold(spark):
+    """The Arrow-batched encoder must reproduce the nested
+    bpe_merge_col fold BIT-IDENTICALLY (same in-order Sennrich
+    greedy semantics) — at small merge counts where the Column tower
+    still compiles; overlap ('aaa'), chained merges and absent pairs
+    included."""
+    from pyspark.sql import functions as F
+
+    from loudml_spark.pipeline.corpus import (
+        _bpe_nsyms_udf, bpe_merge_col)
+
+    merges = [("a", "a"), ("t", "h"), ("th", "e"), ("aa", "b"),
+              ("c", "u"), ("cu", "cu")]
+    words = ["aaa", "aaab", "the", "theater", "cucumber", "cucu",
+             "zzz", "a", "baaab", "thethe"]
+    df = spark.createDataFrame([(w,) for w in words], "token string")
+    syms = F.split(F.col("token"), "")
+    for a, b in merges:
+        syms = bpe_merge_col(syms, a, b)
+    got = {r["token"]: (r["udf"], r["fold"]) for r in df.select(
+        "token",
+        _bpe_nsyms_udf(merges)(F.col("token")).alias("udf"),
+        F.size(syms).cast("long").alias("fold")).collect()}
+    for w, (u, f) in got.items():
+        assert u == f, (w, u, f)
+
+
+def test_bpe_fertility_real_merge_counts_in_budget(spark):
+    """The regime gap the fixture exposed: fertility under a
+    4096-merge list must run in seconds (the nested Column fold
+    measured 650 s; the analyzer/JVM caps break it outright past
+    ~2k merges).  Also pins the audit's signal: the compounding de
+    slice fragments harder than en under the shared merge list."""
+    import time
+
+    from loudml_spark.pipeline.corpus import (
+        bpe_fertility, bpe_train_merges)
+    from loudml_spark.pipeline.realtext import load_realtext
+
+    docs = load_realtext(spark)
+    merges = [tuple(r["pair"].split(" ")) for r in
+              bpe_train_merges(docs, n_merges=4096).collect()]
+    t0 = time.monotonic()
+    rows = {r["lang"]: r for r in
+            bpe_fertility(docs, merges).collect()}
+    assert time.monotonic() - t0 < 60
+    assert rows["de"]["fertility"] > rows["en"]["fertility"]

@@ -147,6 +147,8 @@ AUDIT = [
     ("kmv_jaccard_sources", "full"),
     ("bigram_perplexity_pruned_docs", "full"),
     ("triangle_stats_docs", "bounded"),  # doc_id<1000 slice (pagerank's)
+    ("pagerank_weighted_sim_docs", "bounded"),  # doc_id<1000 slice
+    ("graph_components_docs", "bounded"),       # doc_id<1000 slice
     ("streaming_kalman_daily", "full"),
     ("ann_recall_lsh", "full"),
     ("ann_recall_pq", "full"),
