@@ -779,9 +779,15 @@ def lexical_diversity(
     * ``ttr``          = n_types / n_tokens
     * ``hapax_ratio``  = |{w : tf(w)=1}| / n_types
 
-    Fully JVM-side: tokens split once, types via array_distinct,
-    hapax via a nested higher-order filter (O(types·tokens) per doc
-    — document-sized arrays, no shuffle, no Python).  Ratios are
+    Fully JVM-side and map-only: tokens split once, the array SORTED
+    once, then types and hapax both fall out of one
+    neighbor-comparison pass over the sorted array (a run of equal
+    tokens starts where x ≠ previous; it is a hapax run when it also
+    ends at the next element) — O(n log n) per document.  The
+    previous nested higher-order filter was O(types·tokens) per doc:
+    invisible on the synthetic table's ~50-token docs, but 24 s for
+    one query over the realtext fixture's ~200–1500-token documents
+    (bench r11) — the classic quadratic-in-the-row trap.  Ratios are
     integer counts through one IEEE division (engine-portable
     unrounded, the text_stats convention).  Empty docs get null
     ratios, not divide-by-zero.  NULL text yields NULL counts —
@@ -790,17 +796,31 @@ def lexical_diversity(
     ``len(string_split(NULL))`` = NULL on both counts and ratios.
 
     Output: (id, n_tokens, n_types, n_hapax, ttr, hapax_ratio)."""
-    toks = words_col(F.col(text_col))
     nn = F.col(text_col).isNotNull()
-    return df.select(
+    stats = let_col(
+        F.array_sort(words_col(F.col(text_col))),
+        lambda s: F.struct(
+            F.size(s).alias("n"),
+            F.size(F.filter(
+                s,
+                lambda x, i: (i == 0)
+                | (x != F.element_at(s, i)),          # 1-based prev
+            )).alias("types"),
+            F.size(F.filter(
+                s,
+                lambda x, i: ((i == 0)
+                              | (x != F.element_at(s, i)))
+                & ((i == F.size(s) - 1)
+                   | (x != F.element_at(s, i + 2))),  # 1-based next
+            )).alias("hapax"),
+        ),
+    )
+    g = F.col("__ld")
+    return df.withColumn("__ld", stats).select(
         F.col(id_col),
-        F.when(nn, F.size(toks).cast("long")).alias("n_tokens"),
-        F.when(nn, F.size(F.array_distinct(toks)).cast("long"))
-        .alias("n_types"),
-        F.when(nn, F.size(F.filter(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda x: x == w)) == 1,
-        )).cast("long")).alias("n_hapax"),
+        F.when(nn, g["n"].cast("long")).alias("n_tokens"),
+        F.when(nn, g["types"].cast("long")).alias("n_types"),
+        F.when(nn, g["hapax"].cast("long")).alias("n_hapax"),
     ).select(
         id_col, "n_tokens", "n_types", "n_hapax",
         F.when(F.col("n_tokens") > 0,
