@@ -5629,3 +5629,122 @@ PIPELINE_QUERIES.update({
         "fn": q_graph_components_docs,
         "oracle": SQL_GRAPH_COMPONENTS_DOCS},
 })
+
+
+# ------------------------------------------ realtext family, part 2
+
+
+def q_realtext_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the real-shaped corpus — the generator's
+    rank-frequency law, verified cross-engine: the fixture samples
+    ranks with a Zipf-Mandelbrot exponent of 1.35, so the OLS of
+    ln(tf) on ln(rank) must come back near −1.35 with high r²
+    (vs the synthetic documents table's collapsed ~40-word
+    vocabulary, where the fit is meaningless).  Same vocab-bounded
+    top-k shape as zipf_fit_vocab (pipeline/corpus.py zipf_fit)."""
+    from loudml_spark.pipeline.corpus import zipf_fit
+    from loudml_spark.pipeline.realtext import load_realtext
+
+    return zipf_fit(load_realtext(spark), top_k=1000)
+
+
+def _sql_realtext_zipf_fit(sf_dir=None) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z]+')) AS token
+  FROM read_parquet('{_rt_path()}')
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1
+  ORDER BY tf DESC, token ASC LIMIT 1000
+),
+ranked AS (
+  SELECT tf,
+         row_number() OVER (ORDER BY tf DESC, token ASC) AS rank
+  FROM vocab
+),
+xy AS (
+  SELECT CAST(ROUND(ln(rank), 6) AS DECIMAL(18,6)) AS x,
+         CAST(ROUND(ln(tf), 6) AS DECIMAL(18,6)) AS y
+  FROM ranked
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy, SUM(y*y) AS syy
+  FROM xy
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+         CAST(sxx AS DOUBLE) AS sxx, CAST(sxy AS DOUBLE) AS sxy,
+         CAST(syy AS DOUBLE) AS syy
+  FROM m
+)
+SELECT n,
+  ROUND((nd*sxy - sx*sy) / NULLIF(nd*sxx - sx*sx, 0), 6) + 0.0
+    AS slope,
+  ROUND((sy - ((nd*sxy - sx*sy) / NULLIF(nd*sxx - sx*sx, 0)) * sx)
+        / NULLIF(nd, 0), 6) + 0.0 AS intercept,
+  ROUND((nd*sxy - sx*sy) * (nd*sxy - sx*sy)
+        / NULLIF((nd*sxx - sx*sx) * (nd*syy - sy*sy), 0), 6) + 0.0
+    AS r2
+FROM d
+"""
+
+
+def q_realtext_langid_confusion(spark, sf_dir):
+    """Language-ID confusion matrix against GROUND TRUTH — the
+    accuracy measurement the synthetic table cannot give (its lang
+    column is uncorrelated with its text): the fixture's texts
+    carry real function-word heads per language, so the marker
+    heuristic (pipeline/text.py langid) is finally measurable.
+    One map-only scoring pass + one |langs|²-row rollup."""
+    from loudml_spark.pipeline.realtext import load_realtext
+    from loudml_spark.pipeline.text import langid
+
+    docs = load_realtext(spark)
+    out = langid(docs).select("doc_id", "lang_guess")
+    return (
+        out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+def _sql_realtext_langid_confusion(sf_dir=None) -> str:
+    return f"""
+WITH s AS (
+  SELECT doc_id, lang,
+         {_sql_lang_score('en')} AS score_en,
+         {_sql_lang_score('fr')} AS score_fr,
+         {_sql_lang_score('es')} AS score_es,
+         {_sql_lang_score('de')} AS score_de
+  FROM read_parquet('{_rt_path()}')
+),
+g AS (
+  SELECT *, GREATEST(score_en, score_fr, score_es, score_de) AS best
+  FROM s
+),
+p AS (
+  SELECT doc_id, lang,
+         CASE WHEN score_de = best AND best > 0 THEN 'de'
+              WHEN score_en = best AND best > 0 THEN 'en'
+              WHEN score_es = best AND best > 0 THEN 'es'
+              WHEN score_fr = best AND best > 0 THEN 'fr'
+              ELSE 'und' END AS lang_guess
+  FROM g
+)
+SELECT lang, lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM p GROUP BY lang, lang_guess
+"""
+
+
+PIPELINE_QUERIES.update({
+    "realtext_zipf_fit": {
+        "fn": q_realtext_zipf_fit,
+        "oracle_fn": _sql_realtext_zipf_fit},
+    "realtext_langid_confusion": {
+        "fn": q_realtext_langid_confusion,
+        "oracle_fn": _sql_realtext_langid_confusion},
+})

@@ -113,6 +113,38 @@ def test_bigram_pruning_pays_in_this_regime(spark):
     assert kept / total < 0.15              # >85% of keys cut
 
 
+def test_realtext_zipf_fit_recovers_generator_exponent(spark):
+    """The catalog query's OLS over the top-1000 ranks must recover
+    the generator's Zipf-Mandelbrot exponent (1.35; the q=3 shift
+    flattens the head slightly) with a near-perfect fit — the
+    cross-engine proof that the fixture IS Zipfian."""
+    from loudml_spark.catalog_pipeline import q_realtext_zipf_fit
+
+    row = q_realtext_zipf_fit(spark, None).collect()[0]
+    assert row["n"] == 1000
+    assert -1.45 <= row["slope"] <= -1.15
+    assert row["r2"] > 0.95
+
+
+def test_realtext_langid_confusion_is_diagonal(spark):
+    """Ground-truth lang labels make the marker heuristic finally
+    measurable: >90% per-language accuracy and ZERO cross-language
+    confusion (misses fall into 'und' — marker-free junk/stub
+    docs), on both language slices."""
+    from loudml_spark.catalog_pipeline import (
+        q_realtext_langid_confusion)
+
+    rows = q_realtext_langid_confusion(spark, None).collect()
+    by = {(r["lang"], r["lang_guess"]): r["n_docs"] for r in rows}
+    for lang in ("en", "de"):
+        total = sum(n for (t, _), n in by.items() if t == lang)
+        assert by.get((lang, lang), 0) / total > 0.9
+        wrong_lang = sum(
+            n for (t, g), n in by.items()
+            if t == lang and g not in (lang, "und"))
+        assert wrong_lang == 0
+
+
 def test_bpe_nsyms_udf_matches_column_fold(spark):
     """The Arrow-batched encoder must reproduce the nested
     bpe_merge_col fold BIT-IDENTICALLY (same in-order Sennrich

@@ -158,6 +158,8 @@ AUDIT = [
     ("realtext_gopher_rates", "bounded"),
     ("realtext_bigram_pruned", "bounded"),
     ("realtext_lexical_by_lang", "bounded"),
+    ("realtext_zipf_fit", "bounded"),
+    ("realtext_langid_confusion", "bounded"),
 ]
 
 
