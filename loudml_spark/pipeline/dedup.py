@@ -1382,7 +1382,14 @@ def dedup_clusters(
     clustering would corrupt a dedup pass downstream.
 
     ``stats``: optional dict; on return, ``stats["rounds"]`` holds
-    the number of large+small rounds executed.
+    the number of large+small rounds executed and
+    ``stats["checkpoint_frames"]`` the two edge checkpoints the
+    RETURNED frame still scans lazily (first + converged) — a
+    caller that materializes the labels (e.g. component_stats'
+    eager census) may pass each to
+    :func:`loudml_spark.checkpoint.release_checkpoint` afterwards
+    to leave nothing pinned.  Intermediate contraction rounds are
+    released internally as soon as the next round materializes.
     """
     edges = (
         pairs.select(
@@ -1420,16 +1427,29 @@ def dedup_clusters(
     sig = _probe(edges)
     converged = False
     rounds = 0
+    # the FIRST checkpoint stays pinned (`nodes` scans it lazily at
+    # action time) and so does the FINAL one (`labels` scans it);
+    # every intermediate round's copy is dead the moment the next
+    # round's checkpoint materializes — release it so block-manager
+    # storage is O(1) in rounds, not O(log n) pinned edge copies
+    from loudml_spark.checkpoint import release_checkpoint
+
+    first_edges = edges
+    prev = None
     for _ in range(max_iter):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         rounds += 1
         new_sig = _probe(edges)
+        if prev is not None and prev is not first_edges:
+            release_checkpoint(prev)
+        prev = edges
         if new_sig == sig:
             converged = True
             break
         sig = new_sig
     if stats is not None:
         stats["rounds"] = rounds
+        stats["checkpoint_frames"] = (first_edges, edges)
     if not converged:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iter} rounds"

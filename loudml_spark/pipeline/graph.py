@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from loudml_spark import errors
+from loudml_spark.checkpoint import release_checkpoint
 
 
 def pagerank(
@@ -51,15 +52,34 @@ def pagerank(
                                                round_to)
 
     where unweighted w ≡ 1 gives W(u) = deg(u) (the classic form).
-    W(u) = Σ_x w(u,x) is summed as DECIMAL(18,6) so it is exact and
-    order-independent; the per-edge contribution rounds at
-    ``round_to`` and sums as DECIMAL — the whole trajectory is
-    deterministic cross-engine.  A symmetric graph has no dangling
-    nodes (every node has degree ≥ 1), so no dangling-mass term is
-    needed.  The rank frame is lazily ``localCheckpoint``-ed each
-    iteration so the logical plan stays one join+agg deep however
-    large ``n_iter`` grows (the textrank lineage idiom — without it
-    the plan nests one layer per iteration).
+    Weights are rounded to 6 dp ONCE up front and that rounded value
+    feeds BOTH the per-edge numerator and W(u) = Σ_x w(u,x), which
+    is summed as DECIMAL(18,6) — so Σ_v w(u,v)/W(u) = 1 exactly
+    (no rank mass leaks through numerator/denominator precision
+    mismatch) and the whole trajectory is deterministic
+    cross-engine (per-edge contributions round at ``round_to`` and
+    sum as DECIMAL).  A symmetric graph has no dangling nodes
+    (every node has degree ≥ 1), so no dangling-mass term is
+    needed.
+
+    Weighted-input contract (validated eagerly when ``weight_col``
+    is set, one aggregation over the checkpointed edge frame):
+    weights must be positive and non-null, and no (src, dst) pair
+    may appear with two different (6dp-rounded) weights — duplicate
+    pairs would silently survive symmetrization as parallel edges
+    that each add to W(u) and the rank sum.  Violations raise
+    :class:`~loudml_spark.errors.Invalid`; dedupe upstream (e.g.
+    max/avg weight per pair) first.
+
+    Checkpoint lifecycle: each iteration EAGERLY
+    ``localCheckpoint``-s the new rank frame (the textrank lineage
+    idiom — the plan stays one join+agg deep however large
+    ``n_iter`` grows), then releases the superseded iteration's
+    blocks (:mod:`loudml_spark.checkpoint`) — block-manager storage
+    is O(1) in ``n_iter``, not ~n_iter pinned node-frame copies;
+    the edge frame's checkpoint is released after the last
+    iteration (the returned frame scans only the final rank
+    checkpoint).
 
     Output: one row per node — (id, pagerank).  Σ pagerank ≈ 1 up
     to rounding drift.
@@ -73,7 +93,9 @@ def pagerank(
         if c not in edges.columns:
             raise errors.Invalid(f"missing column {c!r}")
 
-    w = (F.col(weight_col).cast("double") if weight_col
+    # 6dp rounding up front: the SAME value feeds numerator and
+    # W(u), and DECIMAL(18,6) accumulation of it is exact
+    w = (F.round(F.col(weight_col).cast("double"), 6) if weight_col
          else F.lit(1.0))
     sym = (
         edges.select(F.col(src_col).alias("src"),
@@ -84,6 +106,31 @@ def pagerank(
         .distinct()
         .localCheckpoint()          # reused every iteration
     )
+    if weight_col:
+        # one agg over the just-materialized checkpoint: duplicate
+        # (src,dst) pairs with differing rounded weights survive the
+        # distinct() above as parallel edges (corrupting W(u) and the
+        # rank sum), and nonpositive/null weights corrupt or zero
+        # W(u) — both are input errors, not graphs
+        chk = sym.agg(
+            F.count("*").alias("rows"),
+            F.count_distinct("src", "dst").alias("pairs"),
+            F.count("w").alias("nonnull"),
+            F.min("w").alias("wmin")).first()
+        if chk["nonnull"] != chk["rows"]:
+            raise errors.Invalid(
+                f"{weight_col!r} has {chk['rows'] - chk['nonnull']} "
+                "null weights — every edge must carry a weight")
+        if chk["pairs"] != chk["rows"]:
+            raise errors.Invalid(
+                f"{chk['rows'] - chk['pairs']} duplicate "
+                f"({src_col},{dst_col}) pairs with differing "
+                f"{weight_col!r} values (at 6dp) — dedupe per pair "
+                "(e.g. max/avg weight) before pagerank")
+        if chk["wmin"] is not None and chk["wmin"] <= 0.0:
+            raise errors.Invalid(
+                f"nonpositive edge weight {chk['wmin']} in "
+                f"{weight_col!r} — weights must be > 0")
     # W(u): exact DECIMAL sum of (already-rounded) edge weights —
     # with w ≡ 1 this is exactly the integer degree
     deg = sym.groupBy("src").agg(
@@ -104,6 +151,7 @@ def pagerank(
     # r * (w / W) with the same parenthesization the SQL mirror uses
     cexpr = (F.col("r") * (F.col("w") / F.col("wsum")) if weight_col
              else F.col("r") / F.col("wsum"))
+    prev = None
     for _ in range(n_iter):
         contrib = (
             sym.join(ranks.withColumnRenamed("id", "src"), "src")
@@ -128,10 +176,16 @@ def pagerank(
             # idiom): without this the plan nests one join+agg layer
             # per iteration and the optimizer re-analyzes the whole
             # tower every pass — fine at n_iter=5, quadratic plan
-            # growth beyond.  Lazy: materializes with the next
-            # iteration's (or the caller's) first action.
-            .localCheckpoint(eager=False)
+            # growth beyond.  EAGER so the superseded iteration's
+            # blocks can be released immediately below — storage
+            # stays O(1) in n_iter instead of ~n_iter pinned copies.
+            .localCheckpoint()
         )
+        release_checkpoint(prev)    # no-op on the first iteration
+        prev = ranks
+    # the returned frame scans only the final rank checkpoint — the
+    # edge frame (and deg/nodes derived from it) is dead now
+    release_checkpoint(sym)
     return ranks.select("id", F.col("r").alias("pagerank"))
 
 
@@ -152,8 +206,10 @@ def sql_pagerank_ctes(
     columns; the final CTE is ``pr{n_iter}`` with (id, r)."""
     base = repr((1.0 - damping))
     if weight_col:
-        wsel_a = f", CAST({weight_col} AS DOUBLE) AS w"
-        wsel_b = f", CAST({weight_col} AS DOUBLE)"
+        # mirror the Spark side's up-front 6dp rounding — the same
+        # value feeds numerator and W(u)
+        wsel_a = f", ROUND(CAST({weight_col} AS DOUBLE), 6) AS w"
+        wsel_b = f", ROUND(CAST({weight_col} AS DOUBLE), 6)"
         deg = ("deg AS (SELECT src, CAST(SUM(CAST(w AS "
                "DECIMAL(18,6))) AS DOUBLE) AS deg "
                "FROM edges GROUP BY src)")
@@ -312,7 +368,14 @@ def component_stats(
     counts through one IEEE division.
 
     Output: (cluster_id, n_nodes, n_edges, density) for components
-    with ≥ 2 nodes (singletons have no edges and no density)."""
+    with ≥ 2 nodes (singletons have no edges and no density).
+
+    Eager by design: :func:`~loudml_spark.pipeline.dedup.
+    dedup_clusters` already runs the contraction rounds at call
+    time, so the census materializes its (one-row-per-component)
+    result as a final eager ``localCheckpoint`` and releases the
+    edge frame's pinned blocks before returning — nothing stays in
+    the block manager but the component table itself."""
     from loudml_spark.pipeline.dedup import dedup_clusters
 
     for c in (src_col, dst_col):
@@ -324,9 +387,11 @@ def component_stats(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)   # labels + edge join reuse it
+        .localCheckpoint()              # labels + edge join reuse it
     )
-    labels = dedup_clusters(e.selectExpr("a as id_a", "b as id_b"))
+    cc_stats: dict = {}
+    labels = dedup_clusters(e.selectExpr("a as id_a", "b as id_b"),
+                            stats=cc_stats)
     nodes = labels.groupBy("cluster_id").agg(
         F.count("*").cast("long").alias("n_nodes"))
     edges = (
@@ -334,7 +399,7 @@ def component_stats(
         .groupBy("cluster_id")
         .agg(F.count("*").cast("long").alias("n_edges"))
     )
-    return (
+    out = (
         nodes.join(edges, "cluster_id")
         .filter(F.col("n_nodes") >= 2)
         .select(
@@ -343,4 +408,12 @@ def component_stats(
                 2.0 * F.col("n_edges")
                 / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
                 round_to).alias("density"))
+        # one row per component — materialize it, then drop the
+        # edge frame's pinned blocks AND the contraction's two
+        # surviving edge checkpoints (nothing scans them anymore)
+        .localCheckpoint()
     )
+    release_checkpoint(e)
+    for f in cc_stats.get("checkpoint_frames", ()):
+        release_checkpoint(f)
+    return out

@@ -16,7 +16,8 @@ bit-for-bit from the generator.
 What makes it "real-shaped":
 
 * **Zipf–Mandelbrot unigrams**: ranks sampled with
-  P(r) ∝ 1/(r+q)^s, s=1.05, q=2.7 over a 100k-type vocabulary —
+  P(r) ∝ 1/(r+q)^s, s=1.35, q=3.0 (tuned — ``ZIPF_S``/``ZIPF_Q``)
+  over a 100k-type vocabulary —
   Heaps-law type growth, a fat hapax tail (60–80% of distinct
   bigrams occur once, the property that makes ``min_count`` pruning
   pay on real text).

@@ -789,7 +789,17 @@ def _enforce_in_order(pdf, ts_col, last_ts, key, on_late, op):
     fail loudly on rows that precede it (``on_late="error"`` — the
     state cannot be rewound, so continuing would be silently wrong)
     or drop them (``on_late="skip"``).  Returns the (possibly
-    filtered) batch and the advanced watermark ts."""
+    filtered) batch and the advanced watermark ts.
+
+    Contract caveat (deliberate): the guard is strictly ``<``, so a
+    replayed row whose ts EQUALS the per-key max is re-folded into
+    the state (a double-count) under both policies.  Equal-ts rows
+    are indistinguishable from the legitimate several-rows-per-
+    bucket case without a per-(ts, payload) ledger, which would make
+    state O(rows) instead of O(1) — the operator's contract is
+    therefore "at-most-once delivery per (key, ts)"; upstream
+    replays that can re-emit the watermark ts must dedupe first
+    (:func:`stream_dedupe` provides exactly that)."""
     if last_ts is not None:
         late = pdf[ts_col] < last_ts
         if late.any():

@@ -1,0 +1,112 @@
+"""Round-12 hardening: weighted-pagerank input validation, up-front
+6dp weight rounding, and the checkpoint block lifecycle
+(loudml_spark/checkpoint.py — superseded iteration copies released,
+block-manager storage O(1) in n_iter)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from loudml_spark import errors
+from loudml_spark.checkpoint import pinned_rdd_count, release_checkpoint
+from loudml_spark.pipeline.graph import component_stats, pagerank
+
+WEDGES = [(1, 2, 0.9), (2, 3, 0.5), (1, 3, 0.25), (3, 4, 1.0)]
+
+
+@pytest.fixture()
+def wedge_df(spark):
+    return spark.createDataFrame(
+        WEDGES, "id_a long, id_b long, wt double")
+
+
+class TestWeightedValidation:
+    def test_duplicate_pair_differing_weight_raises(self, spark):
+        df = spark.createDataFrame(
+            WEDGES + [(1, 2, 0.4)], "id_a long, id_b long, wt double")
+        with pytest.raises(errors.Invalid, match="duplicate"):
+            pagerank(df, weight_col="wt")
+
+    def test_reversed_pair_differing_weight_raises(self, spark):
+        # (a,b,w1) + (b,a,w2) is the same undirected edge twice
+        df = spark.createDataFrame(
+            WEDGES + [(2, 1, 0.4)], "id_a long, id_b long, wt double")
+        with pytest.raises(errors.Invalid, match="duplicate"):
+            pagerank(df, weight_col="wt")
+
+    def test_exact_duplicate_row_is_fine(self, spark):
+        # same pair, same weight: distinct() collapses it — valid
+        df = spark.createDataFrame(
+            WEDGES + [(1, 2, 0.9)], "id_a long, id_b long, wt double")
+        out = {r["id"]: r["pagerank"]
+               for r in pagerank(df, weight_col="wt").collect()}
+        assert abs(sum(out.values()) - 1.0) < 1e-6
+
+    def test_nonpositive_weight_raises(self, spark):
+        df = spark.createDataFrame(
+            WEDGES + [(4, 5, 0.0)], "id_a long, id_b long, wt double")
+        with pytest.raises(errors.Invalid, match="nonpositive"):
+            pagerank(df, weight_col="wt")
+
+    def test_null_weight_raises(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2, 0.9), (2, 3, None)], "id_a long, id_b long, wt double")
+        with pytest.raises(errors.Invalid, match="null"):
+            pagerank(df, weight_col="wt")
+
+    def test_sub_6dp_weight_noise_collapses(self, spark, wedge_df):
+        """Weights differing only past 6dp round to the same edge —
+        the documented up-front-rounding contract — and the result
+        equals the clean-weight run bit-for-bit."""
+        noisy = spark.createDataFrame(
+            [(a, b, w + 1e-9) for a, b, w in WEDGES],
+            "id_a long, id_b long, wt double")
+        clean = sorted(pagerank(wedge_df, weight_col="wt").collect())
+        got = sorted(pagerank(noisy, weight_col="wt").collect())
+        assert got == clean
+
+
+class TestCheckpointLifecycle:
+    def test_release_checkpoint_noop_on_plain_frame(self, spark):
+        df = spark.range(10)
+        assert release_checkpoint(df) is False
+        assert release_checkpoint(None) is False
+
+    def test_release_checkpoint_frees_blocks(self, spark):
+        base = pinned_rdd_count(spark)
+        ck = spark.range(1000).localCheckpoint()
+        assert pinned_rdd_count(spark) == base + 1
+        assert release_checkpoint(ck) is True
+        assert pinned_rdd_count(spark) == base
+
+    def test_pagerank_storage_o1_in_n_iter(self, spark):
+        """n_iter=25 leaves exactly ONE pinned RDD (the final rank
+        checkpoint) — the r11 shape left ~n_iter+1 copies
+        (tools/checkpoint_evidence.py: 26 vs 1 at 20k nodes)."""
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 50) for i in range(50)],
+            "id_a long, id_b long").filter("id_a != id_b")
+        base = pinned_rdd_count(spark)
+        out = pagerank(df, n_iter=25)
+        assert pinned_rdd_count(spark) - base <= 1
+        # the released checkpoints must not be needed again: the
+        # result is still actionable and mass-conserving
+        total = out.agg(F.sum("pagerank")).first()[0]
+        assert abs(total - 1.0) < 1e-5
+        release_checkpoint(out)
+
+    def test_component_stats_releases_edges(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+            "id_a long, id_b long")
+        base = pinned_rdd_count(spark)
+        out = component_stats(df)
+        # pinned now: ONLY the one-row-per-component census result —
+        # the edge frame and dedup_clusters' surviving contraction
+        # checkpoints are all released once the result materializes
+        assert pinned_rdd_count(spark) - base <= 1
+        rows = {r["cluster_id"]: (r["n_nodes"], r["n_edges"], r["density"])
+                for r in out.collect()}
+        assert rows[1] == (3, 2, pytest.approx(2 * 2 / (3 * 2)))
+        assert rows[10] == (2, 1, 1.0)
+        assert rows[20] == (3, 3, 1.0)
+        release_checkpoint(out)
