@@ -5748,3 +5748,492 @@ PIPELINE_QUERIES.update({
         "fn": q_realtext_langid_confusion,
         "oracle_fn": _sql_realtext_langid_confusion},
 })
+
+
+# --------------------------------- realistic-embedding fixture (r12)
+# The ANN/clustering/semdedup acceptance family re-measured on REAL
+# embedding geometry (pipeline/realemb.py; committed at
+# fixtures/realemb/embeddings.parquet): cone concentration +
+# anisotropy, power-law cluster sizes, hubness, planted near-dups —
+# the r11 verdict's "What's missing #1" (every recall gate was
+# measured only on the driver's balanced isotropic blobs).  The
+# fixture dir mirrors an sf table dir, so the EXISTING catalog query
+# functions and oracle generators run on it unchanged; oracles that
+# reference the `embeddings` view are retargeted with a shadowing
+# CTE (CTE names shadow same-named views in DuckDB).  sf_dir is
+# ignored (the fixture is geometry-shaped, not sf-scaled).
+
+
+def _re_dir() -> str:
+    from loudml_spark.pipeline.realemb import realemb_fixture_dir
+
+    return realemb_fixture_dir()
+
+
+def _re_path() -> str:
+    from loudml_spark.pipeline.realemb import realemb_fixture_path
+
+    return realemb_fixture_path()
+
+
+def _re_shadow(sql: str) -> str:
+    """Retarget an `embeddings`-view oracle at the fixture parquet:
+    prepend a CTE of the same name (CTEs shadow views), preserving a
+    leading WITH [RECURSIVE] when present."""
+    cte = (f"embeddings AS (SELECT * FROM "
+           f"read_parquet('{_re_path()}'))")
+    s = sql.lstrip()
+    up = s.upper()
+    if up.startswith("WITH RECURSIVE"):
+        return "WITH RECURSIVE " + cte + ", " + s[len("WITH RECURSIVE"):].lstrip()
+    if up.startswith("WITH"):
+        return "WITH " + cte + ", " + s[len("WITH"):].lstrip()
+    return "WITH " + cte + " " + s
+
+
+def _re_np_corpus():
+    """(ids, X float64) from the fixture parquet — oracle replays
+    start here, exactly like the Spark UDFs (stack float32 rows,
+    astype float64)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(_re_path(), columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    X = np.array(t.column("embedding").to_pylist(),
+                 dtype=np.float32).astype(np.float64)
+    return ids, X
+
+
+def q_realemb_recall_lsh(spark, sf_dir):
+    """ann_recall_lsh re-measured on real geometry: cone
+    concentration puts most sign bits on near-orthogonal-to-the-data
+    hyperplanes, so bucket occupancy skews — the honest number for
+    the 6-bit index (blobs measured it low already; here the regime
+    is the one deployments actually face)."""
+    return q_ann_recall_lsh(spark, _re_dir())
+
+
+def q_realemb_recall_ivf(spark, sf_dir):
+    """ann_recall_ivf on real geometry: power-law cluster sizes
+    imbalance the IVF cells (head cell ≈ a third of the corpus), so
+    n_probe=4 of 16 covers a different mass fraction per query —
+    the cell-imbalance regime the coarse quantizer is blind to on
+    balanced blobs."""
+    return q_ann_recall_ivf(spark, _re_dir())
+
+
+def q_realemb_recall_pq(spark, sf_dir):
+    """ann_recall_pq on real geometry: anisotropy concentrates
+    variance in few directions, so coordinate-blocked PQ sub-spaces
+    carry unequal energy — the distortion regime OPQ exists for,
+    invisible on isotropic blobs."""
+    return q_ann_recall_pq(spark, _re_dir())
+
+
+def q_realemb_recall_sq8(spark, sf_dir):
+    """ann_recall_sq8 on real geometry: per-dim bounds stretch with
+    the decayed coordinate scales, so 8-bit cells are spent where
+    the data isn't — the honest scalar-quantization number."""
+    return q_ann_recall_sq8(spark, _re_dir())
+
+
+def q_realemb_recall_hamming(spark, sf_dir):
+    """ann_recall_hamming on real geometry: sign bits in the cone's
+    dominant directions agree for MOST pairs (mean pairwise cosine
+    0.34), carrying near-zero information — the 1-bit quantizer's
+    worst regime."""
+    return q_ann_recall_hamming(spark, _re_dir())
+
+
+def q_realemb_recall_hamming_rerank(spark, sf_dir):
+    """ann_recall_hamming_rerank on real geometry: the deployment
+    shape (100-candidate Hamming shortlist → exact re-rank) at a
+    60× corpus cut (6000 vectors vs the blob table's 5× at 500) —
+    shortlist budget is the scale knob, so the fixture measures the
+    harsher ratio."""
+    return q_ann_recall_hamming_rerank(spark, _re_dir())
+
+
+def q_realemb_silhouette(spark, sf_dir):
+    """kmeans_silhouette_emb on real geometry: seed centroids land
+    inside the cone, clusters overlap, and power-law sizes starve
+    the tail seeds — honest (lower) silhouettes vs the well-
+    separated blob clusters."""
+    return q_kmeans_silhouette_emb(spark, _re_dir())
+
+
+def q_realemb_davies_bouldin(spark, sf_dir):
+    """davies_bouldin_emb on real geometry — scatter/separation
+    ratios with overlapping anisotropic clusters (higher = worse;
+    blobs flatter it)."""
+    return q_davies_bouldin_emb(spark, _re_dir())
+
+
+def q_realemb_kmeans_fit(spark, sf_dir):
+    """kmeans_fit_emb on real geometry: Lloyd inertia descent with
+    power-law cluster sizes and cone overlap — the empty-cluster /
+    inertia-trap regime balanced blobs never show."""
+    return q_kmeans_fit_emb(spark, _re_dir())
+
+
+def q_realemb_covariance(spark, sf_dir):
+    """embedding_covariance on the fixture — the distributed-PCA
+    first pass whose rounded entries feed the anisotropy capstone;
+    pairing it directly makes the capstone's input value-verified."""
+    return q_embedding_covariance(spark, _re_dir())
+
+
+def q_realemb_anisotropy(spark, sf_dir):
+    """Geometry capstone #1 — spectral concentration: eigenvalue
+    shares of the (6dp-rounded, value-verified) covariance matrix.
+    Real embedding spaces concentrate variance in a few directions
+    (Ethayarajh 2019): the fixture measures top-1 share ≈ 0.25 /
+    top-5 ≈ 0.60 vs the driver blobs' 0.03 / 0.13
+    (tools/realemb_knobs.py) — the engine-side proof the corpus is
+    in the anisotropic regime the ANN gates are re-measured under.
+    Bounded driver step: collect d(d+1)/2 rounded entries (the
+    codebook idiom), one numpy eigh, one-row result; the oracle
+    replays the identical eigh from the identical rounded matrix via
+    DuckDB."""
+    import numpy as np
+
+    from loudml_spark.pipeline.realemb import DIM
+
+    rows = q_realemb_covariance(spark, sf_dir) \
+        .select("i", "j", "cov").collect()
+    M = np.zeros((DIM, DIM))
+    for r in rows:
+        M[r["i"], r["j"]] = M[r["j"], r["i"]] = r["cov"]
+    ev = np.sort(np.linalg.eigvalsh(M))[::-1]
+    tot = float(ev.sum())
+    out = [(float(round(ev[0] / tot, 6)),
+            float(round(ev[:5].sum() / tot, 6)),
+            float(round(tot, 6)))]
+    return spark.createDataFrame(
+        out, "top1_share double, top5_share double, trace double")
+
+
+def _sql_realemb_anisotropy(sf_dir=None) -> str:
+    import duckdb
+    import numpy as np
+
+    from loudml_spark.pipeline.realemb import DIM
+
+    rows = duckdb.connect().execute(
+        _re_shadow(SQL_EMBEDDING_COVARIANCE)).fetchall()
+    M = np.zeros((DIM, DIM))
+    for i, j, _, cov in rows:
+        M[i, j] = M[j, i] = cov
+    ev = np.sort(np.linalg.eigvalsh(M))[::-1]
+    tot = float(ev.sum())
+    return f"""
+SELECT CAST({round(ev[0] / tot, 6)!r} AS DOUBLE) AS top1_share,
+       CAST({round(float(ev[:5].sum()) / tot, 6)!r} AS DOUBLE)
+         AS top5_share,
+       CAST({round(tot, 6)!r} AS DOUBLE) AS trace
+"""
+
+
+RE_DUP_TAU = 0.97
+
+
+def q_realemb_dup_recovery(spark, sf_dir):
+    """Geometry capstone #2 — SemDeDup against PLANTED ground truth:
+    the fixture carries 250 seeded near-duplicates (dup_of column,
+    cosine ≥ 0.99) inside a corpus whose organic chain-aware p99.9
+    cosine is 0.90, so threshold {RE_DUP_TAU} must recover them.
+    Runs the production semdedup_pairs path (coarse-quantizer cells
+    + within-cell cosine join — recall < 1 is possible when a dup
+    pair straddles a cell boundary, which is exactly what the gate
+    exists to measure) and scores it against dup_of with one
+    full-outer join + one aggregation: n_planted, n_found (all
+    pairs ≥ τ — includes copy-of-copy chain pairs), n_hit, recall.
+    """
+    from loudml_spark.pipeline.realemb import N_VECS, load_realemb
+    from loudml_spark.pipeline.similarity import (
+        semdedup_n_centroids, semdedup_pairs)
+
+    emb = load_realemb(spark)
+    pairs = semdedup_pairs(
+        emb.select("vec_id", "embedding"), threshold=RE_DUP_TAU,
+        n_centroids=semdedup_n_centroids(N_VECS))
+    planted = emb.filter("dup_of IS NOT NULL").select(
+        F.least("vec_id", "dup_of").alias("id_a"),
+        F.greatest("vec_id", "dup_of").alias("id_b"),
+        F.lit(1).alias("p"))
+    found = pairs.select("id_a", "id_b", F.lit(1).alias("f"))
+    both = planted.join(found, ["id_a", "id_b"], "full_outer")
+    return both.agg(
+        F.sum("p").cast("long").alias("n_planted"),
+        F.sum("f").cast("long").alias("n_found"),
+        F.sum(F.col("p") * F.col("f")).cast("long").alias("n_hit"),
+        F.round(F.sum(F.col("p") * F.col("f"))
+                / F.sum("p"), 6).alias("recall"))
+
+
+def _sql_realemb_dup_recovery(sf_dir=None) -> str:
+    """Independent numpy replay: retrain the coarse quantizer from
+    the same parquet (shared deterministic numpy — the IVF-oracle
+    idiom), assign cells with the same row-wise ops the Spark UDF
+    runs, compute within-cell pair cosines with the same einsum
+    formulas cosine_col uses, threshold at ROUND(c, 6) >= τ (pairs
+    within 1e-4 of the boundary re-rounded through Decimal HALF_UP —
+    Spark's rounding — instead of numpy's half-even), then score
+    against dup_of.  Emits the summary as literals."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from loudml_spark.pipeline.realemb import N_VECS
+    from loudml_spark.pipeline.similarity import (
+        semdedup_n_centroids, train_ivf_centroids_from_arrays)
+
+    ids, X = _re_np_corpus()
+    C = train_ivf_centroids_from_arrays(
+        ids, X, n_centroids=semdedup_n_centroids(N_VECS), seed=42)
+    Xn = X / np.maximum(
+        np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cell = np.argmax(Xn @ C.T, axis=1)
+
+    def _round6(c):
+        if abs(c * 1e6 - np.floor(c * 1e6) - 0.5) < 1e-3:
+            return float(Decimal(repr(c)).quantize(
+                Decimal("1e-6"), ROUND_HALF_UP))
+        return float(np.round(c, 6))
+
+    found = set()
+    for g in np.unique(cell):
+        m = np.where(cell == g)[0]
+        if len(m) < 2:
+            continue
+        ia, ib = np.triu_indices(len(m), k=1)
+        A, B = X[m[ia]], X[m[ib]]
+        dot = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        cos = dot / (na * nb)
+        for a, b, c in zip(m[ia], m[ib], cos):
+            if _round6(c) >= RE_DUP_TAU:
+                found.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    t = pq.read_table(_re_path(), columns=["vec_id", "dup_of"])
+    planted = {
+        (min(v, d), max(v, d))
+        for v, d in zip(t.column("vec_id").to_pylist(),
+                        t.column("dup_of").to_pylist())
+        if d is not None}
+    n_hit = len(found & planted)
+    recall = float(Decimal(n_hit) / Decimal(len(planted)))
+    recall = float(Decimal(repr(recall)).quantize(
+        Decimal("1e-6"), ROUND_HALF_UP))
+    return f"""
+SELECT CAST({len(planted)} AS BIGINT) AS n_planted,
+       CAST({len(found)} AS BIGINT) AS n_found,
+       CAST({n_hit} AS BIGINT) AS n_hit,
+       CAST({recall!r} AS DOUBLE) AS recall
+"""
+
+
+def q_realemb_hubness(spark, sf_dir):
+    """Geometry capstone #3 — hubness (Radovanović et al. 2010): the
+    10-occurrence distribution (how many of 1500 sampled queries'
+    exact top-10 lists each corpus point appears in) as a histogram
+    (n10, n_vectors).  Real high-d anisotropic spaces are right-
+    skewed with antihubs (fixture: skew 2.1, max 114, 6% antihubs
+    — tools/realemb_knobs.py) while blobs are near-normal (skew
+    0.33) — hub neighbors degrade ANN usefulness even at good
+    recall, which is why the audit belongs next to the gates.
+    Plan: the brute GEMM top-k (bounded 1500-query closure, one
+    corpus scan), one neighbor-keyed count, one left join for the
+    zero-occurrence mass, one |distinct n10|-row rollup."""
+    from loudml_spark.pipeline.realemb import load_realemb
+    from loudml_spark.pipeline.similarity import cosine_topk
+
+    emb = _rebalance(spark, load_realemb(spark)) \
+        .select("vec_id", "embedding")
+    t = cosine_topk(emb.filter("vec_id % 4 = 0"), emb, k=10)
+    occ = t.groupBy("neighbor_id").agg(
+        F.count("*").cast("long").alias("n10"))
+    return (
+        emb.select("vec_id")
+        .join(occ, emb.vec_id == occ.neighbor_id, "left")
+        .select(F.coalesce("n10", F.lit(0)).alias("n10"))
+        .groupBy("n10")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+def _sql_realemb_hubness(sf_dir=None) -> str:
+    """Independent numpy replay of the exact top-10 (same GEMM /
+    norm / 6dp-round / (cosine desc, id asc) ranking contract as
+    cosine_topk), emitted as a VALUES histogram."""
+    import collections
+
+    import numpy as np
+
+    ids, X = _re_np_corpus()
+    qm = ids % 4 == 0
+    Q, qids = X[qm], ids[qm]
+    qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    xn = np.sqrt(np.einsum("ij,ij->i", X, X))
+    S = np.round((X @ Q.T) / (xn[:, None] * qn[None, :]), 6)
+    occ = collections.Counter()
+    for j, qid in enumerate(qids):
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -S[mask, j]))[:10]
+        occ.update(ids[mask][order].tolist())
+    hist = collections.Counter(occ.get(int(v), 0) for v in ids)
+    values = ", ".join(
+        f"({k}, {n})" for k, n in sorted(hist.items()))
+    return f"""
+SELECT CAST(n10 AS BIGINT) AS n10,
+       CAST(n_vectors AS BIGINT) AS n_vectors
+FROM (VALUES {values}) AS t(n10, n_vectors)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "realemb_recall_lsh": {
+        "fn": q_realemb_recall_lsh,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(_sql_ann_recall_lsh(_re_dir()))},
+    "realemb_recall_ivf": {
+        "fn": q_realemb_recall_ivf,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(_sql_ann_recall_ivf(_re_dir()))},
+    "realemb_recall_pq": {
+        "fn": q_realemb_recall_pq,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(_sql_ann_recall_pq(_re_dir()))},
+    "realemb_recall_sq8": {
+        "fn": q_realemb_recall_sq8,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(SQL_ANN_RECALL_SQ8)},
+    "realemb_recall_hamming": {
+        "fn": q_realemb_recall_hamming,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(SQL_ANN_RECALL_HAMMING)},
+    "realemb_recall_hamming_rerank": {
+        "fn": q_realemb_recall_hamming_rerank,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(SQL_ANN_RECALL_HAMMING_RERANK)},
+    "realemb_silhouette": {
+        "fn": q_realemb_silhouette,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(SQL_KMEANS_SILHOUETTE_EMB)},
+    "realemb_davies_bouldin": {
+        "fn": q_realemb_davies_bouldin,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(SQL_DAVIES_BOULDIN_EMB)},
+    "realemb_kmeans_fit": {
+        "fn": q_realemb_kmeans_fit,
+        "oracle_fn": lambda sf_dir=None: _sql_kmeans_fit_emb(_re_dir())},
+    "realemb_covariance": {
+        "fn": q_realemb_covariance,
+        "oracle_fn": lambda sf_dir=None:
+            _re_shadow(SQL_EMBEDDING_COVARIANCE)},
+    "realemb_anisotropy": {
+        "fn": q_realemb_anisotropy, "oracle_fn": _sql_realemb_anisotropy},
+    "realemb_dup_recovery": {
+        "fn": q_realemb_dup_recovery,
+        "oracle_fn": _sql_realemb_dup_recovery},
+    "realemb_hubness": {
+        "fn": q_realemb_hubness, "oracle_fn": _sql_realemb_hubness},
+})
+
+
+def q_realemb_lsh_buckets(spark, sf_dir):
+    """Selectivity companion to realemb_recall_lsh — WHY the recall
+    number moved: occupancy of the 2^6 sign buckets.  Cone
+    concentration makes most sign bits agree across the corpus, so
+    vectors collapse into a few head buckets; a query landing there
+    scans that bucket's share of the corpus (recall rises, the
+    candidate cut — the thing the index exists for — evaporates).
+    Recall alone would flatter exactly this degeneration, which is
+    why the occupancy audit ships next to the gate.  One map-only
+    bucket projection + one ≤2^bits-row rollup."""
+    from loudml_spark.pipeline.realemb import load_realemb
+    from loudml_spark.pipeline.similarity import (
+        hyperplanes, lsh_bucket_col)
+
+    emb = load_realemb(spark)
+    return (
+        emb.select(lsh_bucket_col(
+            F.col("embedding"), hyperplanes(64, 6, 42)).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+def _sql_realemb_lsh_buckets(sf_dir=None) -> str:
+    from loudml_spark.pipeline.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, bits=6, seed=42)
+    bucket = " + ".join(
+        f"(CASE WHEN {_sql_list_dot('embedding', p)} >= 0 "
+        f"THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return _re_shadow(f"""
+WITH b AS (SELECT {bucket} AS bucket FROM embeddings)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM b GROUP BY bucket
+""")
+
+
+def q_realemb_ivf_cells(spark, sf_dir):
+    """Selectivity companion to realemb_recall_ivf: occupancy of the
+    16 IVF cells under power-law cluster sizes (same centroids as
+    the index query — portable-hash sample + shared numpy).  The
+    head cell absorbs a large corpus share, so probing it costs a
+    near-linear scan while tail cells starve — the imbalance that
+    makes the recall gate's n_probe=4 number flattering on its own.
+    One Arrow assignment pass + one 16-row rollup."""
+    from loudml_spark.pipeline.realemb import load_realemb
+    from loudml_spark.pipeline.similarity import (
+        _centroid_assign_udf, train_ivf_centroids)
+
+    emb = load_realemb(spark).select("vec_id", "embedding")
+    C = train_ivf_centroids(emb, 16, seed=42)
+    assign = _centroid_assign_udf(C, 1)
+    return (
+        emb.select(F.element_at(
+            assign(F.col("embedding")), 1).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+    )
+
+
+def _sql_realemb_ivf_cells(sf_dir=None) -> str:
+    """Numpy replay of centroid training + assignment (the IVF-
+    oracle idiom), emitted as a VALUES histogram."""
+    import collections
+
+    import numpy as np
+
+    from loudml_spark.pipeline.similarity import (
+        train_ivf_centroids_from_arrays)
+
+    ids, X = _re_np_corpus()
+    C = train_ivf_centroids_from_arrays(ids, X, n_centroids=16, seed=42)
+    Xn = X / np.maximum(
+        np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cell = np.argmax(Xn @ C.T, axis=1)
+    hist = collections.Counter(int(c) for c in cell)
+    values = ", ".join(f"({k}, {n})" for k, n in sorted(hist.items()))
+    return f"""
+SELECT CAST(cell AS INTEGER) AS cell,
+       CAST(n_vectors AS BIGINT) AS n_vectors
+FROM (VALUES {values}) AS t(cell, n_vectors)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "realemb_lsh_buckets": {
+        "fn": q_realemb_lsh_buckets,
+        "oracle_fn": _sql_realemb_lsh_buckets},
+    "realemb_ivf_cells": {
+        "fn": q_realemb_ivf_cells,
+        "oracle_fn": _sql_realemb_ivf_cells},
+})

@@ -55,6 +55,8 @@ def cosine_topk(
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
     qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
 
+    qarr = np.asarray(qids, dtype=np.int64)
+
     def score(batches):
         for pdf in batches:
             if pdf.empty:
@@ -63,14 +65,31 @@ def cosine_topk(
             X = np.stack(pdf["cv"].to_numpy()).astype(np.float64)
             xn = np.sqrt(np.einsum("ij,ij->i", X, X))
             S = (X @ Q.T) / (xn[:, None] * qn[None, :])
-            for j, qid in enumerate(qids):
-                mask = ids != qid
-                yield pd.DataFrame({
-                    "query_id": np.full(int(mask.sum()), qid,
-                                        dtype=np.int64),
-                    "neighbor_id": ids[mask],
-                    "cosine": S[mask, j],
-                })
+            # one vectorized pass over ALL queries (a per-query
+            # Python loop emitting |Q| tiny frames per batch was the
+            # measured bottleneck at |Q|=1500): mask self-matches,
+            # then per-batch prefilter (EXACT) — the global rank
+            # uses ROUND(c, 6) with id tiebreak, so a row more than
+            # 2e-6 of raw cosine below this batch's k-th largest
+            # raw value rounds strictly below ≥ k same-batch rows
+            # and can never reach the global top-k; rows inside the
+            # 2e-6 band survive, so rounding ties resolve globally
+            # exactly as before.  ~99% shuffle cut at 1500 × 6000.
+            self_m = ids[:, None] == qarr[None, :]
+            S2 = np.where(self_m, -np.inf, S)
+            nb = S2.shape[0]
+            if nb > k:
+                kth = np.partition(S2, nb - k, axis=0)[nb - k, :]
+                keep = S2 >= (kth - 2e-6)[None, :]
+            else:
+                keep = ~self_m
+            keep &= ~self_m
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame({
+                "query_id": qarr[c],
+                "neighbor_id": ids[r],
+                "cosine": S[r, c],
+            })
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")

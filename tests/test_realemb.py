@@ -113,3 +113,33 @@ def test_planted_dups_separate_from_organic(rows, X):
     root = np.array([find(i) for i in range(len(rows))])
     organic_mask = root[:, None] != root[None, :]
     assert np.quantile(S[organic_mask], 0.999) < 0.95
+
+
+def test_cosine_topk_prefilter_exact_under_ties(spark):
+    """The r12 per-batch prefilter must not change the global
+    rounded-ranked top-k even when many rows tie at 6dp: a corpus of
+    duplicated vectors (identical cosines to every query) forces the
+    tie path; the result must equal the unfiltered reference ranking
+    (round 6dp desc, id asc) computed independently."""
+    import numpy as np
+
+    from loudml_spark.pipeline.similarity import cosine_topk
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 8)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # 48 vectors = each base vector duplicated 8× → massive 6dp ties
+    vecs = [(i, [float(x) for x in base[i % 6]]) for i in range(48)]
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>").repartition(4)
+    out = cosine_topk(df.filter("vec_id < 3"), df, k=5)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in out.collect()}
+    X = np.array([v for _, v in vecs])
+    for qid in range(3):
+        cos = np.round(X @ X[qid], 6)
+        order = sorted(
+            (i for i in range(48) if i != qid),
+            key=lambda i: (-cos[i], i))[:5]
+        for rank, nid in enumerate(order, 1):
+            assert got[(qid, rank)] == nid, (qid, rank)

@@ -160,6 +160,27 @@ AUDIT = [
     ("realtext_lexical_by_lang", "bounded"),
     ("realtext_zipf_fit", "bounded"),
     ("realtext_langid_confusion", "bounded"),
+    # realemb_* read the committed fixed-size fixture by design
+    # (fixtures/realemb/embeddings.parquet) — constant-input
+    # controls; the regime evidence lives in tools/realemb_knobs.py
+    # + SCALE.md §realemb.  The underlying operators' growth
+    # exponents are audited through their driver-table twins
+    # (ann_*, kmeans_*, semdedup_*).
+    ("realemb_recall_lsh", "bounded"),
+    ("realemb_recall_ivf", "bounded"),
+    ("realemb_recall_pq", "bounded"),
+    ("realemb_recall_sq8", "bounded"),
+    ("realemb_recall_hamming", "bounded"),
+    ("realemb_recall_hamming_rerank", "bounded"),
+    ("realemb_silhouette", "bounded"),
+    ("realemb_davies_bouldin", "bounded"),
+    ("realemb_kmeans_fit", "bounded"),
+    ("realemb_covariance", "bounded"),
+    ("realemb_anisotropy", "bounded"),
+    ("realemb_dup_recovery", "bounded"),
+    ("realemb_hubness", "bounded"),
+    ("realemb_lsh_buckets", "bounded"),
+    ("realemb_ivf_cells", "bounded"),
 ]
 
 
