@@ -6237,3 +6237,104 @@ PIPELINE_QUERIES.update({
         "fn": q_realemb_ivf_cells,
         "oracle_fn": _sql_realemb_ivf_cells},
 })
+
+
+# ------------------------------- perceptual image near-dup (r12, #5)
+
+DHASH_DOCS = 600          # media slice: doc_id < DHASH_DOCS
+DHASH_PERT = 300          # ids < this get a re-encode-noise copy
+DHASH_MAXD = 10
+
+
+def q_image_dhash_pairs(spark, sf_dir):
+    """Image near-duplicate pairs by perceptual dHash — curation's
+    core act for the multimodal column (the family had ingestion /
+    features / resize but no dedup until r12): fake-media images
+    from the documents slice plus, for each image id < {DHASH_PERT},
+    a deterministic re-encode-noise copy (one character substituted
+    → a few bytes move → the planted near-dup ground truth), hashed
+    with pipeline/multimodal.py dhash_images (byte-chunk-mean grid,
+    the gated-codec fake) and paired with the SAME pigeonhole-
+    blocked Hamming equi-join SimHash uses
+    (pipeline/dedup.py hamming_pairs_blocked — no all-pairs stage).
+    The oracle replays the hash through the shared portable core but
+    generates pairs by BRUTE FORCE over all fingerprints — a value
+    match proves the banding recalls every pair ≤ max_distance.
+    Output: (id_a, id_b, hamming), planted copies at distance ≤ 2,
+    exact text dups at 0."""
+    from loudml_spark.pipeline.dedup import hamming_pairs_blocked
+    from loudml_spark.pipeline.multimodal import (
+        dhash_images, fake_media_table)
+
+    docs = _rebalance(spark, load_table(spark, sf_dir, "documents")) \
+        .filter(F.col("doc_id") < DHASH_DOCS).select("doc_id", "text")
+    media = fake_media_table(docs)
+    pert = (
+        docs.filter((F.col("doc_id") % 3 == 0)
+                    & (F.col("doc_id") < DHASH_PERT))
+        .select(
+            (F.col("doc_id") + 100000).alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.encode(
+                F.concat(F.substring("text", 1, 10), F.lit("x"),
+                         F.expr("substring(text, 12)")),
+                "utf-8").alias("content"),
+            F.lit(None).cast(
+                "struct<width:int,height:int,duration_ms:int,"
+                "format:string>").alias("meta"),
+        )
+    )
+    hashes = dhash_images(
+        media.unionByName(pert), use_fake_decoder=True)
+    return hamming_pairs_blocked(
+        hashes, hash_col="dhash", id_col="media_id",
+        bits=64, max_distance=DHASH_MAXD)
+
+
+def _sql_image_dhash_pairs(sf_dir=None) -> str:
+    """Plain-Python replay: same shared dhash core over the same
+    constructed media set, but pair generation is an O(N²) brute
+    force — the independent check that the pigeonhole banding on
+    the Spark side loses no pair within max_distance."""
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+    from loudml_spark.pipeline.multimodal import dhash_bytes
+
+    d = resolve_oracle_sf_dir(sf_dir)
+    rows = duckdb.connect().execute(
+        "SELECT doc_id, text FROM read_parquet(?) "
+        "WHERE doc_id < ? ORDER BY doc_id",
+        [os.path.join(d, "documents.parquet"), DHASH_DOCS]).fetchall()
+    hashes = {}
+    for doc_id, text in rows:
+        if doc_id % 3 == 0:
+            hashes[doc_id] = dhash_bytes(text.encode("utf-8"))
+            if doc_id < DHASH_PERT:
+                t = text[:10] + "x" + text[11:]
+                hashes[doc_id + 100000] = dhash_bytes(t.encode("utf-8"))
+    ids = sorted(hashes)
+    mask = (1 << 64) - 1
+    out = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((hashes[a] ^ hashes[b]) & mask).count("1")
+            if h <= DHASH_MAXD:
+                out.append((a, b, h))
+    if not out:
+        return ("SELECT CAST(NULL AS BIGINT) AS id_a, "
+                "CAST(NULL AS BIGINT) AS id_b, "
+                "CAST(NULL AS INTEGER) AS hamming WHERE FALSE")
+    values = ", ".join(f"({a}, {b}, {h})" for a, b, h in out)
+    return f"""
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INTEGER) AS hamming
+FROM (VALUES {values}) AS t(id_a, id_b, hamming)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "image_dhash_pairs": {
+        "fn": q_image_dhash_pairs,
+        "oracle_fn": _sql_image_dhash_pairs},
+})

@@ -1266,6 +1266,33 @@ def simhash_pairs_blocked(
     (``bits=64``) or a smaller ``max_distance`` rather than >8 blocks
     of a 32-bit hash.
     """
+    s = simhash(df, text_col, id_col, bits=bits)
+    return hamming_pairs_blocked(
+        s, hash_col="simhash", id_col="id",
+        bits=bits, max_distance=max_distance, n_blocks=n_blocks)
+
+
+def hamming_pairs_blocked(
+    hashes: DataFrame,
+    *,
+    hash_col: str,
+    id_col: str = "id",
+    bits: int = 64,
+    max_distance: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Generic pigeonhole-blocked Hamming pair join over a
+    precomputed (id, fingerprint) frame — the candidate-generation
+    core factored out of :func:`simhash_pairs_blocked` (r12) so the
+    perceptual image dHash (pipeline/multimodal.py dhash_images) and
+    any future bit-fingerprint share ONE audited plan shape: explode
+    each fingerprint into ``n_blocks`` contiguous (block, value)
+    keys, equi-join on them (hash shuffle, never a nested loop),
+    verify exact Hamming ≤ ``max_distance`` after, dedupe pairs that
+    matched several blocks.  Full recall for d ≤ n_blocks − 1 by the
+    pigeonhole argument (Manku WWW'07).
+
+    Output: (id_a, id_b, hamming) with id_a < id_b."""
     n_blocks = n_blocks or (max_distance + 1)
     if n_blocks < max_distance + 1:
         raise ValueError(
@@ -1274,7 +1301,8 @@ def simhash_pairs_blocked(
         )
     if n_blocks > bits:
         raise ValueError(f"n_blocks={n_blocks} > bits={bits}")
-    s = simhash(df, text_col, id_col, bits=bits)
+    s = hashes.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).alias("__h"))
     # uneven split: first (bits % n_blocks) blocks get the extra bit
     w0, rem = divmod(bits, n_blocks)
     bounds = []
@@ -1284,17 +1312,17 @@ def simhash_pairs_blocked(
         bounds.append((off, width))
         off += width
     blocked = s.select(
-        "id", "simhash",
+        "id", "__h",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("blk"),
                 F.expr(
-                    f"(simhash >> {off}) & {(1 << width) - 1}"
+                    f"(__h >> {off}) & {(1 << width) - 1}"
                 ).alias("val"),
             )
             for b, (off, width) in enumerate(bounds)
         ])).alias("bv"),
-    ).select("id", "simhash", "bv.blk", "bv.val")
+    ).select("id", "__h", "bv.blk", "bv.val")
     a, b = blocked.alias("a"), blocked.alias("b")
     return (
         a.join(
@@ -1306,7 +1334,7 @@ def simhash_pairs_blocked(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            hamming_col(F.col("a.simhash"), F.col("b.simhash"))
+            hamming_col(F.col("a.__h"), F.col("b.__h"))
             .alias("hamming"),
         )
         .filter(F.col("hamming") <= max_distance)

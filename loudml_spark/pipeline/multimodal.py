@@ -248,3 +248,92 @@ def audio_windows(
 
     audio = media_df.filter(F.col("media_type") == "audio")
     return audio.mapInPandas(batches, schema=schema)
+
+
+def _dhash_cells(content: bytes, grid: int) -> list:
+    """Fake-decoder cell matrix: the bytes laid row-major into a
+    (grid+1) × grid grid of near-equal chunks, cell value = chunk
+    mean.  This preserves the property the real decode pipeline
+    (grayscale → area-resample) provides and dHash depends on: a
+    small byte perturbation (re-encode noise) moves a few chunk
+    means slightly, an insertion shifts chunk boundaries by a
+    fraction of a chunk — both small Hamming moves — while unrelated
+    bytes randomize every cell."""
+    n_cells = (grid + 1) * grid
+    if not content:
+        return [0.0] * n_cells
+    if len(content) < n_cells:
+        reps = -(-n_cells // len(content))
+        content = (content * reps)[:n_cells]
+    n = len(content)
+    cells = []
+    for i in range(n_cells):
+        lo, hi = i * n // n_cells, (i + 1) * n // n_cells
+        chunk = content[lo:hi]
+        cells.append(sum(chunk) / len(chunk))
+    return cells
+
+
+def dhash_bytes(content: bytes, grid: int = 8) -> int:
+    """The shared fake-decode dHash core (used by the Spark UDF AND
+    the plain-Python oracle replay): difference hash over the cell
+    matrix — bit (r, c) = cell[r][c+1] > cell[r][c], giving a
+    ``grid²``-bit fingerprint.  Exact float comparisons on
+    deterministic chunk means → engine-portable."""
+    cells = _dhash_cells(content, grid)
+    h = 0
+    for r in range(grid):
+        for c in range(grid):
+            left = cells[r * (grid + 1) + c]
+            right = cells[r * (grid + 1) + c + 1]
+            if right > left:
+                h |= 1 << (r * grid + c)
+    # two's-complement into SIGNED int64 (bit 63 set at grid=8 must
+    # not overflow Spark's long); block extraction masks after the
+    # arithmetic shift, so sign extension never leaks into a block
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def dhash_images(
+    media_df: DataFrame, *, use_fake_decoder: bool = False,
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image — the
+    fingerprint half of image near-dup detection: decode →
+    grayscale → (grid+1)×grid area means → horizontal-gradient sign
+    bits → one int64.  Shifted/re-encoded copies land within a few
+    bits; unrelated images differ in ~grid²/2.  Pair generation is
+    NOT here: feed the output to pipeline.dedup.
+    hamming_pairs_blocked (the pigeonhole equi-join shared with
+    SimHash — no all-pairs stage at any scale).
+
+    The real path needs PIL and raises a named NotImplementedError
+    (the module's gated-codec contract); ``use_fake_decoder``
+    substitutes the byte-chunk-mean grid (see :func:`_dhash_cells`)
+    whose perturbation behavior matches the real pipeline's, so the
+    banding/verification plumbing is fully exercised and
+    oracle-paired.  Non-image rows are filtered before the map (the
+    binary column stays pruned until then).
+
+    Output: (media_id, dhash long)."""
+    if grid < 2 or grid > 8:
+        raise ValueError(
+            f"grid={grid} unsupported: need 2 <= grid <= 8 "
+            "(grid² sign bits must fit an int64)")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not use_fake_decoder:
+                raise NotImplementedError(
+                    "image dHash needs PIL which is not installed; "
+                    "pass use_fake_decoder=True for the deterministic "
+                    "byte-chunk-mean fake"
+                )
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "dhash": pdf["content"].map(
+                    lambda b: dhash_bytes(bytes(b or b""), grid)),
+            })
+
+    images = media_df.filter(F.col("media_type") == "image")
+    return images.mapInPandas(batches, schema="media_id long, dhash long")

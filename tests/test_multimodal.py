@@ -122,3 +122,80 @@ def test_audio_windows_gating_and_validation(media):
         audio_windows(media, window_ms=0, use_fake_decoder=True)
     with pytest.raises(ValueError):
         audio_windows(media, hop_ms=0, use_fake_decoder=True)
+
+
+class TestDhash:
+    def test_gated_codec_contract(self, spark):
+        from loudml_spark.pipeline.multimodal import (
+            dhash_images, fake_media_table)
+        import pytest as _pytest
+
+        docs = spark.createDataFrame(
+            [(0, "hello world")], "doc_id long, text string")
+        media = fake_media_table(docs)
+        with _pytest.raises(Exception) as ei:
+            dhash_images(media).collect()
+        assert "PIL" in str(ei.value)
+
+    def test_grid_validation(self, spark):
+        from loudml_spark.pipeline.multimodal import dhash_images
+        import pytest as _pytest
+
+        df = spark.createDataFrame([], "media_id long, media_type string,"
+                                   " content binary")
+        with _pytest.raises(ValueError, match="grid"):
+            dhash_images(df, use_fake_decoder=True, grid=9)
+
+    def test_near_dups_found_distinct_not(self, spark):
+        """The acceptance property: re-encoded (byte-perturbed) and
+        slightly-shifted copies of a seeded image land within the
+        Hamming gate; unrelated images do not."""
+        import random
+
+        from loudml_spark.pipeline.dedup import hamming_pairs_blocked
+        from loudml_spark.pipeline.multimodal import dhash_images
+
+        rng = random.Random(5)
+        base = bytes(rng.randrange(256) for _ in range(1200))
+        noisy = bytearray(base)
+        for i in (17, 300, 601, 850, 990):
+            noisy[i] = (noisy[i] + 7) % 256
+        shifted = base[:100] + b"z" + base[100:]
+        others = [bytes(rng.randrange(256) for _ in range(1200))
+                  for _ in range(5)]
+        rows = ([(0, "image", base), (1, "image", bytes(noisy)),
+                 (2, "image", shifted),
+                 (3, "audio", base)]           # non-image: filtered
+                + [(10 + i, "image", o) for i, o in enumerate(others)])
+        media = spark.createDataFrame(
+            rows, "media_id long, media_type string, content binary")
+        hashes = dhash_images(media, use_fake_decoder=True)
+        assert hashes.count() == 8            # audio row dropped
+        pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+                 for r in hamming_pairs_blocked(
+                     hashes, hash_col="dhash", id_col="media_id",
+                     bits=64, max_distance=10).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] <= 2   # re-encode
+        assert (0, 2) in pairs                           # small shift
+        assert all(a < 10 and b < 10 for a, b in pairs), pairs
+
+    def test_signed_int64_and_python_parity(self, spark):
+        """Spark-side hashes equal the shared Python core bit-for-bit
+        (including fingerprints with bit 63 set → negative int64)."""
+        import random
+
+        from loudml_spark.pipeline.multimodal import (
+            dhash_bytes, dhash_images)
+
+        rng = random.Random(1)
+        blobs = [bytes(rng.randrange(256) for _ in range(400))
+                 for _ in range(40)]
+        media = spark.createDataFrame(
+            [(i, "image", b) for i, b in enumerate(blobs)],
+            "media_id long, media_type string, content binary")
+        got = {r["media_id"]: r["dhash"]
+               for r in dhash_images(
+                   media, use_fake_decoder=True).collect()}
+        want = {i: dhash_bytes(b) for i, b in enumerate(blobs)}
+        assert got == want
+        assert any(v < 0 for v in want.values())
