@@ -6338,3 +6338,83 @@ PIPELINE_QUERIES.update({
         "fn": q_image_dhash_pairs,
         "oracle_fn": _sql_image_dhash_pairs},
 })
+
+
+# ----------------------------------- k-core decomposition (r12, #7)
+
+def q_graph_kcore_docs(spark, sf_dir):
+    """Core number per document over the MinHash-LSH near-dup graph
+    (pipeline/graph.py kcore_numbers, the h-index fixpoint) — the
+    graph family's fourth lens: coreness separates "hub of a dense
+    mirror mass" (high core) from "high-degree chain hub" (high
+    degree, LOW core — the over-eager-band false-positive shape
+    degree alone cannot distinguish; triangle coefficients see it
+    per-node, coreness sees it structurally).  Same doc_id < 1000
+    slice and pair frame as the other graph queries.  The oracle
+    replays the pair frame through the shared LSH SQL, then computes
+    coreness by TEXTBOOK PEELING in plain Python — a genuinely
+    different algorithm; agreement is the correctness argument."""
+    from loudml_spark.pipeline.graph import kcore_numbers
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    return kcore_numbers(pairs).withColumnRenamed("id", "doc_id")
+
+
+def _sql_graph_kcore_docs(sf_dir=None) -> str:
+    import collections
+
+    import duckdb
+
+    from loudml_spark.oracle_util import resolve_oracle_sf_dir
+
+    d = resolve_oracle_sf_dir(sf_dir)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet('%s')"
+        % os.path.join(d, "documents.parquet"))
+    pairs = con.execute(
+        f"WITH {_SQL_LSH_CTES} "
+        "SELECT id_a, id_b FROM j WHERE jaccard >= 0.8").fetchall()
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    deg = {u: len(v) for u, v in adj.items()}
+    # textbook peeling (Batagelj–Zaversnik order): repeatedly remove
+    # the minimum-degree node; its core is the running max of the
+    # degree at removal time
+    work = dict(deg)
+    live = {u: set(v) for u, v in adj.items()}
+    core = {}
+    kcur = 0
+    while work:
+        u = min(work, key=lambda x: (work[x], x))
+        kcur = max(kcur, work[u])
+        core[u] = kcur
+        for w in live[u]:
+            live[w].discard(u)
+            if w in work:
+                work[w] = len(live[w])
+        del work[u]
+    if not core:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS degree, "
+                "CAST(NULL AS BIGINT) AS core WHERE FALSE")
+    values = ", ".join(
+        f"({u}, {deg[u]}, {core[u]})" for u in sorted(core))
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(core AS BIGINT) AS core
+FROM (VALUES {values}) AS t(doc_id, degree, core)
+"""
+
+
+PIPELINE_QUERIES.update({
+    "graph_kcore_docs": {
+        "fn": q_graph_kcore_docs, "oracle_fn": _sql_graph_kcore_docs},
+})

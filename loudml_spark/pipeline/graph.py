@@ -417,3 +417,123 @@ def component_stats(
     for f in cc_stats.get("checkpoint_frames", ()):
         release_checkpoint(f)
     return out
+
+
+def kcore_numbers(
+    pairs: DataFrame,
+    *,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 100,
+) -> DataFrame:
+    """Core number (coreness) per node over an undirected pair graph
+    — the graph family's fourth lens next to :func:`pagerank`
+    (centrality), :func:`triangle_stats` (cliquishness) and
+    :func:`component_stats` (component shape): the k-core is the
+    maximal subgraph where every node keeps ≥ k neighbors, and a
+    node's core number separates "hub of a dense near-dup mass"
+    (high coreness — a template/mirror family worth one survivor)
+    from "high-degree chain hub" (high degree, LOW coreness — the
+    classic over-eager-LSH-band false-positive shape that degree
+    alone cannot distinguish).
+
+    Algorithm: the h-index fixpoint (Lü, Zhou, Zhang & Stanley,
+    "The H-index of a network node and its relation to degree and
+    coreness", Nature Communications 2016 — public): initialize
+    v₀(u) = deg(u); iterate v_{t+1}(u) = H({v_t(w) : w ~ u}), the
+    h-index of the neighbor values (the largest h such that ≥ h
+    neighbors have value ≥ h).  The sequence is monotone
+    non-increasing and converges exactly to the core number.  Why
+    this form and not textbook peeling: peeling is inherently
+    sequential (delete min-degree nodes one k at a time — O(k_max ·
+    rounds) global barriers); the h-index iteration is one
+    edge-keyed equi-join + one per-node ranked reduction per round,
+    every shuffle on the node key, and converges in O(diameter)-ish
+    rounds on real graphs.  The per-round frame is one row per node;
+    lineage is truncated with eager localCheckpoints whose
+    superseded copies are released immediately
+    (:mod:`loudml_spark.checkpoint` — storage O(1) in rounds), and
+    the convergence probe (count + two independent xxhash64
+    checksums, the dedup_clusters idiom) rides one action per round.
+    Raises after ``max_iter`` rounds — a silent partial fixpoint
+    would understate coreness downstream.
+
+    Exactness: all-integer arithmetic (degrees, ranks, mins/maxes)
+    — no rounding surface at all; the DuckDB oracle replays textbook
+    peeling in plain Python, a genuinely different algorithm whose
+    agreement IS the correctness argument.
+
+    Output: (id, degree, core) — degree for the hub-vs-core
+    contrast the operator exists to expose."""
+    from pyspark.sql import Window
+
+    from loudml_spark.checkpoint import release_checkpoint
+
+    for c in (src_col, dst_col):
+        if c not in pairs.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    e = (
+        pairs.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e.select("a", "b")
+        .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint()          # reused every round
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("int").alias("v")) \
+        .withColumnRenamed("a", "id")
+    values = deg.localCheckpoint()
+
+    def _probe(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*"),
+            F.sum(F.xxhash64("id", "v").cast("decimal(20,0)")),
+            F.sum(F.xxhash64(F.lit("s2"), "id", "v")
+                  .cast("decimal(20,0)")),
+        ).first()
+        return tuple(row)
+
+    w = Window.partitionBy("a").orderBy(F.col("vn").desc(),
+                                        F.col("b").asc())
+    sig = _probe(values)
+    prev = values
+    converged = False
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(values.select(F.col("id").alias("b"),
+                                   F.col("v").alias("vn")), "b")
+            .select("a", "b", "vn")
+        )
+        values = (
+            nbr.withColumn("r", F.row_number().over(w))
+            .groupBy("a")
+            .agg(F.max(F.least(F.col("vn"), F.col("r")))
+                 .cast("int").alias("v"))
+            .withColumnRenamed("a", "id")
+            .localCheckpoint()
+        )
+        release_checkpoint(prev)
+        prev = values
+        new_sig = _probe(values)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        release_checkpoint(sym)
+        raise RuntimeError(
+            f"kcore_numbers did not converge in {max_iter} rounds")
+    out = (
+        deg.withColumnRenamed("v", "degree")
+        .join(values.withColumnRenamed("v", "core"), "id")
+        .select("id", F.col("degree").cast("long").alias("degree"),
+                F.col("core").cast("long").alias("core"))
+        .localCheckpoint()          # deg/values both scan sym —
+    )                               # materialize, then release all
+    release_checkpoint(values)
+    release_checkpoint(sym)
+    return out

@@ -110,3 +110,53 @@ class TestCheckpointLifecycle:
         assert rows[10] == (2, 1, 1.0)
         assert rows[20] == (3, 3, 1.0)
         release_checkpoint(out)
+
+
+class TestKcore:
+    def test_textbook_shapes(self, spark):
+        """Clique→k−1, cycle→2, star hub→1 (the degree-vs-core
+        separation the operator exists for)."""
+        from loudml_spark.pipeline.graph import kcore_numbers
+
+        edges = ([(i, j) for i in range(6) for j in range(i + 1, 6)]
+                 + [(10 + i, 10 + (i + 1) % 5) for i in range(5)]
+                 + [(100, 200 + i) for i in range(20)])
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = {r["id"]: (r["degree"], r["core"])
+               for r in kcore_numbers(df).collect()}
+        assert out[0] == (5, 5)          # clique member
+        assert out[10] == (2, 2)         # cycle member
+        assert out[100] == (20, 1)       # high-degree, low-core hub
+        assert out[200] == (1, 1)
+
+    def test_storage_o1_in_rounds(self, spark):
+        from loudml_spark.checkpoint import (
+            pinned_rdd_count, release_checkpoint)
+        from loudml_spark.pipeline.graph import kcore_numbers
+
+        # long path graph → many h-index rounds to converge
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "id_a long, id_b long")
+        base = pinned_rdd_count(spark)
+        out = kcore_numbers(df)
+        assert pinned_rdd_count(spark) - base <= 1
+        assert all(r["core"] == 1 for r in out.collect())
+        release_checkpoint(out)
+
+    def test_missing_column_raises(self, spark):
+        from loudml_spark import errors
+        from loudml_spark.pipeline.graph import kcore_numbers
+
+        df = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(errors.Invalid, match="missing column"):
+            kcore_numbers(df)
+
+    def test_nonconvergence_raises(self, spark):
+        from loudml_spark.pipeline.graph import kcore_numbers
+
+        # a long path needs ~n/2 h-index rounds (the endpoint 1s
+        # propagate one hop per round) — 2 rounds cannot finish
+        df = spark.createDataFrame(
+            [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+        with pytest.raises(RuntimeError, match="converge"):
+            kcore_numbers(df, max_iter=2)

@@ -183,6 +183,8 @@ AUDIT = [
     ("realemb_ivf_cells", "bounded"),
     # fixed doc_id < 600 slice by design (planted-copy ground truth)
     ("image_dhash_pairs", "bounded"),
+    # doc_id < 1000 control slice like the other graph queries
+    ("graph_kcore_docs", "bounded"),
 ]
 
 
