@@ -6418,3 +6418,59 @@ PIPELINE_QUERIES.update({
     "graph_kcore_docs": {
         "fn": q_graph_kcore_docs, "oracle_fn": _sql_graph_kcore_docs},
 })
+
+
+def q_incremental_components_docs(spark, sf_dir):
+    """Incremental component maintenance (pipeline/graph.py
+    incremental_components): the standing near-dup graph is the
+    doc_id < 800 pair slice, the "ingest batch" is every pair
+    touching 800–999; the standing labeling updates through the
+    QUOTIENT graph (nodes = labels touched by the delta — bounded by
+    2·|delta|, independent of standing size), the dedup family's
+    delta-vs-standing pattern applied to CC.  The oracle recomputes
+    components over the FULL pair frame from scratch (recursive-CTE
+    closure) — value identity proves the incremental path equals the
+    full recompute, which is the operator's entire contract."""
+    from loudml_spark.pipeline.dedup import dedup_clusters
+    from loudml_spark.pipeline.graph import incremental_components
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    standing = pairs.filter(
+        (F.col("id_a") < 800) & (F.col("id_b") < 800))
+    delta = pairs.filter(
+        (F.col("id_a") >= 800) | (F.col("id_b") >= 800))
+    labels = dedup_clusters(standing).select("doc_id", "cluster_id")
+    return incremental_components(labels, delta)
+
+
+SQL_INCREMENTAL_COMPONENTS_DOCS = f"""
+WITH RECURSIVE {_SQL_LSH_CTES},
+ipairs AS (
+  SELECT id_a, id_b FROM j WHERE jaccard >= 0.8
+),
+ie AS (
+  SELECT id_a AS src, id_b AS dst FROM ipairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM ipairs
+),
+ireach(id, r) AS (
+  SELECT src, src FROM ie
+  UNION
+  SELECT ie.src, ireach.r FROM ie JOIN ireach ON ie.dst = ireach.id
+),
+icomp AS (
+  SELECT id AS doc_id, MIN(r) AS cluster_id FROM ireach GROUP BY id
+)
+SELECT doc_id, cluster_id, cluster_id = doc_id AS is_canonical
+FROM icomp
+"""
+
+
+PIPELINE_QUERIES.update({
+    "incremental_components_docs": {
+        "fn": q_incremental_components_docs,
+        "oracle": SQL_INCREMENTAL_COMPONENTS_DOCS},
+})

@@ -537,3 +537,91 @@ def kcore_numbers(
     release_checkpoint(values)
     release_checkpoint(sym)
     return out
+
+
+def incremental_components(
+    labels: DataFrame,
+    delta_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Update a STANDING component labeling with a delta edge set
+    without re-contracting the full graph — the dedup family's
+    incremental pattern (incremental CDC: delta vs standing corpus)
+    applied to the graph family, closing the loop for a dedup
+    service that ingests new documents continuously: the standing
+    graph may hold billions of edges, but an ingest batch only needs
+    work proportional to ITS OWN size.
+
+    Algorithm (quotient contraction): map each delta endpoint
+    through its current label (endpoints the standing labeling has
+    never seen label themselves); the delta then induces a QUOTIENT
+    graph whose nodes are labels — ≤ 2·|delta| of them, independent
+    of standing-corpus size — and the log-round star contraction
+    (:func:`~loudml_spark.pipeline.dedup.dedup_clusters`, reused)
+    runs on that quotient only.  One final label-keyed equi-join
+    rewrites just the standing rows whose label merged.  Min-id
+    labels compose: each standing cluster_id IS its component's
+    minimum, new endpoints contribute their own ids, so the quotient
+    minimum equals the minimum over the merged full components —
+    the output is IDENTICAL to re-running CC on (standing ∪ delta),
+    which is exactly what the oracle checks.
+
+    Output: (id_col, cluster_id, is_canonical) covering standing
+    ids ∪ delta endpoints."""
+    for c in (src_col, dst_col):
+        if c not in delta_pairs.columns:
+            raise errors.Invalid(f"missing column {c!r}")
+    if id_col not in labels.columns or "cluster_id" not in labels.columns:
+        raise errors.Invalid(
+            f"labels needs ({id_col!r}, 'cluster_id') columns")
+    from loudml_spark.pipeline.dedup import dedup_clusters
+
+    lab = labels.select(F.col(id_col).alias("__id"),
+                        F.col("cluster_id").alias("__lab"))
+    ends = (
+        delta_pairs.select(F.col(src_col).alias("__e"))
+        .unionByName(delta_pairs.select(F.col(dst_col).alias("__e")))
+        .distinct()
+    )
+    # endpoint → current label (never-seen endpoints label themselves)
+    emap = (
+        ends.join(lab.withColumnRenamed("__id", "__e"), "__e", "left")
+        .select("__e", F.coalesce("__lab", F.col("__e")).alias("__l"))
+    )
+    q_edges = (
+        delta_pairs
+        .join(emap.selectExpr("__e as " + src_col, "__l as __la"),
+              src_col)
+        .join(emap.selectExpr("__e as " + dst_col, "__l as __lb"),
+              dst_col)
+        .filter(F.col("__la") != F.col("__lb"))
+        .selectExpr("__la as id_a", "__lb as id_b")
+    )
+    # quotient contraction: nodes are labels — bounded by 2·|delta|
+    q_labels = dedup_clusters(q_edges).select(
+        F.col("doc_id").alias("__lab"),
+        F.col("cluster_id").alias("__new"))
+    moved = (
+        lab.join(q_labels, "__lab")
+        .select("__id", F.col("__new").alias("cluster_id"))
+    )
+    kept = (
+        lab.join(q_labels.select("__lab"), "__lab", "left_anti")
+        .select("__id", F.col("__lab").alias("cluster_id"))
+    )
+    fresh = (
+        emap.join(lab.withColumnRenamed("__id", "__e"), "__e",
+                  "left_anti")
+        .join(q_labels.withColumnRenamed("__lab", "__l"), "__l", "left")
+        .select(F.col("__e").alias("__id"),
+                F.coalesce("__new", F.col("__l")).alias("cluster_id"))
+    )
+    return (
+        moved.unionByName(kept).unionByName(fresh)
+        .select(F.col("__id").alias(id_col), "cluster_id",
+                (F.col("cluster_id") == F.col("__id"))
+                .alias("is_canonical"))
+    )

@@ -160,3 +160,74 @@ class TestKcore:
             [(i, i + 1) for i in range(40)], "id_a long, id_b long")
         with pytest.raises(RuntimeError, match="converge"):
             kcore_numbers(df, max_iter=2)
+
+
+class TestIncrementalComponents:
+    def _full(self, spark, edges):
+        from loudml_spark.pipeline.dedup import dedup_clusters
+
+        df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+        return {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+                for r in dedup_clusters(df).collect()}
+
+    def test_equals_full_recompute(self, spark):
+        """The operator's whole contract: quotient-graph update ==
+        CC over (standing ∪ delta), including merges across several
+        standing components and brand-new nodes."""
+        import random
+
+        from loudml_spark.pipeline.dedup import dedup_clusters
+        from loudml_spark.pipeline.graph import incremental_components
+
+        rng = random.Random(4)
+        standing = {(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(200), rng.randrange(200))
+                                 for _ in range(300)) if a != b}
+        delta = {(min(a, b), max(a, b))
+                 for a, b in ((rng.randrange(260), rng.randrange(150, 260))
+                              for _ in range(80)) if a != b}
+        sdf = spark.createDataFrame(sorted(standing),
+                                    "id_a long, id_b long")
+        ddf = spark.createDataFrame(sorted(delta), "id_a long, id_b long")
+        labels = dedup_clusters(sdf).select("doc_id", "cluster_id")
+        inc = {(r["doc_id"], r["cluster_id"], r["is_canonical"])
+               for r in incremental_components(labels, ddf).collect()}
+        assert inc == self._full(spark, standing | delta)
+
+    def test_delta_internal_to_one_component_is_noop(self, spark):
+        from loudml_spark.pipeline.dedup import dedup_clusters
+        from loudml_spark.pipeline.graph import incremental_components
+
+        standing = [(1, 2), (2, 3), (10, 11)]
+        sdf = spark.createDataFrame(standing, "id_a long, id_b long")
+        labels = dedup_clusters(sdf).select("doc_id", "cluster_id")
+        ddf = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+        inc = {(r["doc_id"], r["cluster_id"])
+               for r in incremental_components(labels, ddf).collect()}
+        assert inc == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    def test_new_min_id_rewrites_standing_component(self, spark):
+        from loudml_spark.pipeline.dedup import dedup_clusters
+        from loudml_spark.pipeline.graph import incremental_components
+
+        sdf = spark.createDataFrame([(5, 6), (6, 7)],
+                                    "id_a long, id_b long")
+        labels = dedup_clusters(sdf).select("doc_id", "cluster_id")
+        # new node 1 bridges in with a SMALLER id: whole component
+        # must relabel to 1 (min-id labels compose)
+        ddf = spark.createDataFrame([(1, 7)], "id_a long, id_b long")
+        inc = {(r["doc_id"], r["cluster_id"])
+               for r in incremental_components(labels, ddf).collect()}
+        assert inc == {(1, 1), (5, 1), (6, 1), (7, 1)}
+
+    def test_validation(self, spark):
+        from loudml_spark import errors
+        from loudml_spark.pipeline.graph import incremental_components
+
+        lab = spark.createDataFrame([(1, 1)], "doc_id long, cluster_id long")
+        bad = spark.createDataFrame([(1, 2)], "x long, y long")
+        with pytest.raises(errors.Invalid, match="missing column"):
+            incremental_components(lab, bad)
+        good = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with pytest.raises(errors.Invalid, match="cluster_id"):
+            incremental_components(bad, good)

@@ -185,6 +185,7 @@ AUDIT = [
     ("image_dhash_pairs", "bounded"),
     # doc_id < 1000 control slice like the other graph queries
     ("graph_kcore_docs", "bounded"),
+    ("incremental_components_docs", "bounded"),
 ]
 
 
