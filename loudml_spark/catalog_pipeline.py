@@ -6431,19 +6431,27 @@ def q_incremental_components_docs(spark, sf_dir):
     components over the FULL pair frame from scratch (recursive-CTE
     closure) — value identity proves the incremental path equals the
     full recompute, which is the operator's entire contract."""
+    from loudml_spark.checkpoint import release_checkpoint
     from loudml_spark.pipeline.dedup import dedup_clusters
     from loudml_spark.pipeline.graph import incremental_components
 
     docs = _rebalance(
         spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
     )
-    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    # one pair generation feeds both the standing and delta branch
+    # (in a real service the standing labels are a stored table —
+    # only this demo reconstructs them); released once the eager
+    # incremental result has materialized
+    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8) \
+        .select("id_a", "id_b").localCheckpoint()
     standing = pairs.filter(
         (F.col("id_a") < 800) & (F.col("id_b") < 800))
     delta = pairs.filter(
         (F.col("id_a") >= 800) | (F.col("id_b") >= 800))
     labels = dedup_clusters(standing).select("doc_id", "cluster_id")
-    return incremental_components(labels, delta)
+    out = incremental_components(labels, delta)
+    release_checkpoint(pairs)
+    return out
 
 
 SQL_INCREMENTAL_COMPONENTS_DOCS = f"""

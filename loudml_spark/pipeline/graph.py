@@ -581,6 +581,11 @@ def incremental_components(
 
     lab = labels.select(F.col(id_col).alias("__id"),
                         F.col("cluster_id").alias("__lab"))
+    # materialize the ingest batch ONCE (it is ingest-batch-sized by
+    # contract): endpoint extraction, both quotient-edge joins and
+    # the fresh-node branch all scan it — without this each subtree
+    # re-executes the caller's (possibly expensive) pair pipeline
+    delta_pairs = delta_pairs.select(src_col, dst_col).localCheckpoint()
     ends = (
         delta_pairs.select(F.col(src_col).alias("__e"))
         .unionByName(delta_pairs.select(F.col(dst_col).alias("__e")))
@@ -601,7 +606,8 @@ def incremental_components(
         .selectExpr("__la as id_a", "__lb as id_b")
     )
     # quotient contraction: nodes are labels — bounded by 2·|delta|
-    q_labels = dedup_clusters(q_edges).select(
+    cc_stats: dict = {}
+    q_labels = dedup_clusters(q_edges, stats=cc_stats).select(
         F.col("doc_id").alias("__lab"),
         F.col("cluster_id").alias("__new"))
     moved = (
@@ -619,9 +625,19 @@ def incremental_components(
         .select(F.col("__e").alias("__id"),
                 F.coalesce("__new", F.col("__l")).alias("cluster_id"))
     )
-    return (
+    out = (
         moved.unionByName(kept).unionByName(fresh)
         .select(F.col("__id").alias(id_col), "cluster_id",
                 (F.col("cluster_id") == F.col("__id"))
                 .alias("is_canonical"))
+        # eager by design (the component_stats precedent — the
+        # quotient contraction already ran eager jobs): materialize
+        # the labels-sized result, then release the delta checkpoint
+        # and the contraction's surviving internals.  The CALLER's
+        # labels frame is not ours to release.
+        .localCheckpoint()
     )
+    release_checkpoint(delta_pairs)
+    for f in cc_stats.get("checkpoint_frames", ()):
+        release_checkpoint(f)
+    return out
