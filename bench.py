@@ -41,6 +41,19 @@ def main():
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing floor (guide §2.2/§2.5): with
+        # parallelismFirst (default true) the coalesce target is
+        # max(stage_bytes / parallelism, minPartitionSize).  The
+        # 1 MB default floor only ever BINDS on stages whose whole
+        # input is ~1 MB — i.e. never at production scale, but at
+        # bench scale it collapses CPU-heavy verify stages (LSH
+        # jaccard verification, hamming re-rank) to ONE task and
+        # serializes them regardless of core count, which also
+        # poisons the core-scaling measurement.  16k keeps tiny
+        # stages parallel while leaving large-scale coalescing
+        # (driven by the bytes/parallelism term) untouched.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_COALESCE", "16k"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",

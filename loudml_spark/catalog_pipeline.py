@@ -5345,7 +5345,7 @@ def q_realtext_gopher_rates(spark, sf_dir):
     from loudml_spark.pipeline.realtext import load_realtext
     from loudml_spark.pipeline.text import gopher_rules
 
-    docs = load_realtext(spark)
+    docs = _rebalance(spark, load_realtext(spark))
     out = gopher_rules(docs, min_words=25, max_words=1000)
     rate = (lambda c: F.round(F.avg(F.col(c).cast("int")), 6))
     return (
@@ -5414,7 +5414,7 @@ def q_realtext_bigram_pruned(spark, sf_dir):
     from loudml_spark.pipeline.corpus import bigram_perplexity
     from loudml_spark.pipeline.realtext import load_realtext
 
-    docs = load_realtext(spark)
+    docs = _rebalance(spark, load_realtext(spark))
     out = bigram_perplexity(docs, lam=0.75, min_count=RT_MIN_COUNT)
     return out.filter(F.col("doc_id") < 1200)
 
@@ -5484,7 +5484,7 @@ def q_realtext_lexical_by_lang(spark, sf_dir):
     from loudml_spark.pipeline.realtext import load_realtext
     from loudml_spark.pipeline.text import lexical_diversity
 
-    docs = load_realtext(spark)
+    docs = _rebalance(spark, load_realtext(spark))
     ld = lexical_diversity(docs)
     return (
         ld.join(docs.select("doc_id", "lang"), "doc_id")
@@ -5645,7 +5645,8 @@ def q_realtext_zipf_fit(spark, sf_dir):
     from loudml_spark.pipeline.corpus import zipf_fit
     from loudml_spark.pipeline.realtext import load_realtext
 
-    return zipf_fit(load_realtext(spark), top_k=1000)
+    return zipf_fit(_rebalance(spark, load_realtext(spark)),
+                    top_k=1000)
 
 
 def _sql_realtext_zipf_fit(sf_dir=None) -> str:
@@ -5703,7 +5704,7 @@ def q_realtext_langid_confusion(spark, sf_dir):
     from loudml_spark.pipeline.realtext import load_realtext
     from loudml_spark.pipeline.text import langid
 
-    docs = load_realtext(spark)
+    docs = _rebalance(spark, load_realtext(spark))
     out = langid(docs).select("doc_id", "lang_guess")
     return (
         out.join(docs.select("doc_id", "lang"), "doc_id")

@@ -1429,8 +1429,10 @@ def dedup_clusters(
         # materialize ONCE: edges feed every contraction round, and
         # without this the whole upstream pair-generation pipeline
         # (LSH banding, signature UDFs…) re-executes per iteration —
-        # measured 5× the query cost at sf0.1.
-        .localCheckpoint()
+        # measured 5× the query cost at sf0.1.  Lazy: the entry
+        # probe right below is the materializing action (one job
+        # instead of an eager-checkpoint job + the probe job).
+        .localCheckpoint(eager=False)
     )
     # every node mentioned in a pair must come back labeled, even if
     # contraction erases its edges (the component min itself)
@@ -1465,7 +1467,11 @@ def dedup_clusters(
     first_edges = edges
     prev = None
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint()
+        # lazy: the per-round probe is the materializing action —
+        # one job per contraction round instead of two; the
+        # superseded round is released after the probe as before
+        edges = _small_star(_large_star(edges)) \
+            .localCheckpoint(eager=False)
         rounds += 1
         new_sig = _probe(edges)
         if prev is not None and prev is not first_edges:
@@ -2167,10 +2173,18 @@ def lsh_recall_audit(
     WHY LSH exists) — run the audit on a bounded slice, like every
     acceptance gate here.
     """
-    sets = df.select(
-        F.col(id_col).alias("id"),
-        shingle_hashes_col(F.col(text_col), n).alias("sh"),
-    )
+    # the SAME persisted (id, sh, sig) frame minhash_lsh_pairs builds
+    # internally: Spark's cache manager dedups identical logical
+    # plans, so the dominant Arrow shingle pass runs ONCE into the
+    # cache and all four consumers (grams, both set-attach sides, and
+    # the banding inside minhash_lsh_pairs) scan it — the previous
+    # pure-Column shingle_hashes_col formulation re-evaluated the
+    # interpreted char-fold rolling hash in each of three subtrees
+    # (identical integer results; array order differs only in
+    # distinct-ordering, which explode/array_intersect consumers
+    # cannot observe)
+    sets = shingle_signatures(
+        df, text_col, id_col, n=n, persist=True).select("id", "sh")
     grams = sets.select("id", F.explode("sh").alias("h"))
     cand = (
         grams.alias("a")

@@ -104,7 +104,11 @@ def pagerank(
                                   F.col(src_col).alias("dst"),
                                   w.alias("w")))
         .distinct()
-        .localCheckpoint()          # reused every iteration
+        # lazy: the next action (the weighted-input validation agg,
+        # else nodes.count()) scans sym and materializes the
+        # checkpoint as a side effect — same blocks pinned, one
+        # fewer job than an eager checkpoint + separate action
+        .localCheckpoint(eager=False)   # reused every iteration
     )
     if weight_col:
         # one agg over the just-materialized checkpoint: duplicate
@@ -387,7 +391,9 @@ def component_stats(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()              # labels + edge join reuse it
+        # lazy: dedup_clusters' entry probe is the next action and
+        # scans e — it materializes the checkpoint (one fewer job)
+        .localCheckpoint(eager=False)   # labels + edge join reuse it
     )
     cc_stats: dict = {}
     labels = dedup_clusters(e.selectExpr("a as id_a", "b as id_b"),
@@ -482,11 +488,14 @@ def kcore_numbers(
     sym = (
         e.select("a", "b")
         .union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .localCheckpoint()          # reused every round
+        # lazy: the initial probe below scans values ← deg ← sym and
+        # materializes both checkpoints in ONE job (previously an
+        # eager sym job + an eager values job + the probe job)
+        .localCheckpoint(eager=False)   # reused every round
     )
     deg = sym.groupBy("a").agg(F.count("*").cast("int").alias("v")) \
         .withColumnRenamed("a", "id")
-    values = deg.localCheckpoint()
+    values = deg.localCheckpoint(eager=False)
 
     def _probe(df: DataFrame) -> tuple:
         row = df.agg(
@@ -514,11 +523,16 @@ def kcore_numbers(
             .agg(F.max(F.least(F.col("vn"), F.col("r")))
                  .cast("int").alias("v"))
             .withColumnRenamed("a", "id")
-            .localCheckpoint()
+            # lazy: the per-round probe below is the action that
+            # materializes this round's checkpoint — one job per
+            # round instead of two.  The superseded round releases
+            # only AFTER the probe (materializing the new round
+            # scans prev through the join) — same O(1) storage.
+            .localCheckpoint(eager=False)
         )
+        new_sig = _probe(values)
         release_checkpoint(prev)
         prev = values
-        new_sig = _probe(values)
         if new_sig == sig:
             converged = True
             break
@@ -585,7 +599,12 @@ def incremental_components(
     # contract): endpoint extraction, both quotient-edge joins and
     # the fresh-node branch all scan it — without this each subtree
     # re-executes the caller's (possibly expensive) pair pipeline
-    delta_pairs = delta_pairs.select(src_col, dst_col).localCheckpoint()
+    # lazy: the first action (dedup_clusters' entry probe on the
+    # quotient edges) scans the delta and materializes the
+    # checkpoint; every other consumer subtree then reuses the
+    # cached blocks — one fewer job than an eager checkpoint
+    delta_pairs = delta_pairs.select(src_col, dst_col) \
+        .localCheckpoint(eager=False)
     ends = (
         delta_pairs.select(F.col(src_col).alias("__e"))
         .unionByName(delta_pairs.select(F.col(dst_col).alias("__e")))
