@@ -41,19 +41,20 @@ def main():
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing floor (guide §2.2/§2.5): with
-        # parallelismFirst (default true) the coalesce target is
-        # max(stage_bytes / parallelism, minPartitionSize).  The
-        # 1 MB default floor only ever BINDS on stages whose whole
-        # input is ~1 MB — i.e. never at production scale, but at
-        # bench scale it collapses CPU-heavy verify stages (LSH
-        # jaccard verification, hamming re-rank) to ONE task and
-        # serializes them regardless of core count, which also
-        # poisons the core-scaling measurement.  16k keeps tiny
-        # stages parallel while leaving large-scale coalescing
-        # (driven by the bytes/parallelism term) untouched.
+        # AQE coalescing floor: Spark's default (1m).  A 16k floor was
+        # tried here (it keeps ~MB-scale CPU-heavy stages parallel),
+        # but measured A/B it is a catastrophic net loss: iterative
+        # graph/clustering queries run hundreds of tiny shuffle
+        # stages, and the floor turns each from 1 task into ~32,
+        # multiplying scheduling overhead (pagerank_sim_docs 10.7 s →
+        # 23.7 s min, 17 s → 43 s median; the graph+kmeans slice
+        # >4× slower overall — OPTIMIZATION_r12.md).  Stages that
+        # genuinely need parallelism on tiny-but-expensive frames get
+        # it explicitly in the operator (the `_rebalance` idiom),
+        # which is targeted and scale-neutral.  Env knob kept for
+        # experiments only.
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-                os.environ.get("SPARK_GRAFT_MIN_COALESCE", "16k"))
+                os.environ.get("SPARK_GRAFT_MIN_COALESCE", "1m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory",

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from loudml_spark import errors
 
@@ -546,6 +547,25 @@ def kmeans_fit(
     else:
         raise errors.Invalid(
             f"seed_rule must be 'hash' or 'lowest_id', got {seed_rule!r}")
+    # persist the projected vectors ONCE for the whole fit: the seed
+    # scan plus every Lloyd pass reads the same (id, vec) frame, and
+    # without this each of the max_iters+1 actions re-scans (and
+    # re-decodes the float arrays from) the source — at scale that is
+    # max_iters redundant full corpus reads (guide: cache only what
+    # is reused AND expensive to recompute; unpersisted in `finally`)
+    data = df.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _kmeans_fit_loop(
+            data, k=k, max_iters=max_iters, tol=tol, vec_col=vec_col,
+            id_col=id_col, seed_order=seed_order)
+    finally:
+        data.unpersist()
+
+
+def _kmeans_fit_loop(df, *, k, max_iters, tol, vec_col, id_col,
+                     seed_order):
+    from loudml_spark import errors
+
     seeds = (
         df.select(id_col, vec_col).orderBy(*seed_order)
         .limit(k).collect())

@@ -104,44 +104,60 @@ def pagerank(
                                   F.col(src_col).alias("dst"),
                                   w.alias("w")))
         .distinct()
-        # lazy: the next action (the weighted-input validation agg,
-        # else nodes.count()) scans sym and materializes the
-        # checkpoint as a side effect — same blocks pinned, one
-        # fewer job than an eager checkpoint + separate action
-        .localCheckpoint(eager=False)   # reused every iteration
+        # lazy: the combined probe below scans symw → sym and
+        # materializes both checkpoints in one job — same blocks
+        # pinned, one fewer job than an eager checkpoint + action
+        .localCheckpoint(eager=False)
     )
-    if weight_col:
-        # one agg over the just-materialized checkpoint: duplicate
-        # (src,dst) pairs with differing rounded weights survive the
-        # distinct() above as parallel edges (corrupting W(u) and the
-        # rank sum), and nonpositive/null weights corrupt or zero
-        # W(u) — both are input errors, not graphs
-        chk = sym.agg(
-            F.count("*").alias("rows"),
-            F.count_distinct("src", "dst").alias("pairs"),
-            F.count("w").alias("nonnull"),
-            F.min("w").alias("wmin")).first()
-        if chk["nonnull"] != chk["rows"]:
-            raise errors.Invalid(
-                f"{weight_col!r} has {chk['rows'] - chk['nonnull']} "
-                "null weights — every edge must carry a weight")
-        if chk["pairs"] != chk["rows"]:
-            raise errors.Invalid(
-                f"{chk['rows'] - chk['pairs']} duplicate "
-                f"({src_col},{dst_col}) pairs with differing "
-                f"{weight_col!r} values (at 6dp) — dedupe per pair "
-                "(e.g. max/avg weight) before pagerank")
-        if chk["wmin"] is not None and chk["wmin"] <= 0.0:
-            raise errors.Invalid(
-                f"nonpositive edge weight {chk['wmin']} in "
-                f"{weight_col!r} — weights must be > 0")
     # W(u): exact DECIMAL sum of (already-rounded) edge weights —
-    # with w ≡ 1 this is exactly the integer degree
+    # with w ≡ 1 this is exactly the integer degree.  W(u) is
+    # attached to every edge ONCE and the (src, dst, w, wsum) frame
+    # checkpointed: the power loop used to join `deg` back per
+    # iteration, re-running this aggregation over the full edge
+    # frame n_iter times (guide §2.4 — do keyed work once, reuse the
+    # exchange).  The SAME wsum doubles feed the SAME contribution
+    # expression, so the rank trajectory is bit-identical.
     deg = sym.groupBy("src").agg(
         F.sum(F.col("w").cast("decimal(18,6)")).cast("double")
         .alias("wsum"))
-    nodes = sym.select(F.col("src").alias("id")).distinct()
-    n = nodes.count()
+    symw = sym.join(deg, "src").localCheckpoint(eager=False)
+    # ONE probe materializes symw, validates the weighted-input
+    # contract and counts nodes (previously: validation agg +
+    # nodes.count() = two full-edge actions).  Duplicate (src,dst)
+    # pairs with differing rounded weights survive the distinct()
+    # above as parallel edges (corrupting W(u) and the rank sum),
+    # and nonpositive/null weights corrupt or zero W(u) — both are
+    # input errors, not graphs.
+    aggs = [F.count_distinct("src").alias("n_nodes")]
+    if weight_col:
+        aggs += [F.count("*").alias("rows"),
+                 F.count_distinct("src", "dst").alias("pairs"),
+                 F.count("w").alias("nonnull"),
+                 F.min("w").alias("wmin")]
+    chk = symw.agg(*aggs).first()
+    # symw is materialized now; sym's blocks are dead either way
+    release_checkpoint(sym)
+    if weight_col:
+        try:
+            if chk["nonnull"] != chk["rows"]:
+                raise errors.Invalid(
+                    f"{weight_col!r} has {chk['rows'] - chk['nonnull']} "
+                    "null weights — every edge must carry a weight")
+            if chk["pairs"] != chk["rows"]:
+                raise errors.Invalid(
+                    f"{chk['rows'] - chk['pairs']} duplicate "
+                    f"({src_col},{dst_col}) pairs with differing "
+                    f"{weight_col!r} values (at 6dp) — dedupe per pair "
+                    "(e.g. max/avg weight) before pagerank")
+            if chk["wmin"] is not None and chk["wmin"] <= 0.0:
+                raise errors.Invalid(
+                    f"nonpositive edge weight {chk['wmin']} in "
+                    f"{weight_col!r} — weights must be > 0")
+        except errors.Invalid:
+            release_checkpoint(symw)
+            raise
+    n = chk["n_nodes"]
+    nodes = symw.select(F.col("src").alias("id")).distinct()
     if n == 0:
         return nodes.withColumn("pagerank", F.lit(None).cast("double"))
 
@@ -158,8 +174,7 @@ def pagerank(
     prev = None
     for _ in range(n_iter):
         contrib = (
-            sym.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(deg, "src")
+            symw.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
                 F.col("dst").alias("id"),
                 F.round(cexpr, round_to).cast(dec).alias("c"),
@@ -188,8 +203,8 @@ def pagerank(
         release_checkpoint(prev)    # no-op on the first iteration
         prev = ranks
     # the returned frame scans only the final rank checkpoint — the
-    # edge frame (and deg/nodes derived from it) is dead now
-    release_checkpoint(sym)
+    # edge+wsum frame (and nodes derived from it) is dead now
+    release_checkpoint(symw)
     return ranks.select("id", F.col("r").alias("pagerank"))
 
 
@@ -291,18 +306,30 @@ def triangle_stats(
     for c in (src_col, dst_col):
         if c not in pairs.columns:
             raise errors.Invalid(f"missing column {c!r}")
+    # checkpoint discipline: `e` is consumed by both union branches,
+    # `deg` by three subtrees and `eo` by three (both wedge sides +
+    # the closure join).  Without materialization every reference
+    # re-expands the CALLER'S pair pipeline — for the LSH near-dup
+    # graph that was a 5000-line / 394-Exchange plan re-running the
+    # Arrow shingle pass 160× (plans/r12/triangle_stats_docs_*).
+    # Lazy checkpoints share one RDD per frame, the single eager
+    # materialization of the (node-sized) result computes them all
+    # exactly once, and every pinned block is released before
+    # returning (the component_stats lifecycle).
     e = (
         pairs.select(
             F.least(F.col(src_col), F.col(dst_col)).alias("a"),
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     und = e.select("a", "b").union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = und.groupBy("a").agg(
         F.count("*").cast("long").alias("degree")) \
-        .withColumnRenamed("a", "id")
+        .withColumnRenamed("a", "id") \
+        .localCheckpoint(eager=False)
     # orient each undirected edge from its lower-(degree, id)
     # endpoint: keeps exactly one direction per edge and bounds
     # every out-degree by O(sqrt(m))
@@ -316,6 +343,7 @@ def triangle_stats(
                 | ((F.col("__da") == F.col("__db"))
                    & (F.col("a") < F.col("b"))))
         .select("a", "b")
+        .localCheckpoint(eager=False)
     )
     wedges = (
         eo.alias("x")
@@ -332,7 +360,7 @@ def triangle_stats(
         .groupBy("id")
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
-    return (
+    out = (
         deg.join(per_node, "id", "left")
         .select(
             "id", "degree",
@@ -343,7 +371,12 @@ def triangle_stats(
                 2.0 * F.coalesce("n_triangles", F.lit(0))
                 / (F.col("degree") * (F.col("degree") - 1)))
             .otherwise(F.lit(0.0)).alias("coeff"))
+        # one row per node — materialize, then release everything
+        .localCheckpoint()
     )
+    for f in (e, deg, eo):
+        release_checkpoint(f)
+    return out
 
 
 def component_stats(
