@@ -88,12 +88,16 @@ def main():
         if not only or any(name.startswith(p) for p in only)
     }
     samples: dict[str, list[float]] = {}
-    for _ in range(reps):
+    for rep in range(reps):
         for name, spec in bench_queries.items():
+            # label the jobs (guide §1.5) so the UI/event log maps
+            # stages back to catalog queries
+            spark.sparkContext.setJobDescription(f"{name} (rep {rep})")
             t0 = time.perf_counter()
             df = spec["fn"](spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             samples.setdefault(name, []).append(time.perf_counter() - t0)
+    spark.sparkContext.setJobDescription(None)
 
     from loudml_spark.catalog import release_caches
 

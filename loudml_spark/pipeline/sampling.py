@@ -629,18 +629,35 @@ def excess_loss_weights(
     if eta < 0:
         raise errors.Invalid(f"eta must be >= 0, got {eta}")
     loss_dec = F.round(F.col(loss_col), 6).cast("decimal(18,6)")
-    g = df.agg(
-        F.round(F.sum(loss_dec).cast("double") / F.count("*"), 6)
-        .alias("baseline"),
-        F.sum(size_col).alias("tok")).first()
+    # ONE corpus pass: reduce to the |domains| frame first (carrying
+    # the exact DECIMAL loss sums), persist it, and derive the
+    # global baseline FROM it — Σ_domains sum_d is the same exact
+    # DECIMAL total as the previous whole-frame probe (addition is
+    # exact and order-independent), so baseline/total_tokens are
+    # bit-identical while the corpus-scan count drops from two to
+    # one (guide §2.4: aggregate before you probe).
+    from pyspark import StorageLevel
+
+    from loudml_spark.pipeline.dedup import _persist_bounded
+
+    per0 = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(size_col).cast("long").alias("n_tokens"),
+        F.sum(loss_dec).alias("__sum_loss"),
+        F.sum(size_col).alias("__tok_raw"))
+    per0 = per0.persist(StorageLevel.MEMORY_AND_DISK)
+    _persist_bounded(per0)
+    g = per0.agg(
+        F.round(F.sum("__sum_loss").cast("double")
+                / F.sum("n_docs"), 6).alias("baseline"),
+        F.sum("__tok_raw").alias("tok")).first()
     if g["tok"] is None:
         raise errors.Invalid("corpus is empty")
     baseline = float(g["baseline"])
     total_tokens = int(g["tok"])
-    per = df.groupBy(domain_col).agg(
-        F.count("*").alias("n_docs"),
-        F.sum(size_col).cast("long").alias("n_tokens"),
-        F.round(F.sum(loss_dec).cast("double") / F.count("*"), 6)
+    per = per0.select(
+        domain_col, "n_docs", "n_tokens",
+        F.round(F.col("__sum_loss").cast("double") / F.col("n_docs"), 6)
         .alias("mean_loss"))
     excess = F.round(F.greatest(
         F.col("mean_loss") - F.lit(baseline), F.lit(0.0)), 6)
