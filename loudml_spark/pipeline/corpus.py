@@ -941,6 +941,13 @@ def textrank_keywords(
         "u", "v",
         (F.col("c").cast("double") / F.col("w").cast("double"))
         .alias("p")).persist(StorageLevel.MEMORY_AND_DISK)
+    # register in the bounded LRU: the lazy-return contract means the
+    # operator cannot unpersist e itself (the caller's action is what
+    # materializes the iteration chain), so without registration each
+    # call leaks one pinned vocab-sized frame until session teardown
+    from loudml_spark.pipeline.dedup import _persist_bounded
+
+    _persist_bounded(e)
     n = e.select("u").distinct().count()
     if n == 0:
         e.unpersist()

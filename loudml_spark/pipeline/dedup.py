@@ -58,14 +58,25 @@ def _shingle_index_col(w: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<int>"))
 
 
-_PERSISTED: list = []
-# bound on simultaneously persisted LSH frames: each call persists a
-# fresh (id, sh, sig) frame (the dominant-size intermediate), so a
-# repeated caller (bench reps, a long-lived service) would otherwise
-# accumulate them until an explicit release.  Evicting the OLDEST
+_PERSISTED: list = []  # [(semantic_hash, df)] — LRU, most recent last
+# Bound on simultaneously persisted operator frames, so a repeated
+# caller (bench reps, a long-lived service) doesn't accumulate them
+# until an explicit release.  Evicting the LEAST-RECENTLY-registered
 # beyond this cap is always correct — an evicted frame still
 # referenced by a live plan is simply recomputed on next use.
-_PERSIST_CAP = 2
+#
+# Sized for the CURRENT registry population, not just the LSH
+# signature frame it was built for: the LM-family count frames
+# (bigram cu/cb, unigram cnt, bm25 doc_len, token_divergence sides,
+# ivf cells, exactsubstr grams) now register here too, ~10 distinct
+# frames live across a catalog pass.  The original cap of 2 made
+# every LM query evict the LSH signature cache, so each graph-family
+# consumer re-ran the dominant Arrow shingle pass (measured: the
+# whole LSH/graph family regressed 1-2 s/query at sf0.1 once the LM
+# persists landed).  Every registered frame is model/vocab/per-doc-
+# scalar sized (the documented bounded-persist class) and
+# MEMORY_AND_DISK, so 16 of them is a trivial footprint at any scale.
+_PERSIST_CAP = 16
 
 
 def posting_pairs(plist: DataFrame, ids_col: str = "ids") -> DataFrame:
@@ -99,9 +110,25 @@ def posting_pairs(plist: DataFrame, ids_col: str = "ids") -> DataFrame:
 
 
 def _persist_bounded(df) -> None:
-    _PERSISTED.append(df)
+    """Register a persisted frame in the capped LRU.
+
+    Dedup by SEMANTIC hash, not object identity: two DataFrame
+    objects with the same analyzed plan (e.g. lsh_recall_audit and
+    minhash_lsh_pairs both building the signature frame) share ONE
+    cache manager entry, and unpersisting the older object would
+    drop the data the newer one still reads.  A re-registration of
+    an already-known plan just refreshes its LRU position."""
+    try:
+        h = df.semanticHash()
+    except Exception:
+        h = id(df)
+    for i, (h0, _) in enumerate(_PERSISTED):
+        if h0 == h:
+            _PERSISTED.append(_PERSISTED.pop(i))
+            return
+    _PERSISTED.append((h, df))
     while len(_PERSISTED) > _PERSIST_CAP:
-        old = _PERSISTED.pop(0)
+        _, old = _PERSISTED.pop(0)
         try:
             old.unpersist()
         except Exception:
@@ -115,7 +142,7 @@ def release_persisted() -> None:
     minhash_lsh_pairs repeatedly are additionally protected by the
     _PERSIST_CAP LRU eviction."""
     while _PERSISTED:
-        df = _PERSISTED.pop()
+        _, df = _PERSISTED.pop()
         try:
             df.unpersist()
         except Exception:
