@@ -79,6 +79,50 @@ _PERSISTED: list = []  # [(semantic_hash, df)] — LRU, most recent last
 _PERSIST_CAP = 16
 
 
+def verify_spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Explicitly repartition a candidate-id frame before an exact
+    verify stage (Jaccard / Levenshtein / cosine over the attached
+    payloads).
+
+    Why: AQE coalesces post-shuffle partitions by BYTES, and a
+    deduped candidate-pair frame is a few bytes per row — so the
+    exchange feeding the verify collapses to 1-3 tasks while the
+    verify itself (array_intersect over shingle sets, bounded edit
+    distance, ...) is the pipeline's dominant CPU stage.  Measured at
+    sf0.1: the warm LSH pair verify runs 2.4 s with full parallelism
+    vs 5-13 s when AQE serializes it (OPTIMIZATION_r12.md C9).
+    Bytes-based coalescing cannot see CPU density; the session-wide
+    floor was tried and reverted (C1) — the targeted, scale-neutral
+    form is an explicit numbered repartition at exactly the stages
+    known to be CPU-heavy, which AQE leaves alone.
+
+    Scale shape: the exchange carries only the deduped id pairs
+    (~16 bytes/row).  On a real cluster the attach joins stop being
+    broadcasts and re-shuffle by id anyway (their exchanges are sized
+    by AQE on the payload bytes), so this pins parallelism exactly
+    where the small-frame/broadcast regime needs it and is noise
+    elsewhere.  Partition count = max(total cores, the session's
+    configured shuffle parallelism) — both scale-adaptive knobs, no
+    constant tuned to this host.
+
+    ROUND-ROBIN, deliberately: a keyed ``repartition(p, id_a, id_b)``
+    directly over the pair dedup produces exactly the partitioning
+    the dedup exchange already has, so the planner ELIDES it and AQE
+    coalesces the surviving dedup exchange anyway (verified in the
+    executed plan — the repartition was gone and the save stage ran
+    1 task).  RoundRobinPartitioning never satisfies a hash
+    requirement, so the exchange survives, and REPARTITION_BY_NUM is
+    exempt from AQE coalescing; balance is perfect by construction.
+    ``key_cols`` is kept for documentation of what the frame carries.
+    Retry-safe: sortBeforeRepartition (default on) makes round-robin
+    deterministic under task retry; values are unaffected either way
+    (per-row verify, order-independent downstream aggregates)."""
+    spark = df.sparkSession
+    p = max(spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions", "200")))
+    return df.repartition(p)
+
+
 def posting_pairs(plist: DataFrame, ids_col: str = "ids") -> DataFrame:
     """Explode a posting-list frame (one array-of-ids row per key)
     into canonicalized candidate pairs ``(id_a, id_b)``.
@@ -497,6 +541,10 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    # keep the verify stage parallel: AQE would coalesce the deduped
+    # id-pair exchange to 1-3 tasks by bytes and serialize the exact
+    # Jaccard below (see verify_spread)
+    cand_ids = verify_spread(cand_ids, "id_a", "id_b")
     sets = sig.select("id", "sh")
     cand = (
         cand_ids
@@ -616,6 +664,7 @@ def incremental_minhash_pairs(
         )
         .dropDuplicates(["corpus_id", "new_id"])
     )
+    cand = verify_spread(cand, "corpus_id", "new_id")
     pairs = (
         cand
         .join(sig_corpus.select(F.col("id").alias("corpus_id"),
@@ -1178,7 +1227,9 @@ def ngram_jaccard_pairs_indexed(
         .groupBy("s").agg(F.collect_list("id").alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    cand = posting_pairs(plist).dropDuplicates(["id_a", "id_b"])
+    cand = verify_spread(
+        posting_pairs(plist).dropDuplicates(["id_a", "id_b"]),
+        "id_a", "id_b")
     verified = (
         cand.join(sets.select(F.col("id").alias("id_a"),
                               F.col("sh").alias("sh_a")), "id_a")
@@ -2222,6 +2273,7 @@ def lsh_recall_audit(
                 F.col("b.id").alias("id_b"))
         .distinct()
     )
+    cand = verify_spread(cand, "id_a", "id_b")
     sa = sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     truth = (

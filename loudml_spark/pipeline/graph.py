@@ -97,12 +97,22 @@ def pagerank(
     # W(u), and DECIMAL(18,6) accumulation of it is exact
     w = (F.round(F.col(weight_col).cast("double"), 6) if weight_col
          else F.lit(1.0))
+    # EAGER checkpoint of the projected edge frame BEFORE
+    # symmetrizing: the two union branches are separate subtrees, so
+    # a lazy checkpoint materializes them as racing tasks in ONE job
+    # and the CALLER's pair pipeline (for the LSH near-dup graph, the
+    # exact-Jaccard verify — measured ~185 CPU-s per evaluation at
+    # sf0.1) evaluates up to twice.  One bounded extra job computes
+    # it exactly once with full parallelism; both branches then read
+    # the cached blocks (guide §1.2: don't compute things twice).
+    e = edges.select(F.col(src_col).alias("src"),
+                     F.col(dst_col).alias("dst"),
+                     w.alias("w")).localCheckpoint()
     sym = (
-        edges.select(F.col(src_col).alias("src"),
-                     F.col(dst_col).alias("dst"), w.alias("w"))
-        .unionByName(edges.select(F.col(dst_col).alias("src"),
-                                  F.col(src_col).alias("dst"),
-                                  w.alias("w")))
+        e
+        .unionByName(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst"),
+                              F.col("w")))
         .distinct()
         # lazy: the combined probe below scans symw → sym and
         # materializes both checkpoints in one job — same blocks
@@ -135,8 +145,9 @@ def pagerank(
                  F.count("w").alias("nonnull"),
                  F.min("w").alias("wmin")]
     chk = symw.agg(*aggs).first()
-    # symw is materialized now; sym's blocks are dead either way
+    # symw is materialized now; sym's and e's blocks are dead either way
     release_checkpoint(sym)
+    release_checkpoint(e)
     if weight_col:
         try:
             if chk["nonnull"] != chk["rows"]:
@@ -322,7 +333,12 @@ def triangle_stats(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        # EAGER: `und`'s two union branches are separate subtrees
+        # racing to materialize a lazy checkpoint inside one job —
+        # the caller's pair pipeline (the dominant cost for LSH
+        # graphs) would evaluate up to twice.  One bounded job
+        # computes it exactly once (the pagerank rationale).
+        .localCheckpoint()
     )
     und = e.select("a", "b").union(
         e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -517,6 +533,10 @@ def kcore_numbers(
             F.greatest(F.col(src_col), F.col(dst_col)).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # EAGER: sym's two union branches would otherwise race to
+        # evaluate the caller's pair pipeline twice inside the first
+        # probe job (the pagerank rationale)
+        .localCheckpoint()
     )
     sym = (
         e.select("a", "b")
@@ -542,6 +562,8 @@ def kcore_numbers(
     w = Window.partitionBy("a").orderBy(F.col("vn").desc(),
                                         F.col("b").asc())
     sig = _probe(values)
+    # sym (and values) are materialized by the probe — e is dead now
+    release_checkpoint(e)
     prev = values
     converged = False
     for _ in range(max_iter):
@@ -631,13 +653,15 @@ def incremental_components(
     # materialize the ingest batch ONCE (it is ingest-batch-sized by
     # contract): endpoint extraction, both quotient-edge joins and
     # the fresh-node branch all scan it — without this each subtree
-    # re-executes the caller's (possibly expensive) pair pipeline
-    # lazy: the first action (dedup_clusters' entry probe on the
-    # quotient edges) scans the delta and materializes the
-    # checkpoint; every other consumer subtree then reuses the
-    # cached blocks — one fewer job than an eager checkpoint
+    # re-executes the caller's (possibly expensive) pair pipeline.
+    # EAGER: the first action reaches the delta through SEVERAL
+    # subtrees at once (ends' two union branches, both quotient-edge
+    # joins), and a lazy checkpoint materializes those as racing
+    # tasks in one job — the caller's pipeline (e.g. an LSH verify)
+    # evaluates up to once per subtree.  One bounded job runs it
+    # exactly once (the pagerank rationale).
     delta_pairs = delta_pairs.select(src_col, dst_col) \
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     ends = (
         delta_pairs.select(F.col(src_col).alias("__e"))
         .unionByName(delta_pairs.select(F.col(dst_col).alias("__e")))

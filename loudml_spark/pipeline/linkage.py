@@ -143,11 +143,16 @@ def fuzzy_self_pairs(
     # per-list quadratic is output-bound; max_variant_df caps it, and
     # the streamed two-level explosion (posting_pairs) bounds per-row
     # memory at O(|ids|) even without the cap.
-    from loudml_spark.pipeline.dedup import posting_pairs
+    from loudml_spark.pipeline.dedup import (posting_pairs,
+                                             verify_spread)
 
     plist = posting.groupBy("vh").agg(
         F.collect_list("id").alias("ids")).filter(F.size("ids") >= 2)
-    cand = posting_pairs(plist).distinct()
+    # keep the Levenshtein verify parallel: AQE coalesces the deduped
+    # id-pair exchange by bytes and would serialize it (dedup.py
+    # verify_spread)
+    cand = verify_spread(posting_pairs(plist).distinct(),
+                         "id_a", "id_b")
     names = df.select(F.col(id_col).alias("__id"),
                       F.col(text_col).alias("__t"))
     dist = F.levenshtein(
@@ -192,6 +197,9 @@ def fuzzy_join(
         .select(F.col("a.id").alias("id_l"),
                 F.col("b.id").alias("id_r")) \
         .distinct()
+    from loudml_spark.pipeline.dedup import verify_spread
+
+    cand = verify_spread(cand, "id_l", "id_r")
     nl = left.select(F.col(left_id).alias("__id"),
                      F.col(left_text).alias("__t"))
     nr = right.select(F.col(right_id).alias("__id"),
