@@ -5020,7 +5020,7 @@ def q_semantic_decontaminate_emb(spark, sf_dir):
     map-side max per id."""
     from loudml_spark.pipeline.similarity import semantic_decontaminate
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _rebalance(spark, load_table(spark, sf_dir, "embeddings"))
     return semantic_decontaminate(
         emb.filter("vec_id >= 20"),
         emb.filter("vec_id < 20").select(
@@ -5955,7 +5955,7 @@ def q_realemb_dup_recovery(spark, sf_dir):
     from loudml_spark.pipeline.similarity import (
         semdedup_n_centroids, semdedup_pairs)
 
-    emb = load_realemb(spark)
+    emb = _rebalance(spark, load_realemb(spark))
     pairs = semdedup_pairs(
         emb.select("vec_id", "embedding"), threshold=RE_DUP_TAU,
         n_centroids=semdedup_n_centroids(N_VECS))
