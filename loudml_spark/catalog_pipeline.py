@@ -951,6 +951,62 @@ def q_minhash_lsh_pairs_docs(spark, sf_dir):
     return minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
 
 
+def _lsh_pairs_cached(spark, sf_dir):
+    """The verified >= 0.8 MinHash-LSH pair frame over the doc_id <
+    1000 slice — the near-dup EDGE LIST that seven consumers share
+    (pagerank ×2, triangle_stats, the component census, kcore,
+    incremental components, and the cluster frame).
+
+    Persisted MEMORY_AND_DISK and registered in the bounded
+    semantic-hash LRU (pipeline/dedup._persist_bounded): the
+    consumers share ONE build of the banding + exact-verify pipeline
+    per session instead of each re-running the exact-Jaccard verify
+    (the family's dominant CPU stage, ~2.4 s warm at sf0.1 — so the
+    graph family re-paid it up to 6×/pass) — the same
+    operator-internal reuse the (id, sh, sig) signature frame
+    already gets.  The frame is the pair pipeline's OUTPUT (one row
+    per verified pair: two ids + a double), disk-backed and
+    LRU-capped, and every bench/oracle invocation still computes it
+    from the parquet inputs inside the timed pass.  The eager count
+    materializes it exactly once before any consumer's plan branches
+    could race to compute-and-cache the same partitions (the
+    _shingle_sig_frame rationale)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from loudml_spark.pipeline.dedup import _persist_bounded
+
+    docs = _rebalance(
+        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
+    )
+    pairs = (
+        minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    _persist_bounded(pairs)
+    pairs.count()
+    return pairs
+
+
+def _share_spans(spans):
+    """Persist a spans frame (one row per flagged doc) that BOTH its
+    own catalog query and its excision twin consume — each of the
+    four spans→surgery pairs (contamination_spans→excise_contamination,
+    leak_spans→excise_leaks, the seeded pair, repeated_spans→
+    trim_repeated) otherwise re-runs the whole gram-match pipeline
+    inside the excision query.  Registered in the bounded
+    semantic-hash LRU; LAZY persist, deliberately: every consumer's
+    plan scans the spans frame exactly once (excise_spans groups it
+    then left-joins), so the first action materializes the cache
+    with no racing branches and no extra count job."""
+    from pyspark.storagelevel import StorageLevel
+
+    from loudml_spark.pipeline.dedup import _persist_bounded
+
+    spans = spans.persist(StorageLevel.MEMORY_AND_DISK)
+    _persist_bounded(spans)
+    return spans
+
+
 # CTE chain shared by the pair query and the dedup-cluster oracle
 _SQL_LSH_CTES = f"""sh AS (
   SELECT doc_id, {_SQL_WORD_HASHES} AS sh FROM documents
@@ -1316,7 +1372,7 @@ def _clusters_cached(spark, sf_dir):
             spark,
             load_table(spark, sf_dir, "documents").filter("doc_id < 1000"),
         )
-        pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+        pairs = _lsh_pairs_cached(spark, sf_dir)
         _CACHED_SERIES[key] = dedup_clusters(pairs, docs).cache()
     return _CACHED_SERIES[key]
 
@@ -2964,8 +3020,8 @@ def q_contamination_spans_docs(spark, sf_dir):
     corpus = docs.filter("doc_id >= 20")
     bench = docs.filter("doc_id < 20").select(
         F.col("doc_id").alias("bench_id"), "text")
-    return benchmark_overlap_spans(
-        corpus, bench, n=3, min_overlap=8)
+    return _share_spans(benchmark_overlap_spans(
+        corpus, bench, n=3, min_overlap=8))
 
 
 SQL_CONTAMINATION_SPANS_DOCS = f"""
@@ -3061,7 +3117,8 @@ def q_leak_spans_docs(spark, sf_dir):
     corpus = docs.filter("doc_id >= 20")
     bench = docs.filter("doc_id < 20").select(
         F.col("doc_id").alias("bench_id"), "text")
-    return benchmark_leak_spans(corpus, bench, n=3, min_overlap=8)
+    return _share_spans(
+        benchmark_leak_spans(corpus, bench, n=3, min_overlap=8))
 
 
 SQL_LEAK_SPANS_DOCS = f"""
@@ -3210,7 +3267,8 @@ def q_leak_spans_seeded(spark, sf_dir):
     from loudml_spark.pipeline.dedup import benchmark_leak_spans
 
     seeded, bench = _seeded_multileak(spark, sf_dir)
-    return benchmark_leak_spans(seeded, bench, n=3, min_overlap=8)
+    return _share_spans(
+        benchmark_leak_spans(seeded, bench, n=3, min_overlap=8))
 
 
 SQL_LEAK_SPANS_SEEDED = f"""
@@ -3325,7 +3383,7 @@ def q_repeated_spans_docs(spark, sf_dir):
     from loudml_spark.pipeline.dedup import repeated_spans
 
     docs = _rebalance(spark, load_table(spark, sf_dir, "documents"))
-    return repeated_spans(docs, n=10, min_count=2)
+    return _share_spans(repeated_spans(docs, n=10, min_count=2))
 
 
 SQL_REPEATED_SPANS_DOCS = f"""
@@ -4691,10 +4749,7 @@ def q_pagerank_sim_docs(spark, sf_dir):
     oracle unrolls the same 5 iterations over the same edge CTEs."""
     from loudml_spark.pipeline.graph import pagerank
 
-    docs = _rebalance(
-        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
-    )
-    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
                   damping=0.85, n_iter=5)
     return pr.select(F.col("id").alias("doc_id"), "pagerank")
@@ -5179,10 +5234,7 @@ def q_triangle_stats_docs(spark, sf_dir):
     pagerank_sim_docs."""
     from loudml_spark.pipeline.graph import triangle_stats
 
-    docs = _rebalance(
-        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
-    )
-    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     return triangle_stats(pairs).withColumnRenamed("id", "doc_id")
 
 
@@ -5550,10 +5602,7 @@ def q_pagerank_weighted_sim_docs(spark, sf_dir):
     the trajectory is exact cross-engine."""
     from loudml_spark.pipeline.graph import pagerank
 
-    docs = _rebalance(
-        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
-    )
-    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     pr = pagerank(pairs, src_col="id_a", dst_col="id_b",
                   weight_col="jaccard", damping=0.85, n_iter=5)
     return pr.select(F.col("id").alias("doc_id"), "pagerank")
@@ -5582,10 +5631,7 @@ def q_graph_components_docs(spark, sf_dir):
     one label-keyed rollup + one edge equi-join."""
     from loudml_spark.pipeline.graph import component_stats
 
-    docs = _rebalance(
-        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
-    )
-    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     return component_stats(pairs)
 
 
@@ -6357,10 +6403,7 @@ def q_graph_kcore_docs(spark, sf_dir):
     different algorithm; agreement is the correctness argument."""
     from loudml_spark.pipeline.graph import kcore_numbers
 
-    docs = _rebalance(
-        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
-    )
-    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8)
+    pairs = _lsh_pairs_cached(spark, sf_dir)
     return kcore_numbers(pairs).withColumnRenamed("id", "doc_id")
 
 
@@ -6432,27 +6475,21 @@ def q_incremental_components_docs(spark, sf_dir):
     components over the FULL pair frame from scratch (recursive-CTE
     closure) — value identity proves the incremental path equals the
     full recompute, which is the operator's entire contract."""
-    from loudml_spark.checkpoint import release_checkpoint
     from loudml_spark.pipeline.dedup import dedup_clusters
     from loudml_spark.pipeline.graph import incremental_components
 
-    docs = _rebalance(
-        spark, load_table(spark, sf_dir, "documents").filter("doc_id < 1000")
-    )
     # one pair generation feeds both the standing and delta branch
     # (in a real service the standing labels are a stored table —
-    # only this demo reconstructs them); released once the eager
-    # incremental result has materialized
-    pairs = minhash_lsh_pairs(docs, n=1, bands=2, threshold=0.8) \
-        .select("id_a", "id_b").localCheckpoint()
+    # only this demo reconstructs them); the shared persisted pair
+    # frame serves every scan, so the per-query localCheckpoint copy
+    # is gone
+    pairs = _lsh_pairs_cached(spark, sf_dir).select("id_a", "id_b")
     standing = pairs.filter(
         (F.col("id_a") < 800) & (F.col("id_b") < 800))
     delta = pairs.filter(
         (F.col("id_a") >= 800) | (F.col("id_b") >= 800))
     labels = dedup_clusters(standing).select("doc_id", "cluster_id")
-    out = incremental_components(labels, delta)
-    release_checkpoint(pairs)
-    return out
+    return incremental_components(labels, delta)
 
 
 SQL_INCREMENTAL_COMPONENTS_DOCS = f"""

@@ -372,6 +372,17 @@ def kmv_jaccard(
     w = Window.partitionBy("__set").orderBy("__h")
     sk = hashes.withColumn("__rn", F.row_number().over(w)) \
         .filter(F.col("__rn") <= k).select("__set", "__h")
+    # persist the sketch: the set-name collect below AND the partner
+    # join both consume it, and without the persist each re-runs the
+    # corpus-scale distinct + per-set rank upstream (guide §5 — the
+    # frame is ≤ k·|sets| rows, the canonical bounded-sketch size;
+    # registered in the capped LRU like every operator-internal cache)
+    from pyspark import StorageLevel
+
+    from loudml_spark.pipeline.dedup import _persist_bounded
+
+    sk = sk.persist(StorageLevel.MEMORY_AND_DISK)
+    _persist_bounded(sk)
     sets = [r["__set"] for r in sk.select("__set").distinct().collect()]
     sets.sort()
     if len(sets) < 2:

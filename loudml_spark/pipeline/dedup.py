@@ -68,15 +68,19 @@ _PERSISTED: list = []  # [(semantic_hash, df)] — LRU, most recent last
 # Sized for the CURRENT registry population, not just the LSH
 # signature frame it was built for: the LM-family count frames
 # (bigram cu/cb, unigram cnt, bm25 doc_len, token_divergence sides,
-# ivf cells, exactsubstr grams) now register here too, ~10 distinct
-# frames live across a catalog pass.  The original cap of 2 made
+# ivf cells, exactsubstr grams), the shared LSH pair frame and the
+# four spans frames (contamination/leak/seeded-leak/repeated — each
+# shared with its excision twin) now register here too, ~20 distinct
+# plans live across a catalog pass.  The original cap of 2 made
 # every LM query evict the LSH signature cache, so each graph-family
 # consumer re-ran the dominant Arrow shingle pass (measured: the
 # whole LSH/graph family regressed 1-2 s/query at sf0.1 once the LM
-# persists landed).  Every registered frame is model/vocab/per-doc-
-# scalar sized (the documented bounded-persist class) and
-# MEMORY_AND_DISK, so 16 of them is a trivial footprint at any scale.
-_PERSIST_CAP = 16
+# persists landed) — the cap must exceed the live population or the
+# LRU thrashes exactly the frames it exists to keep.  Every
+# registered frame is model/vocab/result-sized (the documented
+# bounded-persist class) and MEMORY_AND_DISK, so 32 of them is a
+# trivial footprint at any scale.
+_PERSIST_CAP = 32
 
 
 def verify_spread(df: DataFrame, *key_cols: str) -> DataFrame:

@@ -366,20 +366,44 @@ def embedding_outlier_scores(
     return out
 
 
-def _dist2_col(vec: Column, centroid: list) -> Column:
-    """Squared L2 distance between a vector column and a literal
-    centroid — a LEFT FOLD over zip_with so the addition order is
-    fixed and identical to the oracle's list_reduce (cross-engine
-    bit-parity of the argmin comparisons)."""
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(
-            vec, lit,
-            lambda a, b: (a.cast("double") - b)
-            * (a.cast("double") - b)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+def _dist_structs_col(vec: Column, centroids: list, *,
+                      sqrt: bool = False) -> Column:
+    """Array of ``(d, c)`` structs — the (squared, or root when
+    ``sqrt``) L2 distance from ``vec`` to EVERY centroid, ``c`` = the
+    centroid's position — the shared input of every argmin /
+    rank-by-distance site (``array_min`` / ``array_sort`` over it).
+    Each distance is a LEFT FOLD over zip_with so the addition order
+    is fixed and identical to the oracle's list_reduce (cross-engine
+    bit-parity of the argmin comparisons).
+
+    ONE ``transform`` lambda over a nested array-of-arrays literal
+    instead of k inlined per-centroid fold copies: per element the
+    arithmetic is expression-identical (same zip_with left fold, same
+    addition order, same double literals), and ``transform``'s index
+    equals the old ``F.lit(cid)`` (both int32, same struct
+    comparison), so ``array_min``/``array_sort`` results are
+    bit-identical — but the expression tree carries the distance
+    machinery ONCE, so analysis + codegen cost is O(k·dim) literal
+    leaves + O(1) lambdas instead of O(k) full fold copies.  That
+    plan cost is what dominated ``kmeans_fit`` wall-clock: each Lloyd
+    iteration plans a fresh tree (new centroid literals), and at
+    bench scale the per-iteration job computes a trivial k·dim
+    aggregate — measured in OPTIMIZATION_r12.md."""
+    cents = F.lit([[float(x) for x in c] for c in centroids])
+
+    def d2(c):
+        return F.aggregate(
+            F.zip_with(
+                vec, c,
+                lambda a, b: (a.cast("double") - b)
+                * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return F.transform(cents, lambda c, i: F.struct(
+        (F.sqrt(d2(c)) if sqrt else d2(c)).alias("d"),
+        i.alias("c")))
 
 
 def kmeans_assign(
@@ -407,12 +431,7 @@ def kmeans_assign(
     if not centroids:
         raise errors.Invalid("centroids must be non-empty")
     vec = F.col(vec_col)
-    best = F.array_min(F.array(*[
-        F.struct(
-            _dist2_col(vec, c).alias("d"),
-            F.lit(cid).alias("c"))
-        for cid, c in enumerate(centroids)
-    ]))
+    best = F.array_min(_dist_structs_col(vec, centroids))
     return df.select(
         id_col,
         best["c"].alias("cluster"),
@@ -453,12 +472,7 @@ def kmeans_step(
     if not centroids:
         raise errors.Invalid("centroids must be non-empty")
     vec = F.col(vec_col)
-    best = F.array_min(F.array(*[
-        F.struct(
-            _dist2_col(vec, c).alias("d"),
-            F.lit(cid).alias("c"))
-        for cid, c in enumerate(centroids)
-    ]))
+    best = F.array_min(_dist_structs_col(vec, centroids))
     assigned = df.select(
         best["c"].alias("cluster"),
         F.round(best["d"], round_to).alias("dist2"),
@@ -575,12 +589,7 @@ def _kmeans_fit_loop(df, *, k, max_iters, tol, vec_col, id_col,
     history = []
     for it in range(max_iters):
         vec = F.col(vec_col)
-        best = F.array_min(F.array(*[
-            F.struct(
-                _dist2_col(vec, c).alias("d"),
-                F.lit(cid).alias("c"))
-            for cid, c in enumerate(centroids)
-        ]))
+        best = F.array_min(_dist_structs_col(vec, centroids))
         assigned = df.select(
             best["c"].alias("cluster"),
             F.round(best["d"], 6).alias("dist2"),
@@ -657,12 +666,7 @@ def kmeans_silhouette(
     if not centroids or len(centroids) < 2:
         raise errors.Invalid("silhouette needs >= 2 centroids")
     vec = F.col(vec_col)
-    dists = F.array_sort(F.array(*[
-        F.struct(
-            F.sqrt(_dist2_col(vec, c)).alias("d"),
-            F.lit(cid).alias("c"))
-        for cid, c in enumerate(centroids)
-    ]))
+    dists = F.array_sort(_dist_structs_col(vec, centroids, sqrt=True))
     a = F.element_at(dists, 1)["d"]
     b = F.element_at(dists, 2)["d"]
     s = F.when(F.greatest(a, b) > 0,
@@ -705,12 +709,7 @@ def davies_bouldin(
     if not centroids or len(centroids) < 2:
         raise errors.Invalid("davies_bouldin needs >= 2 centroids")
     vec = F.col(vec_col)
-    best = F.array_min(F.array(*[
-        F.struct(
-            _dist2_col(vec, c).alias("d"),
-            F.lit(cid).alias("c"))
-        for cid, c in enumerate(centroids)
-    ]))
+    best = F.array_min(_dist_structs_col(vec, centroids))
     per_vec = df.select(
         best["c"].alias("cluster"),
         F.round(F.sqrt(best["d"]), 6).alias("d"))
