@@ -244,11 +244,13 @@ def pca_project(
     product — pure Column math, whole-stage codegen, no UDF."""
     if vec_col not in df.columns:
         raise errors.Invalid(f"missing column {vec_col!r}")
+    from loudml_spark.litexpr import lit_doubles
+
     comps = [[float(x) for x in row] for row in components]
     vec = F.col(vec_col)
     dots = [
         F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in row]),
+            F.zip_with(vec, lit_doubles(row),
                        lambda a, b: a.cast("double") * b),
             F.lit(0.0), lambda acc, x: acc + x)
         for row in comps
@@ -388,8 +390,16 @@ def _dist_structs_col(vec: Column, centroids: list, *,
     plan cost is what dominated ``kmeans_fit`` wall-clock: each Lloyd
     iteration plans a fresh tree (new centroid literals), and at
     bench scale the per-iteration job computes a trivial k·dim
-    aggregate — measured in OPTIMIZATION_r12.md."""
-    cents = F.lit([[float(x) for x in c] for c in centroids])
+    aggregate — measured in OPTIMIZATION_r12.md.
+
+    The literal is built as ONE parsed expression
+    (:mod:`loudml_spark.litexpr`), not ``F.lit(nested_list)``:
+    lit() costs one py4j round trip per element — measured 0.5–0.9 s
+    of pure DRIVER time per k=8×64 argmin construction, paid every
+    Lloyd iteration; the parsed doubles are bit-identical."""
+    from loudml_spark.litexpr import lit_double_rows
+
+    cents = lit_double_rows(centroids)
 
     def d2(c):
         return F.aggregate(
@@ -489,8 +499,9 @@ def kmeans_step(
         .groupBy("cluster", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("m"))
     )
-    old = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+    from loudml_spark.litexpr import lit_double_rows
+
+    old = lit_double_rows(centroids)
     drift = per_dim.withColumn(
         "__o", F.element_at(
             F.element_at(old, F.col("cluster") + 1),
@@ -726,8 +737,9 @@ def davies_bouldin(
                       for a, b in zip(ci, cj))) if i != j else 0.0
         for j, cj in enumerate(centroids)]
         for i, ci in enumerate(centroids)]
-    sep_lit = F.array(*[
-        F.array(*[F.lit(x) for x in row]) for row in sep])
+    from loudml_spark.litexpr import lit_double_rows
+
+    sep_lit = lit_double_rows(sep)
     other = scat.select(
         F.col("cluster").alias("__j"),
         F.col("scatter").alias("__sj"))

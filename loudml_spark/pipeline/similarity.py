@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from loudml_spark.litexpr import lit_doubles
 from loudml_spark.pipeline.dedup import cosine_col
 
 
@@ -118,7 +119,7 @@ def lsh_bucket_col(vec, planes: list[list[float]]):
     """Sign-bucket id: bit i = (vec · plane_i) >= 0."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        lit_plane = lit_doubles(plane)
         dot = F.aggregate(
             F.zip_with(vec, lit_plane,
                        lambda x, y: x.cast("double") * y),
@@ -703,8 +704,8 @@ def sq8_cosine_topk(
     Ranking: rounded score DESC, id ASC; self-matches excluded.
     """
     mins, diffs = sq8_bounds(corpus, vec_col=vec_col)
-    lo = F.array(*[F.lit(x) for x in mins])
-    dd = F.array(*[F.lit(x) for x in diffs])
+    lo = lit_doubles(mins)
+    dd = lit_doubles(diffs)
     vec = F.col(vec_col)
     # decoded vector: lo + floor(clip01((v-lo)/d)*255 + .5)/255 * d
     off = F.zip_with(
@@ -736,7 +737,7 @@ def sq8_cosine_topk(
         for x in qv:          # left fold — matches the SQL reduce
             s += x * x
         qn = s ** 0.5
-        qlit = F.array(*[F.lit(x) for x in qv])
+        qlit = lit_doubles(qv)
         dot = F.aggregate(
             F.zip_with(F.col("__xh"), qlit, lambda a, b: a * b),
             F.lit(0.0), lambda acc, x: acc + x)
@@ -1186,7 +1187,7 @@ def semantic_decontaminate(
         for x in bv:          # left fold — matches the SQL reduce
             s += x * x
         bn = s ** 0.5
-        blit = F.array(*[F.lit(x) for x in bv])
+        blit = lit_doubles(bv)
         per_b.append(F.struct(
             F.lit(bid).alias("bench_id"),
             F.round(dot(vec, blit) / (xn * F.lit(bn)),
