@@ -1487,7 +1487,9 @@ def dedup_clusters(
     checkpoint dir and use checkpoint() for fault tolerance), and the
     convergence probe rides the SAME single action: count plus two
     independent xxhash64 checksums of the edge set (collision odds
-    ~2^-128 — no extra exceptAll shuffle per round at scale).
+    ~2^-128 — no extra exceptAll shuffle per round at scale).  A
+    two-round probe cadence was measured worse — see the loop
+    comment.
     Raises if not converged within ``max_iter`` — a silent partial
     clustering would corrupt a dedup pass downstream.
 
@@ -1548,6 +1550,12 @@ def dedup_clusters(
 
     first_edges = edges
     prev = None
+    # Per-round probing, deliberately: probing every SECOND round
+    # (halving the probe jobs) was measured WORSE — convergence can
+    # then only be detected after a full no-op PAIR, adding 1–2
+    # extra contraction rounds whose compute exceeds the saved probe
+    # (graph slice: components 3.92 → 4.53 s, incremental 7.14 →
+    # 7.65 — OPTIMIZATION_r12.md C16, recorded so it isn't retried).
     for _ in range(max_iter):
         # lazy: the per-round probe is the materializing action —
         # one job per contraction round instead of two; the

@@ -71,15 +71,17 @@ def pagerank(
     :class:`~loudml_spark.errors.Invalid`; dedupe upstream (e.g.
     max/avg weight per pair) first.
 
-    Checkpoint lifecycle: each iteration EAGERLY
-    ``localCheckpoint``-s the new rank frame (the textrank lineage
-    idiom — the plan stays one join+agg deep however large
-    ``n_iter`` grows), then releases the superseded iteration's
-    blocks (:mod:`loudml_spark.checkpoint`) — block-manager storage
-    is O(1) in ``n_iter``, not ~n_iter pinned node-frame copies;
-    the edge frame's checkpoint is released after the last
-    iteration (the returned frame scans only the final rank
-    checkpoint).
+    Checkpoint lifecycle: every SECOND iteration (and the last)
+    EAGERLY ``localCheckpoint``-s the rank frame (the textrank
+    lineage idiom — the plan stays at most two join+agg layers deep
+    however large ``n_iter`` grows, and the materialization job runs
+    n_iter/2 times instead of n_iter; checkpoint placement does not
+    touch the arithmetic, so the trajectory is bit-identical), then
+    releases the superseded checkpoint's blocks
+    (:mod:`loudml_spark.checkpoint`) — block-manager storage is
+    O(1) in ``n_iter``, not ~n_iter pinned node-frame copies; the
+    edge frame's checkpoint is released after the last iteration
+    (the returned frame scans only the final rank checkpoint).
 
     Output: one row per node — (id, pagerank).  Σ pagerank ≈ 1 up
     to rounding drift.
@@ -183,7 +185,7 @@ def pagerank(
     cexpr = (F.col("r") * (F.col("w") / F.col("wsum")) if weight_col
              else F.col("r") / F.col("wsum"))
     prev = None
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             symw.join(ranks.withColumnRenamed("id", "src"), "src")
             .select(
@@ -202,17 +204,20 @@ def pagerank(
                     round_to,
                 ).alias("r"),
             )
-            # truncate rank lineage each iteration (the textrank
-            # idiom): without this the plan nests one join+agg layer
-            # per iteration and the optimizer re-analyzes the whole
-            # tower every pass — fine at n_iter=5, quadratic plan
-            # growth beyond.  EAGER so the superseded iteration's
-            # blocks can be released immediately below — storage
-            # stays O(1) in n_iter instead of ~n_iter pinned copies.
-            .localCheckpoint()
         )
-        release_checkpoint(prev)    # no-op on the first iteration
-        prev = ranks
+        # truncate rank lineage every SECOND iteration (and on the
+        # last): the plan never grows past two join+agg layers — the
+        # same analyzer-safety the per-iteration checkpoint bought —
+        # but the eager materialization job runs n_iter/2 times, not
+        # n_iter (per-job overhead is the measured floor of these
+        # node-sized iterations at bench scale; checkpoint placement
+        # does not touch the arithmetic, so the trajectory is
+        # bit-identical).  EAGER so the superseded checkpoint's
+        # blocks release immediately — storage stays O(1) in n_iter.
+        if i % 2 == 1 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint()
+            release_checkpoint(prev)    # no-op on the first pair
+            prev = ranks
     # the returned frame scans only the final rank checkpoint — the
     # edge+wsum frame (and nodes derived from it) is dead now
     release_checkpoint(symw)
@@ -509,7 +514,8 @@ def kcore_numbers(
     superseded copies are released immediately
     (:mod:`loudml_spark.checkpoint` — storage O(1) in rounds), and
     the convergence probe (count + two independent xxhash64
-    checksums, the dedup_clusters idiom) rides one action per round.
+    checksums, the dedup_clusters idiom) rides one action per round
+    (a two-round cadence was measured worse — see the loop comment).
     Raises after ``max_iter`` rounds — a silent partial fixpoint
     would understate coreness downstream.
 
@@ -566,6 +572,12 @@ def kcore_numbers(
     release_checkpoint(e)
     prev = values
     converged = False
+    # Per-round probing, deliberately: a two-round probe cadence
+    # (halving the probe jobs; sound by h-index monotonicity) was
+    # measured WORSE — detection then needs a full no-op pair, and
+    # the 1–2 extra h-index rounds cost more than the saved probe
+    # (graph slice: kcore 4.94 → 5.38 s — OPTIMIZATION_r12.md C16,
+    # recorded so it isn't retried).
     for _ in range(max_iter):
         nbr = (
             sym.join(values.select(F.col("id").alias("b"),
