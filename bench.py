@@ -110,6 +110,14 @@ def main():
 
     timings = {k: round(min(v), 3) for k, v in samples.items()}
     medians = {k: round(median(v), 3) for k, v in samples.items()}
+    # rep-1 ("cold") per-query seconds: the first full pass builds
+    # every in-session cache (LSH signature/pair frames, LM count
+    # frames, spans frames) from parquet, so the min of later passes
+    # is a warm-cache read for cache-consuming queries.  Reporting the
+    # cold pass NEXT TO the min keeps that visible instead of burying
+    # the cache-build cost in discarded samples (round-13 directive;
+    # additions-only — `queries`/`value` semantics are unchanged).
+    colds = {k: round(v[0], 3) for k, v in samples.items()}
     total = round(sum(timings.values()), 3)
     # `queries` is the per-query MIN (steady-state, the number
     # comparable across rounds); `queries_median` exposes the spread so
@@ -127,6 +135,7 @@ def main():
         "detail": "full per-query mins and medians (see final line for summary)",
         "queries": timings,
         "queries_median": medians,
+        "queries_cold": colds,
     }
     print(json.dumps(full))
     # Also persist the complete per-query detail next to this script so
@@ -149,14 +158,19 @@ def main():
         "value": total,
         "unit": "sec",
         "value_median": round(sum(medians.values()), 3),
+        "value_cold": round(sum(colds.values()), 3),
         "reps": reps,
         "sf": sf_of(SF_DIR),
         "n_queries": len(timings),
         "queries_omitted": 0,
         "queries": {},
+        "queries_cold": {},
     }
     for i in range(len(slowest), -1, -1):
         compact["queries"] = dict(slowest[:i])
+        # the cold rep-1 time for the SAME queries the min dict shows,
+        # so round-over-round claims can cite both from the tail alone
+        compact["queries_cold"] = {k: colds[k] for k, _ in slowest[:i]}
         compact["queries_omitted"] = len(slowest) - i
         if len(json.dumps(compact)) <= tail_budget:
             break

@@ -76,11 +76,15 @@ _PERSISTED: list = []  # [(semantic_hash, df)] — LRU, most recent last
 # consumer re-ran the dominant Arrow shingle pass (measured: the
 # whole LSH/graph family regressed 1-2 s/query at sf0.1 once the LM
 # persists landed) — the cap must exceed the live population or the
-# LRU thrashes exactly the frames it exists to keep.  Every
-# registered frame is model/vocab/result-sized (the documented
-# bounded-persist class) and MEMORY_AND_DISK, so 32 of them is a
-# trivial footprint at any scale.
-_PERSIST_CAP = 32
+# LRU thrashes exactly the frames it exists to keep.  Round 13 adds
+# the ANN top-k result frames (7 per corpus dir × 2 dirs — exact +
+# six index pipelines, each 50-100 rows, shared by the recall
+# gates), lifting the live population to ~34; cap raised to keep the
+# no-thrash invariant.  Every registered frame is
+# model/vocab/result-sized (the documented bounded-persist class)
+# and MEMORY_AND_DISK, so 48 of them is a trivial footprint at any
+# scale.
+_PERSIST_CAP = 48
 
 
 def verify_spread(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -1487,8 +1491,8 @@ def dedup_clusters(
     checkpoint dir and use checkpoint() for fault tolerance), and the
     convergence probe rides the SAME single action: count plus two
     independent xxhash64 checksums of the edge set (collision odds
-    ~2^-128 — no extra exceptAll shuffle per round at scale).  A
-    two-round probe cadence was measured worse — see the loop
+    ~2^-128 — no extra exceptAll shuffle per round at scale).  Both
+    round-batching variants were measured worse — see the loop
     comment.
     Raises if not converged within ``max_iter`` — a silent partial
     clustering would corrupt a dedup pass downstream.
@@ -1550,12 +1554,24 @@ def dedup_clusters(
 
     first_edges = edges
     prev = None
-    # Per-round probing, deliberately: probing every SECOND round
-    # (halving the probe jobs) was measured WORSE — convergence can
-    # then only be detected after a full no-op PAIR, adding 1–2
-    # extra contraction rounds whose compute exceeds the saved probe
-    # (graph slice: components 3.92 → 4.53 s, incremental 7.14 →
-    # 7.65 — OPTIMIZATION_r12.md C16, recorded so it isn't retried).
+    # Per-round probing AND per-round checkpointing, deliberately —
+    # BOTH batching variants are measured losses, recorded here so
+    # they are not retried:
+    # * r12-C16 probe-stride (checkpoint per round, probe every 2nd):
+    #   convergence can then only be detected after a full no-op
+    #   PAIR, adding 1-2 extra contraction rounds whose compute
+    #   exceeds the saved probe (graph slice: components 3.92 → 4.53,
+    #   incremental 7.14 → 7.65).
+    # * r13 stacked rounds (TWO rounds per checkpoint, one 4-layer
+    #   plan, probe at the pair): CATASTROPHIC — each star phase
+    #   references its input 2-3× (nbrs union + the mins self-join),
+    #   so without a materialization barrier per round the input
+    #   subtree multiplies ~4-9× across a stacked pair and AQE
+    #   materializes every copy (graph slice at sf0.1:
+    #   graph_components 2.87 → 6.16 s, incremental_components
+    #   4.49 → 11.11 s).  The per-round checkpoint is not overhead;
+    #   it is what keeps the star contraction's self-referencing
+    #   plan linear.
     for _ in range(max_iter):
         # lazy: the per-round probe is the materializing action —
         # one job per contraction round instead of two; the

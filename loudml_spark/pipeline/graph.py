@@ -515,9 +515,9 @@ def kcore_numbers(
     (:mod:`loudml_spark.checkpoint` — storage O(1) in rounds), and
     the convergence probe (count + two independent xxhash64
     checksums, the dedup_clusters idiom) rides one action per round
-    (a two-round cadence was measured worse — see the loop comment).
-    Raises after ``max_iter`` rounds — a silent partial fixpoint
-    would understate coreness downstream.
+    (both round-batching cadences were measured worse — see the loop
+    comment).  Raises after ``max_iter`` rounds — a silent partial
+    fixpoint would understate coreness downstream.
 
     Exactness: all-integer arithmetic (degrees, ranks, mins/maxes)
     — no rounding surface at all; the DuckDB oracle replays textbook
@@ -567,36 +567,40 @@ def kcore_numbers(
 
     w = Window.partitionBy("a").orderBy(F.col("vn").desc(),
                                         F.col("b").asc())
-    sig = _probe(values)
-    # sym (and values) are materialized by the probe — e is dead now
-    release_checkpoint(e)
-    prev = values
-    converged = False
-    # Per-round probing, deliberately: a two-round probe cadence
-    # (halving the probe jobs; sound by h-index monotonicity) was
-    # measured WORSE — detection then needs a full no-op pair, and
-    # the 1–2 extra h-index rounds cost more than the saved probe
-    # (graph slice: kcore 4.94 → 5.38 s — OPTIMIZATION_r12.md C16,
-    # recorded so it isn't retried).
-    for _ in range(max_iter):
+
+    def _hstep(vals: DataFrame) -> DataFrame:
+        """One h-index round: v'(u) = H({v(w) : w ~ u})."""
         nbr = (
-            sym.join(values.select(F.col("id").alias("b"),
-                                   F.col("v").alias("vn")), "b")
+            sym.join(vals.select(F.col("id").alias("b"),
+                                 F.col("v").alias("vn")), "b")
             .select("a", "b", "vn")
         )
-        values = (
+        return (
             nbr.withColumn("r", F.row_number().over(w))
             .groupBy("a")
             .agg(F.max(F.least(F.col("vn"), F.col("r")))
                  .cast("int").alias("v"))
             .withColumnRenamed("a", "id")
-            # lazy: the per-round probe below is the action that
-            # materializes this round's checkpoint — one job per
-            # round instead of two.  The superseded round releases
-            # only AFTER the probe (materializing the new round
-            # scans prev through the join) — same O(1) storage.
-            .localCheckpoint(eager=False)
         )
+
+    sig = _probe(values)
+    # sym (and values) are materialized by the probe — e is dead now
+    release_checkpoint(e)
+    prev = values
+    converged = False
+    # Per-round probing, deliberately — BOTH batching variants are
+    # measured losses, recorded so they are not retried:
+    # * r12-C16 probe-stride (probe every 2nd round): detection then
+    #   needs a full no-op pair, and the 1-2 extra h-index rounds
+    #   cost more than the saved probe (kcore 4.94 → 5.38 s).
+    # * r13 stacked rounds (TWO h-steps per checkpoint, one 4-layer
+    #   plan, stride-2 detection): kcore 4.01 → 5.08 s at sf0.1 —
+    #   AQE materializes the same exchange count either way (a lazy
+    #   checkpoint's upstream stages run as jobs at construction),
+    #   so stacking saves only the probe, and stride-2 detection
+    #   still pays the C16 no-op rounds.
+    for _ in range(max_iter):
+        values = _hstep(values).localCheckpoint(eager=False)
         new_sig = _probe(values)
         release_checkpoint(prev)
         prev = values

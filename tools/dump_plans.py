@@ -2,8 +2,9 @@
 
 Usage: python tools/dump_plans.py <out_suffix> [sf_dir] [query ...]
 
-Writes plans/r12/<query>_<out_suffix>.txt for each named query (all
-queries when none named).  `out_suffix` is e.g. "before" / "after".
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<out_suffix>.txt
+(default round "r13") for each named query (all queries when none
+named).  `out_suffix` is e.g. "before" / "after".
 """
 
 from __future__ import annotations
@@ -20,7 +21,8 @@ REST = sys.argv[2:]
 SF_DIR = REST[0] if REST and os.path.isdir(REST[0]) else "/root/testdata/sf0.1"
 NAMES = [a for a in REST if not os.path.isdir(a)]
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r12")
+    os.path.abspath(__file__))), "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"))
 
 
 def main():
